@@ -1,0 +1,88 @@
+"""SparkSession construction with a 100TB-minded default config.
+
+The reference hand-tunes a handful of session confs
+(oss_s3_server_side_logging_compacter.py:184-208: speculation off for
+committer-v2 safety, INT64-millis parquet timestamps for Presto
+compat).  We keep those, pin UTC, and turn on the modern scale knobs:
+AQE (runtime re-planning, skew-join splitting, partition coalescing)
+and parquet pushdown.  Everything is a plain conf so a real cluster
+deploy can override per-job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are *semantic* (affect results) — always applied, and
+# re-assertable at runtime on a foreign session via `ensure_semantics`.
+SEMANTIC_CONF = {
+    # All reference data is UTC (S3 logs are always +0000); DuckDB and
+    # parquet naive timestamps agree only under UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Reference stores INT64-millis timestamps for Presto compat
+    # (compacter.py:193-194).  Modern conf name:
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MILLIS",
+}
+
+# Confs that are *performance* — defaults sized for local[32] test runs
+# but expressed the way a 1000-executor deploy would set them.
+PERF_CONF = {
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+    # broadcast-join demotion/promotion from real stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Pre-AQE shuffle fan-out; AQE coalesces down from here.  On a real
+    # cluster this would be ~2-3x total cores.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Split large files into ~128MB tasks (default, made explicit).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Columnar scan + pushdown (defaults, made explicit because the
+    # whole engine depends on them).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Arrow for any pandas_udf path (similarity / multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Committer-v2 era safety kept from the reference (compacter.py:189-192).
+    "spark.speculation": "false",
+}
+
+
+def get_spark(
+    app_name: str = "aws_logs_to_parquet_converter_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    all cores) so bench/test runs saturate the box; on a cluster pass
+    ``master=None`` with an external spark-submit master.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in {**SEMANTIC_CONF, **PERF_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_semantics(spark)
+    return spark
+
+
+def ensure_semantics(spark: SparkSession) -> SparkSession:
+    """Assert semantic confs on an externally-built session.
+
+    Query builders call this so results are correct even when the
+    harness hands us a session we didn't configure (only
+    runtime-settable SQL confs are touched).
+    """
+    for k, v in SEMANTIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — accept session default
+    return spark

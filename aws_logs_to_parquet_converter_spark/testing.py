@@ -1,0 +1,107 @@
+"""Deterministic synthetic raw S3 access-log lines (FIXTURES.md §1).
+
+Row mix: ~90% well-formed 18-field lines, ~5% '-'-heavy (every
+null-coercion branch), ~3% modern long-format (trailing post-2019
+fields), ~2% garbage (dead-letter path).  Seeded — same n => same
+lines, so golden tests and the parse bench are reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+# The Spark+AI Summit 2019 slide p.21 golden line (public AWS example).
+GOLDEN_LINE = (
+    "79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be "
+    "awsexamplebucket [06/Feb/2019:00:00:38 +0000] 192.0.2.3 "
+    "79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be "
+    "3E57427F3EXAMPLE REST.GET.VERSIONING - "
+    '"GET /awsexamplebucket?versioning HTTP/1.1" 200 - 113 - 7 - "-" '
+    '"S3Console/0.4" -'
+)
+
+_OPERATIONS = [
+    "REST.GET.OBJECT",
+    "REST.GET.OBJECT",
+    "REST.GET.OBJECT",
+    "REST.PUT.OBJECT",
+    "REST.HEAD.OBJECT",
+    "REST.GET.VERSIONING",
+    "BATCH.DELETE.OBJECT",
+]
+_AGENTS = ['"S3Console/0.4"', '"aws-sdk-java/1.11.100"', '"Boto3/1.9.201"', '"-"']
+_STATUS = [200, 200, 200, 206, 304, 403, 404, 500]
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def _well_formed(rng: random.Random) -> str:
+    owner = "%064x" % rng.getrandbits(48)
+    bucket = rng.choice(["awsexamplebucket", "logs-bucket", "data-bucket"])
+    day = rng.randint(1, 28)
+    mon = rng.randint(1, 12)
+    t = f"[{day:02d}/{_MONTHS[mon - 1]}/2019:{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d} +0000]"
+    ip = f"192.0.2.{rng.randint(1, 254)}"
+    requester = rng.choice(
+        [
+            f"arn:aws:sts::123456789012:assumed-role/reader-{rng.randint(0, 4)}/i-{rng.getrandbits(32):08x}",
+            f"arn:aws:iam::123456789012:user/user{rng.randint(0, 9)}",
+            "-",
+        ]
+    )
+    reqid = "%016X" % rng.getrandbits(62)
+    op = rng.choice(_OPERATIONS)
+    key = f"logs/service-{rng.randint(0, 9)}/2019/{mon:02d}/{day:02d}/part-{rng.randint(0, 99):05d}.tgz"
+    request = f'"GET /{bucket}/{key} HTTP/1.1"'
+    status = rng.choice(_STATUS)
+    bytes_sent = rng.randint(100, 10_000_000)
+    size = bytes_sent + rng.randint(0, 1000)
+    total = rng.randint(5, 5000)
+    turn = rng.randint(0, total)
+    agent = rng.choice(_AGENTS)
+    return (
+        f"{owner} {bucket} {t} {ip} {requester} {reqid} {op} {key} {request} "
+        f'{status} - {bytes_sent} {size} {total} {turn} "-" {agent} -'
+    )
+
+
+def _dash_heavy(rng: random.Random) -> str:
+    owner = "%064x" % rng.getrandbits(48)
+    t = f"[{rng.randint(1, 28):02d}/Mar/2019:12:00:{rng.randint(0, 59):02d} +0000]"
+    return f'{owner} databucket {t} 192.0.2.9 - {"%016X" % rng.getrandbits(62)} REST.GET.OBJECT - "-" - - - - - - "-" "-" -'
+
+
+def _long_format(rng: random.Random) -> str:
+    # Valid 18 fields + post-2019 trailing fields (host id, sigver,
+    # cipher, auth type, endpoint, TLS) — must parse via search semantics.
+    return (
+        _well_formed(rng)
+        + " qwerAADDff= SigV4 ECDHE-RSA-AES128-GCM-SHA256 AuthHeader "
+        + "s3.us-west-2.amazonaws.com TLSv1.2"
+    )
+
+
+def _garbage(rng: random.Random) -> str:
+    return rng.choice(
+        [
+            "truncated line without enough fields",
+            "\x00\x01binaryjunk\x7f",
+            "   ",
+            "a b",
+        ]
+    )
+
+
+def generate_log_lines(n: int, seed: int = 42) -> list[str]:
+    rng = random.Random(seed)
+    lines = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.90:
+            lines.append(_well_formed(rng))
+        elif r < 0.95:
+            lines.append(_dash_heavy(rng))
+        elif r < 0.98:
+            lines.append(_long_format(rng))
+        else:
+            lines.append(_garbage(rng))
+    return lines
