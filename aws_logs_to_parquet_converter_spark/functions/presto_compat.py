@@ -1,0 +1,86 @@
+"""Presto/Athena dialect shims (SURVEY §2.9).
+
+The reference's query half is Presto SQL run by Athena
+(example_queries/days_apart_analysis.sql).  Almost every function is
+name-identical in Spark SQL; the exceptions — F1 2-arg
+``regexp_replace``, F5 ``date_parse`` (MySQL format strings), F7
+``date_diff(unit, a, b)`` — are shimmed here so the reference's
+analysis SQL runs verbatim on this engine:
+
+  * ``register_presto_compat(spark)`` creates SQL UDFs where no builtin
+    name collides (pure Catalyst expressions — a SQL-macro layer, zero
+    Python in the data path); colliding names (``date_diff``) are
+    head-rewritten by the translator instead.
+  * ``translate_presto_sql(sql)`` rewrites the dialect residue that
+    functions can't cover: double-quoted identifiers -> backticks and
+    2-arg ``regexp_replace(col, 'pat')`` -> 3-arg with empty
+    replacement.
+  * ``run_presto_sql`` additionally executes under
+    ``escapedStringLiterals=true`` so Presto regex literals like
+    ``'/(\\d+)'`` keep their backslashes exactly as written.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Presto/MySQL date_parse tokens -> JDK DateTimeFormatter patterns.
+_FORMAT_REPLACEMENTS = [
+    ("%Y", "yyyy"),
+    ("%y", "yy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%i", "mm"),
+    ("%s", "ss"),
+    ("%f", "SSSSSS"),
+    ("%b", "MMM"),
+]
+
+
+def register_presto_compat(spark: SparkSession) -> None:
+    """Register Presto-named SQL UDFs: ``date_parse``, ``date_diff``.
+
+    SQL UDFs inline into the Catalyst plan (no Python boundary), so the
+    compat layer costs nothing at execution time.
+    """
+    fmt_expr = "fmt"
+    for presto_tok, jdk_tok in _FORMAT_REPLACEMENTS:
+        fmt_expr = f"replace({fmt_expr}, '{presto_tok}', '{jdk_tok}')"
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION date_parse(s STRING, fmt STRING)
+        RETURNS TIMESTAMP
+        RETURN try_to_timestamp(s, {fmt_expr})
+        """
+    )
+_TWO_ARG_REGEXP_REPLACE = re.compile(
+    r"regexp_replace\(\s*([A-Za-z_][\w.]*)\s*,\s*('(?:[^'\\]|\\.)*')\s*\)"
+)
+_QUOTED_IDENT = re.compile(r'"([^"]+)"')
+# date_diff('day', ...  ->  timestampdiff(DAY, ...   (head-only rewrite:
+# nested args untouched; Spark's own 2-arg date_diff is a builtin that a
+# temp SQL UDF cannot shadow, so the 3-arg Presto form maps to
+# timestampdiff, whose complete-unit semantics match Presto's.)
+_DATE_DIFF_HEAD = re.compile(r"date_diff\(\s*'(\w+)'\s*,")
+
+
+def translate_presto_sql(sql: str) -> str:
+    """Rewrite Presto dialect residue to Spark SQL (see module doc)."""
+    sql = _TWO_ARG_REGEXP_REPLACE.sub(r"regexp_replace(\1, \2, '')", sql)
+    sql = _DATE_DIFF_HEAD.sub(lambda m: f"timestampdiff({m.group(1).upper()}, ", sql)
+    sql = _QUOTED_IDENT.sub(r"`\1`", sql)
+    return sql
+
+
+def run_presto_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute a Presto-dialect query verbatim on this engine."""
+    register_presto_compat(spark)
+    prev = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        return spark.sql(translate_presto_sql(sql))
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", prev)

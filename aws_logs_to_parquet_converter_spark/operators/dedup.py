@@ -1,0 +1,238 @@
+"""Deduplication operators for large text corpora.
+
+No counterpart in the reference (its dedup notion is "re-run a day ->
+overwrite the partition"); these are the LLM-training-pipeline
+operators the north star calls for, built scale-first:
+
+  * exact_duplicates / fingerprint_duplicates — one hash-groupBy
+    shuffle on a 16-byte key; the canonical-id pattern keeps the
+    smallest id deterministically.
+  * minhash_near_duplicates — MinHash + LSH banding: shingle ->
+    per-shingle 64-bit hash -> k permutation-mins per doc (one
+    aggregation, signatures as a fixed-width array) -> band buckets ->
+    candidate pairs only within equal buckets.  Cost is O(docs x
+    shingles + candidate pairs), never O(docs^2).
+  * simhash — 64-bit rotation-invariant sketch computed entirely with
+    array higher-order functions (no explode, no Python): hamming
+    neighbors join on band keys.
+  * ngram_jaccard_pairs — exact pairwise Jaccard over character
+    shingles via an inverted-index self-join (the oracle-checkable
+    ground truth the sketch methods approximate).
+
+All expressions are native Catalyst (xxhash64, transform, aggregate,
+zip_with) — zero Python workers in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus for the MinHash permutation family
+# h_i(x) = (a_i * x + b_i) mod P (classic Carter-Wegman construction).
+# 31-bit domain keeps a*x + b under 2^62 — no bigint overflow under
+# Spark's ANSI arithmetic (a 64-bit domain would need 128-bit math).
+_P = (1 << 31) - 1
+
+
+def _normalized(text: Column) -> Column:
+    """Lowercase, whitespace-collapsed content key."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (canonical_id, n_copies, ids)."""
+    return (
+        df.groupBy(F.col(text_col).alias("_text"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .where(F.col("n_copies") > 1)
+        .drop("_text")
+    )
+
+
+def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-exact dedup on a normalized md5 fingerprint — catches
+    case/whitespace variants that byte-equality misses."""
+    fp = F.md5(_normalized(F.col(text_col)))
+    return (
+        df.groupBy(fp.alias("fingerprint"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of a normalized text, as an array —
+    built with sequence/transform (no explode until the caller asks)."""
+    norm = _normalized(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda i: F.substring(norm, i, n),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 5, seed: int = 42
+) -> DataFrame:
+    """(id, signature array<bigint>[num_hashes]) MinHash signatures.
+
+    One explode + one groupBy: shingles hash once (xxhash64), then each
+    permutation is an affine map of that single hash — min-aggregated
+    per document into a fixed-width signature column.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    # Non-negative base hash < P so the affine maps stay in-range.
+    h = F.pmod(F.xxhash64("_sh"), F.lit(_P)).alias("_h")
+    sh = sh.select("_id", h)
+    mins = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = sh.groupBy("_id").agg(*mins)
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding, scored by
+    estimated Jaccard (fraction of agreeing minhashes), filtered at
+    ``threshold``.  Returns (id_a, id_b, est_jaccard), id_a < id_b.
+
+    Rows x bands fan-out replaces the O(n^2) pair space; docs meet only
+    inside equal (band, band-signature) buckets.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "signature", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    return pairs.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, explode-free.
+
+    tokens -> per-token xxhash64 -> per-bit +/-1 votes accumulated with
+    ``aggregate`` over a 64-slot array -> sign -> packed bigint.
+    (``getbit`` reads bit i of the token hash — shift functions need a
+    literal shift amount and can't be used inside the lambda.)
+    """
+    tokens = F.split(_normalized(F.col(text_col)), " ")
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (F.getbit(F.xxhash64(tok), i) * 2 - 1).cast("long"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # Materialize the vote array once, then pack sign bits; python-side
+    # loop => every shift amount is a literal.
+    with_votes = df.select(F.col(id_col), votes.alias("_votes"))
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(
+            F.element_at("_votes", i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = packed.bitwiseOR(bit)
+    return with_votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via inverted-index self-join —
+    the ground truth for the sketch-based methods (and the
+    SQL-expressible oracle entry).  Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)

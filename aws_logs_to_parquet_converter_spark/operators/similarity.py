@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star operators (no reference counterpart): brute-force cosine
+top-k as the exact baseline, and a random-hyperplane LSH variant as the
+100 TB path (buckets shrink the candidate set; exact re-rank inside
+buckets).
+
+All vector math is native Catalyst (zip_with / aggregate fold) — JVM
+columnar, no Python UDF.  At very high dims a pandas_udf + numpy matmul
+batch can win; that switch is isolated in ``_dot`` so it's one-line
+swappable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sum of elementwise products, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    The (small) query set broadcasts; the corpus streams through one
+    whole-stage-codegen'd projection; per-query ranking is a window
+    over (query, sim).  Ties broken by neighbor id — deterministic.
+    Returns (query_id, neighbor_id, sim, rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+
+
+def hyperplane_signatures(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane (SRP) LSH bit signature as a bigint column
+    expression: bit i = sign(v . r_i).  cos-similar vectors collide
+    with probability 1 - theta/pi per bit."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+        bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to corpus vectors whose
+    hyperplane signature is within ``max_hamming`` bits of the query's,
+    then exact cosine re-rank.  At scale this turns the all-pairs
+    product into (queries x small buckets).
+
+    Returns (query_id, neighbor_id, sim, rank) — a subset of the exact
+    result; recall grows with n_planes/max_hamming.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        hyperplane_signatures(queries, vec_col, dim, n_planes, seed).alias("_qsig"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        hyperplane_signatures(corpus, vec_col, dim, n_planes, seed).alias("_csig"),
+    )
+    hamming = F.bit_count(F.col("_qsig").bitwiseXOR(F.col("_csig")))
+    scored = (
+        c.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id")) & (hamming <= max_hamming))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)

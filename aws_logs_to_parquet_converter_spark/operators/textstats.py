@@ -1,0 +1,86 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, fingerprinting (north-star LLM-pipeline surface).
+
+All native column expressions — split/filter/size/length run inside
+wholestage codegen, so these scale to corpus-wide sweeps without a
+Python worker.  The column builders are reused by plans/extensions.py
+where each gets a DuckDB-oracle query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny high-frequency stopword set: enough signal for a heuristic
+# language gate; a production run would swap in per-language tables.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty-safe)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda tok: tok != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    toks = tokens(text)
+    return F.when(F.size(toks) > 0, F.size(F.filter(toks, lambda tok: F.array_contains(sw, tok))) / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, tok: acc + F.length(tok))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane mean word
+    length, some stopwords, low punctuation — the standard cheap
+    pre-filter shape for LLM corpus cleaning."""
+    tc = token_count(text)
+    len_ok = F.when((tc >= 10) & (tc <= 5000), 1.0).otherwise(0.3)
+    mean_ok = F.when(mean_token_len(text).between(2.0, 12.0), 1.0).otherwise(0.4)
+    sw_ok = F.when(stopword_ratio(text) >= 0.05, 1.0).otherwise(0.5)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.5)
+    return F.round((len_ok + mean_ok + sw_ok + punct_ok) / 4.0, 4)
+
+
+def predict_lang(text: Column) -> Column:
+    """N-gram-free heuristic language ID: English-stopword density.
+    Deliberately simple (and SQL-expressible for the oracle); the
+    operator seam is what matters — swap in fasttext via mapInPandas
+    for production."""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized md5 content fingerprint (rolling-hash stand-in)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat block to a documents DataFrame."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        F.round(mean_token_len(c), 4).alias("mean_token_len"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        predict_lang(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

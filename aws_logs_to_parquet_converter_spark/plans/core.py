@@ -1,0 +1,779 @@
+"""Relational operator surface: scans, filters, joins, aggregations,
+windows, set ops, sorts/limits, scalar functions (SURVEY.md §2.2-§2.9).
+
+The reference implements only filter -> group -> agg -> sort in Presto
+SQL (example_queries/days_apart_analysis.sql) — everything else here is
+the declared rebuild surface (SURVEY §2.3/2.5/2.7: "exposed by the
+rebuild"), expressed Spark-first and graded against a DuckDB oracle.
+
+Conventions for oracle hash-compat:
+  * every computed column aliased identically on both sides;
+  * doubles rounded (engines agree to ~1e-12 relative; rounding makes
+    the hash exact);
+  * timestamps emitted as formatted strings or dates;
+  * every window/top-k has a total deterministic ordering (ties broken
+    by a key column);
+  * DuckDB integer SUMs cast to BIGINT (DuckDB widens to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.plans.registry import query, register_views, t
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4: A1-A4 generalized)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    headline=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE)                       AS sum_qty,
+           ROUND(SUM(l_extendedprice::DECIMAL(18,2)), 2)::DECIMAL(18,2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                             AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                        AS avg_price,
+           ROUND(AVG(l_discount), 4)                             AS avg_disc,
+           COUNT(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan -> filter -> hash-aggregate: the canonical pricing-summary
+    shape (TPC-H Q1).  Catalyst plans partial+final agg with map-side
+    combine; the shipdate predicate pushes to parquet row groups."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,2)")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)), 2)::DECIMAL(18,2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+      AND l_quantity BETWEEN 10 AND 20
+      AND l_returnflag = 'R'
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushdown showcase (SURVEY §2.2 P4/P5): equality + range predicates
+    reach the parquet scan (PushedFilters), projection prunes to 5 of 11
+    columns (ReadSchema)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_returnflag") == "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey)        AS n_customers,
+           COUNT(*)                         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg in Catalyst)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, '(all)') AS region_name,
+           COALESCE(n_name, '(all)') AS nation_name,
+           COUNT(*)                  AS n_customers,
+           ROUND(SUM(c_acctbal), 2)  AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over a dimension hierarchy (region > nation)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)')   AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           COUNT(*)                           AS n_orders,
+           ROUND(AVG(o_totalprice), 2)        AS avg_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "avg_price",
+        )
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(MIN(l_quantity) AS DOUBLE)  AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE)  AS max_qty,
+           ROUND(AVG(l_quantity), 4)        AS avg_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+           ROUND(VAR_SAMP(l_quantity), 4)   AS var_qty,
+           CAST(APPROX_COUNT_DISTINCT(l_partkey) AS BIGINT) > 100 AS many_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates + an approx-distinct (HLL) sanity bound.
+
+    approx_count_distinct differs across engines by construction, so
+    only the (stable) predicate `> 100` is compared, not the estimate."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            (F.approx_count_distinct("l_partkey") > 100).alias("many_parts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3 — the declared rebuild surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q03_shipping_priority",
+    headline=True,
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-06-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join -> agg -> top-k (TPC-H Q3 shape).  The final
+    orderBy+limit plans as TakeOrderedAndProject (no global sort)."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1996-06-15").cast("timestamp"))
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-06-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q05_local_supplier_volume",
+    headline=True,
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table star join (TPC-H Q5 shape).  Dimensions broadcast; only
+    the fact-fact joins (orders x lineitem) shuffle — at 100 TB that is
+    the one unavoidable exchange, on the join key."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS gross
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: the small filtered dim ships to
+    every executor; the fact side never shuffles for the join."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("gross"))
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one finished order.
+    Semi joins only ship the key — no payload duplication at scale."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: parts not shipped in 1996H1 ("keys never read"
+    in the S3-log domain, SURVEY §2.3)."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT DATE_TRUNC('month', o_orderdate) AS m_start,
+               DATE_TRUNC('month', o_orderdate) + INTERVAL 1 MONTH AS m_end
+        FROM orders
+    )
+    SELECT STRFTIME(m_start, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS volume
+    FROM orders JOIN months
+      ON o_orderdate >= m_start AND o_orderdate < m_end
+    GROUP BY m_start
+    ORDER BY month
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a derived small calendar dim: planned as
+    a broadcast nested-loop join (the dim is tiny), the scale-safe shape
+    for interval containment (SURVEY §2.3 theta/range row)."""
+    o = t(spark, sf_dir, "orders")
+    months = (
+        o.select(F.date_trunc("month", "o_orderdate").alias("m_start"))
+        .distinct()
+        .withColumn("m_end", F.col("m_start") + F.expr("INTERVAL 1 MONTH"))
+    )
+    return (
+        o.join(
+            F.broadcast(months),
+            (o.o_orderdate >= months.m_start) & (o.o_orderdate < months.m_end),
+        )
+        .groupBy("m_start")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("volume"))
+        .select(F.date_format("m_start", "yyyy-MM").alias("month"), "n_orders", "volume")
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT n_name, c_custkey, c_acctbal,
+               RANK()       OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS bal_rank,
+               DENSE_RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS bal_dense_rank
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE bal_rank <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 account balances per nation (rank is
+    tie-stable, so the result set is deterministic)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+        )
+        .where(F.col("bal_rank") <= 3)
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           ROUND(AVG(gap_us), 2) AS avg_gap_us
+    FROM (
+        SELECT user_id,
+               EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ) WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap — the streaming-free generalization of the
+    reference's days-apart idea (SURVEY §2.5): time between consecutive
+    accesses per entity."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"), F.round(F.avg("gap_us"), 2).alias("avg_gap_us")
+    )
+
+
+@query(
+    "q_window_rolling",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling3
+    FROM orders
+    """,
+)
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-order spend per customer (frame-bounded window)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return o.select("o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("rolling3"))
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS wealth_quartile,
+           CUME_DIST() OVER (ORDER BY c_acctbal) AS bal_cume
+    FROM customer
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles + cumulative distribution."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(Window.orderBy(F.desc("c_acctbal"), "c_custkey")).alias("wealth_quartile"),
+        F.cume_dist().over(Window.orderBy("c_acctbal")).alias("bal_cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / set ops / CTE (SURVEY §2.6-2.8)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    heaps + driver merge, no global sort exchange (SURVEY §2.6)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    SELECT 'both' AS tag, n_name FROM (
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        INTERSECT
+        SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+    UNION ALL
+    SELECT 'customers_only' AS tag, n_name FROM (
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        EXCEPT
+        SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over derived dimension sets."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cust_nations = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("n_name")
+    supp_nations = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("n_name")
+    both = cust_nations.intersect(supp_nations).select(F.lit("both").alias("tag"), "n_name")
+    # subtract == EXCEPT DISTINCT (set semantics, matching the SQL oracle;
+    # exceptAll would keep multiplicity and over-count)
+    only = cust_nations.subtract(supp_nations).select(
+        F.lit("customers_only").alias("tag"), "n_name"
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "q_cte_composition",
+    oracle="""
+    WITH nation_avg AS (
+        SELECT c_nationkey, AVG(c_acctbal) AS nation_bal
+        FROM customer GROUP BY c_nationkey
+    ), global_avg AS (
+        SELECT AVG(c_acctbal) AS g FROM customer
+    )
+    SELECT n_name, ROUND(nation_bal, 2) AS nation_bal
+    FROM nation_avg
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN global_avg
+    WHERE nation_bal > g
+    ORDER BY nation_bal DESC, n_name
+    """,
+)
+def q_cte_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE composition with a scalar subquery, run through
+    spark.sql — the engine's SQL entry point (SURVEY §2.8 C1)."""
+    register_views(spark, sf_dir, ["customer", "nation"])
+    return spark.sql(
+        """
+        WITH nation_avg AS (
+            SELECT c_nationkey, AVG(c_acctbal) AS nation_bal
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT n_name, ROUND(nation_bal, 2) AS nation_bal
+        FROM nation_avg
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE nation_bal > (SELECT AVG(c_acctbal) FROM customer)
+        ORDER BY nation_bal DESC, n_name
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-function matrix (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                       AS up,
+           LOWER(p_brand)                      AS lo,
+           LENGTH(p_name)                      AS len,
+           SUBSTR(p_name, 1, 5)                AS pfx,
+           REPLACE(p_type, ' ', '_')           AS ty,
+           CONCAT(p_brand, ':', p_type)        AS brand_type,
+           REVERSE(p_brand)                    AS rev,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           TRIM(CONCAT('  ', p_brand, ' '))    AS trimmed,
+           CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function matrix (upper/lower/length/substr/replace/concat/
+    reverse/lpad/trim/like)."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("ty"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.reverse("p_brand").alias("rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+        F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("has_red"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)     AS y,
+           CAST(MONTH(o_orderdate) AS INT)    AS m,
+           CAST(DAY(o_orderdate) AS INT)      AS d,
+           CAST(QUARTER(o_orderdate) AS INT)  AS q,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           STRFTIME(LAST_DAY(o_orderdate), '%Y-%m-%d')            AS month_end,
+           STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS plus30,
+           DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_1995
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time-function matrix (year/month/day/quarter/trunc/last_day/
+    interval arithmetic/datediff) — the Presto F5-F7 set (SURVEY §2.9)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_1995"
+        ),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05)                    AS abs_v,
+           CAST(CEIL(l_quantity / 7) AS BIGINT)      AS ceil_v,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS floor_v,
+           ROUND(SQRT(l_extendedprice), 6)           AS sqrt_v,
+           ROUND(LN(l_extendedprice), 6)             AS ln_v,
+           ROUND(LOG10(l_extendedprice), 6)          AS log10_v,
+           ROUND(POW(1 + l_discount, 3), 6)          AS pow_v,
+           CAST(l_partkey % 7 AS BIGINT)             AS mod_v,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE)   AS sign_v,
+           ROUND(GREATEST(l_discount, l_tax), 2)     AS max_rate,
+           ROUND(LEAST(l_discount, l_tax), 2)        AS min_rate
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function matrix."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_v"),
+        F.ceil(F.col("l_quantity") / 7).alias("ceil_v"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("floor_v"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_v"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_v"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_v"),
+        F.round(F.pow(1 + F.col("l_discount"), 3), 6).alias("pow_v"),
+        (F.col("l_partkey") % 7).alias("mod_v"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_v"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
+    )
+
+
+@query(
+    "q_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END                     AS size_bucket,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0)   AS disc_or_flag,
+           CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END AS tax_exceeds
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / COALESCE / NULLIF conditional matrix (P3 semantics)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("size_bucket"),
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias("disc_or_flag"),
+        F.when(F.col("l_tax") > F.col("l_discount"), 1).otherwise(0).alias("tax_exceeds"),
+    )

@@ -1,0 +1,282 @@
+"""LLM-data-pipeline extension queries (SURVEY §2.12): dedup family,
+embedding similarity search, text analysis — over the driver's
+``documents`` and ``embeddings`` tables.
+
+Exact/SQL-expressible variants carry a DuckDB oracle; the sketch-based
+ones (MinHash-LSH, SimHash, hyperplane LSH) are rows-only here and are
+differential-tested against their exact counterparts in
+tests/test_dedup.py and tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import dedup, similarity, textstats
+from aws_logs_to_parquet_converter_spark.plans.registry import query, t
+
+# Shared DuckDB fragments (keep dialect drift in one place).
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+_DUCK_STOPWORDS = "['the','a','of','and','to','in','is','for','on','it']"
+_DUCK_SW_RATIO = (
+    f"CASE WHEN len({_DUCK_TOKENS}) > 0 THEN "
+    f"len(list_filter({_DUCK_TOKENS}, x -> list_contains({_DUCK_STOPWORDS}, x)))"
+    f" / len({_DUCK_TOKENS}) ELSE 0.0 END"
+)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    headline=True,
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one hash-shuffle on the text key, smallest
+    doc_id kept as the canonical representative."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .select("canonical_id", "n_copies")
+    )
+
+
+@query(
+    "q_dedup_fingerprint",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on normalized md5 fingerprints (catches
+    case/whitespace variants byte-equality misses)."""
+    d = t(spark, sf_dir, "documents")
+    from aws_logs_to_parquet_converter_spark.operators.textstats import fingerprint
+
+    return (
+        d.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .select("canonical_id", "n_copies")
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(nt) - 4, 1)),
+                   i -> substring(nt, i, 5)))) AS s
+        FROM docs
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c / (sa.n + sb.n - c) >= 0.4
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT character-5-gram Jaccard near-dup pairs via inverted-index
+    self-join — ground truth for the MinHash sketch."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=5, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("q_dedup_minhash", headline=True)  # rows-only: probabilistic; tested vs exact in test_dedup.py
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) near-dup candidates with estimated
+    Jaccard — the O(n) scale path the exact query above validates."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=5, threshold=0.4
+    ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+@query("q_simhash")  # rows-only: engine-specific hash; invariants tested in test_dedup.py
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash sketch per document (explode-free array fold)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search
+# --------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(
+                 list_aggregate(list_transform(list_zip(qv, cv), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))), 4) AS sim
+        FROM c CROSS JOIN q
+        WHERE query_id != neighbor_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("q_embed_topk", headline=True, oracle=_COSINE_ORACLE)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the
+    queries, stream the corpus once, window-rank — the exact ANN
+    baseline (all vector math JVM-side zip_with/aggregate)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    res = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    return res.withColumnRenamed("rank", "rnk")
+
+
+@query("q_embed_topk_lsh")  # rows-only: approximate; recall tested in test_similarity.py
+def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5: signature hamming pre-filter
+    then exact re-rank — the candidate-pruning shape that survives a
+    100 TB corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    queries = emb.where(F.col("vec_id") < 10)
+    res = similarity.cosine_topk_lsh(
+        emb, queries, dim=dim, id_col="vec_id", vec_col="embedding", k=5,
+        n_planes=12, max_hamming=4,
+    )
+    return res.withColumnRenamed("rank", "rnk")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, source, n_chars, {_DUCK_TOKENS} AS tk FROM documents
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(AVG(len(tk)), 2) AS avg_tokens,
+           ROUND(AVG(list_aggregate(list_transform(tk, x -> length(x)), 'sum') / len(tk)), 4)
+               AS avg_token_len
+    FROM toks GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc/char/token counts."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        d.select(
+            "lang",
+            "source",
+            "n_chars",
+            textstats.token_count(c).alias("_nt"),
+            textstats.mean_token_len(c).alias("_mtl"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg("_nt"), 2).alias("avg_tokens"),
+            F.round(F.avg("_mtl"), 4).alias("avg_token_len"),
+        )
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT lang, CASE WHEN {_DUCK_SW_RATIO} >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID confusion counts (labeled lang vs
+    stopword-density prediction)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", textstats.predict_lang(F.col("text")).alias("lang_pred")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(textstats.token_count(F.col("text"))).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+           ROUND((
+             (CASE WHEN len({_DUCK_TOKENS}) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.3 END) +
+             (CASE WHEN len({_DUCK_TOKENS}) > 0 AND
+                        list_aggregate(list_transform({_DUCK_TOKENS}, x -> length(x)), 'sum')
+                        / len({_DUCK_TOKENS}) BETWEEN 2.0 AND 12.0
+                   THEN 1.0 ELSE 0.4 END) +
+             (CASE WHEN {_DUCK_SW_RATIO} >= 0.05 THEN 1.0 ELSE 0.5 END) +
+             (CASE WHEN length(text) > 0 AND
+                        (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                        / length(text) <= 0.2
+                   THEN 1.0 ELSE 0.5 END)
+           ) / 4.0, 4) AS quality
+        FROM documents
+    )
+    SELECT quality, COUNT(*) AS n FROM scored GROUP BY quality
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score histogram (the cheap pre-train corpus gate)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(textstats.quality_score(F.col("text")).alias("quality")).groupBy(
+        "quality"
+    ).agg(F.count("*").alias("n"))

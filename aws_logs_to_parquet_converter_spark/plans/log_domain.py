@@ -1,0 +1,246 @@
+"""S3-access-log domain queries (the reference's analysis surface).
+
+The flagship is the "Days Apart" analysis
+(example_queries/days_apart_analysis.sql, Summit slides p.27-31): how
+long after being written is an object read — the signal Yelp used to
+move ~70% of log data to IA/Glacier (slides p.42-45).
+
+Since the driver's testdata has no raw S3 logs, each query first derives
+a deterministic access-log-shaped view from the ``events`` table (same
+derivation expressed in both dialects), then runs the analysis.  The
+Spark side executes the reference's Presto SQL *verbatim* through
+functions/presto_compat — proving dialect parity, not just semantic
+parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.functions.presto_compat import run_presto_sql
+from aws_logs_to_parquet_converter_spark.operators.asof import asof_join
+from aws_logs_to_parquet_converter_spark.plans.registry import query, register_views, t
+
+# Deterministic events -> access-log mapping.  Same semantics in both
+# dialects; key embeds a written-date 0..899 days before the read so
+# the reference's `days_apart > 400` threshold selects a proper subset.
+_LOG_VIEW_SPARK = """
+SELECT
+  event_id,
+  concat('arn:aws:sts::123456789012:assumed-role/svc-',
+         cast(user_id % 7 as string), '/i-', cast(event_id as string)) AS requester,
+  concat('logs/', event_type, '/',
+         date_format(date_sub(cast(ts as date), cast(event_id % 900 as int)), 'yyyy/MM/dd'),
+         '/part-', cast(event_id as string), '.tgz')                  AS key,
+  CASE WHEN event_id % 4 < 3 THEN 'REST.GET.OBJECT'
+       ELSE 'REST.PUT.OBJECT' END                                     AS operation,
+  CASE WHEN event_id % 10 < 8 THEN 200 ELSE 404 END                   AS http_status,
+  CAST(FLOOR(value * 1000) AS BIGINT)                                 AS bytes_sent,
+  ts                                                                  AS request_time
+FROM events
+"""
+
+_LOG_VIEW_DUCKDB = """
+SELECT
+  event_id,
+  'arn:aws:sts::123456789012:assumed-role/svc-' || CAST(user_id % 7 AS VARCHAR)
+      || '/i-' || CAST(event_id AS VARCHAR)                           AS requester,
+  'logs/' || event_type || '/'
+      || STRFTIME(CAST(ts AS DATE) - CAST(event_id % 900 AS INT), '%Y/%m/%d')
+      || '/part-' || CAST(event_id AS VARCHAR) || '.tgz'              AS key,
+  CASE WHEN event_id % 4 < 3 THEN 'REST.GET.OBJECT'
+       ELSE 'REST.PUT.OBJECT' END                                     AS operation,
+  CASE WHEN event_id % 10 < 8 THEN 200 ELSE 404 END                   AS http_status,
+  CAST(FLOOR(value * 1000) AS BIGINT)                                 AS bytes_sent,
+  ts                                                                  AS request_time
+FROM events
+"""
+
+# The reference analysis SQL, verbatim Presto dialect
+# (example_queries/days_apart_analysis.sql:14-39) — only the FROM target
+# differs (our derived view) and the output aggregates carry explicit
+# BIGINT casts for oracle hash-compat.
+_DAYS_APART_PRESTO = """
+WITH tmp_workspace AS (
+    SELECT
+       regexp_replace(requester, '/i-.*') AS requester,
+       regexp_extract(key, 'logs/([^/]*)/.*', 1) AS log_name,
+       date_parse(array_join(regexp_extract_all(key, '/(\\d+)', 1), '-'), '%Y-%m-%d') AS dt_written,
+       date_trunc('day', request_time) AS dt_read,
+
+       date_diff('day',
+                 date_parse(array_join(regexp_extract_all(key, '/(\\d+)', 1), '-'), '%Y-%m-%d'),
+                 date_trunc('day', request_time)
+                ) AS days_apart,
+       bytes_sent
+    FROM "s3_access_logs"
+    WHERE
+        operation = 'REST.GET.OBJECT'
+        AND http_status < 300
+)
+SELECT
+    requester,
+    log_name,
+    count(*) AS access_count,
+    CAST(sum(bytes_sent) AS BIGINT) AS total_bytes
+FROM tmp_workspace WHERE
+   days_apart > 400
+GROUP BY 1, 2
+ORDER BY access_count DESC
+"""
+
+
+@query(
+    "q_days_apart",
+    headline=True,
+    oracle=f"""
+    WITH s3_access_logs AS ({_LOG_VIEW_DUCKDB}),
+    tmp_workspace AS (
+        SELECT
+           regexp_replace(requester, '/i-.*', '') AS requester,
+           regexp_extract(key, 'logs/([^/]*)/.*', 1) AS log_name,
+           STRPTIME(ARRAY_TO_STRING(regexp_extract_all(key, '/(\\d+)', 1), '-'), '%Y-%m-%d') AS dt_written,
+           DATE_TRUNC('day', request_time) AS dt_read,
+           bytes_sent
+        FROM s3_access_logs
+        WHERE operation = 'REST.GET.OBJECT' AND http_status < 300
+    )
+    SELECT requester, log_name,
+           COUNT(*) AS access_count,
+           CAST(SUM(bytes_sent) AS BIGINT) AS total_bytes
+    FROM tmp_workspace
+    WHERE DATE_DIFF('day', dt_written, dt_read) > 400
+    GROUP BY 1, 2
+    ORDER BY access_count DESC
+    """,
+)
+def q_days_apart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the reference's Days-Apart analysis, its Presto SQL run
+    verbatim through the presto_compat shim (regexp feature extraction,
+    ARN cardinality collapse, date arithmetic, filter -> group -> agg ->
+    sort; days.sql:14-39, slides p.27-31)."""
+    register_views(spark, sf_dir, ["events"])
+    spark.sql(_LOG_VIEW_SPARK).createOrReplaceTempView("s3_access_logs")
+    return run_presto_sql(spark, _DAYS_APART_PRESTO)
+
+
+@query(
+    "q_log_status_breakdown",
+    oracle=f"""
+    WITH s3_access_logs AS ({_LOG_VIEW_DUCKDB})
+    SELECT operation,
+           CAST(http_status / 100 AS INT) AS status_class,
+           COUNT(*) AS n,
+           CAST(SUM(bytes_sent) AS BIGINT) AS bytes
+    FROM s3_access_logs
+    GROUP BY operation, status_class
+    """,
+)
+def q_log_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational rollup: requests and bytes by operation x status
+    class (the reference's A1/A2 group-count shape, days.sql:31-38)."""
+    register_views(spark, sf_dir, ["events"])
+    logs = spark.sql(_LOG_VIEW_SPARK)
+    return logs.groupBy(
+        "operation", (F.col("http_status") / 100).cast("int").alias("status_class")
+    ).agg(F.count("*").alias("n"), F.sum("bytes_sent").alias("bytes"))
+
+
+@query(
+    "q_hourly_traffic",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed traffic aggregation (tumbling-window shape; the
+    batch analogue of the streaming ingest's windowed agg)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 3600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h inactivity) via cumulative-sum
+    window — the classic access-log session operator, no UDF/state."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    gaps = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_lag) > 3600 * 1_000_000, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = gaps.select("user_id", "value", F.sum("new_session").over(w_cum).alias("session_id"))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH keyed_orders AS (
+        SELECT o_orderkey, o_orderdate, o_custkey % 50 AS uid FROM orders
+    )
+    SELECT e.event_type AS last_event_type,
+           COUNT(*) AS n_orders
+    FROM keyed_orders o
+    ASOF LEFT JOIN events e
+      ON o.uid = e.user_id AND e.ts <= o.o_orderdate
+    GROUP BY 1
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event of its (derived)
+    user at-or-before order time; implemented with the single-shuffle
+    union+window operator (operators/asof.py), checked against DuckDB's
+    native ASOF JOIN."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", (F.col("o_custkey") % 50).alias("uid")
+    )
+    e = t(spark, sf_dir, "events")
+    joined = asof_join(
+        o, e, left_on="uid", right_on="user_id", left_ts="o_orderdate", right_ts="ts",
+        right_payload=["event_type"],
+    )
+    return joined.groupBy(F.col("event_type_asof").alias("last_event_type")).agg(
+        F.count("*").alias("n_orders")
+    )

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query and total wall seconds.
+
+Queries execute to a noop datasource sink (full computation, no
+collect/IO skew), after a small warmup that pays JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from aws_logs_to_parquet_converter_spark.plans import REGISTRY  # noqa: E402
+from aws_logs_to_parquet_converter_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
+
+    # Warmup: touch the fact table once (JVM, codegen, file-index costs).
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    results: dict[str, float] = {}
+    for name, q in REGISTRY.items():
+        if not q.headline:
+            continue
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
