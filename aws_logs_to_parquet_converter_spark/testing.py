@@ -8,6 +8,7 @@ lines, so golden tests and the parse bench are reproducible.
 
 from __future__ import annotations
 
+import math
 import random
 
 # The Spark+AI Summit 2019 slide p.21 golden line (public AWS example).
@@ -105,3 +106,74 @@ def generate_log_lines(n: int, seed: int = 42) -> list[str]:
         else:
             lines.append(_garbage(rng))
     return lines
+
+
+# ---------------------------------------------------------------------------
+# Differential-oracle comparison (shared by scripts/check_parity.py and
+# tests/test_oracle_parity.py; approximates the driver's t2 gate:
+# row count + column names + order-insensitive value multiset).
+# ---------------------------------------------------------------------------
+
+
+def canon_rows(rows, cols) -> list[str]:
+    """Order-insensitive canonical form: per row, sorted-by-name column
+    values normalized to strings (floats to 9 significant digits,
+    NaN/None unified)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "∅"
+            return f"{v:.9g}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+
+
+def compare_query(spark, duck_con, name: str, sf_dir: str):
+    """Run one registered query on Spark and its oracle on DuckDB.
+
+    Returns (status, detail): status in {'ok', 'rows-only', 'fail'}.
+    """
+    from aws_logs_to_parquet_converter_spark.plans import REGISTRY
+
+    q = REGISTRY[name]
+    sdf = q.builder(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if q.oracle is None:
+        return "rows-only", f"{len(srows)} rows"
+    ores = duck_con.sql(q.oracle)
+    orows = ores.fetchall()
+    ocols = ores.columns
+
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+    if not problems:
+        sc, oc = canon_rows(srows, scols), canon_rows(orows, ocols)
+        if sc != oc:
+            diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+            problems.append(f"values differ, e.g. {diffs}")
+    if problems:
+        return "fail", "; ".join(problems)
+    return "ok", f"{len(srows)} rows"
+
+
+def duckdb_connection(sf_dir: str):
+    """DuckDB connection with the testdata tables as views (driver shape)."""
+    import duckdb
+
+    from aws_logs_to_parquet_converter_spark.plans.registry import TABLES
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return con

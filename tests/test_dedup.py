@@ -1,0 +1,103 @@
+"""Differential tests for the probabilistic dedup operators against
+their exact counterparts (the rows-only entries of the driver gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import dedup
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """30 docs: 5 near-dup pairs (one-word edits, jaccard >~ 0.8) + 20
+    distinct fillers.  Deterministic."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    doc_id = 0
+    for p in range(5):
+        base = " ".join(rng.choice(WORDS) for _ in range(40))
+        edited = base.replace(base.split()[5], "zulu", 1)
+        rows.append((doc_id, base))
+        rows.append((doc_id + 1, edited))
+        doc_id += 2
+    for _ in range(20):
+        rows.append((doc_id, " ".join(rng.choice(WORDS) for _ in range(40))))
+        doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_id == 1
+    assert groups[0].n_copies == 3
+    assert groups[0].member_ids == [1, 2, 4]
+
+
+def test_fingerprint_catches_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "HELLO\tWORLD"), (4, "bye")],
+        "doc_id long, text string",
+    )
+    groups = dedup.fingerprint_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0].n_copies == 3
+
+
+def test_minhash_finds_exact_high_jaccard_pairs(spark, corpus):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", 5, 0.7).collect()
+    }
+    assert len(exact) >= 5, "fixture should contain high-jaccard pairs"
+    lsh = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_near_duplicates(
+            corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    missed = set(exact) - set(lsh)
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    for pair, j in exact.items():
+        assert abs(lsh[pair] - j) < 0.25, f"estimate too far off for {pair}: {lsh[pair]} vs {j}"
+
+
+def test_minhash_no_gross_false_positives(spark, corpus):
+    # unrelated docs (uniform random 12-word vocab) must not appear as
+    # strong candidates
+    lsh = dedup.minhash_near_duplicates(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", 5, 0.35).collect()
+    }
+    for r in lsh:
+        assert (r.id_a, r.id_b) in exact, f"false positive {(r.id_a, r.id_b)}={r.est_jaccard}"
+
+
+def test_simhash_invariants(spark, corpus):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(corpus, "doc_id", "text").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near-dup pairs (0,1), (2,3), ... must be much closer than random pairs
+    near = [hamming(sh[2 * p], sh[2 * p + 1]) for p in range(5)]
+    far = [hamming(sh[10 + i], sh[20 + j]) for i in range(5) for j in range(5) if 10 + i != 20 + j]
+    assert max(near) < 16, f"near-dup hamming too large: {near}"
+    assert sum(far) / len(far) > 16, f"random pairs unexpectedly close: {sum(far)/len(far)}"
+
+
+def test_simhash_deterministic(spark):
+    df = spark.createDataFrame([(1, "the quick brown fox")], "doc_id long, text string")
+    a = dedup.simhash(df, "doc_id", "text").collect()[0].simhash
+    b = dedup.simhash(df, "doc_id", "text").collect()[0].simhash
+    assert a == b

@@ -1,0 +1,70 @@
+"""Similarity-search tests: brute-force vs numpy ground truth, LSH
+recall vs brute force."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_cosine_topk_matches_python(spark, vecs):
+    rows, df = vecs
+    queries = df.where(F.col("vec_id") < 3)
+    got = similarity.cosine_topk(df, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.sim))
+
+    data = dict(rows)
+    for qid in range(3):
+        sims = sorted(
+            ((round(_cosine(data[qid], v), 4), -i) for i, v in data.items() if i != qid),
+            reverse=True,
+        )[:4]
+        expect = [(-negi, s) for s, negi in sims]
+        actual = [(nid, s) for _, nid, s in sorted(by_q[qid])]
+        assert actual == expect, f"q{qid}: {actual} != {expect}"
+
+
+def test_lsh_recall(spark, vecs):
+    rows, df = vecs
+    queries = df.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(df, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_lsh(
+            df, queries, dim=8, k=5, n_planes=12, max_hamming=5
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+
+
+def test_lsh_results_are_subset_quality(spark, vecs):
+    """Every LSH hit must carry the same similarity the exact path
+    computes (the re-rank is exact; only candidate generation is
+    approximate)."""
+    rows, df = vecs
+    data = dict(rows)
+    queries = df.where(F.col("vec_id") < 3)
+    for r in similarity.cosine_topk_lsh(df, queries, dim=8, k=5, n_planes=12, max_hamming=5).collect():
+        assert abs(r.sim - round(_cosine(data[r.query_id], data[r.neighbor_id]), 4)) <= 1e-4
