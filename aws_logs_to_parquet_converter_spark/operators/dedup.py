@@ -67,7 +67,12 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams of a normalized text, as an array —
-    built with sequence/transform (no explode until the caller asks)."""
+    built with sequence/transform (no explode until the caller asks).
+
+    NOTE: array higher-order functions evaluate interpreted
+    (CodegenFallback); fine for small/occasional use, but hot paths
+    should prefer ``exploded_shingles`` below, which stays entirely in
+    wholestage codegen."""
     norm = _normalized(text)
     return F.array_distinct(
         F.transform(
@@ -77,27 +82,51 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     )
 
 
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(_id, _sh) rows: one per character n-gram occurrence (with
+    repeats).  explode(sequence) + substring are plain codegen
+    expressions — this is the fast path the sketch operators build on.
+    """
+    norm = _normalized(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("_id"), norm.alias("_nt"))
+        .select(
+            "_id",
+            "_nt",
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length("_nt") - (n - 1), F.lit(1)))).alias(
+                "_pos"
+            ),
+        )
+        .select("_id", F.expr(f"substring(_nt, _pos, {n})").alias("_sh"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 5, seed: int = 42
 ) -> DataFrame:
     """(id, signature array<bigint>[num_hashes]) MinHash signatures.
 
-    One explode + one groupBy: shingles hash once (xxhash64), then each
-    permutation is an affine map of that single hash — min-aggregated
-    per document into a fixed-width signature column.
+    Shape chosen by measurement (local[32], 5000 docs x ~150 shingles):
+    explode(sequence) -> substring -> xxhash64 rows feeding a 64-state
+    MIN hash-aggregate — every operator wholestage-codegen.  Two
+    rejected formulations: array higher-order functions
+    (transform/array_min are CodegenFallback — ran 2x slower than even
+    the HOF-shingling groupBy version) and per-doc arrays of 64
+    re-hashes (allocation-bound).  Duplicate shingle occurrences need
+    no distinct: MIN is idempotent.
+
+    The one shuffle is the groupBy on doc id — at 100 TB that is a
+    hash-partitioned pass over (id, 8B-hash) pairs with map-side
+    partial mins, the minimum data movement for this sketch.
     """
     import random
 
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
 
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    )
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
     # Non-negative base hash < P so the affine maps stay in-range.
-    h = F.pmod(F.xxhash64("_sh"), F.lit(_P)).alias("_h")
-    sh = sh.select("_id", h)
+    sh = sh.select("_id", F.pmod(F.xxhash64("_sh"), F.lit(_P)).alias("_h"))
     mins = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"_m{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -130,20 +159,21 @@ def minhash_near_duplicates(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
 
-    banded = sig.select(
-        F.col(id_col).alias("_id"),
-        "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
-                        "bucket"
-                    ),
+    # Band structs built python-side (literal slice offsets) — explode
+    # of a plain array expression, no interpreted higher-order function.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
+                    "bucket"
                 ),
             )
-        ).alias("bb"),
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("_id"), "signature", F.explode(band_structs).alias("bb")
     ).select("_id", "signature", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
@@ -209,10 +239,7 @@ def ngram_jaccard_pairs(
     """EXACT Jaccard near-dup pairs via inverted-index self-join —
     the ground truth for the sketch-based methods (and the
     SQL-expressible oracle entry).  Returns (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    )
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).dropDuplicates(["_id", "_sh"])
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
 
     a = sh.alias("a")

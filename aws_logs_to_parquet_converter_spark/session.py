@@ -47,6 +47,9 @@ PERF_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Committer-v2 era safety kept from the reference (compacter.py:189-192).
     "spark.speculation": "false",
+    # local-mode JVM heap (the 1g default starves 32 concurrent task
+    # threads); on a real cluster this is the deploy's executor memory.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
