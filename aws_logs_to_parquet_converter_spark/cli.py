@@ -1,0 +1,120 @@
+"""Compacter CLI — the reference's entry point, Spark-first.
+
+Same flag surface as ``scripts/oss_s3_server_side_logging_compacter.py``
+(argparse block :305-371, usage README.md:52-61), same daily loop
+semantics (half-open [min-date, max-date), one overwrite-idempotent
+unit per day) — but each day is ONE Catalyst plan:
+
+    list paths -> spark.read.text -> native-expression parse ->
+    repartition(n).sortWithinPartitions.write.partitionBy('dt')
+
+versus the reference's boto3-in-flatMap RDD path (zero Python-worker
+crossings here).  Differences, deliberate:
+  * one SparkSession reused across days (the reference rebuilds one per
+    day, compacter.py:184-196,263-266);
+  * a failed day is reported and the loop continues (the reference
+    swallows the whole run's exception, :358-371);
+  * ``--source-root`` generalizes the source to any Hadoop-readable
+    filesystem (local/s3a/...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators.compact import compact
+from aws_logs_to_parquet_converter_spark.session import get_spark
+from aws_logs_to_parquet_converter_spark.sources.listing import list_day_paths
+from aws_logs_to_parquet_converter_spark.sources.parse import parse_lines, read_raw_logs
+
+
+def date_range(min_date: str, max_date: str) -> list[str]:
+    """Half-open [min, max) day list (reference date_iterator, :269-273)."""
+    fmt = "%Y-%m-%d"
+    start = datetime.datetime.strptime(min_date, fmt)
+    end = datetime.datetime.strptime(max_date, fmt)
+    out = []
+    while start < end:
+        out.append(start.strftime(fmt))
+        start += datetime.timedelta(days=1)
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="compact-s3-access-logs")
+    # reference flag surface (compacter.py:311-350)
+    p.add_argument("--source-access-log-bucket", required=True,
+                   help="bucket/dir holding raw S3 server-side log objects")
+    p.add_argument("--source-bucket", required=True,
+                   help="the monitored bucket (log key prefix)")
+    p.add_argument("--destination-log-bucket", required=True,
+                   help="bucket/dir for compacted parquet")
+    p.add_argument("--destination-log-prefix",
+                   default="teams/metrics-data/s3_server_side_access_logs")
+    p.add_argument("--num-output-files", default=10, type=int)
+    p.add_argument("--min-date", required=True, help="inclusive YYYY-MM-DD")
+    p.add_argument("--max-date", required=True, help="exclusive YYYY-MM-DD")
+    # rebuild extensions
+    p.add_argument("--source-root", default="",
+                   help="filesystem root holding the source bucket dir "
+                        "(empty => source-access-log-bucket is an absolute path/URI)")
+    p.add_argument("--single-job", action="store_true",
+                   help="ingest every day in ONE Spark job (partitionBy fans "
+                        "out to all dt= dirs) instead of the per-day loop")
+    return p
+
+
+def _parse_with_delivery_dt(spark, paths):
+    """Parse raw objects; dt = the object's delivery day from its name
+    (``<bucket>/<YYYY-MM-DD>-<HH-MM-SS>-...``), exactly the reference's
+    partitioning unit (compacter.py:212-213,246-251).  Event-time
+    partitioning (parse.with_dt) stays available as the library option;
+    delivery-day keeps dead-letter rows inside their day partition too.
+    """
+    df = parse_lines(read_raw_logs(spark, paths))
+    return df.withColumn(
+        "dt", F.regexp_extract(F.input_file_name(), r"/(\d{4}-\d{2}-\d{2})-[^/]*$", 1)
+    )
+
+
+def run(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="s3_server_side_log_compacter")
+    root = args.source_root or args.source_access_log_bucket
+    dest = f"{args.destination_log_bucket}/{args.destination_log_prefix}/{args.source_bucket}"
+    days = date_range(args.min_date, args.max_date)
+    failures = 0
+
+    def day_paths(dt: str) -> list[str]:
+        return list_day_paths(root, args.source_bucket, dt)
+
+    if args.single_job:
+        paths = [p for dt in days for p in day_paths(dt)]
+        if paths:
+            compact(_parse_with_delivery_dt(spark, paths), dest, num_files=args.num_output_files)
+        print(f"compacted {len(days)} day(s), {len(paths)} object(s) -> {dest}")
+        return 0
+
+    for dt in days:
+        try:
+            paths = day_paths(dt)
+            if not paths:
+                print(f"{dt}: no input objects, skipping")
+                continue
+            compact(_parse_with_delivery_dt(spark, paths), dest, num_files=args.num_output_files)
+            print(f"{dt}: {len(paths)} object(s) compacted")
+        except Exception as e:  # fail loudly per-day, keep going (D5 fix)
+            failures += 1
+            print(f"{dt}: FAILED: {e}", file=sys.stderr)
+    return 1 if failures else 0
+
+
+def main() -> None:
+    sys.exit(run(build_parser().parse_args()))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ def compact(
     sort_keys: tuple[str, ...] = ("request_time",),
     partition_cols: tuple[str, ...] = ("dt",),
     compression: str = "snappy",
+    mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as ``dest/dt=YYYY-MM-DD/part-*.snappy.parquet``.
 
@@ -48,7 +49,7 @@ def compact(
         df.repartition(num_files)
         .sortWithinPartitions(*local_sort)
         .write.option("compression", compression)
-        .mode("overwrite")
+        .mode(mode)
     )
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

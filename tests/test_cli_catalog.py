@@ -1,0 +1,120 @@
+"""End-to-end ETL CLI + catalog tests: raw log objects on disk ->
+compacted dt= parquet -> registered external table -> SQL."""
+
+import os
+
+from aws_logs_to_parquet_converter_spark import cli
+from aws_logs_to_parquet_converter_spark.sources import catalog
+from aws_logs_to_parquet_converter_spark.testing import generate_log_lines
+
+
+def _write_raw_days(tmp_path, days, files_per_day=3, lines_per_file=50):
+    """Returns (root, non-blank line count per day) — blank lines are
+    skipped by the parser, exactly like the reference (compacter.py:164-167)."""
+    src = tmp_path / "rawlogs" / "monitored-bucket"
+    src.mkdir(parents=True)
+    lines = generate_log_lines(len(days) * files_per_day * lines_per_file)
+    it = iter(lines)
+    per_day = {}
+    for d in days:
+        n = 0
+        for i in range(files_per_day):
+            chunk = [next(it) for _ in range(lines_per_file)]
+            n += sum(1 for l in chunk if l.strip())
+            (src / f"{d}-{i:02d}-00-00-DEADBEEF").write_text("\n".join(chunk) + "\n")
+        per_day[d] = n
+    return tmp_path / "rawlogs", per_day
+
+
+def test_cli_daily_loop(spark, tmp_path):
+    days = ["2019-03-01", "2019-03-02", "2019-03-03"]
+    root, per_day = _write_raw_days(tmp_path, days)
+    dest_bucket = str(tmp_path / "warehouse")
+    args = cli.build_parser().parse_args(
+        [
+            "--source-access-log-bucket", str(root),
+            "--source-bucket", "monitored-bucket",
+            "--destination-log-bucket", dest_bucket,
+            "--destination-log-prefix", "logs",
+            "--num-output-files", "2",
+            "--min-date", "2019-03-01",
+            "--max-date", "2019-03-03",  # exclusive: only 2 days
+        ]
+    )
+    assert cli.run(args) == 0
+
+    out = f"{dest_bucket}/logs/monitored-bucket"
+    dts = sorted(os.path.basename(p) for p in os.listdir(out) if p.startswith("dt="))
+    assert dts == ["dt=2019-03-01", "dt=2019-03-02"]  # max-date exclusive
+
+    df = spark.read.parquet(out)
+    # delivery-day partitioning: every line of a day's objects lands in
+    # that day's partition, dead letters included
+    assert df.count() == per_day["2019-03-01"] + per_day["2019-03-02"]
+    assert df.where("error_line IS NOT NULL AND dt = '2019-03-01'").count() >= 0
+
+
+def test_cli_single_job_and_catalog(spark, tmp_path):
+    days = ["2019-04-01", "2019-04-02"]
+    root, per_day = _write_raw_days(tmp_path, days)
+    dest_bucket = str(tmp_path / "wh2")
+    args = cli.build_parser().parse_args(
+        [
+            "--source-access-log-bucket", str(root),
+            "--source-bucket", "monitored-bucket",
+            "--destination-log-bucket", dest_bucket,
+            "--destination-log-prefix", "logs",
+            "--min-date", "2019-04-01",
+            "--max-date", "2019-04-03",
+            "--single-job",
+        ]
+    )
+    assert cli.run(args) == 0
+    out = f"{dest_bucket}/logs/monitored-bucket"
+
+    catalog.create_access_log_table(spark, "access_logs_t", out)
+    try:
+        # auto-MSCK means the table is immediately queryable
+        assert spark.table("access_logs_t").count() == sum(per_day.values())
+        n_parts = spark.sql("SHOW PARTITIONS access_logs_t").count()
+        assert n_parts == 2
+        # partition pruning: dt filter -> only one partition read
+        one_day = spark.table("access_logs_t").where("dt = '2019-04-01'")
+        assert one_day.count() == per_day["2019-04-01"]
+        # the analysis query from the reference runs against the table
+        res = spark.sql(
+            """
+            SELECT operation, count(*) AS n FROM access_logs_t
+            WHERE http_status < 300 GROUP BY operation ORDER BY n DESC
+            """
+        ).collect()
+        assert res and res[0].n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS access_logs_t")
+
+
+def test_add_partition(spark, tmp_path):
+    days = ["2019-05-01", "2019-05-02"]
+    root, per_day = _write_raw_days(tmp_path, days, files_per_day=1, lines_per_file=20)
+    dest_bucket = str(tmp_path / "wh3")
+    args = cli.build_parser().parse_args(
+        [
+            "--source-access-log-bucket", str(root),
+            "--source-bucket", "monitored-bucket",
+            "--destination-log-bucket", dest_bucket,
+            "--destination-log-prefix", "logs",
+            "--min-date", "2019-05-01",
+            "--max-date", "2019-05-03",
+        ]
+    )
+    assert cli.run(args) == 0
+    out = f"{dest_bucket}/logs/monitored-bucket"
+    catalog.create_access_log_table(spark, "access_logs_p", out, repair=False)
+    try:
+        assert spark.table("access_logs_p").count() == 0  # nothing registered yet
+        catalog.add_partition(spark, "access_logs_p", "2019-05-01")
+        assert spark.table("access_logs_p").count() == per_day["2019-05-01"]
+        catalog.add_partition(spark, "access_logs_p", "2019-05-02")
+        assert spark.table("access_logs_p").count() == sum(per_day.values())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS access_logs_p")
