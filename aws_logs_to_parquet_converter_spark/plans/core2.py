@@ -403,3 +403,39 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"total_qty": ("sum", "l_quantity"), "n": ("count", "*")},
         salt_buckets=16,
     ).select(F.col("k"), F.col("total_qty").cast("double"), F.col("n"))
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+          FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two sparse aggregates (keys present on either
+    side survive) — completes the outer-join family (SURVEY §2.3)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )

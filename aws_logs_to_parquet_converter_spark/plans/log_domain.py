@@ -15,7 +15,7 @@ parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_logs_to_parquet_converter_spark.functions.presto_compat import run_presto_sql
@@ -193,7 +193,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1h inactivity) via cumulative-sum
     window — the classic access-log session operator, no UDF/state."""
     e = t(spark, sf_dir, "events")
-    from pyspark.sql import Window
 
     w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
@@ -243,4 +242,100 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.col("event_type_asof").alias("last_event_type")).agg(
         F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= 3600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 1h gap): Spark's
+    built-in merging session assignment, oracle-checked against the
+    lag/cumulative-sum formulation — proving the two sessionization
+    paths agree (a session closes when the gap reaches exactly the
+    window duration: half-open [start, last+gap))."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_name) AS members,
+           COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 100
+    GROUP BY n_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect_list -> sort -> join; the
+    LISTAGG/string_agg equivalent)."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("members"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+           LEAD(o_orderkey) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: first/last/nth value + lead."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
     )
