@@ -35,11 +35,15 @@ _STATUS = [200, 200, 200, 206, 304, 403, 404, 500]
 _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
 
 
-def _well_formed(rng: random.Random) -> str:
+def _well_formed(rng: random.Random, n_days: int | None = None) -> str:
     owner = "%064x" % rng.getrandbits(48)
     bucket = rng.choice(["awsexamplebucket", "logs-bucket", "data-bucket"])
-    day = rng.randint(1, 28)
-    mon = rng.randint(1, 12)
+    if n_days:  # confine to n_days distinct dates (per-day compaction shape)
+        day = rng.randint(1, n_days)
+        mon = 3
+    else:
+        day = rng.randint(1, 28)
+        mon = rng.randint(1, 12)
     t = f"[{day:02d}/{_MONTHS[mon - 1]}/2019:{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d} +0000]"
     ip = f"192.0.2.{rng.randint(1, 254)}"
     requester = rng.choice(
@@ -71,11 +75,11 @@ def _dash_heavy(rng: random.Random) -> str:
     return f'{owner} databucket {t} 192.0.2.9 - {"%016X" % rng.getrandbits(62)} REST.GET.OBJECT - "-" - - - - - - "-" "-" -'
 
 
-def _long_format(rng: random.Random) -> str:
+def _long_format(rng: random.Random, n_days: int | None = None) -> str:
     # Valid 18 fields + post-2019 trailing fields (host id, sigver,
     # cipher, auth type, endpoint, TLS) — must parse via search semantics.
     return (
-        _well_formed(rng)
+        _well_formed(rng, n_days)
         + " qwerAADDff= SigV4 ECDHE-RSA-AES128-GCM-SHA256 AuthHeader "
         + "s3.us-west-2.amazonaws.com TLSv1.2"
     )
@@ -92,17 +96,20 @@ def _garbage(rng: random.Random) -> str:
     )
 
 
-def generate_log_lines(n: int, seed: int = 42) -> list[str]:
+def generate_log_lines(n: int, seed: int = 42, n_days: int | None = None) -> list[str]:
+    """``n_days`` confines well-formed lines to that many distinct dates
+    (the realistic per-day compaction shape); default scatters across
+    the year (stress partition fan-out)."""
     rng = random.Random(seed)
     lines = []
     for _ in range(n):
         r = rng.random()
         if r < 0.90:
-            lines.append(_well_formed(rng))
+            lines.append(_well_formed(rng, n_days))
         elif r < 0.95:
             lines.append(_dash_heavy(rng))
         elif r < 0.98:
-            lines.append(_long_format(rng))
+            lines.append(_long_format(rng, n_days))
         else:
             lines.append(_garbage(rng))
     return lines

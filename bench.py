@@ -34,6 +34,27 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     results: dict[str, float] = {}
+
+    # The reference's actual workload: raw log text -> parsed, sorted,
+    # dt-partitioned parquet.  sf-scaled synthetic lines (sf0.1 => 100k),
+    # generation excluded from the measured time.
+    import tempfile
+
+    from aws_logs_to_parquet_converter_spark.operators.compact import compact
+    from aws_logs_to_parquet_converter_spark.sources.parse import parse_lines, read_raw_logs, with_dt
+    from aws_logs_to_parquet_converter_spark.testing import generate_log_lines
+
+    n_lines = max(10_000, int(1_000_000 * sf)) if sf > 0 else 10_000
+    with tempfile.TemporaryDirectory() as tmp:
+        lines = generate_log_lines(n_lines, n_days=2)
+        chunk = max(1, n_lines // 8)
+        for i in range(0, n_lines, chunk):
+            with open(f"{tmp}/raw-{i}.log", "w") as fh:
+                fh.write("\n".join(lines[i : i + chunk]))
+        t0 = time.perf_counter()
+        parsed = with_dt(parse_lines(read_raw_logs(spark, f"{tmp}/*.log")))
+        compact(parsed.fillna({"dt": "_dead_letter"}), f"{tmp}/out", num_files=8)
+        results["etl_parse_compact"] = round(time.perf_counter() - t0, 3)
     for name, q in REGISTRY.items():
         if not q.headline:
             continue
