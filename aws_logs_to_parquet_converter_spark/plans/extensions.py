@@ -280,3 +280,36 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(textstats.quality_score(F.col("text")).alias("quality")).groupBy(
         "quality"
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_embed_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_aggregate(list_transform(list_zip(a.ev, b.ev), x -> x[1] * x[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.ev, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.ev, x -> x * x), 'sum'))), 4) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(list_zip(a.ev, b.ev), x -> x[1] * x[2]), 'sum')
+          / (sqrt(list_aggregate(list_transform(a.ev, x -> x * x), 'sum'))
+             * sqrt(list_aggregate(list_transform(b.ev, x -> x * x), 'sum'))) >= 0.4
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup): all pairs
+    with cosine >= 0.4.  Exact all-pairs here (the oracle-checkable
+    ground truth); at corpus scale the hyperplane-LSH bucketing in
+    operators/similarity.py prunes the pair space the same way MinHash
+    does for lexical near-dups."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = similarity.cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("_sim"))
+        .where(F.col("_sim") >= 0.4)
+        .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
+    )

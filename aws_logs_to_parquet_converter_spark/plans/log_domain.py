@@ -216,33 +216,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_asof_join",
     oracle="""
-    WITH keyed_orders AS (
-        SELECT o_orderkey, o_orderdate, o_custkey % 50 AS uid FROM orders
+    WITH probes AS (
+        SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 2 = 0
+    ), quotes AS (
+        SELECT event_id AS q_id, user_id, ts, event_type AS q_type
+        FROM events WHERE event_id % 2 = 1
     )
-    SELECT e.event_type AS last_event_type,
-           COUNT(*) AS n_orders
-    FROM keyed_orders o
-    ASOF LEFT JOIN events e
-      ON o.uid = e.user_id AND e.ts <= o.o_orderdate
-    GROUP BY 1
+    SELECT COALESCE(q.q_type, '(none)') AS last_odd_type,
+           p.event_type AS probe_type,
+           COUNT(*) AS n
+    FROM probes p
+    ASOF LEFT JOIN quotes q
+      ON p.user_id = q.user_id AND q.ts <= p.ts
+    GROUP BY 1, 2
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: for each order, the latest event of its (derived)
-    user at-or-before order time; implemented with the single-shuffle
-    union+window operator (operators/asof.py), checked against DuckDB's
-    native ASOF JOIN."""
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", (F.col("o_custkey") % 50).alias("uid")
-    )
+    """As-of join over genuinely interleaved streams: for each
+    even-numbered event, the latest odd-numbered event of the same user
+    at-or-before its timestamp (the quote/trade shape).  Implemented
+    with the single-shuffle union+window operator (operators/asof.py),
+    checked against DuckDB's native ASOF JOIN."""
     e = t(spark, sf_dir, "events")
+    probes = e.where(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts", "event_type")
+    quotes = e.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("q_id"), "user_id", "ts", F.col("event_type").alias("q_type")
+    )
     joined = asof_join(
-        o, e, left_on="uid", right_on="user_id", left_ts="o_orderdate", right_ts="ts",
-        right_payload=["event_type"],
+        probes, quotes, left_on="user_id", right_on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["q_type"],
     )
-    return joined.groupBy(F.col("event_type_asof").alias("last_event_type")).agg(
-        F.count("*").alias("n_orders")
-    )
+    return joined.groupBy(
+        F.coalesce(F.col("q_type_asof"), F.lit("(none)")).alias("last_odd_type"),
+        F.col("event_type").alias("probe_type"),
+    ).agg(F.count("*").alias("n"))
 
 
 @query(
