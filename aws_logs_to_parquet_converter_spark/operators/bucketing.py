@@ -1,0 +1,45 @@
+"""Bucketed tables: pre-shuffled storage for co-located joins/aggs.
+
+The 100 TB lever SURVEY §4 calls out ("bucketing for co-located
+joins"): pay the shuffle ONCE at write time — ``bucketBy(n, key)``
+hash-partitions files on disk — and every subsequent equi-join or
+aggregation on that key runs shuffle-free (SortMergeJoin with no
+Exchange).  For a fact table joined daily against another fact on the
+same key (orders x lineitem, access-logs x object-inventory), this
+converts the dominant per-query cost into a one-time ingest cost.
+
+Bucketed layout requires the session catalog (`saveAsTable`) — bucket
+metadata lives in the metastore, not the parquet files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str | list[str],
+    num_buckets: int = 32,
+    sort_key: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-bucketed)
+    catalog table.  ``sort_key`` additionally orders rows inside each
+    bucket file, letting SMJ skip its sort too."""
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
+    if sort_key:
+        sk = [sort_key] if isinstance(sort_key, str) else list(sort_key)
+        writer = writer.sortBy(*sk)
+    writer.format("parquet").saveAsTable(table)
+
+
+def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
+    """Collect table (and optionally column) statistics for Catalyst's
+    cost-based optimizer — join reordering and broadcast decisions get
+    real row counts/NDVs instead of file-size guesses."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}")

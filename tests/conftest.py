@@ -7,9 +7,18 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from aws_logs_to_parquet_converter_spark.session import get_spark
 
-    spark = get_spark(app_name="tests", extra_conf={"spark.ui.enabled": "false"})
+    spark = get_spark(
+        app_name="tests",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # keep catalog tables (bucketing tests) out of the repo tree
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
+    )
     yield spark
     spark.stop()
 

@@ -1,0 +1,77 @@
+"""Bucketed-join tests: the join of two tables bucketed on the join key
+must plan WITHOUT a shuffle exchange, and results must match the
+unbucketed join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators.bucketing import analyze_table, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(o, "orders_b", "o_orderkey", num_buckets=8, sort_key="o_orderkey")
+    write_bucketed(li, "lineitem_b", "l_orderkey", num_buckets=8, sort_key="l_orderkey")
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def _explain(df):
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    # disable broadcast so the join-strategy choice is SMJ (tiny test
+    # tables would otherwise broadcast; at real scale both sides are
+    # facts and SMJ is what the bucketing pays for)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("lineitem_b")
+            .join(spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _explain(j)
+        assert "SortMergeJoin" in plan
+        # the join inputs must come straight from the bucketed scans —
+        # no Exchange between scan and join
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+
+
+def test_bucketed_join_matches_unbucketed(spark, bucketed):
+    b = (
+        spark.table("lineitem_b")
+        .join(spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    u = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, u.collect()))
+
+
+def test_analyze_table_populates_stats(spark, bucketed):
+    analyze_table(spark, "orders_b", ["o_orderkey", "o_orderstatus"])
+    desc = spark.sql("DESCRIBE EXTENDED orders_b").collect()
+    stats = [r for r in desc if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0].data_type
