@@ -439,3 +439,72 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
     )
+
+
+@query(
+    "q_correlated_scalar",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (orders more than 2x their
+    customer's average) — decorrelated by Catalyst into an aggregate +
+    join rather than a per-row re-scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "q_bag_set_ops",
+    oracle="""
+    SELECT x FROM (
+        SELECT l_suppkey AS x FROM lineitem WHERE l_orderkey <= 200
+        INTERSECT ALL
+        SELECT l_suppkey AS x FROM lineitem WHERE l_orderkey > 100 AND l_orderkey <= 300
+    )
+    """,
+)
+def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set op (INTERSECT ALL keeps multiplicity —
+    min(count_a, count_b) copies per value)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") <= 200).select(F.col("l_suppkey").alias("x"))
+    b = li.where((F.col("l_orderkey") > 100) & (F.col("l_orderkey") <= 300)).select(
+        F.col("l_suppkey").alias("x")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "q_values_dim",
+    oracle="""
+    WITH status_dim(code, label) AS (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending'))
+    SELECT label, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS volume
+    FROM orders JOIN status_dim ON o_orderstatus = code
+    GROUP BY label
+    """,
+)
+def q_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension join (literal lookup tables without a
+    stored dim — broadcast by construction)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT label, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS volume
+        FROM orders
+        JOIN (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending')) AS status_dim(code, label)
+          ON o_orderstatus = code
+        GROUP BY label
+        """
+    )
