@@ -19,8 +19,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sum of elementwise products, accumulated in double."""
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sum of elementwise products, accumulated in double.
+
+    With a known ``dim`` (<= 256) the dot product unrolls to plain
+    ``element_at`` multiply-adds — wholestage codegen.  The generic
+    higher-order-function fold is CodegenFallback (interpreted) and
+    measured ~10x slower on pairwise workloads; it remains the fallback
+    for unknown/huge dims.  Both accumulate strictly left-to-right, so
+    results are bit-identical to each other and to the DuckDB oracle's
+    list fold.
+    """
+    if dim is not None and dim <= 256:
+        acc = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+        for i in range(2, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -28,12 +42,17 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+
+
+# public aliases (callers precomputing per-side norms use these)
+dot = _dot
+norm = _norm
 
 
 def cosine_topk(
@@ -50,6 +69,7 @@ def cosine_topk(
     over (query, sim).  Ties broken by neighbor id — deterministic.
     Returns (query_id, neighbor_id, sim, rank).
     """
+    dim = corpus.select(F.size(vec_col)).first()[0]
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
@@ -57,7 +77,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("sim"),
+            F.round(cosine(F.col("_qv"), F.col("_cv"), dim), 4).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -74,7 +94,7 @@ def hyperplane_signatures(
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
     bits = []
     for i, plane in enumerate(planes):
-        proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]), dim)
         bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
     sig = bits[0]
     for b in bits[1:]:
@@ -117,7 +137,7 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("sim"),
+            F.round(cosine(F.col("_qv"), F.col("_cv"), dim), 4).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")

@@ -304,10 +304,15 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py prunes the pair space the same way MinHash
     does for lexical near-dups."""
     emb = t(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    # unrolled-inline cosine, measured fastest of three formulations at
+    # dim=64 (sf0.1, 2M pairs): HOF fold 75s (CodegenFallback), inline
+    # unrolled 16s, precomputed-norm 86s (the broadcast side's norm
+    # projection re-evaluates per probe inside the BNLJ) — see PERF.md
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = similarity.cosine(F.col("_va"), F.col("_vb"))
+    sim = similarity.cosine(F.col("_va"), F.col("_vb"), dim)
     return (
         pairs.select("id_a", "id_b", sim.alias("_sim"))
         .where(F.col("_sim") >= 0.4)
