@@ -55,6 +55,33 @@ dot = _dot
 norm = _norm
 
 
+def pandas_cosine(a: Column, b: Column) -> Column:
+    """Arrow-batched numpy cosine — the high-dim alternative to the
+    unrolled JVM expression (unrolling a 1024-dim dot would bloat
+    codegen; numpy does the whole batch as one BLAS-backed matmul).
+
+    Trade-off vs the JVM path: pays Arrow serialization of both vector
+    columns, wins when dim is large enough that per-element expression
+    overhead dominates.  Results match the JVM path to float64
+    round-off (same accumulate order within each dot).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(va, vb):
+        ma = np.asarray([np.asarray(x, dtype=np.float64) for x in va])
+        mb = np.asarray([np.asarray(x, dtype=np.float64) for x in vb])
+        dots = np.einsum("ij,ij->i", ma, mb)
+        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(np.where(norms > 0, dots / norms, 0.0))
+
+    # functional form: `from __future__ import annotations` stringifies
+    # hints, which the decorator's hint-based signature inference can't
+    # resolve for nested functions
+    return pandas_udf(_cos, "double")(a, b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -68,3 +68,21 @@ def test_lsh_results_are_subset_quality(spark, vecs):
     queries = df.where(F.col("vec_id") < 3)
     for r in similarity.cosine_topk_lsh(df, queries, dim=8, k=5, n_planes=12, max_hamming=5).collect():
         assert abs(r.sim - round(_cosine(data[r.query_id], data[r.neighbor_id]), 4)) <= 1e-4
+
+
+def test_pandas_cosine_matches_jvm(spark, vecs):
+    """Arrow/numpy cosine path agrees with the JVM expression path to
+    float64 round-off (different summation orders allowed)."""
+    rows, df = vecs
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).limit(500)
+    got = pairs.select(
+        "id_a",
+        "id_b",
+        similarity.pandas_cosine(F.col("_va"), F.col("_vb")).alias("pd_sim"),
+        similarity.cosine(F.col("_va"), F.col("_vb"), 8).alias("jvm_sim"),
+    ).collect()
+    assert len(got) == 500
+    for r in got:
+        assert abs(r.pd_sim - r.jvm_sim) < 1e-12, (r.id_a, r.id_b)
