@@ -263,3 +263,78 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.where(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Distributed connected components over a near-duplicate pair
+    graph: (node, component) with component = min node id reachable.
+
+    Iterative min-label propagation — each round joins every node's
+    current label against its neighbors' and keeps the minimum;
+    converges in O(graph diameter) rounds (near-dup clusters are
+    shallow, typically 2-3).  This is the transitive-closure step that
+    turns pairwise candidates into dedup groups; genuinely iterative,
+    hence no SQL oracle (differential-tested on known graphs).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("_nmin", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Final dedup decision: (id, keep, component) — keep the smallest
+    id of each connected near-dup component, drop the rest.  Composes
+    any pair source (exact jaccard / MinHash / embedding cosine) with
+    connected_components."""
+    comps = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("component"),
+            (F.coalesce("component", F.col("node")) == F.col("node")).alias("keep"),
+        )
+    )

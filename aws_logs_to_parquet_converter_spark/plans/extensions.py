@@ -318,3 +318,53 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_sim") >= 0.4)
         .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
     )
+
+
+@query(
+    "q_dedup_keep_list",
+    oracle="""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(nt) - 4, 1)),
+                   i -> substring(nt, i, 5)))) AS s
+        FROM docs
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c / (sa.n + sb.n - c) >= 0.4
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: exact-jaccard pair graph -> iterative
+    distributed connected components (min-label propagation,
+    operators/dedup.connected_components) -> keep the smallest id per
+    component.  Oracle: DuckDB recursive-CTE transitive closure — the
+    iterative Spark loop must agree with a declarative fixpoint."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=5, threshold=0.4)
+    return dedup.dedup_keep_list(d, pairs.select("id_a", "id_b"), id_col="doc_id")

@@ -101,3 +101,31 @@ def test_simhash_deterministic(spark):
     a = dedup.simhash(df, "doc_id", "text").collect()[0].simhash
     b = dedup.simhash(df, "doc_id", "text").collect()[0].simhash
     assert a == b
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20} isolated via self-pair? no — nodes only from edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_list_end_to_end(spark, corpus):
+    """Full pipeline: minhash candidates -> exact-verify -> components ->
+    keep smallest per component."""
+    cand = dedup.minhash_near_duplicates(corpus, "doc_id", "text", threshold=0.5)
+    # exact verification on candidates only (the scale pattern)
+    exact = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", 5, 0.7)
+    verified = cand.join(exact, ["id_a", "id_b"], "inner").select("id_a", "id_b")
+    decisions = dedup.dedup_keep_list(corpus, verified).collect()
+    by_id = {r.doc_id: r for r in decisions}
+    assert len(by_id) == 30
+    # the 5 near-dup fixture pairs: even id kept, odd dropped
+    for p in range(5):
+        assert by_id[2 * p].keep is True
+        assert by_id[2 * p + 1].keep is False
+        assert by_id[2 * p + 1].component == 2 * p
+    # fillers untouched
+    assert all(by_id[i].keep for i in range(10, 30))
