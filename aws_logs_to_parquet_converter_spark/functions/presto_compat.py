@@ -56,8 +56,29 @@ def register_presto_compat(spark: SparkSession) -> None:
         RETURN try_to_timestamp(s, {fmt_expr})
         """
     )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION date_format_presto(ts TIMESTAMP, fmt STRING)
+        RETURNS STRING
+        RETURN date_format(ts, {fmt_expr})
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION strpos(haystack STRING, needle STRING)
+        RETURNS INT
+        RETURN instr(haystack, needle)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(ts TIMESTAMP)
+        RETURNS DOUBLE
+        RETURN cast(unix_micros(ts) as double) / 1e6
+        """
+    )
 _TWO_ARG_REGEXP_REPLACE = re.compile(
-    r"regexp_replace\(\s*([A-Za-z_][\w.]*)\s*,\s*('(?:[^'\\]|\\.)*')\s*\)"
+    r"regexp_replace\(\s*([A-Za-z_][\w.]*|'(?:[^'\\]|\\.)*')\s*,\s*('(?:[^'\\]|\\.)*')\s*\)"
 )
 _QUOTED_IDENT = re.compile(r'"([^"]+)"')
 # date_diff('day', ...  ->  timestampdiff(DAY, ...   (head-only rewrite:
@@ -67,10 +88,20 @@ _QUOTED_IDENT = re.compile(r'"([^"]+)"')
 _DATE_DIFF_HEAD = re.compile(r"date_diff\(\s*'(\w+)'\s*,")
 
 
+_NAME_REWRITES = [
+    # Presto aggregate names -> Spark equivalents (aggregates cannot be
+    # shimmed as SQL UDFs, so they rewrite textually)
+    (re.compile(r"\barbitrary\(", re.IGNORECASE), "any_value("),
+    (re.compile(r"\bapprox_distinct\(", re.IGNORECASE), "approx_count_distinct("),
+]
+
+
 def translate_presto_sql(sql: str) -> str:
     """Rewrite Presto dialect residue to Spark SQL (see module doc)."""
     sql = _TWO_ARG_REGEXP_REPLACE.sub(r"regexp_replace(\1, \2, '')", sql)
     sql = _DATE_DIFF_HEAD.sub(lambda m: f"timestampdiff({m.group(1).upper()}, ", sql)
+    for pat, repl in _NAME_REWRITES:
+        sql = pat.sub(repl, sql)
     sql = _QUOTED_IDENT.sub(r"`\1`", sql)
     return sql
 

@@ -19,6 +19,7 @@ plus dynamic partition overwrite so re-running a day is idempotent
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def compact(
@@ -54,3 +55,27 @@ def compact(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(dest)
+
+
+def recompact_partition(
+    spark,
+    dest: str,
+    dt: str,
+    num_files: int = 10,
+    sort_keys: tuple[str, ...] = ("request_time",),
+    compression: str = "snappy",
+) -> int:
+    """Maintenance: rewrite ONE day partition into ``num_files`` sorted
+    files (streaming appends and late-data re-runs accrete small files;
+    this is the background merge the reference achieves by re-running a
+    whole day).  Returns the rewritten row count.  Only the target
+    dt directory is read or replaced — partition pruning in, dynamic
+    overwrite out."""
+    # materialize before writing: the destination partition is both the
+    # source and the overwrite target (localCheckpoint breaks the
+    # read-your-writes dependency without a driver collect)
+    part = spark.read.parquet(dest).where(F.col("dt") == dt).localCheckpoint(eager=True)
+    n = part.count()
+    if n:
+        compact(part, dest, num_files=num_files, sort_keys=sort_keys, compression=compression)
+    return n

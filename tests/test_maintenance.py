@@ -1,0 +1,51 @@
+"""Maintenance + profiling operator tests."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators.compact import compact, recompact_partition
+from aws_logs_to_parquet_converter_spark.operators.profile import profile
+from aws_logs_to_parquet_converter_spark.sources.parse import parse_lines, with_dt
+from aws_logs_to_parquet_converter_spark.testing import generate_log_lines
+
+
+def test_recompact_partition(spark, tmp_path):
+    dest = str(tmp_path / "wh")
+    df = with_dt(
+        parse_lines(
+            spark.createDataFrame(
+                [(l,) for l in generate_log_lines(800, n_days=2)], "value string"
+            )
+        )
+    ).where(F.col("dt").isNotNull())
+    # simulate small-file accretion: many appends
+    for i in range(4):
+        compact(df.where(F.col("bytes_sent") % 4 == i), dest, num_files=4, mode="append")
+    dt = sorted(os.path.basename(p)[3:] for p in glob.glob(f"{dest}/dt=*"))[0]
+    before_files = glob.glob(f"{dest}/dt={dt}/*.parquet")
+    before_rows = spark.read.parquet(dest).where(F.col("dt") == dt).count()
+    assert len(before_files) > 4
+
+    n = recompact_partition(spark, dest, dt, num_files=2)
+    assert n == before_rows
+    after_files = glob.glob(f"{dest}/dt={dt}/*.parquet")
+    assert len(after_files) <= 2
+    assert spark.read.parquet(dest).where(F.col("dt") == dt).count() == before_rows
+    # other partitions untouched
+    assert spark.read.parquet(dest).count() >= before_rows
+
+
+def test_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", 2.0), (2, None, 4.0), (3, "cccc", None)],
+        "id long, s string, v double",
+    )
+    p = {(r.column, r.metric): r.value for r in profile(df).collect()}
+    assert p[("*", "row_count")] == "3"
+    assert p[("s", "null_count")] == "1"
+    assert abs(float(p[("v", "null_rate")]) - 1 / 3) < 1e-6
+    assert p[("v", "min")] == "2.0" and p[("v", "max")] == "4.0"
+    assert p[("s", "min_len")] == "2" and p[("s", "max_len")] == "4"
+    assert p[("id", "approx_distinct")] == "3"

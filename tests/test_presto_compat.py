@@ -1,0 +1,85 @@
+"""Presto dialect layer tests: the reference's functions (SURVEY §2.9
+F1-F7) plus extended shims, executed through run_presto_sql."""
+
+import pytest
+
+from aws_logs_to_parquet_converter_spark.functions.presto_compat import (
+    run_presto_sql,
+    translate_presto_sql,
+)
+
+
+def test_two_arg_regexp_replace(spark):
+    row = run_presto_sql(
+        spark,
+        "SELECT regexp_replace('arn:role/reader/i-0abc123', '/i-.*') AS collapsed",
+    ).collect()[0]
+    assert row.collapsed == "arn:role/reader"
+
+
+def test_date_parse_mysql_formats(spark):
+    rows = run_presto_sql(
+        spark,
+        """
+        SELECT date_parse('2019-03-04', '%Y-%m-%d') AS d,
+               date_parse('04/Mar/2019 13:45:07', '%d/%b/%Y %H:%i:%s') AS t,
+               date_parse('garbage', '%Y-%m-%d') AS bad
+        """,
+    ).collect()[0]
+    assert str(rows.d) == "2019-03-04 00:00:00"
+    assert str(rows.t) == "2019-03-04 13:45:07"
+    assert rows.bad is None
+
+
+def test_date_diff_units(spark):
+    row = run_presto_sql(
+        spark,
+        """
+        SELECT date_diff('day', TIMESTAMP '2019-01-01', TIMESTAMP '2019-03-04') AS days,
+               date_diff('hour', TIMESTAMP '2019-01-01 00:00:00', TIMESTAMP '2019-01-01 07:30:00') AS hours,
+               date_diff('month', TIMESTAMP '2019-01-15', TIMESTAMP '2019-04-20') AS months
+        """,
+    ).collect()[0]
+    assert (row.days, row.hours, row.months) == (62, 7, 3)
+
+
+def test_strpos_and_to_unixtime(spark):
+    row = run_presto_sql(
+        spark,
+        """
+        SELECT strpos('hello world', 'wor') AS p,
+               strpos('hello', 'zz') AS missing,
+               to_unixtime(TIMESTAMP '1970-01-01 00:01:00') AS u
+        """,
+    ).collect()[0]
+    assert (row.p, row.missing) == (7, 0)
+    assert row.u == 60.0
+
+
+def test_arbitrary_rewrites_to_any_value(spark):
+    assert "any_value(x)" in translate_presto_sql("SELECT arbitrary(x) FROM t GROUP BY k")
+    assert "approx_count_distinct(x)" in translate_presto_sql("SELECT approx_distinct(x) FROM t")
+
+
+def test_quoted_identifiers(spark):
+    # Presto double-quoted identifiers -> backticks (the reference's
+    # FROM "example-s3-access-logs-table", create_table.sql:13)
+    assert (
+        translate_presto_sql('SELECT v FROM "example-s3-access-logs-table"')
+        == "SELECT v FROM `example-s3-access-logs-table`"
+    )
+    # and a quoted legal name executes end-to-end
+    spark.createDataFrame([(1,)], "v int").createOrReplaceTempView("quoted_view")
+    try:
+        assert run_presto_sql(spark, 'SELECT v FROM "quoted_view"').collect()[0].v == 1
+    finally:
+        spark.catalog.dropTempView("quoted_view")
+
+
+def test_escaped_string_literals_scoped(spark):
+    # inside run_presto_sql: '\d' stays a regex class; after: conf restored
+    row = run_presto_sql(
+        spark, r"SELECT regexp_extract('a1b22c', '(\d+)', 1) AS first_num"
+    ).collect()[0]
+    assert row.first_num == "1"
+    assert spark.conf.get("spark.sql.parser.escapedStringLiterals") == "false"
