@@ -12,15 +12,18 @@ operators the north star calls for, built scale-first:
     aggregation, signatures as a fixed-width array) -> band buckets ->
     candidate pairs only within equal buckets.  Cost is O(docs x
     shingles + candidate pairs), never O(docs^2).
-  * simhash — 64-bit rotation-invariant sketch computed entirely with
-    array higher-order functions (no explode, no Python): hamming
-    neighbors join on band keys.
+  * simhash — 64-bit similarity sketch: explode tokens -> per-bit
+    vote SUMs -> packed bigint (same codegen-friendly shape as
+    minhash).
   * ngram_jaccard_pairs — exact pairwise Jaccard over character
     shingles via an inverted-index self-join (the oracle-checkable
     ground truth the sketch methods approximate).
+  * connected_components / dedup_keep_list — the transitive-closure
+    decision step turning pairwise candidates into keep/drop lists.
 
-All expressions are native Catalyst (xxhash64, transform, aggregate,
-zip_with) — zero Python workers in any hot path.
+Hot paths are plain codegen expressions (explode/substring/xxhash64 +
+hash aggregates) — no interpreted array higher-order functions, zero
+Python workers (PERF.md records the measurements behind this rule).
 """
 
 from __future__ import annotations
@@ -201,36 +204,37 @@ def minhash_near_duplicates(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document, explode-free.
+    """64-bit SimHash per document, fully wholestage-codegen.
 
-    tokens -> per-token xxhash64 -> per-bit +/-1 votes accumulated with
-    ``aggregate`` over a 64-slot array -> sign -> packed bigint.
-    (``getbit`` reads bit i of the token hash — shift functions need a
-    literal shift amount and can't be used inside the lambda.)
+    Same shape as minhash_signatures (the measured-fast pattern):
+    explode tokens -> one xxhash64 per token -> 64 SUM aggregates of
+    +/-1 bit votes (``getbit`` with literal positions) -> sign ->
+    packed bigint.  One shuffle on doc id with map-side partial sums.
+    Empty documents get simhash 0 (all-negative votes).
     """
-    tokens = F.split(_normalized(F.col(text_col)), " ")
-    votes = F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, tok: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: (F.getbit(F.xxhash64(tok), i) * 2 - 1).cast("long"),
-            ),
-            lambda x, y: x + y,
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.filter(F.split(_normalized(F.col(text_col)), " "), lambda x: x != "")).alias(
+            "_tok"
         ),
-    )
-    # Materialize the vote array once, then pack sign bits; python-side
-    # loop => every shift amount is a literal.
-    with_votes = df.select(F.col(id_col), votes.alias("_votes"))
+    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    votes = [
+        F.sum(F.getbit("_h", F.lit(i)).cast("long") * 2 - 1).alias(f"_v{i}") for i in range(64)
+    ]
+    agg = tok.groupBy("_id").agg(*votes)
     packed = F.lit(0).cast("long")
     for i in range(64):
-        bit = F.when(
-            F.element_at("_votes", i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
         packed = packed.bitwiseOR(bit)
-    return with_votes.select(F.col(id_col), packed.alias("simhash"))
+    sigs = agg.select(F.col("_id"), packed.alias("simhash"))
+    # keep docs with no tokens (left join back, default 0)
+    return (
+        df.select(F.col(id_col))
+        .join(sigs.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def ngram_jaccard_pairs(

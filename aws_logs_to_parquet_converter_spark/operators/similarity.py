@@ -5,10 +5,13 @@ top-k as the exact baseline, and a random-hyperplane LSH variant as the
 100 TB path (buckets shrink the candidate set; exact re-rank inside
 buckets).
 
-All vector math is native Catalyst (zip_with / aggregate fold) — JVM
-columnar, no Python UDF.  At very high dims a pandas_udf + numpy matmul
-batch can win; that switch is isolated in ``_dot`` so it's one-line
-swappable.
+Vector math has three measured tiers (PERF.md):
+  * known dim <= 256: unrolled element_at multiply-adds (wholestage
+    codegen — the default for every oracle-checked query);
+  * ``pandas_cosine``: Arrow/numpy einsum — wins on quadratic pair
+    scoring and high dims (BLAS batch amortizes per-element overhead);
+  * unknown dim fallback: zip_with/aggregate fold (interpreted; avoid
+    in hot paths).
 """
 
 from __future__ import annotations

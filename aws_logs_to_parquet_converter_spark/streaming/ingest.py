@@ -93,3 +93,25 @@ def stream_hourly_stats(
             "bytes_sent",
         )
     )
+
+
+def stream_dedup(
+    parsed: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 day",
+    ts_col: str = "request_time",
+) -> DataFrame:
+    """Streaming exact dedup on the natural key (``request_id`` — S3
+    logs are delivered best-effort and can repeat objects/lines).
+
+    ``dropDuplicatesWithinWatermark`` bounds state by the watermark
+    horizon: a duplicate arriving within the window is dropped, state
+    for keys older than the watermark is evicted — the unbounded-stream
+    version of SURVEY §2.12's `dropDuplicates(request_id)`.
+    """
+    keys = key_cols or ["request_id"]
+    return (
+        parsed.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )

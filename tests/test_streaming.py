@@ -83,3 +83,33 @@ def test_stream_hourly_stats_matches_batch(spark, tmp_path):
     ).count()
     assert mismatches == 0
     assert got.count() >= 1  # something actually closed and was emitted
+
+
+def test_stream_dedup(spark, tmp_path):
+    """Duplicate log lines across micro-batches are dropped within the
+    watermark horizon."""
+    src = tmp_path / "dup_src"
+    lines = [l for l in generate_log_lines(120, seed=3) if l.strip()]
+    src.mkdir(parents=True)
+    (src / "a.log").write_text("\n".join(lines) + "\n")
+    (src / "b.log").write_text("\n".join(lines) + "\n")  # exact replay
+
+    parsed = ingest.stream_parse(spark, str(src), max_files_per_trigger=1)
+    deduped = ingest.stream_dedup(parsed)
+    out = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    n_unique = len({l for l in lines})  # generator lines are unique per reqid
+    parsed_batch = spark.read.text(str(src / "a.log")).count()
+    assert got.count() <= parsed_batch  # no more than one file's worth
+    # every surviving request_id is unique
+    assert got.count() == got.select("request_id").distinct().count()
