@@ -508,3 +508,80 @@ def q_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY label
         """
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by derived revenue (TPC-H Q15 shape): a scalar
+    subquery over the same derived aggregate — Catalyst evaluates the
+    CTE once per consumer unless cached; the MAX side is a one-row
+    broadcast."""
+    register_views(spark, sf_dir, ["lineitem", "supplier"])
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2))
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(1) OVER (
+               PARTITION BY user_id ORDER BY EPOCH_US(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_last_hour,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY EPOCH_US(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS value_last_hour
+    FROM events
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame (trailing 1 hour per user) — frame
+    membership by timestamp distance, not row count; the sliding-window
+    analytics shape (rate limiting, rolling quotas) that ROWS frames
+    cannot express."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        F.sum(F.lit(1)).over(w).alias("events_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
