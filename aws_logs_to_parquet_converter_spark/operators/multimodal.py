@@ -117,3 +117,85 @@ def media_summary(features: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.avg(F.element_at("feature", 1)).alias("mean_f0"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("payload", StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, decode_stub: bool = True
+) -> DataFrame:
+    """Image resize seam: metadata transform is real (aspect-aware
+    target dims); pixel resampling is the stubbed codec step.  The
+    stub re-emits the payload with a deterministic marker so the
+    pipeline shape (schema in, schema out, same row count) is testable
+    without an image library."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real resize needs an image codec (e.g. Pillow)")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": [f"resized[{target_w}x{target_h}]:" + (p or "") for p in pdf["payload"]],
+                }
+            )
+
+    return df.where(F.col("media_type") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_ms", LongType(), True),
+        StructField("payload", StringType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp.
+
+    The fan-out (rows-per-asset = duration/every_ms) is computed with
+    native explode(sequence) BEFORE the Python stage, so partition
+    sizing sees the real output cardinality; only the per-frame decode
+    is stubbed."""
+    frames = df.where(F.col("media_type") == "video").select(
+        "asset_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.coalesce("duration_ms", F.lit(0)) / every_ms).cast("long") - 1, F.lit(0)),
+            )
+        ).alias("frame_idx"),
+    ).withColumn("ts_ms", F.col("frame_idx") * every_ms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real frame extraction needs a video codec (e.g. ffmpeg)")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "payload": [
+                        f"frame@{t}:" + (p or "")[:16]
+                        for t, p in zip(pdf["ts_ms"], pdf["payload"])
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(run, schema=FRAME_SCHEMA)

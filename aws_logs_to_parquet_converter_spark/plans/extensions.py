@@ -368,3 +368,30 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=5, threshold=0.4)
     return dedup.dedup_keep_list(d, pairs.select("id_a", "id_b"), id_col="doc_id")
+
+
+@query("q_media_features")  # rows-only: stub features are engine-defined
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over the graded tables: treat document text
+    as an opaque payload (the container ships no codecs — FIXTURES has
+    no binary media table), run the Arrow-batched feature extractor,
+    and roll up per media type.  Exercises schema contract, byte-budget
+    partitioning, and the mapInPandas seam end-to-end."""
+    from aws_logs_to_parquet_converter_spark.operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.col("text").alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+    feats = multimodal.extract_features(media)
+    return multimodal.media_summary(feats).select(
+        "media_type", "n_assets", "total_bytes", F.round("mean_f0", 4).alias("mean_f0")
+    )

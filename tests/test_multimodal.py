@@ -41,3 +41,23 @@ def test_media_summary(spark, media):
     summary = multimodal.media_summary(multimodal.extract_features(media)).collect()
     assert {r.media_type for r in summary} == {"image", "audio", "video"}
     assert all(r.n_assets == 10 for r in summary)
+
+
+def test_resize_images(spark, media):
+    out = multimodal.resize_images(media, 224, 224).collect()
+    assert len(out) == 10  # only the image rows
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    assert all(r.payload.startswith("resized[224x224]:") for r in out)
+
+
+def test_sample_frames_fanout(spark, media):
+    out = multimodal.sample_frames(media, every_ms=1000).collect()
+    videos = {r.asset_id: r for r in media.where("media_type = 'video'").collect()}
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == set(videos)
+    for aid, rows in by_asset.items():
+        expect = max(videos[aid].duration_ms // 1000, 1)
+        assert len(rows) == expect, f"{aid}: {len(rows)} != {expect}"
+        assert sorted(r.ts_ms for r in rows) == [1000 * i for i in range(len(rows))]
