@@ -10,5 +10,6 @@ from aws_logs_to_parquet_converter_spark.plans.registry import REGISTRY, Query, 
 import aws_logs_to_parquet_converter_spark.plans.core  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.core2  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.core3  # noqa: E402,F401
+import aws_logs_to_parquet_converter_spark.plans.core4  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.log_domain  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
