@@ -143,6 +143,114 @@ def hyperplane_signatures(
     return sig
 
 
+def kmeans_cell_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_n: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Spherical k-means centroids for IVF cell assignment, trained
+    driver-side on a bounded deterministic sample (ordered by
+    ``xxhash64(id, seed)`` — stable across runs and partitionings).
+
+    The sample bound makes this scale-safe: at 100 TB the driver still
+    collects only ``sample_n`` vectors; quality degrades gracefully
+    because cells only gate candidate generation, never correctness of
+    the re-rank.  Returns a row-normalized ``numpy`` array of shape
+    (n_cells, dim).
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def _cell_udf(centroids, nprobe: int):
+    """Arrow-batched argmax-cosine cell assignment: one BLAS matmul per
+    batch, zero shuffle — the map-side half of IVF."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cells(vs):
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ centroids.T
+        if nprobe == 1:
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    return pandas_udf(_cells, "int" if nprobe == 1 else "array<int>")
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus
+    vectors are binned to their nearest spherical-k-means centroid
+    map-side; each query probes its ``nprobe`` nearest cells and is
+    re-ranked exactly against only those cells' vectors.
+
+    The complementary scale path to ``cosine_topk_lsh``: data-adapted
+    cells give better candidate quality on clustered corpora, at the
+    cost of a (bounded, driver-side) training step.  Shuffle story at
+    100 TB: the assignment is a zero-shuffle Arrow pass; the exploded
+    (query, cell) list broadcasts; candidate generation is a hash join
+    on the cell id, pruning ~(1 - nprobe/n_cells) of the corpus from
+    the exact re-rank.  Returns (query_id, neighbor_id, sim, rank) —
+    a subset of the exact result, recall grows with nprobe.
+    """
+    cents = kmeans_cell_centroids(corpus, id_col, vec_col, n_cells, sample_n, seed=seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _cell_udf(cents, 1)(F.col(vec_col)).alias("_cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_cell_udf(cents, nprobe)(F.col(vec_col))).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["_cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv"), None), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

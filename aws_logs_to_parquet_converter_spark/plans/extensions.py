@@ -161,6 +161,20 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("rank", "rnk")
 
 
+@query("q_embed_topk_ivf")  # rows-only: approximate; recall tested in test_similarity.py
+def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: spherical-k-means cells trained on a
+    bounded driver-side sample, map-side Arrow cell assignment, probe
+    the 4 nearest cells per query, exact re-rank inside them — the
+    data-adapted counterpart to the LSH scale path."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    res = similarity.cosine_topk_ivf(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, n_cells=16, nprobe=4,
+    )
+    return res.withColumnRenamed("rank", "rnk")
+
+
 @query("q_embed_topk_lsh")  # rows-only: approximate; recall tested in test_similarity.py
 def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5: signature hamming pre-filter

@@ -70,6 +70,37 @@ def test_lsh_results_are_subset_quality(spark, vecs):
         assert abs(r.sim - round(_cosine(data[r.query_id], data[r.neighbor_id]), 4)) <= 1e-4
 
 
+def test_ivf_recall_and_exact_rerank(spark, vecs):
+    """IVF candidates re-rank exactly; recall clears the floor and
+    probing every cell recovers the exact result entirely."""
+    rows, df = vecs
+    data = dict(rows)
+    queries = df.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(df, queries, k=5).collect()
+    }
+    got = similarity.cosine_topk_ivf(df, queries, k=5, n_cells=8, nprobe=3).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+    for r in got:
+        assert abs(r.sim - round(_cosine(data[r.query_id], data[r.neighbor_id]), 4)) <= 1e-4
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_ivf(df, queries, k=5, n_cells=8, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_deterministic(spark, vecs):
+    rows, df = vecs
+    queries = df.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, similarity.cosine_topk_ivf(df, queries, k=5).collect()))
+    b = sorted(map(tuple, similarity.cosine_topk_ivf(df, queries, k=5).collect()))
+    assert a == b
+
+
 def test_pandas_cosine_matches_jvm(spark, vecs):
     """Arrow/numpy cosine path agrees with the JVM expression path to
     float64 round-off (different summation orders allowed)."""
