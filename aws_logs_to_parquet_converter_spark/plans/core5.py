@@ -1,0 +1,152 @@
+"""Sixth breadth wave: modern SQL surface (Spark 4 features with exact
+DuckDB counterparts) — recursive CTEs, UNPIVOT/melt, LATERAL joins,
+GROUP BY ALL.  The reference's Presto dialect has none of these; they
+round out the query surface a user migrating an analytics workload
+expects (SURVEY §2.8/§2.9 'beyond reference').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.plans.registry import query, register_views, t
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE spine(month_start) AS (
+        SELECT TIMESTAMP '1996-01-01 00:00:00'
+        UNION ALL
+        SELECT month_start + INTERVAL 1 MONTH FROM spine
+        WHERE month_start < TIMESTAMP '1997-12-01 00:00:00'
+    )
+    SELECT spine.month_start, COUNT(o_orderkey) AS n_orders
+    FROM spine
+    LEFT JOIN orders ON o_orderdate >= spine.month_start
+                    AND o_orderdate < spine.month_start + INTERVAL 1 MONTH
+    GROUP BY spine.month_start ORDER BY spine.month_start
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE calendar spine (24 months) left-joined to order
+    counts — months with zero orders survive as 0 (the gap-filling
+    shape a date dimension usually hides).  Recursion (Spark >= 4.0)
+    runs driver-coordinated on a 24-row relation; the fact-side work is
+    one broadcast range join + aggregate."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(month_start) AS (
+            SELECT TIMESTAMP '1996-01-01 00:00:00'
+            UNION ALL
+            SELECT month_start + INTERVAL 1 MONTH FROM spine
+            WHERE month_start < TIMESTAMP '1997-12-01 00:00:00'
+        )
+        SELECT spine.month_start, COUNT(o_orderkey) AS n_orders
+        FROM spine
+        LEFT JOIN orders ON o_orderdate >= spine.month_start
+                        AND o_orderdate < spine.month_start + INTERVAL 1 MONTH
+        GROUP BY spine.month_start ORDER BY spine.month_start
+        """
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sum_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'avg_disc', avg_disc FROM wide)
+    ORDER BY l_returnflag, measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt via native UNPIVOT (the inverse of q_pivot).
+    The oracle spells it as UNION ALL — the ANSI-portable equivalent —
+    proving the semantics, not just the keyword.  Unpivot is a local
+    row-expansion: zero extra shuffles beyond the feeding aggregate."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS sum_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, measure, value
+        FROM wide UNPIVOT (value FOR measure IN (
+            sum_qty AS `sum_qty`, sum_price AS `sum_price`, avg_disc AS `avg_disc`))
+        ORDER BY l_returnflag, measure
+        """
+    )
+
+
+@query(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n_name, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM nation, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2)
+    ORDER BY n_name, c_acctbal DESC, c_name
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by balance per nation via a correlated LATERAL
+    subquery with ORDER BY + LIMIT — the per-group top-n shape without
+    a window function.  Catalyst decorrelates it into a ranked join;
+    at scale this is the same single exchange as the window variant."""
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n_name, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM nation, LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2)
+        ORDER BY n_name, c_acctbal DESC, c_name
+        """
+    )
+
+
+@query(
+    "q_group_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice::DECIMAL(18,2)), 2)::DECIMAL(18,2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY ALL
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — every non-aggregate select item becomes a
+    grouping key (identical semantics in Spark 4 and DuckDB)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+                   AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY ALL
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    )
