@@ -160,6 +160,15 @@ def minhash_near_duplicates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    # Catalyst does NOT reuse the aggregation subplan across the band
+    # self-join, so the signature pipeline is computed once per side.
+    # Deliberate: persisting/checkpointing it was measured SLOWER end to
+    # end (8.1s -> 13.7s cold at sf0.1) because the two branches run as
+    # independent stages scheduled concurrently, while materialization
+    # serializes the DAG and pays a cache write.  On a saturated cluster
+    # the CPU trade flips — callers deduping a 100 TB corpus should
+    # persist() the signatures DataFrame themselves (it is ~520 B/doc)
+    # or write it out, amortizing it across bands AND reruns.
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
 
     # Band structs built python-side (literal slice offsets) — explode
@@ -243,6 +252,11 @@ def ngram_jaccard_pairs(
     """EXACT Jaccard near-dup pairs via inverted-index self-join —
     the ground truth for the sketch-based methods (and the
     SQL-expressible oracle entry).  Returns (id_a, id_b, jaccard)."""
+    # `sh` feeds three subplans (both join sides + sizes) and is
+    # recomputed per use — persisting it measured 2.2x slower cold
+    # (concurrent independent stages beat serialized materialization on
+    # an unsaturated machine; see the equivalent note in
+    # minhash_near_duplicates for when callers should persist).
     sh = exploded_shingles(df, id_col, text_col, shingle_n).dropDuplicates(["_id", "_sh"])
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
 
