@@ -95,6 +95,55 @@ def stream_hourly_stats(
     )
 
 
+def stream_read_after_write(
+    parsed: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each object write (PUT) matched to
+    the reads (GET) of the same key within ``horizon`` — the
+    continuously-maintained sibling of the flagship days-apart
+    analysis (which asks the same written-then-read question at day
+    granularity over the at-rest table).
+
+    Both sides carry a watermark and the join condition bounds
+    read_time to [write_time, write_time + horizon], so state for
+    either side is evicted once the other side's watermark passes the
+    interval — bounded state on an unbounded stream, the property the
+    reference's re-run-the-day loop cannot express.  Returns
+    (key, write_time, read_time, bytes_sent).
+    """
+    writes = (
+        parsed.where(
+            (F.col("operation") == "REST.PUT.OBJECT")
+            & F.col("key").isNotNull()
+            & F.col("request_time").isNotNull()
+        )
+        .select(F.col("key").alias("w_key"), F.col("request_time").alias("write_time"))
+        .withWatermark("write_time", watermark)
+    )
+    reads = (
+        parsed.where(
+            (F.col("operation") == "REST.GET.OBJECT")
+            & F.col("key").isNotNull()
+            & F.col("request_time").isNotNull()
+        )
+        .select(
+            F.col("key").alias("r_key"),
+            F.col("request_time").alias("read_time"),
+            "bytes_sent",
+        )
+        .withWatermark("read_time", watermark)
+    )
+    cond = F.expr(
+        "w_key = r_key AND read_time >= write_time "
+        f"AND read_time <= write_time + INTERVAL {horizon}"
+    )
+    return writes.join(reads, cond).select(
+        F.col("w_key").alias("key"), "write_time", "read_time", "bytes_sent"
+    )
+
+
 def stream_dedup(
     parsed: DataFrame,
     key_cols: list[str] | None = None,

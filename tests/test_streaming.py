@@ -11,9 +11,9 @@ from aws_logs_to_parquet_converter_spark.streaming import ingest
 from aws_logs_to_parquet_converter_spark.testing import generate_log_lines
 
 
-def _write_files(src_dir, n_files, lines_each, seed=0):
+def _write_files(src_dir, n_files, lines_each, seed=0, n_days=None):
     src_dir.mkdir(parents=True, exist_ok=True)
-    lines = generate_log_lines(n_files * lines_each, seed=seed)
+    lines = generate_log_lines(n_files * lines_each, seed=seed, n_days=n_days)
     it = iter(lines)
     for i in range(n_files):
         (src_dir / f"file-{seed}-{i}.log").write_text(
@@ -83,6 +83,52 @@ def test_stream_hourly_stats_matches_batch(spark, tmp_path):
     ).count()
     assert mismatches == 0
     assert got.count() >= 1  # something actually closed and was emitted
+
+
+def test_stream_read_after_write_matches_batch(spark, tmp_path):
+    """Stream-stream interval join emits exactly the pairs the
+    equivalent batch join produces (finite input, availableNow)."""
+    src = tmp_path / "rw_src"
+    # one calendar day: keys and timestamps collide enough for real
+    # read-after-write pairs inside the 1-hour horizon
+    _write_files(src, 6, 500, seed=5, n_days=1)
+
+    parsed_stream = ingest.stream_parse(spark, str(src))
+    joined = ingest.stream_read_after_write(parsed_stream)
+    out = str(tmp_path / "rw_out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    parsed_batch = with_dt(parse_lines(spark.read.text(str(src))))
+    writes = parsed_batch.where(
+        (F.col("operation") == "REST.PUT.OBJECT")
+        & F.col("key").isNotNull()
+        & F.col("request_time").isNotNull()
+    ).select(F.col("key").alias("w_key"), F.col("request_time").alias("write_time"))
+    reads = parsed_batch.where(
+        (F.col("operation") == "REST.GET.OBJECT")
+        & F.col("key").isNotNull()
+        & F.col("request_time").isNotNull()
+    ).select(F.col("key").alias("r_key"), F.col("request_time").alias("read_time"), "bytes_sent")
+    batch = writes.join(
+        reads,
+        F.expr(
+            "w_key = r_key AND read_time >= write_time "
+            "AND read_time <= write_time + INTERVAL 1 hour"
+        ),
+    ).select(F.col("w_key").alias("key"), "write_time", "read_time", "bytes_sent")
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert len(want) >= 1  # fixture must actually produce read-after-write pairs
+    assert got == want
 
 
 def test_stream_dedup(spark, tmp_path):
