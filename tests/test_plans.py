@@ -79,3 +79,40 @@ def test_partition_pruning_on_dt(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "dt" in pf_line
+
+
+def test_q13_single_fact_exchange(spark):
+    """The order-count histogram's heavy join/agg runs on c_custkey; the
+    second aggregation (tiny count domain) must not add a broadcast-side
+    blowup or cartesian."""
+    plan = explain_str(REGISTRY["q13_order_count_distribution"].builder(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_not_in_plans_null_aware_anti(spark):
+    plan = explain_str(REGISTRY["q16_supplier_cnt"].builder(spark, SF), "simple")
+    assert "LeftAnti" in plan  # NOT IN -> null-aware anti join, not a filter
+
+
+def test_q21_exists_shapes(spark):
+    """EXISTS and NOT EXISTS against the same fact must plan as semi and
+    anti joins (decorrelated), never as per-row subquery execution."""
+    plan = explain_str(REGISTRY["q21_sole_blame_suppliers"].builder(spark, SF), "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_lateral_topn_decorrelates(spark):
+    """The LATERAL ORDER BY+LIMIT subquery must decorrelate to a ranked
+    join — no nested-loop per-outer-row re-execution node."""
+    plan = explain_str(REGISTRY["q_lateral_topn"].builder(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_assignment_is_arrow_not_rowudf(spark):
+    """IVF cell assignment must cross into Python via Arrow (ArrowEval /
+    pandas UDF), never a row-at-a-time BatchEvalPython."""
+    plan = explain_str(REGISTRY["q_embed_topk_ivf"].builder(spark, SF), "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
