@@ -346,3 +346,41 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
         F.lead("o_orderkey").over(w).alias("next_key"),
     )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, value,
+               TIME_BUCKET(INTERVAL '30 minutes', ts) AS b
+        FROM events),
+    expanded AS (
+        SELECT event_type, value,
+               UNNEST([b, b - INTERVAL 30 MINUTE]) AS ws
+        FROM ev)
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1 h windows every 30 min) via the
+    native window table function — each event lands in exactly two
+    overlapping windows.  The oracle spells out the replication
+    explicitly (bucket + previous bucket via UNNEST), proving window
+    semantics rather than assuming them.  In batch this plans as
+    explode(2 windows)+hash agg: one shuffle, fan-out factor
+    size/slide; the streaming twin is stream_hourly_stats with a slide
+    argument."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
