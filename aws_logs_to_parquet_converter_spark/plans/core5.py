@@ -21,20 +21,28 @@ from aws_logs_to_parquet_converter_spark.plans.registry import query, register_v
         UNION ALL
         SELECT month_start + INTERVAL 1 MONTH FROM spine
         WHERE month_start < TIMESTAMP '1997-12-01 00:00:00'
+    ),
+    per_month AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS m, COUNT(*) AS n
+        FROM orders GROUP BY 1
     )
-    SELECT spine.month_start, COUNT(o_orderkey) AS n_orders
-    FROM spine
-    LEFT JOIN orders ON o_orderdate >= spine.month_start
-                    AND o_orderdate < spine.month_start + INTERVAL 1 MONTH
-    GROUP BY spine.month_start ORDER BY spine.month_start
+    SELECT month_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN per_month ON m = month_start
+    ORDER BY month_start
     """,
 )
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE calendar spine (24 months) left-joined to order
     counts — months with zero orders survive as 0 (the gap-filling
     shape a date dimension usually hides).  Recursion (Spark >= 4.0)
-    runs driver-coordinated on a 24-row relation; the fact-side work is
-    one broadcast range join + aggregate."""
+    runs driver-coordinated on a 24-row relation.
+
+    Scale shape: the fact is pre-aggregated to one row per month
+    (map-side combine, tiny exchange) BEFORE meeting the spine, and the
+    join key is month-truncation equality, not a range — a first
+    formulation joined spine-to-orders on a range condition and planned
+    as a BroadcastNestedLoopJoin that broadcast the FACT side, which
+    dies at 100 TB."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(
         """
@@ -43,12 +51,14 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT month_start + INTERVAL 1 MONTH FROM spine
             WHERE month_start < TIMESTAMP '1997-12-01 00:00:00'
+        ),
+        per_month AS (
+            SELECT DATE_TRUNC('month', o_orderdate) AS m, COUNT(*) AS n
+            FROM orders GROUP BY 1
         )
-        SELECT spine.month_start, COUNT(o_orderkey) AS n_orders
-        FROM spine
-        LEFT JOIN orders ON o_orderdate >= spine.month_start
-                        AND o_orderdate < spine.month_start + INTERVAL 1 MONTH
-        GROUP BY spine.month_start ORDER BY spine.month_start
+        SELECT month_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+        FROM spine LEFT JOIN per_month ON m = month_start
+        ORDER BY month_start
         """
     )
 
