@@ -179,7 +179,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
@@ -206,7 +206,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TPC-H Q19 shape) — exercises CNF conversion / partial pushdown."""
     p = t(spark, sf_dir, "part")
     li = t(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))

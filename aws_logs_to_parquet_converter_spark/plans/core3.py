@@ -157,7 +157,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast(_DEC) * F.col("p_retailprice").cast(_DEC)
     ) * F.lit(0.6).cast("decimal(2,1)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

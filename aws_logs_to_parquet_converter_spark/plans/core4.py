@@ -195,7 +195,7 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
     movers = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 100)
