@@ -160,3 +160,36 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority, o_orderstatus
         """
     )
+
+
+@query(
+    "q_agg_modern",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT_IF(o_totalprice > 100000)             AS n_big,
+           BOOL_OR(o_orderstatus = 'F')                AS any_finished,
+           BOOL_AND(o_totalprice > 0)                  AS all_positive,
+           MAX_BY(o_orderstatus, o_orderkey)           AS status_of_max_key,
+           MIN_BY(o_orderstatus, o_orderkey)           AS status_of_min_key
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate-function matrix: conditional counting
+    (count_if), boolean quantifiers (bool_and/bool_or), and argmin/
+    argmax (max_by/min_by — keyed on the unique orderkey so results
+    are deterministic).  Name-identical in Spark 4 and DuckDB; all are
+    single-pass hash aggregates with map-side partials."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.max_by("o_orderstatus", "o_orderkey").alias("status_of_max_key"),
+            F.min_by("o_orderstatus", "o_orderkey").alias("status_of_min_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
