@@ -8,8 +8,18 @@ rebuild"), expressed Spark-first and graded against a DuckDB oracle.
 
 Conventions for oracle hash-compat:
   * every computed column aliased identically on both sides;
-  * doubles rounded (engines agree to ~1e-12 relative; rounding makes
-    the hash exact);
+  * MONEY IS EXACT: monetary sums emit at their exact natural decimal
+    scale — DECIMAL(38,2) for 2-decimal inputs, DECIMAL(38,4) for
+    scale-4 products — with NO final round/cast to scale 2.  Reducing
+    decimal scale lands on exact half-cent ties whose resolution
+    (half-up vs half-even) varies by DuckDB version: the round-1
+    driver failed 7 queries this way while the local DuckDB agreed
+    with Spark.  Ratios of exact aggregates emit as one unrounded
+    IEEE double division (bit-identical in any engine);
+  * doubles that are sums of exactly-2-decimal inputs may use
+    ROUND(...,2): the true value has 2 decimals, so fp error (~1e-9)
+    never reaches the .005 tie boundary.  Never ROUND a double whose
+    true value can sit exactly on the tie boundary;
   * timestamps emitted as formatted strings or dates;
   * every window/top-k has a total deterministic ordering (ties broken
     by a key column);
@@ -33,9 +43,10 @@ from aws_logs_to_parquet_converter_spark.plans.registry import query, register_v
     headline=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(l_quantity) AS DOUBLE)                       AS sum_qty,
-           ROUND(SUM(l_extendedprice::DECIMAL(18,2)), 2)::DECIMAL(18,2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2) AS sum_disc_price,
+           SUM(l_quantity::DECIMAL(18,2))::DECIMAL(38,2)         AS sum_qty,
+           SUM(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2)    AS sum_base_price,
+           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
+               AS sum_disc_price,
            ROUND(AVG(l_quantity), 4)                             AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                        AS avg_price,
            ROUND(AVG(l_discount), 4)                             AS avg_disc,
@@ -49,21 +60,31 @@ from aws_logs_to_parquet_converter_spark.plans.registry import query, register_v
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan -> filter -> hash-aggregate: the canonical pricing-summary
     shape (TPC-H Q1).  Catalyst plans partial+final agg with map-side
-    combine; the shipdate predicate pushes to parquet row groups."""
+    combine; the shipdate predicate pushes to parquet row groups.
+
+    Money discipline (round-2 hash-fix): every monetary SUM is emitted
+    at its exact natural scale — DECIMAL(38,2) for 2-decimal inputs,
+    DECIMAL(38,4) for scale-4 products — with NO final round-to-2.
+    The driver's DuckDB and Spark resolve half-cent rounding ties
+    differently (round-half-up vs half-even varies by DuckDB version),
+    so any ROUND(dec4, 2) in the output contract is version-unstable;
+    exact sums are bit-identical in every engine."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("decimal(38,2)")
             .alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
             )
-            .cast("decimal(18,2)")
+            .cast("decimal(38,4)")
             .alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -78,7 +99,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)), 2)::DECIMAL(18,2) AS revenue
+           (l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
@@ -103,7 +124,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,2)")
             * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
         )
-        .cast("decimal(18,2)")
+        .cast("decimal(38,4)")  # exact scale-4 product; see q01 money discipline
         .alias("revenue"),
     )
 
@@ -231,7 +252,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2) AS revenue,
+           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4) AS revenue,
            STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -253,14 +274,14 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-06-15").cast("timestamp"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
             )
-            .cast("decimal(18,2)")
+            .cast("decimal(38,4)")
             .alias("revenue")
         )
         .select(
@@ -279,7 +300,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2) AS revenue
+           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -294,9 +315,12 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-table star join (TPC-H Q5 shape).  Dimensions broadcast; only
-    the fact-fact joins (orders x lineitem) shuffle — at 100 TB that is
-    the one unavoidable exchange, on the join key."""
+    """6-table star join (TPC-H Q5 shape).  Bounded dims (supplier,
+    nation, region) broadcast by hint; customer SCALES with the corpus,
+    so it carries no hint — AQE promotes it to broadcast from runtime
+    stats when it fits, and degrades to sort-merge instead of OOMing
+    the driver at 100 TB (PERF.md broadcast policy).  Only the
+    fact-fact join (orders x lineitem) must shuffle, on the join key."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -308,7 +332,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -321,7 +345,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
             )
-            .cast("decimal(18,2)")
+            .cast("decimal(38,4)")
             .alias("revenue")
         )
         .orderBy(F.desc("revenue"))

@@ -11,12 +11,16 @@ from pyspark.sql import functions as F
 from aws_logs_to_parquet_converter_spark.plans.registry import query, register_views, t
 
 _DEC = "decimal(18,2)"
+# Monetary sums are emitted at their exact natural scale (round-2 money
+# discipline, see q01 in core.py): a final ROUND/cast to scale 2 lands
+# on half-cent ties that DuckDB versions resolve differently.
+_DEC38_4 = "decimal(38,4)"
 
 
 def _rev(price="l_extendedprice", disc="l_discount"):
-    # exact 4-decimal product; callers round ONCE after aggregation
-    # (a per-row cast here would round before summing and drift a cent
-    # from the oracle's sum-then-round)
+    # exact 4-decimal product; callers emit the aggregate at scale 4
+    # (a per-row round would drift a cent from the oracle's exact sum,
+    # and a post-aggregation round-to-2 is tie-unstable across engines)
     return F.col(price).cast(_DEC) * (F.lit(1) - F.col(disc).cast(_DEC))
 
 
@@ -57,7 +61,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_forecast_revenue",
     headline=True,
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)), 2)::DECIMAL(18,2)
+    SELECT SUM(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DECIMAL(38,4)
                AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
@@ -78,7 +82,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     ).agg(
         F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
-        .cast(_DEC)
+        .cast(_DEC38_4)
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
@@ -88,7 +92,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2)
+           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
                AS revenue,
            n_name
     FROM customer
@@ -114,10 +118,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev()).cast(_DEC).alias("revenue"))
+        .agg(F.sum(_rev()).cast(_DEC38_4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -193,7 +197,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_disjunctive",
     oracle="""
     SELECT COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2)
+           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
                AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -213,7 +217,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
     return j.where(cond).agg(
-        F.count("*").alias("n"), F.sum(_rev()).cast(_DEC).alias("revenue")
+        F.count("*").alias("n"), F.sum(_rev()).cast(_DEC38_4).alias("revenue")
     )
 
 
@@ -515,7 +519,7 @@ def q_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2)
+               SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -538,8 +542,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2))
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
                        AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

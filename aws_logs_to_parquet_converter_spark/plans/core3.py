@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 from aws_logs_to_parquet_converter_spark.plans.registry import query, register_views, t
 
 _DEC = "decimal(18,2)"
+# Exact-scale money outputs (see q01 in core.py): never round a
+# higher-scale decimal down to 2 in the output contract.
+_DEC38_4 = "decimal(38,4)"
 
 
 def _rev():
@@ -22,7 +25,7 @@ def _rev():
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(YEAR(l_shipdate) AS INT) AS l_year,
-           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2)
+           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
                AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -57,7 +60,7 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .where(
@@ -67,7 +70,7 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev()).cast(_DEC).alias("revenue"))
+        .agg(F.sum(_rev()).cast(_DEC38_4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -131,8 +134,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_product_profit",
     oracle="""
     SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
-           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
-                     - (l_quantity::DECIMAL(18,2) * p_retailprice::DECIMAL(18,2)) * 0.6), 2)::DECIMAL(18,2)
+           SUM(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))
+               - (l_quantity::DECIMAL(8,2) * p_retailprice::DECIMAL(12,2)) * 0.6)::DECIMAL(38,5)
                AS profit
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
@@ -147,14 +150,25 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit by supplier nation and year for a part family (TPC-H Q9
     shape; supply cost derived as 60% of retail price — no partsupp
-    table in the testdata)."""
+    table in the testdata).
+
+    The per-row profit mixes scale-4 revenue and scale-5 cost, so the
+    exact natural output scale is 5.  Input casts are deliberately
+    narrow — (12,2) price, (4,2) discount, (8,2) qty — to keep every
+    intermediate product within DECIMAL(38,...) in BOTH engines without
+    triggering precision-loss scale reduction; the sum is emitted at
+    the exact scale with no final round (money discipline, core.py
+    q01)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")
-    profit = _rev() - (
-        F.col("l_quantity").cast(_DEC) * F.col("p_retailprice").cast(_DEC)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost = (
+        F.col("l_quantity").cast("decimal(8,2)") * F.col("p_retailprice").cast("decimal(12,2)")
     ) * F.lit(0.6).cast("decimal(2,1)")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
@@ -162,7 +176,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).cast(_DEC).alias("profit"))
+        .agg(F.sum(rev - cost).cast("decimal(38,5)").alias("profit"))
         .orderBy("nation", "o_year")
     )
 

@@ -2,8 +2,9 @@
 (TPC-H Q11/Q13/Q16/Q17/Q20/Q21 adapted to the testdata schema — no
 partsupp or commit/receipt dates, so those roles are played by lineitem
 revenue and return flags).  Every entry is a (Spark builder, DuckDB
-oracle) pair; monetary aggregates follow the DECIMAL(18,2) discipline
-recorded in PERF.md.
+oracle) pair; monetary aggregates follow the exact-natural-scale
+discipline (DECIMAL(38,4) sums, no final round-to-2 — see core.py q01
+and PERF.md).
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ def _rev():
     "q11_important_parts",
     oracle="""
     SELECT l_partkey,
-           ROUND(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DECIMAL(18,2)
+           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
                AS part_value
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -63,7 +64,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grouped.join(F.broadcast(total))
         .where(F.col("part_value_raw") > F.col("threshold"))
-        .select("l_partkey", F.col("part_value_raw").cast(_DEC).alias("part_value"))
+        .select("l_partkey", F.col("part_value_raw").cast("decimal(38,4)").alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
 
@@ -142,7 +143,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice::DECIMAL(18,2)) / 7.0, 2)::DECIMAL(18,2) AS avg_yearly
+    SELECT CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_type = 'SMALL'
@@ -154,12 +155,17 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue lost to small-quantity orders (TPC-H Q17): correlated
     scalar AVG per part, decorrelated by Catalyst into an aggregate +
     join on l_partkey.  l_quantity is whole-valued so the DOUBLE
-    average is exact and the threshold comparison is engine-stable."""
+    average is exact and the threshold comparison is engine-stable.
+
+    The /7.0 output divides the EXACT decimal sum cast to double by a
+    constant — one IEEE operation on identical inputs, bit-identical in
+    both engines, no rounding tie to resolve (a ROUND(...,2) here was
+    the tie class the round-1 driver flagged on q01/q02/...)."""
     register_views(spark, sf_dir, ["lineitem", "part"])
     return spark.sql(
         """
-        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
-                    AS DECIMAL(18,2)) AS avg_yearly
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE p_type = 'SMALL'

@@ -69,7 +69,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wide AS (
         SELECT l_returnflag,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sum_price,
+               SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price,
                ROUND(AVG(l_discount), 6) AS avg_disc
         FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, measure, value FROM (
@@ -92,7 +92,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH wide AS (
             SELECT l_returnflag,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                        AS sum_price,
                    ROUND(AVG(l_discount), 6) AS avg_disc
             FROM lineitem GROUP BY l_returnflag)
@@ -137,7 +137,7 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_group_by_all",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice::DECIMAL(18,2)), 2)::DECIMAL(18,2) AS total
+           COUNT(*) AS n, SUM(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS total
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY ALL
@@ -152,7 +152,7 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority, o_orderstatus,
                COUNT(*) AS n,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
                    AS total
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
