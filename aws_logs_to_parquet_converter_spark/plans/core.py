@@ -398,6 +398,33 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_right",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving customers with zero orders — the
+    mirror of q_join_left with the build side flipped (SURVEY §2.3
+    declares inner/left/right/full; this is the dedicated right-outer
+    entry).  At scale Spark plans it as the same shuffled hash/sort
+    join with the preserved side swapped."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
     "q_join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer
