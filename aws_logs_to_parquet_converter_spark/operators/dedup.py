@@ -247,11 +247,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 5, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """EXACT Jaccard near-dup pairs via inverted-index self-join —
     the ground truth for the sketch-based methods (and the
-    SQL-expressible oracle entry).  Returns (id_a, id_b, jaccard)."""
+    SQL-expressible oracle entry).  Returns (id_a, id_b, jaccard).
+
+    ``max_shingle_df`` caps the posting-list length: shingles whose
+    document frequency exceeds it are dropped from the INTERSECTION
+    index before the self-join (set sizes stay exact), bounding the
+    pair fan-out of any single hot shingle to max_df² instead of
+    docs² — one boilerplate shingle shared by a million documents
+    would otherwise emit 10¹² join rows.  Below the cap results are
+    bit-identical to the uncapped oracle (nothing is dropped); above
+    it, ubiquitous shingles are treated as non-discriminative
+    stopwords and the score becomes a lower bound — the standard
+    df-cap trick for inverted-index similarity joins.  Pass ``None``
+    for the uncapped ground truth."""
     # `sh` feeds three subplans (both join sides + sizes) and is
     # recomputed per use — persisting it measured 2.2x slower cold
     # (concurrent independent stages beat serialized materialization on
@@ -260,8 +277,18 @@ def ngram_jaccard_pairs(
     sh = exploded_shingles(df, id_col, text_col, shingle_n).dropDuplicates(["_id", "_sh"])
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
+    idx = sh
+    if max_shingle_df is not None:
+        cold = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("_sh")
+        )
+        idx = sh.join(cold, "_sh")
+
+    a = idx.alias("a")
+    b = idx.alias("b")
     common = (
         a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))

@@ -251,6 +251,103 @@ def cosine_topk_ivf(
     return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
 
 
+def blocked_all_pairs(
+    df: DataFrame,
+    id_col: str,
+    n_blocks: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All unordered row pairs as a BOUNDED equi-join (triangle/block
+    join), never a BroadcastNestedLoopJoin.
+
+    Each row is hashed to one of ``n_blocks`` blocks; for every block
+    pair (i, j), i <= j, block i's rows replicate to the left side and
+    block j's to the right, joined on the (i, j) key.  Every unordered
+    pair meets exactly once: cross-block pairs meet under their sorted
+    block-pair key; same-block pairs meet twice and are halved by the
+    id ordering filter.
+
+    Why this shape: exact all-pairs similarity is inherently Θ(n²)
+    COMPUTE, but the naive ``a.join(b, id_a < id_b)`` plans as a
+    broadcast nested-loop join — one side fully materialized per
+    executor, driver-OOM at corpus scale.  The block join replicates
+    each row ~n_blocks/2 times, shuffles on the block-pair key, and
+    bounds per-task memory to two blocks; it scales horizontally to
+    however many executors the quadratic work deserves.  (For
+    sub-quadratic candidate generation accept approximation:
+    cosine_topk_lsh / cosine_topk_ivf.)
+
+    Emits (id_a, id_b) with id_a < id_b; every non-id column is
+    carried through twice with ``_l``/``_r`` side suffixes (side
+    labels do NOT track the id ordering — see the in-body note).
+    """
+    payload = [c for c in df.columns if c != id_col]
+    blk = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_blocks)).cast("int")
+    base = df.select(F.col(id_col).alias("_id"), blk.alias("_blk"), *payload)
+    left = base.select(
+        F.col("_blk").alias("_bi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("_bj"),
+        F.col("_id").alias("_id_l"),
+        *[F.col(c).alias(f"{c}_l") for c in payload],
+    )
+    right = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_bi"),
+        F.col("_blk").alias("_bj"),
+        F.col("_id").alias("_id_r"),
+        *[F.col(c).alias(f"{c}_r") for c in payload],
+    )
+    pairs = left.join(right, ["_bi", "_bj"]).where(
+        (F.col("_bi") < F.col("_bj")) | (F.col("_id_l") < F.col("_id_r"))
+    )
+    # Payload stays side-labeled (_l/_r), NOT reordered by id: wrapping
+    # each payload column in a when(id_l > id_r) flip gets substituted
+    # into every consumer term after project collapse (for an unrolled
+    # dim-64 dot that is 128 copies of the conditional — blew janino's
+    # 64 KB method limit).  Callers with symmetric scoring never need
+    # the flip; callers that do can reorder the (small) result.
+    return pairs.select(
+        F.least("_id_l", "_id_r").alias("id_a"),
+        F.greatest("_id_l", "_id_r").alias("id_b"),
+        *[F.col(f"{c}_l") for c in payload],
+        *[F.col(f"{c}_r") for c in payload],
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int | None = None,
+    n_blocks: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (sim >= threshold),
+    candidate space generated by ``blocked_all_pairs`` so the plan is a
+    shuffled equi-join with bounded tasks — no nested-loop, no
+    unbounded self-join.  Returns (id_a, id_b, sim) unrounded.
+
+    Per-row norms are computed ONCE before the block replication and
+    carried through the exchange, so the join stage evaluates a single
+    unrolled dot product per pair (3x smaller generated code — the
+    full inline cosine blew janino's 64 KB method limit inside the
+    joined stage and fell back to interpretation).  Note this is the
+    opposite trade from the old BNLJ formulation, where the broadcast
+    side re-evaluated projections per probe and precomputing norms
+    measured slower (PERF.md).  Cosine is symmetric (elementwise
+    products commute; accumulation order is index order either way),
+    so scoring uses the raw _l/_r sides — bit-identical to scoring in
+    id order."""
+    base = corpus.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col), dim).alias("_nrm"),
+    )
+    pairs = blocked_all_pairs(base, "_nid", n_blocks, seed)
+    sim = _dot(F.col("_v_l"), F.col("_v_r"), dim) / (F.col("_nrm_l") * F.col("_nrm_r"))
+    return pairs.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= threshold)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -312,26 +312,25 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (semantic dedup): all pairs
-    with cosine >= 0.4.  Exact all-pairs here (the oracle-checkable
-    ground truth); at corpus scale the hyperplane-LSH bucketing in
-    operators/similarity.py prunes the pair space the same way MinHash
-    does for lexical near-dups."""
+    """Embedding-cosine near-duplicate pairs (semantic dedup): EXACT
+    all pairs with cosine >= 0.4, generated through the blocked
+    block-pair equi-join (operators/similarity.blocked_all_pairs) —
+    bounded per-task memory and a shuffled hash join instead of the
+    round-1 BroadcastNestedLoopJoin, so the exact ground truth is
+    distribution-safe.  Exact all-pairs remains Θ(n²) compute by
+    definition; the sub-quadratic corpus-scale paths are the
+    approximate LSH/IVF operators (q_embed_topk_lsh / _ivf).
+
+    Scoring uses the unrolled inline cosine, measured fastest of three
+    formulations at dim=64 (sf0.1, 2M pairs): HOF fold 75s
+    (CodegenFallback), inline unrolled 16s, precomputed-norm 86s — see
+    PERF.md."""
     emb = t(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]
-    # unrolled-inline cosine, measured fastest of three formulations at
-    # dim=64 (sf0.1, 2M pairs): HOF fold 75s (CodegenFallback), inline
-    # unrolled 16s, precomputed-norm 86s (the broadcast side's norm
-    # projection re-evaluates per probe inside the BNLJ) — see PERF.md
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = similarity.cosine(F.col("_va"), F.col("_vb"), dim)
-    return (
-        pairs.select("id_a", "id_b", sim.alias("_sim"))
-        .where(F.col("_sim") >= 0.4)
-        .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
+    pairs = similarity.cosine_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, dim=dim
     )
+    return pairs.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
 
 
 @query(

@@ -150,3 +150,30 @@ def test_graded_window_covers_priority_surface():
 def test_right_outer_join_plans_outer(spark):
     plan = explain_str(REGISTRY["q_join_right"].builder(spark, SF), "simple")
     assert "Join RightOuter" in plan or "RightOuter" in plan or "LeftOuter" in plan
+
+
+def test_quadratic_oracles_have_no_unbounded_joins(spark):
+    """The exact pair generators must never plan a nested-loop or
+    cartesian product: ngram jaccard joins the df-capped inverted
+    index on the shingle key; embed_neardup goes through the blocked
+    block-pair equi-join (round-1 verdict: both were unguarded
+    quadratics — the BNLJ shape OOMs at corpus scale)."""
+    for name in ("q_ngram_jaccard", "q_embed_neardup", "q_dedup_keep_list"):
+        plan = explain_str(REGISTRY[name].builder(spark, SF), "simple")
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ngram_jaccard_df_cap_applied(spark):
+    """The shingle document-frequency cap must appear in the plan (a
+    filtered aggregate feeding the index join) and, at test scale where
+    no shingle exceeds it, leave results identical to uncapped."""
+    from aws_logs_to_parquet_converter_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    capped = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=5, threshold=0.4)
+    uncapped = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=5, threshold=0.4, max_shingle_df=None
+    )
+    assert "_df" in capped._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
