@@ -40,11 +40,13 @@ _DUCK_SW_RATIO = (
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup: one hash-shuffle on the text key, smallest
-    doc_id kept as the canonical representative."""
+    """Exact content dedup: one hash-shuffle on the fixed-width
+    xxhash64 digest of the text (8 B/row through the exchange instead
+    of whole documents — see operators/dedup.exact_duplicates for the
+    collision envelope), smallest doc_id kept as canonical."""
     d = t(spark, sf_dir, "documents")
     return (
-        d.groupBy("text")
+        d.groupBy(F.xxhash64("text").alias("_digest"))
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
         .select("canonical_id", "n_copies")
     )

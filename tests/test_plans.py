@@ -177,3 +177,15 @@ def test_ngram_jaccard_df_cap_applied(spark):
     )
     assert "_df" in capped._jdf.queryExecution().analyzed().toString()
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    """The exact-dedup aggregation key must be the fixed-width xxhash64
+    digest so the exchange ships 8 B/row, not document bodies."""
+    plan = explain_str(REGISTRY["q_dedup_exact"].builder(spark, SF), "simple")
+    assert "xxhash64(text" in plan
+    # the exchange partitions on the digest grouping expression, with
+    # the text column projected away before the shuffle
+    exchange = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l][0]
+    assert "_groupingexpression" in exchange or "_digest" in exchange
+    assert "text" not in exchange
