@@ -18,12 +18,24 @@ EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "it"]
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization of lowercased text (empty-safe)."""
+    """Whitespace tokenization of lowercased text (empty-safe), as an
+    array column.
+
+    NOTE: the filter is an interpreted higher-order function
+    (CodegenFallback).  Only ``stopword_ratio`` still consumes this —
+    it genuinely needs per-token membership tests, runs once per row,
+    and the array is ~100 short tokens, so the interpreted cost is a
+    per-row constant, not a pair-space multiplier (the PERF.md HOF ban
+    targets hot paths evaluated per candidate pair).  Counting paths
+    (``token_count``/``mean_token_len``) use the codegen regexp forms
+    below instead."""
     return F.filter(F.split(F.lower(text), r"\s+"), lambda tok: tok != "")
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    """Number of whitespace-delimited tokens — regexp_count('\\S+')
+    stays in wholestage codegen (no array materialization, no HOF)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
@@ -41,9 +53,11 @@ def punct_ratio(text: Column) -> Column:
 
 
 def mean_token_len(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, tok: acc + F.length(tok))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    """Mean token length = total non-whitespace chars / token count —
+    two codegen regexps, identical to summing per-token lengths."""
+    tc = token_count(text)
+    total = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(tc > 0, total / tc).otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column) -> Column:

@@ -189,3 +189,12 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     exchange = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l][0]
     assert "_groupingexpression" in exchange or "_digest" in exchange
     assert "text" not in exchange
+
+
+def test_token_stats_stay_in_codegen(spark):
+    """token_count/mean_token_len must plan as regexp expressions, not
+    interpreted array higher-order functions (PERF.md HOF rule)."""
+    for name in ("q_text_stats", "q_token_count"):
+        plan = explain_str(REGISTRY[name].builder(spark, SF), "formatted")
+        for hof in ("filter(", "aggregate(", "transform("):
+            assert hof not in plan, f"{name}: interpreted HOF {hof}"
