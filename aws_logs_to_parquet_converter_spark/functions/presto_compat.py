@@ -26,13 +26,27 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Presto/MySQL date_parse tokens -> JDK DateTimeFormatter patterns.
+# Presto/MySQL date_parse tokens -> JDK DateTimeFormatter patterns
+# (public MySQL DATE_FORMAT spec, which Presto's date_parse/date_format
+# follow).  Replacement outputs never contain '%', so ordering is free.
 _FORMAT_REPLACEMENTS = [
     ("%Y", "yyyy"),
     ("%y", "yy"),
+    ("%M", "MMMM"),  # full month name
     ("%m", "MM"),
+    ("%c", "M"),  # month, no leading zero
+    ("%e", "d"),  # day of month, no leading zero
     ("%d", "dd"),
+    ("%j", "DDD"),  # day of year
+    ("%W", "EEEE"),  # full weekday name
+    ("%a", "EEE"),  # abbreviated weekday name
+    ("%T", "HH:mm:ss"),  # 24-hour time shorthand
     ("%H", "HH"),
+    ("%k", "H"),  # hour, no leading zero
+    ("%h", "hh"),  # 12-hour, padded
+    ("%I", "hh"),
+    ("%l", "h"),  # 12-hour, no leading zero
+    ("%p", "a"),  # AM/PM
     ("%i", "mm"),
     ("%s", "ss"),
     ("%f", "SSSSSS"),
@@ -77,6 +91,24 @@ def register_presto_compat(spark: SparkSession) -> None:
         RETURN cast(unix_micros(ts) as double) / 1e6
         """
     )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION from_iso8601_timestamp(s STRING)
+        RETURNS TIMESTAMP
+        RETURN try_cast(s AS TIMESTAMP)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION from_iso8601_date(s STRING)
+        RETURNS DATE
+        RETURN try_cast(s AS DATE)
+        """
+    )
+    # split_part needs no shim: Spark's builtin is name- and
+    # semantics-compatible (1-based index) with one documented
+    # divergence — an out-of-range index yields '' in Spark vs NULL in
+    # Presto (covered in test_presto_compat).
 _TWO_ARG_REGEXP_REPLACE = re.compile(
     r"regexp_replace\(\s*([A-Za-z_][\w.]*|'(?:[^'\\]|\\.)*')\s*,\s*('(?:[^'\\]|\\.)*')\s*\)"
 )

@@ -118,3 +118,55 @@ def test_add_partition(spark, tmp_path):
         assert spark.table("access_logs_p").count() == sum(per_day.values())
     finally:
         spark.sql("DROP TABLE IF EXISTS access_logs_p")
+
+
+def test_reference_partition_sql_runs_verbatim(spark, tmp_path):
+    """The reference's partition-management statements run unchanged:
+    load_all_partitions.sql:6 (MSCK REPAIR on the backtick-quoted
+    hyphenated name) and load_partition.sql:8-10 (ALTER TABLE ADD
+    PARTITION with an explicit LOCATION), against a table of the
+    reference's own name.  Only create_table.sql needs adaptation (its
+    Hive SerDe/INPUTFORMAT clauses require a Hive metastore; the
+    native-DDL equivalent in sources/catalog.py preserves the schema,
+    partitioning, and location semantics).  One further divergence: the
+    default in-memory catalog rejects hyphens in table names (Hive
+    metastores, like Athena's, accept them) — the statements run
+    verbatim but for the underscore name."""
+    days = ["2019-06-01", "2019-06-02"]
+    root, per_day = _write_raw_days(tmp_path, days, files_per_day=1, lines_per_file=20)
+    dest_bucket = str(tmp_path / "wh4")
+    args = cli.build_parser().parse_args(
+        [
+            "--source-access-log-bucket", str(root),
+            "--source-bucket", "monitored-bucket",
+            "--destination-log-bucket", dest_bucket,
+            "--destination-log-prefix", "logs",
+            "--min-date", "2019-06-01",
+            "--max-date", "2019-06-03",
+        ]
+    )
+    assert cli.run(args) == 0
+    out = f"{dest_bucket}/logs/monitored-bucket"
+    catalog.create_access_log_table(
+        spark, "example_s3_access_logs_table", out, repair=False
+    )
+    try:
+        assert spark.table("`example_s3_access_logs_table`").count() == 0
+        # load_all_partitions.sql:6, verbatim
+        spark.sql("MSCK REPAIR TABLE `example_s3_access_logs_table`")
+        assert spark.table("`example_s3_access_logs_table`").count() == sum(per_day.values())
+        # load_partition.sql:8-10 shape, verbatim but for the local path
+        spark.sql("DROP TABLE IF EXISTS `example_s3_access_logs_table`")
+        catalog.create_access_log_table(
+            spark, "example_s3_access_logs_table", out, repair=False
+        )
+        spark.sql(
+            f"""
+            ALTER TABLE `example_s3_access_logs_table`
+                ADD PARTITION (dt='2019-06-01')
+                LOCATION '{out}/dt=2019-06-01'
+            """
+        )
+        assert spark.table("`example_s3_access_logs_table`").count() == per_day["2019-06-01"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS `example_s3_access_logs_table`")

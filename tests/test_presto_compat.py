@@ -83,3 +83,48 @@ def test_escaped_string_literals_scoped(spark):
     ).collect()[0]
     assert row.first_num == "1"
     assert spark.conf.get("spark.sql.parser.escapedStringLiterals") == "false"
+
+
+def test_extended_date_format_tokens(spark):
+    """%e %T %j %W %a %M %p — the broader MySQL token set beyond what
+    days_apart_analysis.sql needs (round-1 verdict item 4)."""
+    row = run_presto_sql(
+        spark,
+        """
+        SELECT date_format_presto(TIMESTAMP '2019-02-06 15:04:05', '%W %e %M %Y') AS a,
+               date_format_presto(TIMESTAMP '2019-02-06 15:04:05', '%T') AS b,
+               date_format_presto(TIMESTAMP '2019-02-06 15:04:05', '%j') AS c,
+               date_format_presto(TIMESTAMP '2019-02-06 15:04:05', '%a %l %p') AS d
+        """,
+    ).collect()[0]
+    assert row.a == "Wednesday 6 February 2019"
+    assert row.b == "15:04:05"
+    assert row.c == "037"
+    assert row.d == "Wed 3 PM"
+
+
+def test_from_iso8601_timestamp(spark):
+    rows = run_presto_sql(
+        spark,
+        """
+        SELECT from_iso8601_timestamp('2019-02-06T00:00:38') AS t,
+               from_iso8601_date('2019-02-06') AS d,
+               from_iso8601_timestamp('garbage') AS bad
+        """,
+    ).collect()[0]
+    assert str(rows.t) == "2019-02-06 00:00:38"
+    assert str(rows.d) == "2019-02-06"
+    assert rows.bad is None
+
+
+def test_split_part_builtin_compat(spark):
+    """Presto's split_part is name/semantics-identical to Spark's
+    builtin (1-based); divergence: out-of-range index is '' in Spark,
+    NULL in Presto — callers needing Presto nulls wrap with nullif."""
+    row = run_presto_sql(
+        spark,
+        "SELECT split_part('logs/service-1/2019', '/', 2) AS p, "
+        "nullif(split_part('a/b', '/', 9), '') AS oob",
+    ).collect()[0]
+    assert row.p == "service-1"
+    assert row.oob is None
