@@ -76,6 +76,36 @@ def main() -> None:
         )
     )
     spark.stop()
+    _check_regressions(results, sf)
+
+
+def _check_regressions(results: dict[str, float], sf: float) -> None:
+    """Per-query guardrail vs BENCH_BASELINE.json (round-1 snapshot):
+    flag anything >1.5x its baseline so optimization work can't
+    silently regress a headline query (a 10x top-k regression in
+    round 1 was only caught by manual re-measurement).
+
+    The report goes to stderr AFTER the JSON line is printed, so the
+    driver's metric capture is never at risk; set
+    SPARK_GRAFT_BENCH_ENFORCE=1 (the local/dev default via Makefile or
+    CI, not the driver) to turn regressions into a nonzero exit.
+    """
+    base_path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
+    if not base_path.exists():
+        return
+    base = json.loads(base_path.read_text())
+    if base.get("sf") != sf:
+        print(f"bench-guard: baseline is sf={base.get('sf')}, run is sf={sf}; skipping", file=sys.stderr)
+        return
+    regressions = []
+    for name, secs in results.items():
+        ref = base["queries"].get(name)
+        if ref and secs > 1.5 * ref:
+            regressions.append(f"{name}: {secs:.2f}s vs baseline {ref:.2f}s ({secs / ref:.1f}x)")
+    for line in regressions:
+        print(f"bench-guard REGRESSION {line}", file=sys.stderr)
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_ENFORCE") == "1":
+        sys.exit(3)
 
 
 if __name__ == "__main__":
