@@ -319,6 +319,54 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
+def contamination_check(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_common: int = 10,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Train/eval contamination scan: for every train document, how
+    many eval documents share at least ``min_common`` character
+    n-grams with it (the standard benchmark-leakage check run before
+    training).
+
+    Shape: shingle both sides, equi-join on the shingle (inverted
+    index — the same df-capped candidate generation as
+    ``ngram_jaccard_pairs``, so one hot boilerplate shingle cannot
+    explode the pair space), count common shingles per (train, eval)
+    pair, keep pairs over the threshold, then roll up per train doc.
+    Returns (train_id, n_eval_matches, max_common).  The df cap is
+    computed over the UNION of both sides — a shingle ubiquitous in
+    either corpus is non-discriminative for matching."""
+    tr = exploded_shingles(train, id_col, text_col, shingle_n).dropDuplicates(["_id", "_sh"])
+    ev = exploded_shingles(eval_set, id_col, text_col, shingle_n).dropDuplicates(["_id", "_sh"])
+    if max_shingle_df is not None:
+        df_all = (
+            tr.select("_sh")
+            .unionAll(ev.select("_sh"))
+            .groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("_sh")
+        )
+        tr = tr.join(df_all, "_sh")
+        ev = ev.join(df_all, "_sh")
+    common = (
+        tr.select(F.col("_id").alias("train_id"), "_sh")
+        .join(ev.select(F.col("_id").alias("eval_id"), "_sh"), "_sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("_common"))
+        .where(F.col("_common") >= min_common)
+    )
+    return common.groupBy("train_id").agg(
+        F.count("*").alias("n_eval_matches"),
+        F.max("_common").alias("max_common"),
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
 ) -> DataFrame:

@@ -1,0 +1,78 @@
+"""Corpus sampling and sequence packing for training-data pipelines
+(north-star extensions; no reference counterpart).
+
+Both operators are pure window/aggregate compositions — one shuffle on
+the stratum key, no Python, deterministic across runs and engines:
+
+  * ``stratified_sample`` — exactly n rows per stratum, chosen by a
+    content-independent deterministic hash order.  The per-stratum
+    ordering key is ``md5(key || seed)``: md5 is bit-identical in
+    Spark and DuckDB, so the oracle can reproduce the exact sample
+    (xxhash64 would be ~4x cheaper but is engine-specific; swap it in
+    for production where no cross-engine oracle is needed).
+  * ``pack_sequences`` — offset-based sequence packing: documents are
+    concatenated in a deterministic order within each group and each
+    document is assigned to the budget-sized bin its FIRST token falls
+    in.  This is the "concat then chunk" packing used to build
+    fixed-length training examples; bins can overflow by at most one
+    document (a doc straddling a boundary belongs to its starting
+    bin), which matches how a downstream tokenizer-chunker sees the
+    stream.  Expressible as one cumulative-sum window — no iterative
+    state, so it scales as a single shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_key(key: Column, seed: int) -> Column:
+    return F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}")))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n_per_group`` rows per ``group_col`` stratum (fewer if
+    the stratum is smaller), deterministic in (key, seed).
+
+    One window over the stratum: rank rows by the md5 hash of their
+    key and keep the first n.  At 100 TB this is a single shuffle on
+    the stratum key; if one stratum dominates, AQE's skew handling
+    splits it (ranking within a stratum still needs its rows together
+    — same requirement as any per-group top-k)."""
+    w = Window.partitionBy(group_col).orderBy(_order_key(F.col(key_col), seed), key_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_count_col: Column | str,
+    budget: int,
+) -> DataFrame:
+    """Assign each document a packing ``bin_id`` within its group:
+    documents are laid out in ``id_col`` order and a document belongs
+    to the bin containing its first token (offset // budget).
+
+    Returns the input plus (n_tokens, start_offset, bin_id)."""
+    tok = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    cum = F.sum(tok).over(w)
+    start = (cum - tok).cast("long")
+    return df.select(
+        "*",
+        tok.cast("long").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget)).cast("long").alias("bin_id"),
+    )

@@ -1,0 +1,49 @@
+"""PII scrubbing for training corpora (north-star extension; no
+reference counterpart).
+
+Redaction is a chain of codegen ``regexp_replace`` passes — one scan
+of the text per pattern class, no Python, no shuffle.  Patterns are
+deliberately lookaround-free so the same regex runs identically on
+Java (Spark) and RE2 (DuckDB oracle) engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Pattern order matters: longer/more-specific first so e.g. an email's
+# domain is not half-eaten by a later pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("card", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b"),
+    ("phone", r"\b\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"),
+]
+
+
+def scrub_pii(text: Column, replacement: str = "[PII]") -> Column:
+    """Redact every PII pattern class from ``text`` (chained codegen
+    regexp_replace — one pass per class)."""
+    out = text
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-class match-count columns (regexp_count, codegen) — the
+    audit side of scrubbing: measure before you redact."""
+    return [F.regexp_count(text, F.lit(pat)).alias(f"n_{name}") for name, pat in PII_PATTERNS]
+
+
+def scrub_corpus(df: DataFrame, text_col: str = "text", replacement: str = "[PII]") -> DataFrame:
+    """Replace ``text_col`` with its scrubbed form and attach per-class
+    redaction counts."""
+    c = F.col(text_col)
+    return df.select(
+        *[col for col in df.columns if col != text_col],
+        scrub_pii(c, replacement).alias(text_col),
+        *pii_counts(c),
+    )

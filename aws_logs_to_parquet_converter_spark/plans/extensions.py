@@ -385,6 +385,194 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_list(d, pairs.select("id_a", "id_b"), id_col="doc_id")
 
 
+# --------------------------------------------------------------------------
+# Training-data pipeline: scrubbing, sampling, packing, vocabulary,
+# contamination (round-2 widening; operators in scrub.py / sampling.py /
+# dedup.py)
+# --------------------------------------------------------------------------
+
+_PII_INJECT_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string), '@example.com from 10.2.',"
+    " cast(doc_id % 256 as string), '.7')"
+)
+_PII_INJECT_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.2.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+        SELECT source, {_PII_INJECT_DUCK} AS itext FROM documents
+    ), scrubbed AS (
+        SELECT source,
+               len(regexp_extract_all(itext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+               len(regexp_extract_all(itext, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+               length(regexp_replace(regexp_replace(itext,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[PII]', 'g')) AS len_after
+        FROM injected
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+           CAST(SUM(len_after) AS BIGINT) AS chars_after
+    FROM scrubbed GROUP BY source
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction rollup: deterministic emails/IPs are
+    injected into each doc (the corpus itself is synthetic word soup),
+    then counted and scrubbed with the chained codegen regexp passes in
+    operators/scrub.py.  The oracle replays the same two pattern
+    classes; the remaining classes (ssn/card/phone) are covered by
+    operator tests — they cannot match the injected corpus."""
+    from aws_logs_to_parquet_converter_spark.operators import scrub
+
+    d = t(spark, sf_dir, "documents")
+    injected = d.select("source", F.expr(_PII_INJECT_SPARK).alias("itext"))
+    c = F.col("itext")
+    per_doc = injected.select(
+        "source",
+        F.regexp_count(c, F.lit(scrub.PII_PATTERNS[0][1])).alias("n_email"),
+        F.regexp_count(c, F.lit(scrub.PII_PATTERNS[1][1])).alias("n_ipv4"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(c, scrub.PII_PATTERNS[0][1], "[PII]"),
+                scrub.PII_PATTERNS[1][1],
+                "[PII]",
+            )
+        ).alias("len_after"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ipv4s"),
+        F.sum("len_after").alias("chars_after"),
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 5 docs per language,
+    chosen by md5-hash order so Spark and the oracle draw the IDENTICAL
+    sample (operators/sampling.stratified_sample)."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "lang", "doc_id", 5, seed=42).select("lang", "doc_id")
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+    ), packed AS (
+        SELECT source,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset,
+               n_tokens
+        FROM toks
+    )
+    SELECT source, CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training examples: docs concatenated in id
+    order per source, each assigned to the 2048-token bin its first
+    token falls in (operators/sampling.pack_sequences), rolled up per
+    bin.  One cumulative-sum window — a single shuffle on the group
+    key, no iterative state."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    packed = sampling.pack_sequences(
+        d, "source", "doc_id", textstats.token_count(F.col("text")), budget=2048
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
+
+
+@query(
+    "q_vocab_topk",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS freq FROM (
+        SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+    GROUP BY tok ORDER BY freq DESC, tok LIMIT 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 whitespace tokens by frequency
+    (explode -> count -> TakeOrdered; the vocabulary-building shape —
+    at 100 TB the partial aggregation collapses each partition to its
+    distinct tokens before the single shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(50)
+    )
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(nt) - 4, 1)),
+                   i -> substring(nt, i, 5)))) AS s
+        FROM norm
+    ), tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0),
+    ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+    common AS (
+        SELECT train_id, eval_id, COUNT(*) AS c
+        FROM tr JOIN ev USING (s)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 40
+    )
+    SELECT train_id, COUNT(*) AS n_eval_matches, CAST(MAX(c) AS BIGINT) AS max_common
+    FROM common GROUP BY train_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage scan: which train docs share >= 40 character
+    5-grams with any eval doc (eval = every 10th doc).  Inverted-index
+    equi-join with the df cap of the jaccard operator
+    (operators/dedup.contamination_check) — never an all-pairs
+    product."""
+    d = t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 10 != 0)
+    ev = d.where(F.col("doc_id") % 10 == 0)
+    return dedup.contamination_check(
+        train, ev, "doc_id", "text", shingle_n=5, min_common=40
+    )
+
+
 @query("q_media_features")  # rows-only: stub features are engine-defined
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over the graded tables: treat document text

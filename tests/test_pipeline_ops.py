@@ -1,0 +1,79 @@
+"""Training-data pipeline operators: PII scrubbing, stratified
+sampling, sequence packing, contamination (operators/scrub.py,
+sampling.py, dedup.contamination_check)."""
+
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import sampling, scrub
+from aws_logs_to_parquet_converter_spark.operators.dedup import contamination_check
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scrub_redacts_every_pattern_class(spark):
+    rows = [
+        ("mail me at jane.doe+x@corp.example.org today",),
+        ("server 192.168.001.254 responded",),
+        ("ssn 123-45-6789 on file",),
+        ("card 4111 1111 1111 1111 expires",),
+        ("call +1 (415) 555-0199 now",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = scrub.scrub_corpus(df, "text")
+    texts = [r.text for r in out.collect()]
+    for t in texts:
+        assert "[PII]" in t
+    assert not any("@" in t or "415" in t or "4111" in t for t in texts)
+    # audit counts: exactly one hit in its own class per row
+    agg = out.agg(*[F.sum(f"n_{name}").alias(name) for name, _ in scrub.PII_PATTERNS]).first()
+    assert agg["email"] == 1 and agg["ipv4"] == 1 and agg["ssn"] == 1
+    assert agg["card"] >= 1 and agg["phone"] >= 1
+
+
+def test_scrub_leaves_clean_text_alone(spark):
+    df = spark.createDataFrame([("perfectly ordinary sentence",)], "text string")
+    row = scrub.scrub_corpus(df, "text").first()
+    assert row.text == "perfectly ordinary sentence"
+    assert all(row[f"n_{name}"] == 0 for name, _ in scrub.PII_PATTERNS)
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = sampling.stratified_sample(d, "lang", "doc_id", 7, seed=1)
+    s2 = sampling.stratified_sample(d, "lang", "doc_id", 7, seed=1)
+    got1 = sorted((r.lang, r.doc_id) for r in s1.select("lang", "doc_id").collect())
+    got2 = sorted((r.lang, r.doc_id) for r in s2.select("lang", "doc_id").collect())
+    assert got1 == got2  # same seed -> same sample
+    counts = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(7, full[lang])
+    s3 = sampling.stratified_sample(d, "lang", "doc_id", 7, seed=2)
+    got3 = sorted((r.lang, r.doc_id) for r in s3.select("lang", "doc_id").collect())
+    assert got1 != got3  # different seed -> different sample
+
+
+def test_pack_sequences_offset_semantics(spark):
+    rows = [("a", 1, 1000), ("a", 2, 1000), ("a", 3, 500), ("a", 4, 2000), ("b", 1, 100)]
+    df = spark.createDataFrame(rows, "grp string, id int, toks int")
+    out = {
+        (r.grp, r.id): (r.start_offset, r.bin_id)
+        for r in sampling.pack_sequences(df, "grp", "id", "toks", budget=2048).collect()
+    }
+    assert out[("a", 1)] == (0, 0)
+    assert out[("a", 2)] == (1000, 0)  # starts inside bin 0, straddles -> bin 0
+    assert out[("a", 3)] == (2000, 0)
+    assert out[("a", 4)] == (2500, 1)
+    assert out[("b", 1)] == (0, 0)  # groups pack independently
+
+
+def test_contamination_flags_planted_overlap(spark):
+    base = "completely unrelated filler content block number %d with no shared phrases at all"
+    shared = "the quick brown fox jumps over the lazy dog again and again tonight"
+    train_rows = [(i, base % i) for i in range(10)] + [(10, shared + " extra tail")]
+    eval_rows = [(100, shared), (101, "different eval text entirely unlike any train doc here")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    hits = contamination_check(train, ev, "doc_id", "text", shingle_n=5, min_common=30)
+    got = {r.train_id: r.n_eval_matches for r in hits.collect()}
+    assert got == {10: 1}  # only the planted doc, only one eval match
