@@ -129,3 +129,25 @@ def test_dedup_keep_list_end_to_end(spark, corpus):
         assert by_id[2 * p + 1].component == 2 * p
     # fillers untouched
     assert all(by_id[i].keep for i in range(10, 30))
+
+
+def test_oph_signature_method_matches_estimator_bounds(spark, corpus):
+    """The OPH signature option must satisfy the same recall/estimate
+    contract as the default affine construction (it loses on speed at
+    k=64 — see minhash_signatures_oph docstring — but stays available
+    for high-k / memory-tight deployments)."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", 5, 0.7).collect()
+    }
+    oph = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_near_duplicates(
+            corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+            signature_method="oph",
+        ).collect()
+    }
+    missed = set(exact) - set(oph)
+    assert not missed, f"OPH missed high-similarity pairs: {missed}"
+    for pair, j in exact.items():
+        assert abs(oph[pair] - j) < 0.25, f"{pair}: {oph[pair]} vs {j}"
