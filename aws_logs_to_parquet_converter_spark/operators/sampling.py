@@ -54,6 +54,41 @@ def stratified_sample(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping fixed-width character windows
+    (the pre-tokenization chunker for long-context corpora): chunk i
+    covers ``[i*(chunk_chars-overlap), +chunk_chars)``; the final
+    chunk may be short, and every document emits at least one chunk
+    (empty docs emit one empty chunk).
+
+    Pure codegen row expansion — explode(sequence) + substring, the
+    same measured-fast shape as the shingle pipeline; fan-out is
+    len/(chunk-overlap) rows per doc with no shuffle at all.
+    Returns (id, chunk_idx, chunk_start, chunk_text).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_i"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        id_col,
+        F.col("_i").alias("chunk_idx"),
+        (F.col("_i") * step).cast("long").alias("chunk_start"),
+        F.expr(f"substring(_t, _i * {step} + 1, {chunk_chars})").alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     group_col: str,

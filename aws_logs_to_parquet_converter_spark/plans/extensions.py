@@ -573,6 +573,36 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_chunk_docs",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(greatest(ceil((length(text) - 64) / 448.0), 1) AS INT) - 1)) AS chunk_idx,
+               text
+        FROM documents
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * 448 AS BIGINT) AS chunk_start,
+           length(substring(text, chunk_idx * 448 + 1, 512)) AS chunk_len
+    FROM chunks
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking audit: 512-char windows with 64-char overlap
+    (operators/sampling.chunk_documents) — per-chunk offsets and
+    lengths so the oracle pins the window arithmetic exactly.  Pure
+    explode fan-out, no shuffle."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    chunks = sampling.chunk_documents(d, "doc_id", "text", chunk_chars=512, overlap=64)
+    return chunks.select(
+        "doc_id", "chunk_idx", "chunk_start", F.length("chunk_text").alias("chunk_len")
+    )
+
+
 @query("q_media_features")  # rows-only: stub features are engine-defined
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over the graded tables: treat document text

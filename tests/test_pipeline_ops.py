@@ -77,3 +77,22 @@ def test_contamination_flags_planted_overlap(spark):
     hits = contamination_check(train, ev, "doc_id", "text", shingle_n=5, min_common=30)
     got = {r.train_id: r.n_eval_matches for r in hits.collect()}
     assert got == {10: 1}  # only the planted doc, only one eval match
+
+
+def test_chunk_documents_window_arithmetic(spark):
+    rows = [(1, "a" * 1000), (2, "b" * 512), (3, "c" * 513), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.chunk_documents(df, "doc_id", "text", chunk_chars=512, overlap=64)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_start, len(r.chunk_text)))
+    for chunks in by_doc.values():
+        chunks.sort()
+    # 1000 chars, step 448: chunks at 0, 448, 896 (ceil((1000-64)/448)=3)
+    assert by_doc[1] == [(0, 0, 512), (1, 448, 512), (2, 896, 104)]
+    assert by_doc[2] == [(0, 0, 512)]  # exactly one window
+    assert by_doc[3] == [(0, 0, 512), (1, 448, 65)]  # one char past -> second chunk
+    assert by_doc[4] == [(0, 0, 0)]  # empty doc still emits a chunk
+    # overlap property: consecutive chunks share exactly 64 chars
+    full = dict(rows)[1]
+    assert full[448:448 + 64] == full[448:512]
