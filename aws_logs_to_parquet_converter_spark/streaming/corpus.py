@@ -1,0 +1,128 @@
+"""Streaming corpus ingest: JSONL documents -> scrub -> dedup-keyed ->
+parquet, continuously.
+
+The streaming composition of the round-2 training-data operators: the
+same dead-letter JSONL parse as sources/jsonl.py (text stream +
+from_json + try_parse_json probe — a streaming file source can't use
+read.json's corrupt-record column either), PII scrubbing as pure
+column expressions (stateless, so it adds nothing to streaming state),
+and content-digest exact dedup bounded by a watermark.  Late/repeated
+deliveries of the same document (multi-part uploads, retried
+crawls) are dropped within the watermark horizon; state is evicted
+past it — the unbounded-corpus version of q_dedup_exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from aws_logs_to_parquet_converter_spark.operators.scrub import pii_counts, scrub_pii
+from aws_logs_to_parquet_converter_spark.sources.jsonl import DOCUMENT_SCHEMA
+
+
+def stream_documents(
+    spark: SparkSession,
+    source_glob: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+    max_files_per_trigger: int = 1000,
+) -> DataFrame:
+    """Streaming JSONL document reader with the batch reader's
+    dead-letter contract (``_corrupt`` column, no row dropped)."""
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(source_glob)
+    )
+    parsed = raw.select(
+        "value",
+        F.from_json("value", schema).alias("_s"),
+        F.try_parse_json("value").isNull().alias("_bad"),
+    )
+    return parsed.select(
+        "_s.*",
+        F.when(F.col("_bad"), F.col("value")).alias("_corrupt"),
+    )
+
+
+def scrub_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-scrub a document stream: stateless column expressions, so
+    the operator adds zero streaming state; clean rows only (dead
+    letters should be routed before scrubbing)."""
+    c = F.col(text_col)
+    others = [col for col in docs.columns if col not in (text_col, "_corrupt")]
+    return docs.where(F.col("_corrupt").isNull()).select(
+        *others,
+        scrub_pii(c).alias(text_col),
+        *pii_counts(c),
+    )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-content dedup keyed on the xxhash64 digest (the
+    streaming twin of q_dedup_exact: fixed-width state key, not
+    document bodies).  With an event-time column the state is bounded
+    by ``dropDuplicatesWithinWatermark``; without one (the documents
+    table has no timestamp) ``dropDuplicates`` keeps unbounded state —
+    fine for bounded backfills via availableNow, documented trade."""
+    keyed = docs.withColumn("_digest", F.xxhash64(F.col(text_col)))
+    if event_time_col is None:
+        return keyed.dropDuplicates(["_digest"]).drop("_digest")
+    return (
+        keyed.withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    source_glob: str,
+    dest: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """End-to-end continuous corpus ingest: JSONL stream -> scrub
+    (drops dead letters) -> digest-dedup -> parquet append,
+    checkpointed.  The stateful dedup runs UPSTREAM of foreachBatch so
+    its state spans micro-batches; quarantining dead letters is a
+    separate ``stream_quarantine`` query with its own checkpoint, so
+    each sink recovers independently."""
+    docs = stream_documents(spark, source_glob)
+    clean = dedup_stream(scrub_stream(docs))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(dest)
+
+    writer = clean.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def stream_quarantine(
+    spark: SparkSession,
+    source_glob: str,
+    dest: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Companion stream routing unparseable JSONL lines to a text
+    quarantine for repair (the dead-letter half of the ingest)."""
+    docs = stream_documents(spark, source_glob)
+    dead = docs.where(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("value")
+    )
+    writer = dead.writeStream.format("text").option("path", dest).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

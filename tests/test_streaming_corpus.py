@@ -1,0 +1,76 @@
+"""Streaming corpus ingest (streaming/corpus.py): JSONL stream ->
+scrub -> digest dedup -> parquet, plus the quarantine companion.
+Batch-parity + incremental-pickup discipline of test_streaming."""
+
+import json
+
+from aws_logs_to_parquet_converter_spark.streaming import corpus
+
+
+def _jsonl(path, rows):
+    path.write_text("\n".join(json.dumps(r) if isinstance(r, dict) else r for r in rows))
+
+
+def _doc(i, text):
+    return {"doc_id": i, "text": text, "lang": "en", "source": "web", "n_chars": len(text)}
+
+
+def test_ingest_scrubs_dedups_and_appends(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(
+        src / "a.jsonl",
+        [
+            _doc(1, "write to admin@example.com please"),
+            _doc(2, "unique text two"),
+            _doc(3, "unique text two"),  # exact dup of doc 2 by content
+            "corrupt {line",
+        ],
+    )
+    q = corpus.stream_corpus_ingest(
+        spark,
+        str(src) + "/*.jsonl",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r.doc_id: r for r in out.collect()}
+    # dup dropped (one of 2/3 survives), corrupt line dropped from clean path
+    assert len(rows) == 2
+    assert "[PII]" in rows[1].text and "@" not in rows[1].text
+    assert rows[1].n_email == 1
+    kept_dup = rows.get(2) or rows.get(3)
+    assert kept_dup.text == "unique text two"
+
+    # incremental pickup: a second file with one new + one already-seen
+    # content; checkpointed restart must process only the new file and
+    # still know nothing about cross-run state (dropDuplicates state
+    # lives in the checkpoint, so the repeat IS dropped)
+    _jsonl(src / "b.jsonl", [_doc(4, "unique text two"), _doc(5, "brand new content")])
+    q2 = corpus.stream_corpus_ingest(
+        spark,
+        str(src) + "/*.jsonl",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r.doc_id for r in out2.collect())
+    assert 5 in ids and 4 not in ids  # cross-batch dedup via checkpoint state
+    assert len(ids) == 3
+
+
+def test_quarantine_captures_corrupt_lines(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a.jsonl", [_doc(1, "fine"), "not json at all", '{"doc_id": broken'])
+    q = corpus.stream_quarantine(
+        spark,
+        str(src) + "/*.jsonl",
+        str(tmp_path / "dead"),
+        str(tmp_path / "ckpt_dead"),
+    )
+    q.awaitTermination(120)
+    dead = {r.value for r in spark.read.text(str(tmp_path / "dead")).collect()}
+    assert dead == {"not json at all", '{"doc_id": broken'}
