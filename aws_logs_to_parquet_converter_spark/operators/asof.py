@@ -36,10 +36,25 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Return ``left`` plus, per row, the latest ``right_payload`` values
-    from the right row with equal key and ``right_ts <= left_ts``
-    (NULLs where no such row exists)."""
+    """Return ``left`` plus, per row, the ``right_payload`` values of
+    the nearest right row with equal key (NULLs where no such row).
+
+    ``direction='backward'`` (default): latest right row with
+    ``right_ts <= left_ts``.  ``'forward'``: earliest right row with
+    ``right_ts >= left_ts`` — same single-shuffle window trick with
+    the ordering reversed (right rows still sort before left at equal
+    ts, so the >= boundary row is visible).
+
+    ``tolerance_seconds``: maximum |left_ts - right_ts|; the matched
+    row's payload is nulled when it is farther — equivalent to
+    "nearest within tolerance", since any other candidate is farther
+    still.  Costs nothing: the match's timestamp rides the same
+    window."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
     lk = F.col(left_on) if isinstance(left_on, str) else left_on
     rk = F.col(right_on) if isinstance(right_on, str) else right_on
 
@@ -49,6 +64,7 @@ def asof_join(
         F.lit(1).alias("_tag"),
         *[F.col(c) for c in left.columns],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
     )
     r_tag = right.select(
         rk.alias("_k"),
@@ -56,19 +72,39 @@ def asof_join(
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
         *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+        F.col(right_ts).alias("_rts"),
     )
 
+    order = [F.col("_ts").asc(), F.col("_tag").asc()]
+    if direction == "forward":
+        order = [F.col("_ts").desc(), F.col("_tag").asc()]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tag.unionByName(r_tag).select(
         "_tag",
+        F.col("_ts"),
         *[F.col(c) for c in left.columns],
         *[
             F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in right_payload
         ],
+        F.last("_rts", ignorenulls=True).over(w).alias("_rts"),
     )
-    return filled.where(F.col("_tag") == 1).drop("_tag")
+    out = filled.where(F.col("_tag") == 1)
+    if tolerance_seconds is not None:
+        near = (
+            F.abs(F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_rts")))
+            <= tolerance_seconds * 1_000_000
+        )
+        out = out.select(
+            "_tag",
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(near, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in right_payload
+            ],
+        )
+    return out.drop("_tag", "_ts", "_rts")

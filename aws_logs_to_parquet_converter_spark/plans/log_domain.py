@@ -253,6 +253,47 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_forward_tolerance",
+    oracle="""
+    WITH probes AS (
+        SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 2 = 0
+    ), quotes AS (
+        SELECT event_id AS q_id, user_id, ts, event_type AS q_type
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT COALESCE(CASE WHEN q.ts - p.ts <= INTERVAL 1 HOUR THEN q.q_type END,
+                    '(none)') AS next_odd_type,
+           p.event_type AS probe_type,
+           COUNT(*) AS n
+    FROM probes p
+    ASOF LEFT JOIN quotes q
+      ON p.user_id = q.user_id AND q.ts >= p.ts
+    GROUP BY 1, 2
+    """,
+)
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a staleness bound: for each even event,
+    the NEXT odd event of the same user, but only if it arrives within
+    an hour (operators/asof.py direction='forward',
+    tolerance_seconds=3600).  Oracle: DuckDB native forward ASOF with
+    the tolerance expressed as a post-match CASE — semantically
+    identical, since any other candidate is farther than the nearest."""
+    e = t(spark, sf_dir, "events")
+    probes = e.where(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts", "event_type")
+    quotes = e.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("q_id"), "user_id", "ts", F.col("event_type").alias("q_type")
+    )
+    joined = asof_join(
+        probes, quotes, left_on="user_id", right_on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["q_type"], direction="forward", tolerance_seconds=3600,
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("q_type_asof"), F.lit("(none)")).alias("next_odd_type"),
+        F.col("event_type").alias("probe_type"),
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
     "q_session_window",
     oracle="""
     WITH gaps AS (
