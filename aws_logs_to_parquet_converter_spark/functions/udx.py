@@ -29,9 +29,23 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
 from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# DataType instances, not DDL strings: a DDL string ("double") is parsed
+# through the active SparkSession at decoration time, so importing this
+# module with no session alive raises SESSION_OR_CONTEXT_NOT_EXISTS and
+# aborts pytest collection.  DataType objects skip that parse entirely,
+# keeping the import session-free.
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def gini_udaf(values: pd.Series) -> float:
     """Gini coefficient of a group's value distribution (inequality of
     e.g. bytes-per-requester — the access-log skew metric).  Grouped
@@ -45,7 +59,15 @@ def gini_udaf(values: pd.Series) -> float:
     return float((n + 1 - 2 * (cum / cum[-1]).sum()) / n)
 
 
-@udtf(returnType="piece: string, idx: int, is_last: boolean")
+@udtf(
+    returnType=StructType(
+        [
+            StructField("piece", StringType()),
+            StructField("idx", IntegerType()),
+            StructField("is_last", BooleanType()),
+        ]
+    )
+)
 class SplitDiff:
     """Emit one row per '/'-separated path segment with its position
     and a trailing-segment flag — variable fan-out plus per-row

@@ -5,6 +5,7 @@ import math
 from pyspark.sql import functions as F
 
 from aws_logs_to_parquet_converter_spark.functions.udx import SplitDiff, gini_udaf, register_udx
+from aws_logs_to_parquet_converter_spark.plans.registry import t
 
 
 def test_gini_udaf_matches_closed_form(spark):
@@ -19,7 +20,7 @@ def test_gini_udaf_matches_closed_form(spark):
 def test_gini_udaf_on_log_domain_shape(spark):
     """The real use: bytes-per-requester inequality over access logs —
     plans as an Arrow aggregation, values in [0, 1)."""
-    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    e = t(spark, "/root/testdata/sf0.001", "events")  # nanos-ts-safe reader
     out = e.groupBy("event_type").agg(gini_udaf("value").alias("gini")).collect()
     assert out and all(0.0 <= r.gini < 1.0 for r in out)
 
