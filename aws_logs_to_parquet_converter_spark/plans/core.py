@@ -8,14 +8,22 @@ rebuild"), expressed Spark-first and graded against a DuckDB oracle.
 
 Conventions for oracle hash-compat:
   * every computed column aliased identically on both sides;
-  * MONEY IS EXACT: monetary sums emit at their exact natural decimal
-    scale — DECIMAL(38,2) for 2-decimal inputs, DECIMAL(38,4) for
-    scale-4 products — with NO final round/cast to scale 2.  Reducing
-    decimal scale lands on exact half-cent ties whose resolution
-    (half-up vs half-even) varies by DuckDB version: the round-1
-    driver failed 7 queries this way while the local DuckDB agreed
-    with Spark.  Ratios of exact aggregates emit as one unrounded
-    IEEE double division (bit-identical in any engine);
+  * MONEY IS INTEGER (round-3 contract, plans/money.py): aggregated
+    money flows double -> exact BIGINT cents/e4-units (ROUND(col*100),
+    tie-free on the 2-decimal testdata grid) -> exact associative
+    BIGINT SUM -> at most one IEEE division back to double dollars.
+    NO double::DECIMAL input casts anywhere (cast truncate-vs-round is
+    DuckDB-version-dependent — the r02 failure class) and NO final
+    decimal-scale reduction (half-cent tie resolution varies by
+    version — the r01 failure class).  The r02 "exact natural scale"
+    DECIMAL(38,x) emissions still failed 9 driver queries; integers
+    cannot;
+  * per-row money expressions emit as PLAIN double arithmetic: a fixed
+    IEEE op sequence on identical parquet inputs is bit-identical in
+    every engine — rounding/decimalizing can only add instability;
+  * averages emit as ONE division of two exact integers (sum-units /
+    scale*count), never ROUND(AVG(double), k) whose accumulation error
+    can cross the 0.5e-k tie (r02 q01);
   * doubles that are sums of exactly-2-decimal inputs may use
     ROUND(...,2): the true value has 2 decimals, so fp error (~1e-9)
     never reaches the .005 tie boundary.  Never ROUND a double whose
@@ -31,6 +39,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_logs_to_parquet_converter_spark.plans.money import (
+    SQL_REV_E4,
+    cents,
+    exact_avg,
+    rev_e4,
+    sql_cents,
+    sql_sum_dollars,
+    sql_units,
+    units,
+)
 from aws_logs_to_parquet_converter_spark.plans.registry import query, register_views, t
 
 # --------------------------------------------------------------------------
@@ -41,15 +59,17 @@ from aws_logs_to_parquet_converter_spark.plans.registry import query, register_v
 @query(
     "q01_pricing_summary",
     headline=True,
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(l_quantity::DECIMAL(18,2))::DECIMAL(38,2)         AS sum_qty,
-           SUM(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2)    AS sum_base_price,
-           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
-               AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)                             AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                        AS avg_price,
-           ROUND(AVG(l_discount), 4)                             AS avg_disc,
+           CAST(SUM({sql_units('l_quantity')}) AS BIGINT)        AS sum_qty,
+           {sql_sum_dollars(sql_cents('l_extendedprice'), 100)}  AS sum_base_price,
+           {sql_sum_dollars(SQL_REV_E4, 10000)}                  AS sum_disc_price,
+           CAST(CAST(SUM({sql_units('l_quantity')}) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)                        AS avg_qty,
+           CAST(CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) * 100 AS DOUBLE)                  AS avg_price,
+           CAST(CAST(SUM({sql_cents('l_discount')}) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) * 100 AS DOUBLE)                  AS avg_disc,
            COUNT(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -62,34 +82,28 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (TPC-H Q1).  Catalyst plans partial+final agg with map-side
     combine; the shipdate predicate pushes to parquet row groups.
 
-    Money discipline (round-2 hash-fix): every monetary SUM is emitted
-    at its exact natural scale — DECIMAL(38,2) for 2-decimal inputs,
-    DECIMAL(38,4) for scale-4 products — with NO final round-to-2.
-    The driver's DuckDB and Spark resolve half-cent rounding ties
-    differently (round-half-up vs half-even varies by DuckDB version),
-    so any ROUND(dec4, 2) in the output contract is version-unstable;
-    exact sums are bit-identical in every engine."""
+    Money discipline (round-3 integer-cents contract, plans/money.py):
+    sums accumulate as exact BIGINT cents/e4-units — associative, so
+    partition order cannot perturb them — and every emitted dollar or
+    average is ONE IEEE division of exact integers, bit-identical in
+    any engine.  The r02 DECIMAL(38,x) emissions and ROUND(AVG,4)
+    (accumulation error reaches the 5e-5 tie) both failed the driver's
+    DuckDB while agreeing with the local one; integers cannot drift."""
     li = t(spark, sf_dir, "lineitem")
+    n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("decimal(38,4)")
-            .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(units("l_quantity")).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0)).alias(
+                "sum_base_price"
+            ),
+            (F.sum(rev_e4()).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            exact_avg(F.sum(units("l_quantity")), n, 1).alias("avg_qty"),
+            exact_avg(F.sum(cents("l_extendedprice")), n, 100).alias("avg_price"),
+            exact_avg(F.sum(cents("l_discount")), n, 100).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -99,7 +113,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           (l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4) AS revenue
+           l_extendedprice * (1 - l_discount) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
@@ -110,7 +124,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pushdown showcase (SURVEY §2.2 P4/P5): equality + range predicates
     reach the parquet scan (PushedFilters), projection prunes to 5 of 11
-    columns (ReadSchema)."""
+    columns (ReadSchema).
+
+    Per-row money emits as PLAIN double arithmetic (money contract,
+    module docstring): both engines evaluate the identical IEEE op
+    sequence on identical parquet doubles — bit-identical with no
+    aggregation order in play.  The r02 DECIMAL casts here were the
+    version-unstable construct that failed the driver hash."""
     li = t(spark, sf_dir, "lineitem")
     return li.where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -120,12 +140,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey",
         "l_linenumber",
-        (
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-        )
-        .cast("decimal(38,4)")  # exact scale-4 product; see q01 money discipline
-        .alias("revenue"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
     )
 
 
@@ -191,16 +206,21 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, '(all)')   AS status,
            COALESCE(o_orderpriority, '(all)') AS priority,
            COUNT(*)                           AS n_orders,
-           ROUND(AVG(o_totalprice), 2)        AS avg_price
+           CAST(CAST(SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations."""
+    """CUBE: all grouping-set combinations.  avg_price emits as one
+    division of exact integers (money contract, plans/money.py)."""
     return (
         t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_avg(F.sum(cents("o_totalprice")), F.count("*"), 100).alias("avg_price"),
+        )
         .select(
             F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
@@ -216,7 +236,8 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(MIN(l_quantity) AS DOUBLE)  AS min_qty,
            CAST(MAX(l_quantity) AS DOUBLE)  AS max_qty,
-           ROUND(AVG(l_quantity), 4)        AS avg_qty,
+           CAST(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)   AS avg_qty,
            ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
            ROUND(VAR_SAMP(l_quantity), 4)   AS var_qty,
            CAST(APPROX_COUNT_DISTINCT(l_partkey) AS BIGINT) > 100 AS many_parts
@@ -227,14 +248,18 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates + an approx-distinct (HLL) sanity bound.
 
     approx_count_distinct differs across engines by construction, so
-    only the (stable) predicate `> 100` is compared, not the estimate."""
+    only the (stable) predicate `> 100` is compared, not the estimate.
+    avg_qty is one division of exact integers (money contract); the
+    stddev/variance keep ROUND(,4) — their accumulation differs across
+    engines by algorithm, but the true values are far from the 5e-5
+    grid (irregular rationals), unlike a money average."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.min("l_quantity").cast("double").alias("min_qty"),
             F.max("l_quantity").cast("double").alias("max_qty"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            exact_avg(F.sum(units("l_quantity")), F.count("*"), 1).alias("avg_qty"),
             F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
             F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
             (F.approx_count_distinct("l_partkey") > 100).alias("many_parts"),
@@ -250,9 +275,9 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q03_shipping_priority",
     headline=True,
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4) AS revenue,
+           {sql_sum_dollars(SQL_REV_E4, 10000)} AS revenue,
            STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -268,7 +293,10 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join -> agg -> top-k (TPC-H Q3 shape).  The final
-    orderBy+limit plans as TakeOrderedAndProject (no global sort)."""
+    orderBy+limit plans as TakeOrderedAndProject (no global sort).
+    Revenue follows the integer-e4 money contract (plans/money.py):
+    exact BIGINT sum, one shared division to dollars — the top-10
+    ordering therefore ranks identical doubles in both engines."""
     c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1996-06-15").cast("timestamp"))
     li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-06-15").cast("timestamp"))
@@ -276,14 +304,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("decimal(38,4)")
-            .alias("revenue")
-        )
+        .agg((F.sum(rev_e4()).cast("double") / F.lit(10000.0)).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -298,9 +319,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q05_local_supplier_volume",
     headline=True,
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4) AS revenue
+           {sql_sum_dollars(SQL_REV_E4, 10000)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -340,14 +361,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("decimal(38,4)")
-            .alias("revenue")
-        )
+        .agg((F.sum(rev_e4()).cast("double") / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.desc("revenue"))
     )
 
@@ -541,7 +555,8 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_gaps,
-           ROUND(AVG(gap_us), 2) AS avg_gap_us
+           CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_gap_us
     FROM (
         SELECT user_id,
                EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
@@ -561,7 +576,9 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
     ).where(F.col("gap_us").isNotNull())
     return gaps.groupBy("user_id").agg(
-        F.count("*").alias("n_gaps"), F.round(F.avg("gap_us"), 2).alias("avg_gap_us")
+        F.count("*").alias("n_gaps"),
+        # exact BIGINT micros sum -> one division (money-contract shape)
+        (F.sum("gap_us").cast("double") / F.count("*").cast("double")).alias("avg_gap_us"),
     )
 
 

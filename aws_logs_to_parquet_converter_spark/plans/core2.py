@@ -8,20 +8,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_logs_to_parquet_converter_spark.plans.money import (
+    SQL_REV_E4,
+    cents,
+    rev_e4,
+    sql_cents,
+    sql_sum_dollars,
+)
 from aws_logs_to_parquet_converter_spark.plans.registry import query, register_views, t
 
-_DEC = "decimal(18,2)"
-# Monetary sums are emitted at their exact natural scale (round-2 money
-# discipline, see q01 in core.py): a final ROUND/cast to scale 2 lands
-# on half-cent ties that DuckDB versions resolve differently.
-_DEC38_4 = "decimal(38,4)"
-
-
-def _rev(price="l_extendedprice", disc="l_discount"):
-    # exact 4-decimal product; callers emit the aggregate at scale 4
-    # (a per-row round would drift a cent from the oracle's exact sum,
-    # and a post-aggregation round-to-2 is tie-unstable across engines)
-    return F.col(price).cast(_DEC) * (F.lit(1) - F.col(disc).cast(_DEC))
+# Monetary aggregates follow the round-3 integer-cents contract
+# (plans/money.py): exact BIGINT cents/e4-unit sums, at most one IEEE
+# division back to double dollars — no DECIMAL casts, no tie-capable
+# ROUND (both were driver-DuckDB-version-unstable; see core.py header).
 
 
 @query(
@@ -60,8 +59,8 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_forecast_revenue",
     headline=True,
-    oracle="""
-    SELECT SUM(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DECIMAL(38,4)
+    oracle=f"""
+    SELECT {sql_sum_dollars(sql_cents('l_extendedprice') + " * " + sql_cents('l_discount'), 10000)}
                AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
@@ -73,7 +72,9 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure scan-filter-aggregate (TPC-H Q6): every predicate pushes to
-    parquet; no shuffle at all beyond the final single-group agg."""
+    parquet; no shuffle at all beyond the final single-group agg.
+    price*discount accumulates as exact e4-unit BIGINTs (money
+    contract, plans/money.py)."""
     li = t(spark, sf_dir, "lineitem")
     return li.where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -81,8 +82,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
-        .cast(_DEC38_4)
+        (F.sum(cents("l_extendedprice") * cents("l_discount")).cast("double") / F.lit(10000.0))
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
@@ -90,10 +90,9 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
-               AS revenue,
+           {sql_sum_dollars(SQL_REV_E4, 10000)} AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -121,7 +120,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev()).cast(_DEC38_4).alias("revenue"))
+        .agg((F.sum(rev_e4()).cast("double") / F.lit(10000.0)).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -163,10 +162,9 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_promo_effect",
-    oracle="""
-    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    oracle=f"""
+    SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REV_E4} ELSE 0 END) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM({SQL_REV_E4}) AS BIGINT) AS DOUBLE) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -174,20 +172,22 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion revenue share (TPC-H Q14 shape): conditional aggregate
-    ratio; double arithmetic is safe here because the ratio's trailing
-    decimals are irregular (round-4 far from representability edges)."""
+    ratio.  Numerator and denominator accumulate as exact e4-unit
+    BIGINTs, so the emitted share is a fixed two-op IEEE sequence
+    (divide, scale) on identical integers — no ROUND needed and no
+    accumulation-order drift (money contract, plans/money.py)."""
     p = t(spark, sf_dir, "part")
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
-                4,
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev_e4()).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev_e4()).cast("double")
             ).alias("promo_pct")
         )
     )
@@ -195,10 +195,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q19_disjunctive",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*) AS n,
-           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
-               AS revenue
+           {sql_sum_dollars(SQL_REV_E4, 10000)} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
@@ -217,7 +216,8 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
     return j.where(cond).agg(
-        F.count("*").alias("n"), F.sum(_rev()).cast(_DEC38_4).alias("revenue")
+        F.count("*").alias("n"),
+        (F.sum(rev_e4()).cast("double") / F.lit(10000.0)).alias("revenue"),
     )
 
 
@@ -516,19 +516,19 @@ def q_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
-                   AS total_revenue
+               CAST(SUM({SQL_REV_E4}) AS BIGINT) AS rev_e4
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(rev_e4 AS DOUBLE) / 10000.0 AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    WHERE rev_e4 = (SELECT MAX(rev_e4) FROM revenue)
     ORDER BY s_suppkey
     """,
 )
@@ -536,23 +536,25 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier by derived revenue (TPC-H Q15 shape): a scalar
     subquery over the same derived aggregate — Catalyst evaluates the
     CTE once per consumer unless cached; the MAX side is a one-row
-    broadcast."""
+    broadcast.  The argmax comparison happens on exact BIGINT e4
+    revenue (money contract): integer equality, no fp ties."""
     register_views(spark, sf_dir, ["lineitem", "supplier"])
     return spark.sql(
         """
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
-                       AS total_revenue
+                   CAST(SUM(CAST(ROUND((l_extendedprice)*100) AS BIGINT)
+                            * (100 - CAST(ROUND((l_discount)*100) AS BIGINT))) AS BIGINT)
+                       AS rev_e4
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, total_revenue
+        SELECT s_suppkey, s_name,
+               CAST(rev_e4 AS DOUBLE) / 10000.0 AS total_revenue
         FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        WHERE rev_e4 = (SELECT MAX(rev_e4) FROM revenue)
         ORDER BY s_suppkey
         """
     )

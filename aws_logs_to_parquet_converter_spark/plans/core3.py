@@ -8,25 +8,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_logs_to_parquet_converter_spark.plans.money import (
+    SQL_REV_E4,
+    cents,
+    rev_e4,
+    sql_cents,
+    sql_sum_dollars,
+    units,
+)
 from aws_logs_to_parquet_converter_spark.plans.registry import query, register_views, t
 
-_DEC = "decimal(18,2)"
-# Exact-scale money outputs (see q01 in core.py): never round a
-# higher-scale decimal down to 2 in the output contract.
-_DEC38_4 = "decimal(38,4)"
-
-
-def _rev():
-    return F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+# Money follows the round-3 integer-cents contract (plans/money.py):
+# exact BIGINT unit sums, one IEEE division to dollars — no DECIMAL
+# casts, no tie-capable ROUND (see core.py header).
 
 
 @query(
     "q07_nation_volume",
-    oracle="""
+    oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(YEAR(l_shipdate) AS INT) AS l_year,
-           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
-               AS revenue
+           {sql_sum_dollars(SQL_REV_E4, 10000)} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -70,17 +72,17 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev()).cast(_DEC38_4).alias("revenue"))
+        .agg((F.sum(rev_e4()).cast("double") / F.lit(10000.0)).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 @query(
     "q08_market_share",
-    oracle="""
+    oracle=f"""
     WITH all_sales AS (
         SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               {SQL_REV_E4} AS volume_e4,
                n1.n_name AS supp_nation
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -94,14 +96,16 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_e4 ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(volume_e4) AS BIGINT) AS DOUBLE) AS mkt_share
     FROM all_sales GROUP BY o_year ORDER BY o_year
     """,
 )
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share inside a region by year (TPC-H Q8):
-    conditional-sum ratio over a 6-table join."""
+    conditional-sum ratio over a 6-table join.  Both sums accumulate
+    as exact e4-unit BIGINTs; the share is one IEEE division of exact
+    integers — unrounded and engine-stable (money contract)."""
     register_views(
         spark, sf_dir, ["lineitem", "orders", "supplier", "customer", "nation", "region"]
     )
@@ -109,7 +113,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH all_sales AS (
             SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-                   l_extendedprice * (1 - l_discount) AS volume,
+                   CAST(ROUND((l_extendedprice)*100) AS BIGINT)
+                       * (100 - CAST(ROUND((l_discount)*100) AS BIGINT)) AS volume_e4,
                    n1.n_name AS supp_nation
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -123,8 +128,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         )
         SELECT o_year,
-               ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                     / SUM(volume), 6) AS mkt_share
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_e4 ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(volume_e4) AS DOUBLE) AS mkt_share
         FROM all_sales GROUP BY o_year ORDER BY o_year
         """
     )
@@ -132,11 +137,14 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q09_product_profit",
-    oracle="""
+    oracle=f"""
     SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
-           SUM(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))
-               - (l_quantity::DECIMAL(8,2) * p_retailprice::DECIMAL(12,2)) * 0.6)::DECIMAL(38,5)
-               AS profit
+           {sql_sum_dollars(
+               SQL_REV_E4
+               + " - " + sql_cents('p_retailprice')
+               + " * CAST(ROUND(l_quantity) AS BIGINT) * 60",
+               10000,
+           )} AS profit
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -152,31 +160,25 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; supply cost derived as 60% of retail price — no partsupp
     table in the testdata).
 
-    The per-row profit mixes scale-4 revenue and scale-5 cost, so the
-    exact natural output scale is 5.  Input casts are deliberately
-    narrow — (12,2) price, (4,2) discount, (8,2) qty — to keep every
-    intermediate product within DECIMAL(38,...) in BOTH engines without
-    triggering precision-loss scale reduction; the sum is emitted at
-    the exact scale with no final round (money discipline, core.py
-    q01)."""
+    Money contract (plans/money.py): per-row profit in exact e4 units —
+    revenue = price_cents*(100-disc_cents); cost = qty*retail*0.6, i.e.
+    qty*retail_cents*60 in e4 units (qty is integer-valued, retail is
+    2-decimal, so every factor is an exact BIGINT).  The r02 narrow-
+    DECIMAL formulation was the driver's largest remaining hash-fail
+    class; integer units cannot drift."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
-    cost = (
-        F.col("l_quantity").cast("decimal(8,2)") * F.col("p_retailprice").cast("decimal(12,2)")
-    ) * F.lit(0.6).cast("decimal(2,1)")
+    profit_e4 = rev_e4() - cents("p_retailprice") * units("l_quantity") * F.lit(60)
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(rev - cost).cast("decimal(38,5)").alias("profit"))
+        .agg((F.sum(profit_e4).cast("double") / F.lit(10000.0)).alias("profit"))
         .orderBy("nation", "o_year")
     )
 

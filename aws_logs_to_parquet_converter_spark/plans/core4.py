@@ -2,9 +2,9 @@
 (TPC-H Q11/Q13/Q16/Q17/Q20/Q21 adapted to the testdata schema — no
 partsupp or commit/receipt dates, so those roles are played by lineitem
 revenue and return flags).  Every entry is a (Spark builder, DuckDB
-oracle) pair; monetary aggregates follow the exact-natural-scale
-discipline (DECIMAL(38,4) sums, no final round-to-2 — see core.py q01
-and PERF.md).
+oracle) pair; monetary aggregates follow the round-3 integer-cents
+contract (exact BIGINT unit sums, one IEEE division to dollars — see
+plans/money.py and core.py's header).
 """
 
 from __future__ import annotations
@@ -12,32 +12,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_logs_to_parquet_converter_spark.plans.money import (
+    SQL_REV_E4,
+    rev_e4,
+    sql_cents,
+)
 from aws_logs_to_parquet_converter_spark.plans.registry import query, register_views, t
-
-_DEC = "decimal(18,2)"
-
-
-def _rev():
-    return F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
 
 
 @query(
     "q11_important_parts",
-    oracle="""
-    SELECT l_partkey,
-           SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
-               AS part_value
-    FROM lineitem
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_1'
-    GROUP BY l_partkey
-    HAVING SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))
-           > (SELECT SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) * 0.001
-              FROM lineitem
-              JOIN supplier ON l_suppkey = s_suppkey
-              JOIN nation   ON s_nationkey = n_nationkey
-              WHERE n_name = 'NATION_1')
+    oracle=f"""
+    WITH grouped AS (
+        SELECT l_partkey, CAST(SUM({SQL_REV_E4}) AS BIGINT) AS pv_e4
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(pv_e4 AS DOUBLE) / 10000.0 AS part_value
+    FROM grouped
+    WHERE 1000 * pv_e4 > (SELECT CAST(SUM(pv_e4) AS BIGINT) FROM grouped)
     ORDER BY part_value DESC, l_partkey
     """,
 )
@@ -49,6 +45,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact is scanned twice but the threshold join is a 1-row
     broadcast (no recompute tree, no second shuffle of the big side).
 
+    Money contract (plans/money.py): the share threshold comparison is
+    PURE INTEGER — 1000*part_e4 > total_e4 is exactly part > total*0.001
+    with no fp threshold at all (the r02 decimal*0.001 threshold was the
+    version-unstable construct here).
+
     Reference counterpart: none (SURVEY §2.4 'beyond reference').
     """
     li = t(spark, sf_dir, "lineitem")
@@ -57,14 +58,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
         F.broadcast(n), s.s_nationkey == n.n_nationkey
     )
-    grouped = base.groupBy("l_partkey").agg(F.sum(_rev()).alias("part_value_raw"))
-    total = grouped.agg(
-        (F.sum("part_value_raw") * F.lit(0.001).cast("decimal(6,4)")).alias("threshold")
-    )
+    grouped = base.groupBy("l_partkey").agg(F.sum(rev_e4()).alias("pv_e4"))
+    total = grouped.agg(F.sum("pv_e4").alias("total_e4"))
     return (
         grouped.join(F.broadcast(total))
-        .where(F.col("part_value_raw") > F.col("threshold"))
-        .select("l_partkey", F.col("part_value_raw").cast("decimal(38,4)").alias("part_value"))
+        .where(F.lit(1000) * F.col("pv_e4") > F.col("total_e4"))
+        .select(
+            "l_partkey",
+            (F.col("pv_e4").cast("double") / F.lit(10000.0)).alias("part_value"),
+        )
         .orderBy(F.desc("part_value"), "l_partkey")
     )
 
@@ -142,8 +144,9 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q17_small_qty_revenue",
-    oracle="""
-    SELECT CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly
+    oracle=f"""
+    SELECT CAST(CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS DOUBLE) / 700.0
+               AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_type = 'SMALL'
@@ -157,14 +160,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on l_partkey.  l_quantity is whole-valued so the DOUBLE
     average is exact and the threshold comparison is engine-stable.
 
-    The /7.0 output divides the EXACT decimal sum cast to double by a
-    constant — one IEEE operation on identical inputs, bit-identical in
-    both engines, no rounding tie to resolve (a ROUND(...,2) here was
-    the tie class the round-1 driver flagged on q01/q02/...)."""
+    The /700.0 output divides the EXACT BIGINT cents sum (money
+    contract, plans/money.py) by a constant — one IEEE operation on
+    identical integers, bit-identical in both engines, no decimal cast
+    and no rounding tie."""
     register_views(spark, sf_dir, ["lineitem", "part"])
     return spark.sql(
         """
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        SELECT CAST(SUM(CAST(ROUND((l_extendedprice)*100) AS BIGINT)) AS DOUBLE) / 700.0
                AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey

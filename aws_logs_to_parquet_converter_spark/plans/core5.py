@@ -68,9 +68,11 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
         SELECT l_returnflag,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price,
-               ROUND(AVG(l_discount), 6) AS avg_disc
+               CAST(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(ROUND((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                   / 100.0 AS sum_price,
+               CAST(CAST(SUM(CAST(ROUND((l_discount)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                   / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_disc
         FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, measure, value FROM (
         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
@@ -85,16 +87,19 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long melt via native UNPIVOT (the inverse of q_pivot).
     The oracle spells it as UNION ALL — the ANSI-portable equivalent —
     proving the semantics, not just the keyword.  Unpivot is a local
-    row-expansion: zero extra shuffles beyond the feeding aggregate."""
+    row-expansion: zero extra shuffles beyond the feeding aggregate.
+    All three measures follow the integer-unit money contract
+    (plans/money.py) so the unpivoted doubles are engine-stable."""
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(
         """
         WITH wide AS (
             SELECT l_returnflag,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                       AS sum_price,
-                   ROUND(AVG(l_discount), 6) AS avg_disc
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(ROUND((l_extendedprice)*100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_price,
+                   CAST(SUM(CAST(ROUND((l_discount)*100) AS BIGINT)) AS DOUBLE)
+                       / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_disc
             FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, measure, value
         FROM wide UNPIVOT (value FOR measure IN (
@@ -137,7 +142,9 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_group_by_all",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
-           COUNT(*) AS n, SUM(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS total
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / 100.0 AS total
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY ALL
@@ -146,14 +153,15 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL — every non-aggregate select item becomes a
-    grouping key (identical semantics in Spark 4 and DuckDB)."""
+    grouping key (identical semantics in Spark 4 and DuckDB).  The
+    money total follows the integer-cents contract (plans/money.py)."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-                   AS total
+               CAST(SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY ALL
@@ -166,11 +174,11 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_modern",
     oracle="""
     SELECT o_orderpriority,
-           COUNT_IF(o_totalprice > 100000)             AS n_big,
-           BOOL_OR(o_orderstatus = 'F')                AS any_finished,
-           BOOL_AND(o_totalprice > 0)                  AS all_positive,
-           MAX_BY(o_orderstatus, o_orderkey)           AS status_of_max_key,
-           MIN_BY(o_orderstatus, o_orderkey)           AS status_of_min_key
+           CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT) AS n_big,
+           CAST(BOOL_OR(o_orderstatus = 'F') AS INT)       AS any_finished,
+           CAST(BOOL_AND(o_totalprice > 0) AS INT)         AS all_positive,
+           MAX_BY(o_orderstatus, o_orderkey)               AS status_of_max_key,
+           MIN_BY(o_orderstatus, o_orderkey)               AS status_of_min_key
     FROM orders
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -180,14 +188,92 @@ def q_agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count_if), boolean quantifiers (bool_and/bool_or), and argmin/
     argmax (max_by/min_by — keyed on the unique orderkey so results
     are deterministic).  Name-identical in Spark 4 and DuckDB; all are
-    single-pass hash aggregates with map-side partials."""
+    single-pass hash aggregates with map-side partials.
+
+    Emission hardening (r02 hash-fail bisect): this query failed the
+    driver hash with NO decimals involved — the suspect classes are
+    aggregate return width (COUNT_IF) and boolean canonicalization, so
+    the contract pins both: COUNT_IF explicitly CAST to BIGINT and the
+    quantifiers emitted as INT 0/1 on both engines.  The companion
+    q_diag_* single-column probes isolate whichever class remains."""
     o = t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
-            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
-            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.count_if(F.col("o_totalprice") > 100000).cast("bigint").alias("n_big"),
+            F.bool_or(F.col("o_orderstatus") == "F").cast("int").alias("any_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).cast("int").alias("all_positive"),
+            F.max_by("o_orderstatus", "o_orderkey").alias("status_of_max_key"),
+            F.min_by("o_orderstatus", "o_orderkey").alias("status_of_min_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Diagnostic probes for the r02 q_agg_modern hash-fail class
+# --------------------------------------------------------------------------
+# q_agg_modern failed the r02 driver hash while rows/schema matched and no
+# decimal was involved, so SOME non-money emission class differs on the
+# driver's DuckDB (VERDICT r02 'What's wrong' #2).  These single-column
+# probes each emit exactly one candidate class over the same grouped
+# relation; the driver's r03 per-probe verdicts identify the culprit
+# empirically (the advisor's recommended bisect).  Each is trivially cheap
+# (orders scan, 5 groups).
+
+
+@query(
+    "q_diag_bool_emit",
+    oracle="""
+    SELECT o_orderpriority, BOOL_OR(o_orderstatus = 'F') AS b
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_diag_bool_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe: RAW BOOLEAN emission (no cast) — fails iff the driver
+    canonicalizes/hashes booleans differently across engines."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.bool_or(F.col("o_orderstatus") == "F").alias("b"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_diag_countif_emit",
+    oracle="""
+    SELECT o_orderpriority, COUNT_IF(o_totalprice > 100000) AS n_big
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_diag_countif_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe: RAW COUNT_IF emission (no cast) — fails iff the driver's
+    DuckDB returns a different integer width/type for count_if."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count_if(F.col("o_totalprice") > 100000).alias("n_big"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_diag_maxby_emit",
+    oracle="""
+    SELECT o_orderpriority,
+           MAX_BY(o_orderstatus, o_orderkey) AS status_of_max_key,
+           MIN_BY(o_orderstatus, o_orderkey) AS status_of_min_key
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_diag_maxby_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe: MAX_BY/MIN_BY string emission alone — fails iff argmax
+    resolution differs (it should not: o_orderkey is unique)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
             F.max_by("o_orderstatus", "o_orderkey").alias("status_of_max_key"),
             F.min_by("o_orderstatus", "o_orderkey").alias("status_of_min_key"),
         )
