@@ -94,14 +94,36 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     )
 
 
+def _fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Spread a narrow input across the cluster BEFORE a high-fan-out
+    explode when the source arrived under-partitioned.
+
+    A small parquet file is one row group = ONE task, so the heavy
+    explode -> hash -> partial-agg map stage downstream would run on a
+    single core (measured: the whole sf0.1 minhash pipeline serialized
+    into one task per join branch, ~7s warm; spreading it is a ~3x
+    end-to-end win).  At 100 TB the corpus arrives in thousands of
+    splits, the condition is false, and this is a no-op — the extra
+    shuffle of raw text would be pure overhead there, which is why the
+    repartition is conditional, not unconditional.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):  # partition metadata only, no job
+        return df.repartition(target, key)
+    return df
+
+
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """(_id, _sh) rows: one per character n-gram occurrence (with
     repeats).  explode(sequence) + substring are plain codegen
     expressions — this is the fast path the sketch operators build on.
+    The under-partitioned-input fan-out (``_fan_out``) runs before the
+    explode so the hash/partial-agg map work parallelizes.
     """
     norm = _normalized(F.col(text_col))
     return (
-        df.select(F.col(id_col).alias("_id"), norm.alias("_nt"))
+        _fan_out(df.select(F.col(id_col).alias("_id"), norm.alias("_nt")), "_id")
         .select(
             "_id",
             "_nt",
@@ -293,11 +315,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     packed bigint.  One shuffle on doc id with map-side partial sums.
     Empty documents get simhash 0 (all-negative votes).
     """
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.filter(F.split(_normalized(F.col(text_col)), " "), lambda x: x != "")).alias(
-            "_tok"
-        ),
+    tok = _fan_out(
+        df.select(F.col(id_col).alias("_id"), _normalized(F.col(text_col)).alias("_nt")), "_id"
+    ).select(
+        "_id",
+        F.explode(F.filter(F.split("_nt", " "), lambda x: x != "")).alias("_tok"),
     ).select("_id", F.xxhash64("_tok").alias("_h"))
     votes = [
         F.sum(F.getbit("_h", F.lit(i)).cast("long") * 2 - 1).alias(f"_v{i}") for i in range(64)
