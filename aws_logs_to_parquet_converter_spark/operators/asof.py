@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -52,27 +53,39 @@ def asof_join(
     row's payload is nulled when it is farther — equivalent to
     "nearest within tolerance", since any other candidate is farther
     still.  Costs nothing: the match's timestamp rides the same
-    window."""
+    window.
+
+    The matched right row propagates as ONE struct (timestamp +
+    payload) through a single ``last(ignorenulls)``: per-column fills
+    would let a NULL payload value fall back to an older right row
+    while the tolerance is judged on the nearer row's timestamp
+    (round-2 advisor finding) — the struct keeps timestamp and payload
+    atomically from the same row, and a matched NULL stays NULL."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction!r}")
     lk = F.col(left_on) if isinstance(left_on, str) else left_on
     rk = F.col(right_on) if isinstance(right_on, str) else right_on
 
+    match_type = StructType(
+        [StructField("_rts", right.schema[right_ts].dataType)]
+        + [StructField(f"{c}{suffix}", right.schema[c].dataType) for c in right_payload]
+    )
     l_tag = left.select(
         lk.alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        F.lit(None).cast(match_type).alias("_match"),
     )
     r_tag = right.select(
         rk.alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
-        F.col(right_ts).alias("_rts"),
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+        ).alias("_match"),
     )
 
     order = [F.col("_ts").asc(), F.col("_tag").asc()]
@@ -87,24 +100,17 @@ def asof_join(
         "_tag",
         F.col("_ts"),
         *[F.col(c) for c in left.columns],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_payload
-        ],
-        F.last("_rts", ignorenulls=True).over(w).alias("_rts"),
+        F.last("_match", ignorenulls=True).over(w).alias("_match"),
     )
     out = filled.where(F.col("_tag") == 1)
+    keep: Column = F.col("_match")
     if tolerance_seconds is not None:
         near = (
-            F.abs(F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_rts")))
+            F.abs(F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_match._rts")))
             <= tolerance_seconds * 1_000_000
         )
-        out = out.select(
-            "_tag",
-            *[F.col(c) for c in left.columns],
-            *[
-                F.when(near, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
-                for c in right_payload
-            ],
-        )
-    return out.drop("_tag", "_ts", "_rts")
+        keep = F.when(near, F.col("_match"))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[keep.getField(f"{c}{suffix}").alias(f"{c}{suffix}") for c in right_payload],
+    )

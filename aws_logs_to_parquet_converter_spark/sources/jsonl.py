@@ -44,18 +44,23 @@ def read_jsonl(
     than ``spark.read.json``'s PERMISSIVE corrupt-record column, whose
     internal-column restriction (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
     forbids exactly the count/filter queries a dead-letter pipeline
-    runs.  Semantics: ``_corrupt`` = line is not parseable JSON; a
-    parseable line with a type-mismatched field yields that field as
-    NULL (from_json's try semantics), matching the log parser's
-    per-field null coercions."""
+    runs.  Semantics: ``_corrupt`` = line is not a JSON OBJECT — either
+    unparseable, or valid JSON of the wrong kind (``42``, ``"x"``,
+    ``true``, ``[..]``, ``null``), which from_json would quietly turn
+    into an all-NULL row (round-2 advisor finding); a parseable object
+    with a type-mismatched field yields that field as NULL (from_json's
+    try semantics), matching the log parser's per-field null
+    coercions."""
     raw = spark.read.text(path)
     # from_json yields an all-null ROW (not a null struct) on corrupt
-    # input, so validity is probed separately: try_parse_json is NULL
-    # exactly when the line is not parseable JSON.
+    # input, so validity is probed separately: json_object_keys is NULL
+    # exactly when the line is not parseable JSON *or* parses to a
+    # non-object (it returns a — possibly empty — key array only for
+    # objects), which is precisely the dead-letter condition.
     parsed = raw.select(
         "value",
         F.from_json("value", schema).alias("_s"),
-        F.try_parse_json("value").isNull().alias("_bad"),
+        F.json_object_keys("value").isNull().alias("_bad"),
     )
     return parsed.select(
         "_s.*",

@@ -35,6 +35,23 @@ def test_read_routes_corrupt_lines_to_dead_letter(spark, tmp_path):
     assert "raw_line" in dead.columns and "doc_id" in dead.columns
 
 
+def test_non_object_json_is_dead_lettered(spark, tmp_path):
+    """Valid JSON that is not an object (scalar, array, null literal)
+    must route to quarantine, not surface as an all-NULL clean row
+    (round-2 advisor finding)."""
+    lines = [
+        json.dumps({"doc_id": 1, "text": "ok", "lang": "en", "source": "web",
+                    "n_chars": 2}),
+        "42", '"just a string"', "true", "[1, 2, 3]", "null",
+    ]
+    p = tmp_path / "mixed.jsonl"
+    p.write_text("\n".join(lines))
+    clean, dead = jsonl.split_corrupt(jsonl.read_jsonl(spark, str(p)))
+    assert clean.count() == 1
+    assert {r.raw_line for r in dead.collect()} == {
+        "42", '"just a string"', "true", "[1, 2, 3]", "null"}
+
+
 def test_no_schema_inference_job(spark, tmp_path):
     """The read must use the declared schema (a 100 TB corpus cannot
     afford an inference pass): a field absent from the schema is simply
