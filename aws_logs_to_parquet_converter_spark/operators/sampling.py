@@ -89,6 +89,42 @@ def chunk_documents(
     )
 
 
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted corpus mixing: keep each row with its source's sampling
+    rate, deterministically in (key, seed) — the multi-source blend
+    step of a training-data pipeline ("2 parts web, 1 part code, ...").
+
+    Mechanism: a row survives iff the first 8 hex chars of
+    ``md5(key#seed)`` are lexicographically below the rate's 32-bit
+    hex threshold.  Fixed-width lowercase hex compares exactly like
+    the number it encodes, and md5 is bit-identical in Spark and
+    DuckDB, so an oracle reproduces the exact sample without any
+    engine-specific hash or hex->int conversion.  Zero shuffles: the
+    filter is a per-row codegen expression; rates broadcast as a
+    literal CASE.  Rate 1.0 keeps everything (threshold above the hex
+    alphabet); rate 0.0 drops the source."""
+
+    def threshold(rate: float) -> str:
+        if rate >= 1.0:
+            return "g"  # sorts above every hex digit -> keep all
+        # clamp to 8 hex chars: a 9-char "100000000" would compare
+        # lexicographically BELOW "40000000" and invert the filter
+        return format(min(max(0, int(rate * 0x1_0000_0000)), 0xFFFFFFFF), "08x")
+
+    cond = F.lit(threshold(default_rate))
+    for src, rate in sorted(rates.items()):
+        cond = F.when(F.col(source_col) == src, F.lit(threshold(rate))).otherwise(cond)
+    unit = F.substring(_order_key(F.col(key_col), seed), 1, 8)
+    return df.where(unit < cond)
+
+
 def pack_sequences(
     df: DataFrame,
     group_col: str,

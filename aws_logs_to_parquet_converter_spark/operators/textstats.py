@@ -85,6 +85,107 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
+def segment_repetition(
+    df: DataFrame, id_col: str, text_col: str, delimiter: str = "\n"
+) -> DataFrame:
+    """Per-document duplicate-segment signals (the Gopher-style
+    repetition filters): split on ``delimiter`` (newline for real
+    documents -> duplicate-line fraction; space -> duplicate-token
+    fraction) and measure how much of the document is repeats.
+
+    Returns (id, n_segments, dup_fraction, dup_char_fraction):
+      * dup_fraction       = (total - distinct) / total segments;
+      * dup_char_fraction  = same, weighted by segment length — the
+        form the Gopher rules threshold (e.g. drop > 0.3).
+
+    Shape: explode -> two-level aggregate, one shuffle on (id, segment)
+    with map-side combine, then a per-id rollup — no Python, no HOFs.
+    """
+    import re
+
+    # Spark's split() takes a REGEX; DuckDB's string_split is literal —
+    # escape so both sides split on the literal delimiter.
+    segs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), re.escape(delimiter))).alias("_seg"),
+        )
+        .where(F.trim("_seg") != "")
+    )
+    per_seg = segs.groupBy("_id", "_seg").agg(F.count("*").alias("_c"))
+    per_doc = per_seg.groupBy("_id").agg(
+        F.sum("_c").alias("_total"),
+        F.count("*").alias("_distinct"),
+        F.sum(F.col("_c") * F.length("_seg")).alias("_total_chars"),
+        F.sum(F.length("_seg")).alias("_distinct_chars"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("_total").alias("n_segments"),
+        ((F.col("_total") - F.col("_distinct")).cast("double") / F.col("_total").cast("double")).alias(
+            "dup_fraction"
+        ),
+        (
+            (F.col("_total_chars") - F.col("_distinct_chars")).cast("double")
+            / F.col("_total_chars").cast("double")
+        ).alias("dup_char_fraction"),
+    )
+
+
+def top_ngram_fraction(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Fraction of a document's tokens covered by its single most
+    frequent word n-gram (Gopher repetition rule: e.g. drop documents
+    whose top 2-gram covers > 0.2).
+
+    Returns (id, n_tokens, top_ngram, top_ngram_count, top_ngram_fraction)
+    with fraction = n * count(top n-gram) / n_tokens (token-weighted;
+    ties broken by lexicographically smallest n-gram for cross-engine
+    determinism).
+
+    Shape: posexplode tokens -> n-gram via lead() over (id, pos) — one
+    window shuffle on id — then count/argmax aggregates on (id, gram).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.lower(text_col), r"\s+")).alias("_pos", "_tok"),
+    ).where(F.col("_tok") != "")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
+    grams = toks.select("_id", F.concat_ws(" ", *parts).alias("_gram"), parts[-1].alias("_last"))
+    grams = grams.where(F.col("_last").isNotNull()).drop("_last")
+    counts = grams.groupBy("_id", "_gram").agg(F.count("*").alias("_c"))
+    # argmax with smallest-gram tiebreak, cross-engine deterministic:
+    # max count per id, then MIN(gram) among the grams at that count.
+    max_c = counts.groupBy("_id").agg(F.max("_c").alias("top_ngram_count"))
+    top = (
+        counts.join(max_c, "_id")
+        .where(F.col("_c") == F.col("top_ngram_count"))
+        .groupBy("_id", "top_ngram_count")
+        .agg(F.min("_gram").alias("top_ngram"))
+    )
+    n_tok = (
+        df.select(F.col(id_col).alias("_id"), token_count(F.col(text_col)).alias("n_tokens"))
+    )
+    return (
+        n_tok.join(top, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "top_ngram",
+            F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.lit(n) * F.coalesce("top_ngram_count", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_ngram_fraction"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat block to a documents DataFrame."""
     c = F.col(text_col)

@@ -628,3 +628,103 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_summary(feats).select(
         "media_type", "n_assets", "total_bytes", F.round("mean_f0", 4).alias("mean_f0")
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition / corpus-mixing wave (round 3)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_segment_repetition",
+    oracle="""
+    WITH segs AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
+    nz AS (SELECT doc_id, s FROM segs WHERE trim(s) <> ''),
+    per_seg AS (SELECT doc_id, s, COUNT(*) AS c FROM nz GROUP BY 1, 2),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS dist,
+               CAST(SUM(c * length(s)) AS BIGINT) AS tc,
+               CAST(SUM(length(s)) AS BIGINT) AS dc
+        FROM per_seg GROUP BY 1)
+    SELECT doc_id, total AS n_segments,
+           CAST(total - dist AS DOUBLE) / CAST(total AS DOUBLE) AS dup_fraction,
+           CAST(tc - dc AS DOUBLE) / CAST(tc AS DOUBLE) AS dup_char_fraction
+    FROM per_doc
+    """,
+)
+def q_segment_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-segment signals
+    (operators/textstats.segment_repetition) at token granularity —
+    the duplicate-line filter for documents with newlines, the
+    duplicate-token form here (the testdata corpus is single-line).
+    Fractions are single divisions of exact BIGINT counts (money-
+    contract discipline), so the oracle matches bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.segment_repetition(d, "doc_id", "text", delimiter=" ")
+
+
+@query(
+    "q_top_bigram",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS a
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, a[i] || ' ' || a[i+1] AS gram
+        FROM arrs, unnest(generate_series(1, len(a) - 1)) AS g(i)
+    ), counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    mx AS (SELECT doc_id, MAX(c) AS top_c FROM counts GROUP BY 1),
+    top AS (SELECT counts.doc_id AS tid, top_c, MIN(gram) AS top_ngram
+            FROM counts JOIN mx ON counts.doc_id = mx.doc_id AND c = top_c
+            GROUP BY 1, 2)
+    SELECT a2.doc_id, CAST(len(a2.a) AS INT) AS n_tokens, top_ngram,
+           CAST(COALESCE(top_c, 0) AS BIGINT) AS top_ngram_count,
+           CASE WHEN len(a2.a) > 0
+                THEN 2 * CAST(COALESCE(top_c, 0) AS DOUBLE) / CAST(len(a2.a) AS DOUBLE)
+                ELSE 0.0 END AS top_ngram_fraction
+    FROM arrs a2 LEFT JOIN top ON a2.doc_id = tid
+    """,
+)
+def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule: fraction of tokens covered by the most
+    frequent word bigram (operators/textstats.top_ngram_fraction, ties
+    broken to the lexicographically smallest gram in both engines).
+    At 100 TB: one window shuffle on doc id for the lead(), one
+    (id, gram) hash aggregate with map-side combine."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.top_ngram_fraction(d, "doc_id", "text", n=2)
+
+
+@query(
+    "q_mix_sources",
+    oracle="""
+    SELECT source, COUNT(*) AS n_kept
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) <
+          CASE source WHEN 'src0' THEN '00000000'
+                      WHEN 'src1' THEN '40000000'
+                      WHEN 'src2' THEN '80000000'
+                      WHEN 'src3' THEN 'g'
+                      ELSE 'c0000000' END
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source corpus blend
+    (operators/sampling.mix_sources): drop src0, keep 25% of src1, 50%
+    of src2, all of src3, 75% default — per-row deterministic md5
+    threshold filter, zero shuffles before the count rollup, and the
+    oracle reproduces the EXACT sample (hex-string comparison, no
+    engine-specific hash)."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    mixed = sampling.mix_sources(
+        d, "source", "doc_id",
+        rates={"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 1.0},
+        default_rate=0.75, seed=42,
+    )
+    return mixed.groupBy("source").agg(F.count("*").alias("n_kept")).orderBy("source")

@@ -96,3 +96,63 @@ def test_chunk_documents_window_arithmetic(spark):
     # overlap property: consecutive chunks share exactly 64 chars
     full = dict(rows)[1]
     assert full[448:448 + 64] == full[448:512]
+
+
+def test_segment_repetition_known_fractions(spark):
+    from aws_logs_to_parquet_converter_spark.operators.textstats import segment_repetition
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa aa"), (2, "x y z"), (3, "q q")], "doc_id int, text string"
+    )
+    rows = {r.doc_id: r for r in segment_repetition(df, "doc_id", "text", " ").collect()}
+    # doc 1: 4 segments, 2 distinct -> dup_fraction 0.5; chars 8 total, 4 distinct
+    assert rows[1].n_segments == 4 and rows[1].dup_fraction == 0.5
+    assert rows[1].dup_char_fraction == 0.5
+    assert rows[2].dup_fraction == 0.0
+    assert rows[3].dup_fraction == 0.5
+
+
+def test_segment_repetition_line_mode(spark):
+    from aws_logs_to_parquet_converter_spark.operators.textstats import segment_repetition
+
+    df = spark.createDataFrame(
+        [(1, "same line\nsame line\nother")], "doc_id int, text string"
+    )
+    r = segment_repetition(df, "doc_id", "text", "\n").first()
+    assert r.n_segments == 3
+    assert abs(r.dup_fraction - 1 / 3) < 1e-12
+
+
+def test_top_ngram_fraction_and_tiebreak(spark):
+    from aws_logs_to_parquet_converter_spark.operators.textstats import top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "b c b c b"),        # "b c" x2, "c b" x2 -> tie, min gram wins
+            (2, "unique words only here"),
+            (3, "solo"),             # no bigram at all
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in top_ngram_fraction(df, "doc_id", "text", 2).collect()}
+    assert rows[1].top_ngram == "b c" and rows[1].top_ngram_count == 2
+    assert abs(rows[1].top_ngram_fraction - 4 / 5) < 1e-12
+    assert rows[2].top_ngram_count == 1
+    assert rows[3].top_ngram is None and rows[3].top_ngram_count == 0
+    assert rows[3].top_ngram_fraction == 0.0
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    rows = [(i, f"s{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    mixed = sampling.mix_sources(df, "src", "k", {"s0": 0.0, "s1": 0.5})
+    got = {r.src: r.n for r in mixed.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "s0" not in got                   # rate 0 drops everything
+    assert 400 <= got["s1"] <= 600           # ~50% of 1000
+    # deterministic: same rows kept across runs and partitionings
+    a = sorted(r.k for r in mixed.collect())
+    b = sorted(r.k for r in sampling.mix_sources(
+        df.repartition(13), "src", "k", {"s0": 0.0, "s1": 0.5}).collect())
+    assert a == b
+    # rate 1.0 keeps every row
+    assert sampling.mix_sources(df, "src", "k", {"s0": 1.0, "s1": 1.0}).count() == 2000
