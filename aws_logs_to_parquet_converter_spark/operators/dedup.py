@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aws_logs_to_parquet_converter_spark.operators.partitioning import fan_out as _fan_out
+
 # Mersenne prime 2^31-1: modulus for the MinHash permutation family
 # h_i(x) = (a_i * x + b_i) mod P (classic Carter-Wegman construction).
 # 31-bit domain keeps a*x + b under 2^62 — no bigint overflow under
@@ -92,26 +94,6 @@ def char_shingles(text: Column, n: int = 5) -> Column:
             lambda i: F.substring(norm, i, n),
         )
     )
-
-
-def _fan_out(df: DataFrame, key: str) -> DataFrame:
-    """Spread a narrow input across the cluster BEFORE a high-fan-out
-    explode when the source arrived under-partitioned.
-
-    A small parquet file is one row group = ONE task, so the heavy
-    explode -> hash -> partial-agg map stage downstream would run on a
-    single core (measured: the whole sf0.1 minhash pipeline serialized
-    into one task per join branch, ~7s warm; spreading it is a ~3x
-    end-to-end win).  At 100 TB the corpus arrives in thousands of
-    splits, the condition is false, and this is a no-op — the extra
-    shuffle of raw text would be pure overhead there, which is why the
-    repartition is conditional, not unconditional.
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):  # partition metadata only, no job
-        return df.repartition(target, key)
-    return df
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:

@@ -19,6 +19,8 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Column, DataFrame, Window
+
+from aws_logs_to_parquet_converter_spark.operators.partitioning import fan_out
 from pyspark.sql import functions as F
 
 
@@ -110,7 +112,12 @@ def cosine_topk(
     """
     dim = unroll_dim
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # the corpus streams the per-pair math: spread a one-row-group input
+    # across the cluster first (partitioning.fan_out; no-op at scale)
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "neighbor_id",
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -228,7 +235,7 @@ def cosine_topk_ivf(
     a subset of the exact result, recall grows with nprobe.
     """
     cents = kmeans_cell_centroids(corpus, id_col, vec_col, n_cells, sample_n, seed=seed)
-    c = corpus.select(
+    c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         _cell_udf(cents, 1)(F.col(vec_col)).alias("_cell"),
@@ -283,7 +290,9 @@ def blocked_all_pairs(
     """
     payload = [c for c in df.columns if c != id_col]
     blk = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_blocks)).cast("int")
-    base = df.select(F.col(id_col).alias("_id"), blk.alias("_blk"), *payload)
+    base = fan_out(
+        df.select(F.col(id_col).alias("_id"), blk.alias("_blk"), *payload), "_id"
+    )
     left = base.select(
         F.col("_blk").alias("_bi"),
         F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("_bj"),
@@ -373,7 +382,7 @@ def cosine_topk_lsh(
         F.col(vec_col).alias("_qv"),
         hyperplane_signatures(queries, vec_col, dim, n_planes, seed).alias("_qsig"),
     )
-    c = corpus.select(
+    c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         hyperplane_signatures(corpus, vec_col, dim, n_planes, seed).alias("_csig"),
