@@ -56,7 +56,7 @@ _FORMAT_REPLACEMENTS = [
 
 # Bump when the shim set below changes: the registration guard keys on
 # it, so an upgraded library re-registers into an existing session.
-_SHIM_VERSION = "3"
+_SHIM_VERSION = "4"
 _SHIM_MARKER = "spark.spark_graft.prestoCompatVersion"
 
 
@@ -117,6 +117,45 @@ def register_presto_compat(spark: SparkSession) -> None:
         RETURN try_cast(s AS DATE)
         """
     )
+    # Presto URL functions (the access-log domain's own function family:
+    # referrer/request-URI analysis).  Spark's parse_url is the same
+    # extraction engine under a different calling convention; the
+    # NULL-vs-empty edge cases are covered in test_presto_compat.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION url_extract_host(url STRING)
+        RETURNS STRING
+        RETURN parse_url(url, 'HOST')
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION url_extract_path(url STRING)
+        RETURNS STRING
+        RETURN parse_url(url, 'PATH')
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(url STRING)
+        RETURNS STRING
+        RETURN parse_url(url, 'QUERY')
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION url_extract_protocol(url STRING)
+        RETURNS STRING
+        RETURN parse_url(url, 'PROTOCOL')
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION url_extract_parameter(url STRING, name STRING)
+        RETURNS STRING
+        RETURN parse_url(url, 'QUERY', name)
+        """
+    )
     # split_part needs no shim: Spark's builtin is name- and
     # semantics-compatible (1-based index) with one documented
     # divergence — an out-of-range index yields '' in Spark vs NULL in
@@ -138,6 +177,9 @@ _NAME_REWRITES = [
     # shimmed as SQL UDFs, so they rewrite textually)
     (re.compile(r"\barbitrary\(", re.IGNORECASE), "any_value("),
     (re.compile(r"\bapprox_distinct\(", re.IGNORECASE), "approx_count_distinct("),
+    # Presto's unparameterized VARCHAR in CASTs: Spark requires a length
+    # for VARCHAR(n), but Presto's bare VARCHAR is just its string type
+    (re.compile(r"\bAS\s+VARCHAR\s*\)", re.IGNORECASE), "AS STRING)"),
 ]
 
 

@@ -425,3 +425,53 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_URL_FUNCS_PRESTO = """
+WITH hits AS (
+    SELECT 'https://cdn' || CAST(user_id % 3 AS VARCHAR) || '.example.com/assets/'
+           || event_type || '/' || CAST(event_id AS VARCHAR) || '.js?v='
+           || CAST(event_id % 10 AS VARCHAR) || '&lang=en' AS url
+    FROM events
+)
+SELECT
+    url_extract_host(url)                    AS host,
+    url_extract_protocol(url)                AS proto,
+    count(*)                                 AS n_hits,
+    count(DISTINCT url_extract_parameter(url, 'v')) AS n_versions,
+    min(url_extract_path(url))               AS first_path
+FROM hits
+GROUP BY 1, 2
+ORDER BY host
+"""
+
+
+@query(
+    "q_url_funcs",
+    oracle="""
+    WITH hits AS (
+        SELECT 'https://cdn' || CAST(user_id % 3 AS VARCHAR) || '.example.com/assets/'
+               || event_type || '/' || CAST(event_id AS VARCHAR) || '.js?v='
+               || CAST(event_id % 10 AS VARCHAR) || '&lang=en' AS url
+        FROM events
+    )
+    SELECT
+        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)  AS host,
+        regexp_extract(url, '^([a-z]+)://', 1)         AS proto,
+        COUNT(*)                                       AS n_hits,
+        COUNT(DISTINCT regexp_extract(url, '[?&]v=([^&#]*)', 1)) AS n_versions,
+        MIN(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)) AS first_path
+    FROM hits
+    GROUP BY 1, 2
+    ORDER BY host
+    """,
+)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto URL-function family (url_extract_host/protocol/path/
+    parameter) run as verbatim Presto SQL through the shim layer —
+    referrer/request-URI analysis, the access-log domain's native
+    function set.  The oracle re-derives every extraction with plain
+    regexes, so the shim's parse_url semantics are pinned, not just
+    its names."""
+    register_views(spark, sf_dir, ["events"])
+    return run_presto_sql(spark, _URL_FUNCS_PRESTO)

@@ -128,3 +128,33 @@ def test_split_part_builtin_compat(spark):
     ).collect()[0]
     assert row.p == "service-1"
     assert row.oob is None
+
+
+def test_url_extract_family(spark):
+    row = run_presto_sql(
+        spark,
+        """
+        SELECT url_extract_host('https://cdn1.example.com/a/b.js?v=3&lang=en') AS host,
+               url_extract_protocol('https://cdn1.example.com/a/b.js?v=3')     AS proto,
+               url_extract_path('https://cdn1.example.com/a/b.js?v=3')         AS path,
+               url_extract_query('https://cdn1.example.com/a/b.js?v=3&x=1')    AS q,
+               url_extract_parameter('https://h/p?v=3&lang=en', 'lang')        AS lang,
+               url_extract_parameter('https://h/p?v=3', 'missing')             AS absent,
+               url_extract_query('https://h/plain')                            AS noq
+        """,
+    ).collect()[0]
+    assert row.host == "cdn1.example.com"
+    assert row.proto == "https"
+    assert row.path == "/a/b.js"
+    assert row.q == "v=3&x=1"
+    assert row.lang == "en"
+    assert row.absent is None
+    assert row.noq is None
+
+
+def test_bare_varchar_cast_rewrite(spark):
+    """Presto CAST(x AS VARCHAR) (no length) must translate — Spark
+    requires a length for VARCHAR(n) but Presto's bare VARCHAR is its
+    plain string type."""
+    row = run_presto_sql(spark, "SELECT CAST(42 AS VARCHAR) AS s").collect()[0]
+    assert row.s == "42"
