@@ -27,16 +27,30 @@ def list_day_paths(source_root: str, source_bucket: str, dt: str) -> list[str]:
     return sorted(glob.glob(os.path.join(source_root, source_bucket, f"{dt}-*")))
 
 
-def _list_s3(root: str, prefix: str) -> list[str]:
-    try:
-        import boto3  # gated: not available in the test container
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "s3 listing needs boto3; in production run with boto3 installed "
-            "or point spark.read.text at the s3a:// prefix directly"
-        ) from e
+def _list_s3(root: str, prefix: str, client=None) -> list[str]:
+    """List one prefix via paginated list_objects_v2.
+
+    ``client`` is injectable so the pagination loop has executed test
+    coverage without boto3 (tests drive it with a fake multi-page
+    client); production passes None and gets a real boto3 client.
+    """
     bucket = root.split("://", 1)[1].rstrip("/")
-    client = boto3.client("s3")  # pragma: no cover
+    if client is None:  # pragma: no cover - boto3 absent in test container
+        try:
+            import boto3  # gated: not available in the test container
+        except ImportError as e:
+            raise NotImplementedError(
+                "s3 listing needs boto3; in production run with boto3 installed "
+                "or point spark.read.text at the s3a:// prefix directly"
+            ) from e
+        client = boto3.client("s3")
+    return _paginate_keys(client, bucket, prefix)
+
+
+def _paginate_keys(client, bucket: str, prefix: str) -> list[str]:
+    """The reference's paginated listing loop (compacter.py:128-151):
+    one page of keys in driver memory at a time, continuation tokens
+    until exhausted — the shape that survives >1M keys per prefix."""
     keys: list[str] = []
     token = None
     while True:  # paginated — bounded driver memory per page (S1)

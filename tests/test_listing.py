@@ -1,0 +1,79 @@
+"""S3 prefix listing (sources/listing.py): the paginated loop now has
+executed coverage via an injected fake client — the reference shape it
+mirrors (paginated list_objects_v2, bounded driver memory) had never
+actually run in this container (boto3 absent)."""
+
+import pytest
+
+from aws_logs_to_parquet_converter_spark.sources import listing
+
+
+class FakeS3Client:
+    """Three pages: 2 + 2 + 1 keys, continuation-token driven, plus a
+    call log so the test can assert the token protocol."""
+
+    def __init__(self, pages):
+        self.pages = pages
+        self.calls = []
+
+    def list_objects_v2(self, **kwargs):
+        self.calls.append(kwargs)
+        idx = int(kwargs.get("ContinuationToken", "page0")[4:])
+        page = dict(self.pages[idx])
+        if idx + 1 < len(self.pages):
+            page["NextContinuationToken"] = f"page{idx + 1}"
+        return page
+
+
+def test_pagination_walks_all_pages_in_order():
+    pages = [
+        {"Contents": [{"Key": "logs/2019-02-06-00-a"}, {"Key": "logs/2019-02-06-01-b"}]},
+        {"Contents": [{"Key": "logs/2019-02-06-02-c"}, {"Key": "logs/2019-02-06-03-d"}]},
+        {"Contents": [{"Key": "logs/2019-02-06-04-e"}]},
+    ]
+    client = FakeS3Client(pages)
+    uris = listing._list_s3("s3://my-bucket", "logs/2019-02-06-", client=client)
+    assert uris == [
+        "s3a://my-bucket/logs/2019-02-06-00-a",
+        "s3a://my-bucket/logs/2019-02-06-01-b",
+        "s3a://my-bucket/logs/2019-02-06-02-c",
+        "s3a://my-bucket/logs/2019-02-06-03-d",
+        "s3a://my-bucket/logs/2019-02-06-04-e",
+    ]
+    # token protocol: first call token-free, then one token per page
+    assert "ContinuationToken" not in client.calls[0]
+    assert [c.get("ContinuationToken") for c in client.calls[1:]] == ["page1", "page2"]
+    assert all(c["Prefix"] == "logs/2019-02-06-" for c in client.calls)
+
+
+def test_empty_prefix_and_empty_middle_page():
+    assert listing._list_s3("s3://b", "none/", client=FakeS3Client([{}])) == []
+    pages = [{"Contents": [{"Key": "k1"}]}, {}, {"Contents": [{"Key": "k2"}]}]
+    uris = listing._list_s3("s3://b", "p/", client=FakeS3Client(pages))
+    assert uris == ["s3a://b/k1", "s3a://b/k2"]
+
+
+def test_local_glob_path(tmp_path):
+    d = tmp_path / "bucket"
+    d.mkdir()
+    (d / "2019-02-06-00-00-00-aaa").write_text("x")
+    (d / "2019-02-06-01-00-00-bbb").write_text("y")
+    (d / "2019-02-07-00-00-00-ccc").write_text("z")  # other day: excluded
+    got = listing.list_day_paths(str(tmp_path), "bucket", "2019-02-06")
+    assert [p.rsplit("/", 1)[1] for p in got] == [
+        "2019-02-06-00-00-00-aaa", "2019-02-06-01-00-00-bbb"]
+
+
+def test_missing_boto3_raises_not_implemented(monkeypatch):
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_boto3(name, *a, **k):
+        if name == "boto3":
+            raise ImportError("nope")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_boto3)
+    with pytest.raises(NotImplementedError):
+        listing._list_s3("s3://b", "p/")
