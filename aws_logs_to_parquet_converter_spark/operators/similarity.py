@@ -398,3 +398,44 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the storage/serving
+    compression step of an embedding pipeline): scale = max|v| / 127,
+    q_i = floor(v_i/scale + 0.5) in [-127, 127].
+
+    Cross-engine note: floor(x + 0.5) replaces round(x) deliberately —
+    both engines evaluate floor and + as exact IEEE ops on identical
+    doubles, while round()'s half-way tie rule is engine-dependent
+    (the same class as the money-contract ROUND ban, plans/money.py).
+    Math runs in float64 (float32 inputs upcast exactly).
+
+    Array HOFs here evaluate interpreted (CodegenFallback) but run
+    ONCE per row — the PERF.md HOF ban targets per-candidate-pair hot
+    paths, not per-row projections.  Returns (id, scale, qvec).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    qvec = F.when(
+        absmax > 0,
+        F.transform(v, lambda x: F.floor(x / (absmax / F.lit(127.0)) + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(F.col(id_col), scale, qvec.alias("qvec"))
+
+
+def normalize_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-normalize embeddings (cosine becomes plain dot product
+    downstream — the standard pre-index step).  Norm accumulates as a
+    left-to-right float64 fold, bit-identical to DuckDB's list fold
+    (PERF.md vector-math note).  Zero vectors stay zero.
+    Returns (id, norm, unit)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    return df.select(F.col(id_col), norm.alias("norm"), unit.alias("unit"))

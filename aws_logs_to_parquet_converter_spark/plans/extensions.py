@@ -728,3 +728,70 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.75, seed=42,
     )
     return mixed.groupBy("source").agg(F.count("*").alias("n_kept")).orderBy("source")
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+    s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS am FROM v)
+    SELECT vec_id,
+           am / 127.0 AS scale,
+           CAST(CASE WHEN am > 0 THEN list_aggregate(
+                    list_transform(e, x -> CAST(floor(x / (am / 127.0) + 0.5) AS BIGINT)),
+                    'sum')
+                ELSE 0 END AS BIGINT) AS q_sum,
+           CAST(CASE WHEN am > 0 THEN list_max(
+                    list_transform(e, x -> abs(floor(x / (am / 127.0) + 0.5))))
+                ELSE 0 END AS BIGINT) AS q_absmax,
+           CAST(len(e) AS INT) AS n_dims
+    FROM s
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit (similarity.quantize_int8):
+    per-vector scale plus integer checksums of the quantized vector.
+    floor(x+0.5) quantization is tie-free IEEE in both engines (the
+    round() half-way rule is not), so the oracle reproduces every
+    quantized value exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.array_max(F.transform("qvec", lambda x: F.abs(x))).cast("long").alias("q_absmax"),
+        F.size("qvec").alias("n_dims"),
+    )
+
+
+@query(
+    "q_embed_normalize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS norm
+          FROM v)
+    SELECT vec_id, norm,
+           CASE WHEN norm > 0
+                THEN list_aggregate(list_transform(e, x -> x / norm), 'sum')
+                ELSE 0.0 END AS unit_sum
+    FROM n
+    """,
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization audit (similarity.normalize_vectors): the
+    norm and the unit vector's component sum — both left-to-right
+    float64 folds, bit-identical across engines (PERF.md vector-math
+    note)."""
+    emb = t(spark, sf_dir, "embeddings")
+    nv = similarity.normalize_vectors(emb, "vec_id", "embedding")
+    return nv.select(
+        "vec_id",
+        "norm",
+        F.aggregate("unit", F.lit(0.0), lambda a, x: a + x).alias("unit_sum"),
+    )

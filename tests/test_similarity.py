@@ -117,3 +117,31 @@ def test_pandas_cosine_matches_jvm(spark, vecs):
     assert len(got) == 500
     for r in got:
         assert abs(r.pd_sim - r.jvm_sim) < 1e-12, (r.id_a, r.id_b)
+
+
+def test_quantize_int8_range_roundtrip_and_zero(spark):
+    from aws_logs_to_parquet_converter_spark.operators.similarity import quantize_int8
+
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    q1, s1 = out[1].qvec, out[1].scale
+    assert max(abs(v) for v in q1) == 127          # scale maps max|v| -> 127
+    assert all(-127 <= v <= 127 for v in q1)
+    # reconstruction error bounded by scale/2 per element
+    orig = [1.0, -0.5, 0.25, 0.0]
+    assert all(abs(q * s1 - o) <= s1 / 2 + 1e-12 for q, o in zip(q1, orig))
+    assert out[2].qvec == [0, 0, 0, 0] and out[2].scale == 0.0
+
+
+def test_normalize_vectors_unit_norm(spark):
+    import math
+
+    from aws_logs_to_parquet_converter_spark.operators.similarity import normalize_vectors
+
+    rows = [(1, [3.0, 4.0]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in normalize_vectors(df).collect()}
+    assert math.isclose(out[1].norm, 5.0, rel_tol=1e-12)
+    assert math.isclose(sum(x * x for x in out[1].unit), 1.0, rel_tol=1e-12)
+    assert out[2].unit == [0.0, 0.0]  # zero vector passes through
