@@ -199,3 +199,50 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         predict_lang(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic relevance/keyword
+    extraction pass over a corpus.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) with add-one
+    smoothing (N = corpus size, df = documents containing the term);
+    score = tf * idf.  ln() of a ratio of exact integers is one IEEE
+    op — bit-identical across engines — and ties order by term text.
+
+    Scale shape: explode -> (doc, term) counts (one shuffle, map-side
+    combine); df re-aggregates the SAME (doc, term) relation (no second
+    corpus scan); the tiny N rides a broadcast scalar; top-k is one
+    window over the doc id.  Returns (id, term, tf, score, rnk).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(text_col), r"\s+")).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    tf = toks.groupBy("_id", "_tok").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(docfreq, "_tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "_id",
+            F.col("_tok").alias("term"),
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * F.log((F.col("_n") + 1).cast("double") / (F.col("_df") + 1).cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.select(
+            F.col("_id").alias(id_col), "term", "tf", "score", F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= k)
+    )

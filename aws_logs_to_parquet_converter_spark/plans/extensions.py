@@ -795,3 +795,36 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm",
         F.aggregate("unit", F.lit(0.0), lambda a, x: a + x).alias("unit_sum"),
     )
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+        FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df_t AS (SELECT tok, COUNT(*) AS dft FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok AS term, tf.tf,
+               CAST(tf.tf AS DOUBLE)
+                   * ln(CAST(nd + 1 AS DOUBLE) / CAST(dft + 1 AS DOUBLE)) AS score
+        FROM tf JOIN df_t USING (tok) CROSS JOIN n),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS rnk
+        FROM scored)
+    SELECT doc_id, term, tf, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (textstats.tfidf_top_terms):
+    keyword extraction over the corpus.  The score is tf * ln((N+1)/
+    (df+1)) — a fixed IEEE op sequence on exact integers, bit-identical
+    across engines; ties order by term text.  The document-frequency
+    side re-aggregates the SAME (doc, term) relation rather than
+    rescanning the corpus."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(d, "doc_id", "text", k=3)

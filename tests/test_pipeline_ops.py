@@ -156,3 +156,19 @@ def test_mix_sources_rates_and_determinism(spark):
     assert a == b
     # rate 1.0 keeps every row
     assert sampling.mix_sources(df, "src", "k", {"s0": 1.0, "s1": 1.0}).count() == 2000
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from aws_logs_to_parquet_converter_spark.operators.textstats import tfidf_top_terms
+
+    # "rare" appears once in one doc; "common" appears in every doc.
+    rows = [
+        (1, "common rare common"),
+        (2, "common filler words"),
+        (3, "common other tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    assert top[1] == "rare"           # idf beats the doubled tf of "common"
+    assert all(r.rnk == 1 for r in out)
