@@ -507,3 +507,64 @@ def dedup_keep_list(
             (F.coalesce("component", F.col("node")) == F.col("node")).alias("keep"),
         )
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All document pairs whose 64-bit SimHashes differ by at most
+    ``max_hamming`` bits — EXACT by construction, not probabilistic:
+    with the signature split into ``bands`` equal chunks and
+    ``max_hamming < bands``, the pigeonhole principle guarantees two
+    qualifying signatures agree exactly on at least one chunk, so the
+    banded bucket join misses nothing while never forming the O(n^2)
+    pair space.
+
+    Returns (id_a, id_b, hamming), id_a < id_b.  Shuffle story: the
+    signature aggregate (inside ``simhash``), then a self-join keyed on
+    (band, band_bits) — candidates only; the bit_count(xor) filter
+    runs per candidate in codegen.
+    """
+    if not 0 < bands <= 64 or 64 % bands:
+        raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            "exactness needs max_hamming < bands (pigeonhole); raise bands"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, id_col, text_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("_sig", b * width).bitwiseAND(F.lit(mask)).alias("bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("_id", "_sig", F.explode(band_structs).alias("bb")).select(
+        "_id", "_sig", "bb.band", "bb.bits"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

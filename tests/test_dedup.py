@@ -151,3 +151,47 @@ def test_oph_signature_method_matches_estimator_bounds(spark, corpus):
     assert not missed, f"OPH missed high-similarity pairs: {missed}"
     for pair, j in exact.items():
         assert abs(oph[pair] - j) < 0.25, f"{pair}: {oph[pair]} vs {j}"
+
+
+def test_simhash_neardup_banding_matches_brute_force(spark):
+    """The banded bucket join must find EXACTLY the pairs brute-force
+    hamming finds (pigeonhole exactness: max_hamming < bands)."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, base), (1, base + " extra"), (2, base.replace("quick", "slow")),
+            (3, "completely different content about spark partitions and shuffles"),
+            (4, base)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(df, "doc_id", "text", bands=4, max_hamming=3).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin((sigs[i] ^ sigs[j]) & (2**64 - 1)).count("1")
+                if h <= 3:
+                    want[(i, j)] = h
+    assert got == want
+    assert (0, 4) in got and got[(0, 4)] == 0  # identical docs
+
+
+def test_simhash_neardup_param_validation(spark):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.dedup import simhash_near_duplicates
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        simhash_near_duplicates(df, "doc_id", "text", bands=4, max_hamming=4)
+    with pytest.raises(ValueError):
+        simhash_near_duplicates(df, "doc_id", "text", bands=7)
