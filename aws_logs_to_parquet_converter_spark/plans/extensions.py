@@ -126,6 +126,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(d, "doc_id", "text")
 
 
+@query("q_simhash_neardup")  # rows-only: brute-force differential in test_dedup.py
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-duplicate pairs (exact for max_hamming <
+    bands by pigeonhole; see dedup.simhash_near_duplicates).  The
+    shared-vocabulary word-soup corpus clusters SimHashes, so a
+    moderate threshold already yields a stable non-trivial row set."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(d, "doc_id", "text", bands=8, max_hamming=7)
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search
 # --------------------------------------------------------------------------
