@@ -203,3 +203,18 @@ def test_token_stats_stay_in_codegen(spark):
         plan = explain_str(REGISTRY[name].builder(spark, SF), "formatted")
         for hof in ("filter(", "aggregate(", "transform("):
             assert hof not in plan, f"{name}: interpreted HOF {hof}"
+
+
+def test_fan_out_spreads_single_partition_inputs(spark):
+    """The one-row-group trap (PERF.md round 3): a single-split source
+    must gain an Exchange before the heavy explode stage, and an
+    already-parallel source must NOT pay an extra shuffle."""
+    from aws_logs_to_parquet_converter_spark.operators.partitioning import fan_out
+
+    narrow = spark.createDataFrame([(i, f"doc {i}") for i in range(100)],
+                                   "doc_id int, text string").coalesce(1)
+    spread = fan_out(narrow, "doc_id")
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    assert fan_out(wide, "doc_id") is wide  # identity: no extra shuffle node
