@@ -56,7 +56,7 @@ _FORMAT_REPLACEMENTS = [
 
 # Bump when the shim set below changes: the registration guard keys on
 # it, so an upgraded library re-registers into an existing session.
-_SHIM_VERSION = "4"
+_SHIM_VERSION = "5"
 _SHIM_MARKER = "spark.spark_graft.prestoCompatVersion"
 
 
@@ -156,10 +156,30 @@ def register_presto_compat(spark: SparkSession) -> None:
         RETURN parse_url(url, 'QUERY', name)
         """
     )
+    # Presto JSON extraction -> Spark's get_json_object (same JSONPath
+    # dialect for the $.field forms Athena queries actually use).
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(j STRING, p STRING)
+        RETURNS STRING
+        RETURN get_json_object(j, p)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING)
+        RETURNS STRING
+        RETURN get_json_object(j, p)
+        """
+    )
     # split_part needs no shim: Spark's builtin is name- and
     # semantics-compatible (1-based index) with one documented
     # divergence — an out-of-range index yields '' in Spark vs NULL in
-    # Presto (covered in test_presto_compat).
+    # Presto (covered in test_presto_compat).  cardinality, regexp_like,
+    # element_at, array_max/min, map_keys/values are name-identical
+    # builtins; Presto's array `contains` collides with Spark's string
+    # builtin and cannot be shadowed — migrating queries use
+    # array_contains (documented divergence).
     spark.conf.set(_SHIM_MARKER, _SHIM_VERSION)
 _TWO_ARG_REGEXP_REPLACE = re.compile(
     r"regexp_replace\(\s*([A-Za-z_][\w.]*|'(?:[^'\\]|\\.)*')\s*,\s*('(?:[^'\\]|\\.)*')\s*\)"
@@ -170,6 +190,9 @@ _QUOTED_IDENT = re.compile(r'"([^"]+)"')
 # temp SQL UDF cannot shadow, so the 3-arg Presto form maps to
 # timestampdiff, whose complete-unit semantics match Presto's.)
 _DATE_DIFF_HEAD = re.compile(r"date_diff\(\s*'(\w+)'\s*,")
+# date_add('day', n, ts) -> timestampadd(DAY, n, ts): same collision
+# (Spark's 2-arg date_add builtin) and the same head-only fix.
+_DATE_ADD_HEAD = re.compile(r"date_add\(\s*'(\w+)'\s*,")
 
 
 _NAME_REWRITES = [
@@ -183,14 +206,38 @@ _NAME_REWRITES = [
 ]
 
 
+# A Presto single-quoted string literal ('' escapes an embedded quote).
+# Rewrites must never reach INSIDE these: a double-quoted-identifier
+# rewrite applied to '{"k": 7}' would turn the JSON into '{`k`: 7}'
+# (found via the json_extract shims' own test).
+_STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _outside_literals(sql: str, fn) -> str:
+    out, last = [], 0
+    for m in _STRING_LITERAL.finditer(sql):
+        out.append(fn(sql[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(fn(sql[last:]))
+    return "".join(out)
+
+
 def translate_presto_sql(sql: str) -> str:
     """Rewrite Presto dialect residue to Spark SQL (see module doc)."""
+    # These two deliberately MATCH literal arguments (the 2-arg
+    # regexp_replace's pattern, the date unit), so they run on the
+    # whole text with precise regexes:
     sql = _TWO_ARG_REGEXP_REPLACE.sub(r"regexp_replace(\1, \2, '')", sql)
     sql = _DATE_DIFF_HEAD.sub(lambda m: f"timestampdiff({m.group(1).upper()}, ", sql)
-    for pat, repl in _NAME_REWRITES:
-        sql = pat.sub(repl, sql)
-    sql = _QUOTED_IDENT.sub(r"`\1`", sql)
-    return sql
+    sql = _DATE_ADD_HEAD.sub(lambda m: f"timestampadd({m.group(1).upper()}, ", sql)
+
+    def rest(segment: str) -> str:
+        for pat, repl in _NAME_REWRITES:
+            segment = pat.sub(repl, segment)
+        return _QUOTED_IDENT.sub(r"`\1`", segment)
+
+    return _outside_literals(sql, rest)
 
 
 def run_presto_sql(spark: SparkSession, sql: str) -> DataFrame:

@@ -158,3 +158,50 @@ def test_bare_varchar_cast_rewrite(spark):
     plain string type."""
     row = run_presto_sql(spark, "SELECT CAST(42 AS VARCHAR) AS s").collect()[0]
     assert row.s == "42"
+
+
+def test_json_extract_shims(spark):
+    row = run_presto_sql(
+        spark,
+        """
+        SELECT json_extract_scalar('{"k": 7, "s": "hi", "o": {"n": 1}}', '$.k') AS k,
+               json_extract_scalar('{"s": "hi"}', '$.s')                        AS s,
+               json_extract('{"o": {"n": 1}}', '$.o')                           AS o,
+               json_extract_scalar('{"k": 1}', '$.missing')                     AS gone
+        """,
+    ).collect()[0]
+    assert row.k == "7"
+    assert row.s == "hi"
+    assert row.o == '{"n":1}'
+    assert row.gone is None
+
+
+def test_date_add_head_rewrite(spark):
+    """Presto's 3-arg date_add('unit', n, ts) collides with Spark's
+    2-arg builtin — the translator maps it to timestampadd, including
+    negative offsets and nested date_diff."""
+    row = run_presto_sql(
+        spark,
+        """
+        SELECT date_add('day', 3, TIMESTAMP '2019-02-06 00:00:38')   AS fwd,
+               date_add('hour', -2, TIMESTAMP '2019-02-06 12:00:00') AS back,
+               date_diff('day', TIMESTAMP '2019-02-01 00:00:00',
+                         date_add('day', 9, TIMESTAMP '2019-02-01 00:00:00')) AS nested
+        """,
+    ).collect()[0]
+    assert str(row.fwd) == "2019-02-09 00:00:38"
+    assert str(row.back) == "2019-02-06 10:00:00"
+    assert row.nested == 9
+
+
+def test_translator_never_rewrites_inside_string_literals():
+    from aws_logs_to_parquet_converter_spark.functions.presto_compat import translate_presto_sql
+
+    # double-quoted JSON keys inside a literal stay untouched; the
+    # double-quoted IDENTIFIER outside still becomes backticks
+    out = translate_presto_sql(
+        """SELECT json_extract_scalar('{"k": 7}', '$.k') FROM "my_table" WHERE x = 'it''s "fine"'"""
+    )
+    assert '\'{"k": 7}\'' in out
+    assert "`my_table`" in out
+    assert "'it''s \"fine\"'" in out  # escaped-quote literal intact
