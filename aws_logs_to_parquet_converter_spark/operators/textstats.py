@@ -38,6 +38,24 @@ def token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"\S+"))
 
 
+# GPT-2-style pretokenizer pattern, restricted to the Java-regex ∩ RE2
+# common subset so Spark and a DuckDB oracle count IDENTICALLY: the
+# published pattern's `\s+(?!\S)` lookahead is dropped (RE2 has no
+# lookahead) — trailing-space runs merge into one token, a documented
+# divergence that cancels in whitespace-normalized corpora.  Verified
+# equal on contractions / mixed alphanumerics / punctuation runs /
+# unicode letters across both engines (test_pipeline_ops).
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count via the GPT-2 pretokenizer regex —
+    the cheap budget estimator for \"how many tokens will the tokenizer
+    emit\" (pretokens lower-bound BPE pieces; ~1 piece per pretoken for
+    common English).  One codegen regexp_count, no Python."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
     toks = tokens(text)

@@ -25,6 +25,13 @@ _DUCK_SW_RATIO = (
     f" / len({_DUCK_TOKENS}) ELSE 0.0 END"
 )
 
+# The BPE-ish pretokenizer pattern as a DuckDB SQL string literal
+# (embedded quote doubled).  Must stay byte-identical to
+# textstats.BPE_TOKEN_PATTERN — asserted in test_pipeline_ops.
+from aws_logs_to_parquet_converter_spark.operators.textstats import BPE_TOKEN_PATTERN
+
+_BPE_SQL_LIT = "'" + BPE_TOKEN_PATTERN.replace("'", "''") + "'"
+
 
 # --------------------------------------------------------------------------
 # Deduplication
@@ -838,3 +845,28 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning the corpus."""
     d = t(spark, sf_dir, "documents")
     return textstats.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@query(
+    "q_bpe_token_count",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, {_BPE_SQL_LIT}))) AS BIGINT)
+               AS total_bpe_tokens,
+           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS total_ws_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting with the BPE-ish pretokenizer regex
+    (textstats.bpe_token_count) next to the whitespace count — the
+    pair a corpus-budget report shows.  Both are single codegen
+    regexp_counts; the shared pattern is verified count-identical in
+    Spark and DuckDB on adversarial inputs (test_pipeline_ops)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(textstats.bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        F.sum(textstats.token_count(F.col("text"))).alias("total_ws_tokens"),
+        F.count("*").alias("n_docs"),
+    )

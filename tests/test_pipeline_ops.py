@@ -172,3 +172,34 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = {r.doc_id: r.term for r in out}
     assert top[1] == "rare"           # idf beats the doubled tf of "common"
     assert all(r.rnk == 1 for r in out)
+
+
+def test_bpe_token_count_cross_engine_and_values(spark):
+    """The BPE-ish pretokenizer regex must count IDENTICALLY in Spark
+    and DuckDB (the oracle depends on it), including contractions,
+    mixed alphanumerics, punctuation runs, and unicode letters."""
+    import duckdb
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count,
+    )
+
+    samples = [
+        "it's a test-case, with 42 numbers... and   spaces",
+        "don't stop; can't won't",
+        "a1b2 c3", "", "   ", "!!!", "word", "3.14 plus 2,718",
+        "naïve café über",  # unicode letters must stay single tokens
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, s string")
+    got = [r.c for r in df.select("i", bpe_token_count(F.col("s")).alias("c")).orderBy("i").collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT len(regexp_extract_all(?, ?))", [s, BPE_TOKEN_PATTERN]).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want
+    # spot values: "it's" -> [ it][' s][ a]... ; "word" -> 1; empty -> 0
+    assert got[samples.index("word")] == 1
+    assert got[samples.index("")] == 0
+    assert got[samples.index("naïve café über")] == 3
