@@ -1,0 +1,81 @@
+"""Count-min sketch: fixed-size frequency summaries of unbounded key
+streams (north-star "novel sketch" surface; no reference counterpart).
+
+Why at 100 TB: an exact token-frequency table is as large as the
+vocabulary (billions of rows for web-scale text); a count-min sketch
+bounds the summary to depth x width counters with a one-sided error
+guarantee — estimate >= true count always, and estimate <= true +
+eps*N with probability 1 - delta for width = e/eps, depth = ln(1/delta).
+The sketch is a plain (depth, bucket, count) DataFrame: mergeable
+across partitions/days by summing counters (the property that makes it
+a sketch), persistable as parquet, and probe-able with a broadcast
+join.
+
+Shape: explode keys -> depth hashed rows per key -> ONE hash aggregate
+on (depth, bucket) with map-side combine.  Everything wholestage
+codegen (xxhash64 + pmod), no Python, no HOFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators.partitioning import fan_out
+
+
+def count_min_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024, seed: int = 42
+) -> DataFrame:
+    """Build the sketch over one key column: returns (d, bucket, cnt)
+    with exactly one row per NON-EMPTY counter (absent = 0).  Merge two
+    sketches (same depth/width/seed) by unioning and summing cnt."""
+    rows = df.select(F.col(key_col).alias("_k"))
+    hashed = fan_out(rows, "_k").select(
+        *[
+            F.pmod(F.xxhash64("_k", F.lit(seed + d)), F.lit(width)).alias(f"_b{d}")
+            for d in range(depth)
+        ]
+    )
+    # one explode-free stack: union of per-depth projections collapses
+    # to a single read via column pruning? No — build (d, bucket) rows
+    # with an inline array + explode so the source is scanned ONCE.
+    pairs = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), F.col(f"_b{d}").alias("bucket"))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e")
+    ).select("e.d", "e.bucket")
+    return pairs.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, depth: int = 4, width: int = 1024, seed: int = 42
+) -> DataFrame:
+    """Estimated count per probe key: min over depth of the key's
+    bucket counters (missing counter = 0).  The (tiny) probe set hashes
+    per depth and broadcast-joins the sketch — the sketch never
+    reshuffles."""
+    p = probes.select(F.col(key_col).alias("key")).distinct()
+    p_hashed = p.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(F.xxhash64("key", F.lit(seed + d)), F.lit(width)).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select("key", "e.d", "e.bucket")
+    joined = p_hashed.join(F.broadcast(sketch), ["d", "bucket"], "left").select(
+        "key", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("key").agg(F.min("cnt").alias("est_count"))

@@ -870,3 +870,29 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(textstats.token_count(F.col("text"))).alias("total_ws_tokens"),
         F.count("*").alias("n_docs"),
     )
+
+
+@query(
+    "q_cms_vocab_counts",
+    oracle=f"""
+    SELECT tok AS key, COUNT(*) AS est_count FROM (
+        SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+    GROUP BY tok
+    """,
+)
+def q_cms_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch round trip (operators/sketch.py): build the
+    sketch over the exploded token stream, then estimate every distinct
+    token against it.  At this vocabulary-to-width load (few hundred
+    keys, 4x4096 counters) the deterministic sketch is collision-free
+    across all four depths, so the estimates EQUAL the exact counts —
+    which is what the oracle computes.  The sketch itself stays
+    bounded at depth*width rows no matter the corpus size."""
+    from aws_logs_to_parquet_converter_spark.operators import sketch as sk
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    cms = sk.count_min_build(toks, "tok", depth=4, width=4096)
+    return sk.count_min_estimate(cms, toks, "tok", depth=4, width=4096)

@@ -1,0 +1,44 @@
+"""Count-min sketch (operators/sketch.py): one-sided error guarantee,
+exactness at low load, and counter mergeability."""
+
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import sketch
+
+
+def _stream(spark, counts: dict[str, int]):
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "tok string")
+
+
+def test_estimates_never_undercount_and_match_at_low_load(spark):
+    true = {"alpha": 50, "beta": 20, "gamma": 5, "delta": 1}
+    df = _stream(spark, true)
+    sk = sketch.count_min_build(df, "tok", depth=4, width=1024)
+    probes = spark.createDataFrame([(k,) for k in [*true, "absent"]], "tok string")
+    est = {r.key: r.est_count for r in sketch.count_min_estimate(sk, probes, "tok").collect()}
+    for k, n in true.items():
+        assert est[k] >= n                       # one-sided guarantee
+        assert est[k] == n                       # 4 keys in 1024 buckets: no collision
+    assert est["absent"] == 0
+
+
+def test_sketch_is_mergeable(spark):
+    a = _stream(spark, {"x": 10, "y": 3})
+    b = _stream(spark, {"x": 7, "z": 4})
+    sk_union = sketch.count_min_build(a.union(b), "tok")
+    merged = (
+        sketch.count_min_build(a, "tok")
+        .union(sketch.count_min_build(b, "tok"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, sk_union.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_sketch_size_is_bounded(spark):
+    """10k distinct keys must not produce more than depth*width rows —
+    the whole point of the sketch."""
+    df = spark.range(10_000).select(F.concat(F.lit("k"), F.col("id")).alias("tok"))
+    sk = sketch.count_min_build(df, "tok", depth=4, width=256)
+    assert sk.count() <= 4 * 256
