@@ -896,3 +896,22 @@ def q_cms_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cms = sk.count_min_build(toks, "tok", depth=4, width=4096)
     return sk.count_min_estimate(cms, toks, "tok", depth=4, width=4096)
+
+
+@query("q_hll_distinct_rollup")  # rows-only: HLL estimates are engine-specific
+def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count accounting via DataSketches HLL
+    builtins (Spark 3.5+): per-source token sketches, then ONE union
+    re-aggregation for the corpus-wide distinct estimate — the
+    cross-day/cross-shard accounting shape where exact distinct would
+    re-shuffle raw keys every rollup but sketches merge in bytes.
+    Differential bounds vs exact counts in test_pipeline_ops."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    per_source = toks.groupBy("source").agg(F.hll_sketch_agg("tok").alias("sk"))
+    return per_source.agg(
+        F.count("*").alias("n_sources"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_tokens_est"),
+    )

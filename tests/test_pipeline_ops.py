@@ -203,3 +203,20 @@ def test_bpe_token_count_cross_engine_and_values(spark):
     assert got[samples.index("word")] == 1
     assert got[samples.index("")] == 0
     assert got[samples.index("naïve café über")] == 3
+
+
+def test_hll_rollup_estimate_matches_exact_within_bound(spark):
+    """The HLL union estimate must land within 5% of the exact distinct
+    count, and merging per-group sketches must estimate the same as
+    one global sketch (the mergeability contract)."""
+    df = spark.range(50_000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 9173).alias("v")
+    )
+    exact = df.select("v").distinct().count()
+    merged = (
+        df.groupBy("g").agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).first().e
+    )
+    direct = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")).first().e
+    assert abs(merged - exact) / exact < 0.05
+    assert merged == direct  # same sketch content either way
