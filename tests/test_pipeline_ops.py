@@ -220,3 +220,33 @@ def test_hll_rollup_estimate_matches_exact_within_bound(spark):
     direct = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")).first().e
     assert abs(merged - exact) / exact < 0.05
     assert merged == direct  # same sketch content either way
+
+
+def test_new_ops_tolerate_empty_and_degenerate_corpora(spark):
+    """Empty input and whitespace-only documents must not throw or emit
+    phantom rows in any of the round-3 text operators."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        segment_repetition,
+        tfidf_top_terms,
+        top_ngram_fraction,
+    )
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert segment_repetition(empty, "doc_id", "text", " ").count() == 0
+    assert top_ngram_fraction(empty, "doc_id", "text").count() == 0
+    assert tfidf_top_terms(empty, "doc_id", "text").count() == 0
+
+    blank = spark.createDataFrame([(1, "   "), (2, "")], "doc_id int, text string")
+    assert segment_repetition(blank, "doc_id", "text", " ").count() == 0  # no segments
+    tn = {r.doc_id: r for r in top_ngram_fraction(blank, "doc_id", "text").collect()}
+    assert tn[1].n_tokens == 0 and tn[1].top_ngram_fraction == 0.0
+    assert tfidf_top_terms(blank, "doc_id", "text").count() == 0
+
+    from aws_logs_to_parquet_converter_spark.operators import sketch
+
+    empty_toks = spark.createDataFrame([], "tok string")
+    sk = sketch.count_min_build(empty_toks, "tok")
+    assert sk.count() == 0
+    probes = spark.createDataFrame([("x",)], "tok string")
+    est = sketch.count_min_estimate(sk, probes, "tok").collect()
+    assert est[0].est_count == 0
