@@ -96,9 +96,17 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), cold AS (
+        -- mirror the operator's df cap (max_shingle_df=1000): shingles
+        -- hotter than the cap leave the intersection INDEX (sizes stay
+        -- uncapped), so parity holds at EVERY scale, not only where the
+        -- cap is idle (it engages at sf0.1: max df 3923)
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000
+    ), idx AS (
+        SELECT doc_id, s FROM sh JOIN cold USING (s)
     ), common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b, ROUND(c / (sa.n + sb.n - c), 4) AS jaccard
@@ -110,7 +118,8 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT character-5-gram Jaccard near-dup pairs via inverted-index
-    self-join — ground truth for the MinHash sketch."""
+    self-join — ground truth for the MinHash sketch.  The oracle models
+    the operator's df cap exactly, so the pair holds at every SF."""
     d = t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=5, threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -564,8 +573,14 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    generate_series(1, greatest(length(nt) - 4, 1)),
                    i -> substring(nt, i, 5)))) AS s
         FROM norm
-    ), tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0),
-    ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+    ), cold AS (
+        -- mirror the operator's df cap over the union of both sides
+        -- (train/eval partition the corpus, so the union df IS the
+        -- corpus df); keeps parity at scales where the cap engages
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000
+    ), capped AS (SELECT doc_id, sh.s FROM sh JOIN cold USING (s)),
+    tr AS (SELECT doc_id AS train_id, s FROM capped WHERE doc_id % 10 <> 0),
+    ev AS (SELECT doc_id AS eval_id, s FROM capped WHERE doc_id % 10 = 0),
     common AS (
         SELECT train_id, eval_id, COUNT(*) AS c
         FROM tr JOIN ev USING (s)
