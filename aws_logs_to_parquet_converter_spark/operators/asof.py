@@ -105,8 +105,15 @@ def asof_join(
     out = filled.where(F.col("_tag") == 1)
     keep: Column = F.col("_match")
     if tolerance_seconds is not None:
+        # cast("timestamp") makes the arithmetic type-agnostic: NTZ
+        # inputs (parquet micros without tz) become session-local
+        # instants — both sides cast identically, so the difference is
+        # exact for any session timezone.  No-op on TIMESTAMP inputs.
         near = (
-            F.abs(F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_match._rts")))
+            F.abs(
+                F.unix_micros(F.col("_ts").cast("timestamp"))
+                - F.unix_micros(F.col("_match._rts").cast("timestamp"))
+            )
             <= tolerance_seconds * 1_000_000
         )
         keep = F.when(near, F.col("_match"))

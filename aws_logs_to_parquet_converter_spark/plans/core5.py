@@ -243,17 +243,22 @@ def q_diag_bool_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_diag_countif_emit",
     oracle="""
-    SELECT o_orderpriority, COUNT_IF(o_totalprice > 100000) AS n_big
+    SELECT o_orderpriority, CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT) AS n_big
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
 def q_diag_countif_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probe: RAW COUNT_IF emission (no cast) — fails iff the driver's
-    DuckDB returns a different integer width/type for count_if."""
+    """COUNT_IF with explicit BIGINT emission on both sides.
+
+    History: as a cast-free probe (r3) this bisected the r02
+    q_agg_modern hash-fail class to count_if integer-width emission
+    (DuckDB returns HUGEINT, Spark LONG).  Probe job done; now a real
+    query with the width pinned — the pattern every production count_if
+    call uses."""
     o = t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
-        .agg(F.count_if(F.col("o_totalprice") > 100000).alias("n_big"))
+        .agg(F.count_if(F.col("o_totalprice") > 100000).cast("long").alias("n_big"))
         .orderBy("o_orderpriority")
     )
 

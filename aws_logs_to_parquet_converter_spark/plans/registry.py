@@ -60,16 +60,30 @@ def _with_semantics(fn):
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md layout).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as raw nanos (legacy conf) and floor-convert
-    to a micros timestamp — exactly DuckDB's nanos->micros truncation,
-    so oracle comparisons agree.
+    ``events.ts`` normalization seam — the engine accepts every parquet
+    timestamp flavor the wild produces and emits one canonical type
+    (session-local TIMESTAMP, pinned UTC by ``ensure_semantics``):
+
+      * TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read as
+        raw nanos (legacy conf) and floor-convert to micros — exactly
+        DuckDB's nanos->micros truncation, so oracle comparisons agree.
+      * TIMESTAMP(MICROS) without timezone: Spark reads TIMESTAMP_NTZ;
+        cast to TIMESTAMP — value-identical under the pinned UTC
+        session, and DuckDB reads the same bytes as naive-UTC too.
+      * TIMESTAMP with timezone: passes through unchanged.
+
+    Downstream operators (windows, sessionization, as-of) can then rely
+    on instant-typed ``ts`` (``unix_micros`` etc.) regardless of how the
+    upstream writer encoded it.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
