@@ -27,7 +27,7 @@ import sys
 from pyspark.sql import functions as F
 
 from aws_logs_to_parquet_converter_spark.operators.compact import compact
-from aws_logs_to_parquet_converter_spark.session import get_spark
+from aws_logs_to_parquet_converter_spark.session import apply_s3a_conf, get_spark, s3a_hadoop_conf
 from aws_logs_to_parquet_converter_spark.sources.listing import list_day_paths
 from aws_logs_to_parquet_converter_spark.sources.parse import parse_lines, read_raw_logs
 
@@ -47,6 +47,13 @@ def date_range(min_date: str, max_date: str) -> list[str]:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="compact-s3-access-logs")
     # reference flag surface (compacter.py:311-350)
+    p.add_argument("--aws-config", default="",
+                   help="path to the reference's JSON credentials file "
+                        "({accessKeyId, secretAccessKey, region}, README.md:63-71); "
+                        "mapped to fs.s3a confs — the drop-in equivalent of the "
+                        "reference's boto3 client keys (compacter.py:311-317). "
+                        "Omit to use the default provider chain (instance "
+                        "profile / env), the recommended posture.")
     p.add_argument("--source-access-log-bucket", required=True,
                    help="bucket/dir holding raw S3 server-side log objects")
     p.add_argument("--source-bucket", required=True,
@@ -81,8 +88,26 @@ def _parse_with_delivery_dt(spark, paths):
     )
 
 
+def aws_config_to_s3a(path: str) -> dict[str, str]:
+    """Load the reference's ``--aws-config`` JSON file and map it to an
+    s3a conf dict (``session.s3a_hadoop_conf``).  Pure construction —
+    no network; unit-tested without S3."""
+    import json
+
+    with open(path) as fh:
+        cfg = json.load(fh)
+    return s3a_hadoop_conf(
+        access_key=cfg.get("accessKeyId"),
+        secret_key=cfg.get("secretAccessKey"),
+        session_token=cfg.get("sessionToken"),
+        region=cfg.get("region"),
+    )
+
+
 def run(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="s3_server_side_log_compacter")
+    if args.aws_config:
+        apply_s3a_conf(spark, aws_config_to_s3a(args.aws_config))
     root = args.source_root or args.source_access_log_bucket
     dest = f"{args.destination_log_bucket}/{args.destination_log_prefix}/{args.source_bucket}"
     days = date_range(args.min_date, args.max_date)

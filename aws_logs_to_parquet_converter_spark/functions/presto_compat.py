@@ -56,7 +56,7 @@ _FORMAT_REPLACEMENTS = [
 
 # Bump when the shim set below changes: the registration guard keys on
 # it, so an upgraded library re-registers into an existing session.
-_SHIM_VERSION = "5"
+_SHIM_VERSION = "6"
 _SHIM_MARKER = "spark.spark_graft.prestoCompatVersion"
 
 
@@ -165,11 +165,28 @@ def register_presto_compat(spark: SparkSession) -> None:
         RETURN get_json_object(j, p)
         """
     )
+    # Presto's json_extract returns JSON-ENCODED text (string scalars
+    # keep their quotes: json_extract('{"s":"hi"}','$.s') = '"hi"'),
+    # while get_json_object unquotes scalars.  Re-encode: objects/
+    # arrays/numbers/booleans/null pass through (get_json_object already
+    # returns their JSON text); anything else is a string scalar and
+    # gets JSON-quoted.  Documented residual divergence: a JSON *string*
+    # whose content itself parses as a number/boolean/object (e.g.
+    # {"s":"123"}) is indistinguishable after get_json_object and passes
+    # through unquoted.
     spark.sql(
-        """
+        r"""
         CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING)
         RETURNS STRING
-        RETURN get_json_object(j, p)
+        RETURN CASE
+          WHEN get_json_object(j, p) IS NULL THEN NULL
+          WHEN get_json_object(j, p)
+               RLIKE '^(\\{.*\\}|\\[.*\\]|true|false|null|-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?)$'
+            THEN get_json_object(j, p)
+          ELSE concat('"',
+                      replace(replace(get_json_object(j, p), '\\', '\\\\'), '"', '\\"'),
+                      '"')
+        END
         """
     )
     # split_part needs no shim: Spark's builtin is name- and
@@ -223,14 +240,32 @@ def _outside_literals(sql: str, fn) -> str:
     return "".join(out)
 
 
+def _sub_outside_literals(pattern: "re.Pattern[str]", repl, sql: str) -> str:
+    """``pattern.sub`` that skips matches STARTING inside a string
+    literal.  The head rewrites deliberately CONSUME literal arguments
+    (the 2-arg regexp_replace's pattern, the date unit) so they cannot
+    run segment-wise — but a match that *begins* inside a literal is
+    quoted text (e.g. a message containing "date_diff(") and must
+    survive verbatim (round-4 advisor finding)."""
+    spans = [(m.start(), m.end()) for m in _STRING_LITERAL.finditer(sql)]
+
+    def guarded(m: "re.Match[str]") -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return m.expand(repl) if isinstance(repl, str) else repl(m)
+
+    return pattern.sub(guarded, sql)
+
+
 def translate_presto_sql(sql: str) -> str:
     """Rewrite Presto dialect residue to Spark SQL (see module doc)."""
-    # These two deliberately MATCH literal arguments (the 2-arg
-    # regexp_replace's pattern, the date unit), so they run on the
-    # whole text with precise regexes:
-    sql = _TWO_ARG_REGEXP_REPLACE.sub(r"regexp_replace(\1, \2, '')", sql)
-    sql = _DATE_DIFF_HEAD.sub(lambda m: f"timestampdiff({m.group(1).upper()}, ", sql)
-    sql = _DATE_ADD_HEAD.sub(lambda m: f"timestampadd({m.group(1).upper()}, ", sql)
+    sql = _sub_outside_literals(_TWO_ARG_REGEXP_REPLACE, r"regexp_replace(\1, \2, '')", sql)
+    sql = _sub_outside_literals(
+        _DATE_DIFF_HEAD, lambda m: f"timestampdiff({m.group(1).upper()}, ", sql
+    )
+    sql = _sub_outside_literals(
+        _DATE_ADD_HEAD, lambda m: f"timestampadd({m.group(1).upper()}, ", sql
+    )
 
     def rest(segment: str) -> str:
         for pat, repl in _NAME_REWRITES:

@@ -220,6 +220,7 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     seed: int = 42,
     signature_method: str = "affine",
+    persist: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding, scored by
     estimated Jaccard (fraction of agreeing minhashes), filtered at
@@ -232,20 +233,23 @@ def minhash_near_duplicates(
     k-permutation construction, measured fastest at k=64) or 'oph'
     (one-permutation hashing; see minhash_signatures_oph for when the
     trade flips).
+
+    ``persist``: materialize the signature DataFrame before the band
+    self-join.  Catalyst does not reuse the aggregation subplan across
+    the join's two branches, so signatures compute twice without it.
+    Default False: at bench scale the two branches schedule
+    concurrently and persisting was measured SLOWER end to end (8.1s ->
+    13.7s cold at sf0.1, the cache write serializes the DAG).  On a
+    saturated cluster deduping a 100 TB corpus the CPU trade flips —
+    pass True there (signatures are ~520 B/doc; caller unpersists via
+    the returned plan's lineage or spark.catalog.clearCache()).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig_fn = {"oph": minhash_signatures_oph, "affine": minhash_signatures}[signature_method]
-    # Catalyst does NOT reuse the aggregation subplan across the band
-    # self-join, so the signature pipeline is computed once per side.
-    # Deliberate: persisting/checkpointing it was measured SLOWER end to
-    # end (8.1s -> 13.7s cold at sf0.1) because the two branches run as
-    # independent stages scheduled concurrently, while materialization
-    # serializes the DAG and pays a cache write.  On a saturated cluster
-    # the CPU trade flips — callers deduping a 100 TB corpus should
-    # persist() the signatures DataFrame themselves (it is ~520 B/doc)
-    # or write it out, amortizing it across bands AND reruns.
     sig = sig_fn(df, id_col, text_col, num_hashes, shingle_n, seed)
+    if persist:
+        sig = sig.persist()
 
     # Band structs built python-side (literal slice offsets) — explode
     # of a plain array expression, no interpreted higher-order function.

@@ -70,10 +70,23 @@ def decode_ppm_p3(data: "bytes | str") -> tuple[int, int, int, list[int]]:
     tokens = [tok for line in text.split("\n") for tok in line.split("#")[0].split()]
     if not tokens or tokens[0] != "P3":
         raise ValueError("not an ASCII PPM (P3) payload")
+    # Full header validation BEFORE any arithmetic: a truncated header
+    # (< 4 tokens), non-integer token, maxval < 1, or non-positive
+    # dimension must surface as ValueError so callers quarantine the
+    # row (NULL feature) instead of crashing the Spark task with
+    # IndexError / ZeroDivisionError (round-4 advisor finding).
+    if len(tokens) < 4:
+        raise ValueError("truncated PPM header")
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if w <= 0 or h <= 0 or maxval < 1:
+        raise ValueError("invalid PPM dimensions/maxval")
     vals = [int(v) for v in tokens[4 : 4 + 3 * w * h]]
-    if w <= 0 or h <= 0 or len(vals) < 3 * w * h:
+    if len(vals) < 3 * w * h:
         raise ValueError("truncated PPM payload")
+    if any(v < 0 or v > maxval for v in vals):
+        # out-of-range samples (incl. negatives, which would index the
+        # luma histogram from the wrong end) are spec violations
+        raise ValueError("PPM sample out of [0, maxval] range")
     return w, h, maxval, vals
 
 
@@ -153,7 +166,13 @@ def extract_features(
         stats = df.select(F.sum(F.length("payload")).alias("total")).first()
         total_bytes = stats["total"] or 0
         n_parts = max(1, int(total_bytes / target_partition_bytes))
-        sized = df.repartition(n_parts)
+        # shuffle only when the arriving layout is actually wrong for
+        # the byte budget (too few splits, or >2x over-split); a
+        # correctly-sized input must not pay an exchange (round-4
+        # advisor finding: the default path had gone unconditional)
+        cur = df.rdd.getNumPartitions()
+        if cur < n_parts or cur > 2 * n_parts:
+            sized = df.repartition(n_parts)
     return sized.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

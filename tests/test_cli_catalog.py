@@ -170,3 +170,45 @@ def test_reference_partition_sql_runs_verbatim(spark, tmp_path):
         assert spark.table("`example_s3_access_logs_table`").count() == per_day["2019-06-01"]
     finally:
         spark.sql("DROP TABLE IF EXISTS `example_s3_access_logs_table`")
+
+
+def test_reference_readme_invocation_parses(tmp_path):
+    """The reference README's exact spark-submit flag list (README.md:
+    51-61, incl. --aws-config) must parse — drop-in CLI compat."""
+    cfg = tmp_path / "something.key"
+    cfg.write_text(
+        '{"accessKeyId": "AKIATEST", "secretAccessKey": "s3cr3t", "region": "us-west-2"}'
+    )
+    args = cli.build_parser().parse_args(
+        [
+            "--aws-config", str(cfg),
+            "--min-date", "2019-02-10",
+            "--max-date", "2019-02-11",
+            "--source-access-log-bucket", "my-access-logs",
+            "--source-bucket", "my-bucket",
+            "--destination-log-bucket", "my-dest",
+            "--destination-log-prefix", "teams/metrics-data/logs",
+            "--num-output-files", "15",
+        ]
+    )
+    assert args.aws_config == str(cfg)
+    assert args.num_output_files == 15
+    conf = cli.aws_config_to_s3a(args.aws_config)
+    assert conf["fs.s3a.access.key"] == "AKIATEST"
+    assert conf["fs.s3a.secret.key"] == "s3cr3t"
+    assert conf["fs.s3a.endpoint.region"] == "us-west-2"
+    assert (
+        conf["fs.s3a.aws.credentials.provider"]
+        == "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+    )
+
+
+def test_aws_config_omitted_uses_default_chain(tmp_path):
+    """No keys in the file -> no explicit provider pinned (default
+    chain: instance profile / env / web identity)."""
+    cfg = tmp_path / "empty.key"
+    cfg.write_text('{"region": "eu-west-1"}')
+    conf = cli.aws_config_to_s3a(str(cfg))
+    assert "fs.s3a.access.key" not in conf
+    assert "fs.s3a.aws.credentials.provider" not in conf
+    assert conf["fs.s3a.endpoint.region"] == "eu-west-1"

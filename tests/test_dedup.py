@@ -69,6 +69,19 @@ def test_minhash_finds_exact_high_jaccard_pairs(spark, corpus):
         assert abs(lsh[pair] - j) < 0.25, f"estimate too far off for {pair}: {lsh[pair]} vs {j}"
 
 
+def test_minhash_persist_flag_identical_results(spark, corpus):
+    """persist=True (the 100 TB saturated-cluster knob) must change the
+    execution strategy only, never the result set."""
+    kw = dict(num_hashes=64, bands=16, threshold=0.5)
+    plain = {(r.id_a, r.id_b): r.est_jaccard
+             for r in dedup.minhash_near_duplicates(corpus, "doc_id", "text", **kw).collect()}
+    persisted = {(r.id_a, r.id_b): r.est_jaccard
+                 for r in dedup.minhash_near_duplicates(
+                     corpus, "doc_id", "text", persist=True, **kw).collect()}
+    spark.catalog.clearCache()
+    assert plain == persisted
+
+
 def test_minhash_no_gross_false_positives(spark, corpus):
     # unrelated docs (uniform random 12-word vocab) must not appear as
     # strong candidates

@@ -74,6 +74,43 @@ def test_decode_ppm_p3_roundtrip_values():
         multimodal.decode_ppm_p3("P3\n2 2\n255\n1 2 3")  # truncated
 
 
+def test_malformed_ppm_quarantines_not_crashes(spark):
+    """The r4 advisor's crash-class repros: a truncated header
+    (b'P3\\n1 1' — used to IndexError on tokens[3]), maxval=0 (used to
+    ZeroDivisionError in the luma binning), and a negative sample
+    (used to silently increment a high bin via a negative index) must
+    ALL yield NULL-feature quarantine rows, not Spark task crashes."""
+    rows = [
+        ("trunc-header", "image", "P3\n1 1", 1, 1, 0),
+        ("zero-maxval", "image", "P3\n1 1\n0\n0 0 0", 1, 1, 0),
+        ("neg-sample", "image", "P3\n1 1\n255\n-1 0 0", 1, 1, 0),
+        ("over-maxval", "image", "P3\n1 1\n10\n11 0 0", 1, 1, 0),
+        ("zero-dim", "image", "P3\n0 1\n255\n", 0, 1, 0),
+        ("ok", "image", _ppm(1, 1, [[(255, 0, 0)]]), 1, 1, 0),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.asset_id: r.feature
+             for r in multimodal.extract_features(df, decode_stub=False).collect()}
+    for bad in ("trunc-header", "zero-maxval", "neg-sample", "over-maxval", "zero-dim"):
+        assert feats[bad] is None, f"{bad} should quarantine"
+    assert feats["ok"] is not None and abs(sum(feats["ok"]) - 1.0) < 1e-9
+    # and the decoder itself raises ValueError (the quarantine signal),
+    # never IndexError/ZeroDivisionError
+    for bad_payload in ("P3\n1 1", "P3\n1 1\n0\n0 0 0", "P3\n1 1\n255\n-1 0 0"):
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm_p3(bad_payload)
+
+
+def test_extract_features_no_shuffle_when_sized_right(spark, ppm_media):
+    """size_by_bytes must NOT repartition an input whose arriving
+    partition count already fits the byte budget (r4 advisor: the
+    default path had gone unconditionally shuffled)."""
+    df = ppm_media.repartition(1)  # tiny payloads -> n_parts computes to 1
+    plan = multimodal.extract_features(df)._jdf.queryExecution().executedPlan().toString()
+    # the only exchange allowed is the explicit repartition(1) above
+    assert plan.count("Exchange") <= 1
+
+
 def test_real_resize_nearest_neighbor(spark, ppm_media):
     """decode_stub=False resize really resamples: upscaling the 2x1
     half-white image to 4x2 replicates each source pixel 2x2."""

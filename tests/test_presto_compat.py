@@ -176,6 +176,29 @@ def test_json_extract_shims(spark):
     assert row.gone is None
 
 
+def test_json_extract_returns_json_encoded_text(spark):
+    """Presto's json_extract returns JSON text — string scalars KEEP
+    their quotes (json_extract_scalar is the unquoting variant); numbers
+    / booleans / null / objects pass through as their JSON forms."""
+    row = run_presto_sql(
+        spark,
+        """
+        SELECT json_extract('{"s": "hi"}', '$.s')      AS s,
+               json_extract('{"k": 7}', '$.k')         AS k,
+               json_extract('{"b": true}', '$.b')      AS b,
+               json_extract('{"a": [1, 2]}', '$.a')    AS a,
+               json_extract('{"q": "say \\"x\\""}', '$.q') AS q,
+               json_extract('{"k": 1}', '$.missing')   AS gone
+        """,
+    ).collect()[0]
+    assert row.s == '"hi"'
+    assert row.k == "7"
+    assert row.b == "true"
+    assert row.a == "[1,2]"
+    assert row.q == '"say \\"x\\""'
+    assert row.gone is None
+
+
 def test_date_add_head_rewrite(spark):
     """Presto's 3-arg date_add('unit', n, ts) collides with Spark's
     2-arg builtin — the translator maps it to timestampadd, including
@@ -205,3 +228,23 @@ def test_translator_never_rewrites_inside_string_literals():
     assert '\'{"k": 7}\'' in out
     assert "`my_table`" in out
     assert "'it''s \"fine\"'" in out  # escaped-quote literal intact
+
+
+def test_head_rewrites_never_fire_inside_string_literals():
+    """A literal that happens to CONTAIN date_diff(/date_add(/2-arg
+    regexp_replace( text must survive translation verbatim, while the
+    real call outside the literal still rewrites (r4 advisor: the head
+    rewrites ran before literal protection)."""
+    from aws_logs_to_parquet_converter_spark.functions.presto_compat import translate_presto_sql
+
+    out = translate_presto_sql(
+        "SELECT date_diff('day', a, b) AS d, "
+        "'usage: date_diff(''day'', x, y)' AS msg1, "
+        "'try date_add(''hour'', 1, t)' AS msg2, "
+        "'regexp_replace(col, ''p'')' AS msg3 FROM t"
+    )
+    assert out.startswith("SELECT timestampdiff(DAY,")
+    assert "a, b) AS d" in out
+    assert "'usage: date_diff(''day'', x, y)'" in out
+    assert "'try date_add(''hour'', 1, t)'" in out
+    assert "'regexp_replace(col, ''p'')' AS msg3" in out
