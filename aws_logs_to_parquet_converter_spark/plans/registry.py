@@ -79,13 +79,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        dt = dict(df.dtypes).get("ts")
-        if dt == "bigint":
+        if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif dt == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return _norm_ntz(df)
+    return _norm_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _norm_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-local TIMESTAMP —
+    applied to ALL tables so a testdata regeneration that flips any
+    writer's timezone annotation (the r4 breakage class) cannot
+    reintroduce instant-vs-wall type mismatches downstream."""
+    ntz = [c for c, dt in df.dtypes if dt == "timestamp_ntz"]
+    if not ntz:
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] = TABLES) -> None:

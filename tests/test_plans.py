@@ -119,37 +119,39 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-3 window
-    policy (plans/__init__.py): every query whose emission contract
-    changed this round (the 9 r02 hash failures + every integer-cents
-    conversion), the q_diag_* bisection probes, the never-yet-graded
-    round-2 additions, and a rotation slice of r01-only families — and
-    every windowed entry must carry an oracle (rows-only entries would
-    waste a graded slot)."""
+    """The driver grades the first 50 registry entries.  Round-5 window
+    policy (plans/__init__.py): every query whose behavior changed this
+    round (the 12 events-table queries rewritten by the NTZ load seam +
+    the retired countif probe), the never-yet-graded r03 additions, and
+    the r01-only families deferred since r03 — and every windowed entry
+    must carry an oracle, except q_hll_distinct_rollup whose sketch
+    estimate has no SQL-expressible oracle (the driver's rows-only
+    check is the point of rotating it in)."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
     names = list(REGISTRY)
     window = names[:GRADED_WINDOW]
     assert window == _PRIORITY
     required = {
-        # flagship + the 9 r02 hash failures under the new contract
+        # flagship + the events-table queries (NTZ seam, changed r05)
         "q_days_apart",
-        "q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
-        "q09_product_profit", "q10_returned_items", "q11_important_parts",
-        "q19_disjunctive", "q_group_by_all", "q_agg_modern",
-        # other emissions converted to the integer-cents contract
-        "q05_local_supplier_volume", "q06_forecast_revenue", "q07_nation_volume",
-        "q08_market_share", "q14_promo_effect", "q15_top_supplier",
-        "q17_small_qty_revenue", "q_unpivot", "q_agg_cube", "q_agg_stats",
-        "q_window_lag",
-        # hash-class bisection probes
-        "q_diag_bool_emit", "q_diag_countif_emit", "q_diag_maxby_emit",
-        # round-2 additions never yet driver-graded
-        "q_asof_forward_tolerance", "q_pii_scrub", "q_stratified_sample",
-        "q_pack_sequences", "q_chunk_docs", "q_vocab_topk", "q_contamination",
+        "q_window_lag", "q_window_range_frame", "q_sessionize",
+        "q_asof_join", "q_asof_forward_tolerance", "q_session_window",
+        "q_sliding_window", "q_log_status_breakdown", "q_hourly_traffic",
+        "q_json_extract", "q_url_funcs",
+        # probe retired into a real query this round
+        "q_diag_countif_emit",
+        # r03 additions never yet driver-graded
+        "q_segment_repetition", "q_top_bigram", "q_mix_sources",
+        "q_embed_quantize", "q_embed_normalize", "q_tfidf_topterms",
+        "q_bpe_token_count", "q_cms_vocab_counts", "q_hll_distinct_rollup",
+        # r01-only families deferred since r03
+        "q_explode_words", "q_grouping_sets", "q_union_by_name",
+        "q_correlated_scalar", "q_bag_set_ops", "q_values_dim",
     }
     assert required <= set(window), sorted(required - set(window))
-    assert all(REGISTRY[n].oracle is not None for n in window)
+    no_oracle_ok = {"q_hll_distinct_rollup"}
+    assert all(REGISTRY[n].oracle is not None for n in window if n not in no_oracle_ok)
 
 
 def test_right_outer_join_plans_outer(spark):
@@ -218,3 +220,41 @@ def test_fan_out_spreads_single_partition_inputs(spark):
 
     wide = narrow.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     assert fan_out(wide, "doc_id") is wide  # identity: no extra shuffle node
+
+
+def test_registry_wide_no_scale_killers(spark):
+    """Sweep EVERY registry query's physical plan for the node types
+    that do not survive 100 TB: row-at-a-time Python (BatchEvalPython)
+    and unbounded pair spaces (CartesianProduct) are banned outright;
+    Arrow seams and broadcast nested-loop joins are allowed only where
+    the design sanctions them.
+
+    BNLJ allowlist rationale — in each, the *broadcast* side is
+    provably tiny so the loop is linear in the streamed side:
+      q11_important_parts / q_tfidf_topterms: one-row scalar-subquery
+        (global threshold / corpus doc count) crossed into the agg;
+      q_embed_topk / q_embed_topk_lsh: the bounded query set broadcast
+        against the streamed corpus (condition is non-equi by design);
+      q_join_range: interval containment vs a derived calendar dim.
+    """
+    ARROW_SEAMS = {"q_embed_topk_ivf", "q_media_features"}
+    BNLJ_OK = {
+        "q11_important_parts",
+        "q_tfidf_topterms",
+        "q_embed_topk",
+        "q_embed_topk_lsh",
+        "q_join_range",
+    }
+    failures = []
+    for name, q in REGISTRY.items():
+        plan = explain_str(q.builder(spark, SF), "simple")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            failures.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
+        if any(m in plan for m in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")):
+            if name not in ARROW_SEAMS:
+                failures.append(f"{name}: unsanctioned Python/Arrow seam")
+    assert not failures, "\n".join(failures)
