@@ -1,0 +1,96 @@
+"""Z-order (Morton-curve) write layout: multi-column data skipping for
+100 TB scans (storage-layout lever, next to bucketing/compaction).
+
+A single-column sort gives parquet row-group min/max stats that prune
+scans filtered on THAT column only; a filter on any other column reads
+everything.  Interleaving the bits of several quantized columns into
+one sort key clusters rows that are close in EVERY dimension, so
+row-group stats stay tight on all of them — the standard lakehouse
+layout trick (public: Morton 1966; Delta/Iceberg OPTIMIZE ZORDER BY),
+built here from plain Catalyst bit expressions (shiftright/and/
+shiftleft/or — wholestage codegen, no UDF, no shuffle beyond the
+range-partition of the write itself).
+
+The reference has no counterpart (its sink sorts within partitions by
+two columns — compacter.py:246-251 — which prunes only the leading
+one); this generalizes that sink for multi-predicate scan workloads.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(
+    ranges: "dict[str, tuple[float, float]]", bits: int = 16
+) -> Column:
+    """Morton code over the given columns as ONE bigint expression.
+
+    ``ranges`` maps column name -> (lo, hi) quantization domain; values
+    clamp into it, so out-of-range rows land on the curve's edge rather
+    than corrupting the interleave.  NULL in any column yields NULL
+    (sorts first — nulls cluster together, which is what a scan
+    filtering on the column wants).  ``len(ranges) * bits`` must fit a
+    signed 64-bit key.
+
+    At scale pass domain bounds you already know (dates, status codes,
+    ids); ``write_zordered`` computes them with one agg pass when you
+    don't.
+    """
+    n = len(ranges)
+    if n < 2:
+        raise ValueError("z-ordering needs >= 2 columns (sort handles 1)")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed 64-bit key")
+    max_q = (1 << bits) - 1
+    quantized = []
+    for name, (lo, hi) in ranges.items():
+        if not hi > lo:
+            raise ValueError(f"{name}: range ({lo}, {hi}) is empty")
+        scaled = (F.col(name).cast("double") - F.lit(float(lo))) / F.lit(hi - lo) * (max_q + 1)
+        q = F.least(F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(max_q))
+        # greatest/least IGNORE nulls, so propagate explicitly: one
+        # NULL dimension nulls the whole key (bitwiseOR then carries it)
+        quantized.append(F.when(F.col(name).isNull(), F.lit(None)).otherwise(q))
+    parts = [
+        F.shiftleft(F.shiftright(q, j).bitwiseAND(F.lit(1)), j * n + i)
+        for j in range(bits)
+        for i, q in enumerate(quantized)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: "list[str] | dict[str, tuple[float, float]]",
+    num_files: int = 10,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet laid out along the Morton curve:
+    range-partition by z-value into ``num_files`` files, sort within
+    each — so every file covers a tight hyper-rectangle and row-group
+    min/max stats prune filters on ANY of ``cols``.
+
+    ``cols`` as a list pays ONE min/max agg pass to learn the domains;
+    pass a dict of explicit ranges to skip it at scale (same contract
+    as ``extract_features.size_by_bytes``: the convenience pre-scan is
+    a full extra pass on 100 TB)."""
+    if isinstance(cols, dict):
+        ranges = cols
+    else:
+        aggs = [f(c).alias(f"{c}_{tag}") for c in cols for tag, f in (("lo", F.min), ("hi", F.max))]
+        row = df.agg(*aggs).first()
+        ranges = {c: (float(row[f"{c}_lo"]), float(row[f"{c}_hi"]) + 1e-9) for c in cols}
+    z = zorder_value(ranges, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

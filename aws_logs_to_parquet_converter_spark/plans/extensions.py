@@ -930,3 +930,39 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sources"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_tokens_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Model-inference seam (operators/inference.py)
+# --------------------------------------------------------------------------
+
+_QUALITY_SCORE_ORACLE = r"""
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(
+             -1.5
+             + 0.8 * LEAST(
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 100.0,
+                 1.0)
+             + 1.2 * (CASE WHEN length(text) = 0 THEN 0
+                           ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                * 1.0 / length(text) END)
+           ))), 4) AS score
+    FROM documents
+"""
+
+
+@query("q_quality_score", oracle=_QUALITY_SCORE_ORACLE)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring through the Arrow inference seam
+    (operators/inference.batch_score): per-executor lazy model init,
+    vectorized batch scoring, NULL quarantine.  The deterministic
+    logistic stub makes the WHOLE Python crossing oracle-checkable —
+    the oracle recomputes the documented formula (inference.B0/B_TOK/
+    B_ALPHA) in SQL, so a drift anywhere in the Arrow plumbing
+    (batching, index alignment, null handling) hash-fails."""
+    from aws_logs_to_parquet_converter_spark.operators import inference
+
+    d = t(spark, sf_dir, "documents")
+    scored = inference.batch_score(d, id_col="doc_id", text_col="text")
+    return scored.select("doc_id", F.round("score", 4).alias("score"))

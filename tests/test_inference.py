@@ -1,0 +1,82 @@
+"""Model-inference seam tests: the Arrow plumbing (batching, index
+alignment, NULL quarantine, lazy per-worker init) is real; the model is
+the deterministic logistic stub whose formula the SQL oracle re-derives
+(q_quality_score closes the loop engine-side)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from aws_logs_to_parquet_converter_spark.operators import inference
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "a " * 200),                       # token count saturates the clip
+        (2, "12345 67890 !!!"),                # zero alpha ratio
+        (3, ""),                               # empty text
+        (4, None),                             # NULL text -> quarantine
+        (5, "Mixed CASE Words and 123 numbers here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _expected(text):
+    if text is None:
+        return None
+    n_tokens = len(text.split())
+    n_chars = len(text)
+    alpha = sum(c.isascii() and c.isalpha() for c in text)
+    ratio = alpha / n_chars if n_chars else 0.0
+    z = inference.B0 + inference.B_TOK * min(n_tokens / 100.0, 1.0) + inference.B_ALPHA * ratio
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+def test_batch_score_matches_formula(spark, docs):
+    got = {r.doc_id: r.score for r in inference.batch_score(docs).collect()}
+    want = {r.doc_id: _expected(r.text) for r in docs.collect()}
+    assert got[4] is None  # NULL text quarantined
+    for k in (0, 1, 2, 3, 5):
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+
+def test_batch_rows_do_not_change_results(spark, docs):
+    a = {r.doc_id: r.score for r in inference.batch_score(docs, batch_rows=2).collect()}
+    b = {r.doc_id: r.score
+         for r in inference.batch_score(docs.repartition(3), batch_rows=256).collect()}
+    assert a == b
+
+
+def test_raising_model_quarantines_not_crashes(spark, docs):
+    def bad_loader():
+        def model(texts: pd.Series) -> pd.Series:
+            raise RuntimeError("model exploded")
+        return model
+
+    rows = inference.batch_score(docs, model_loader=bad_loader).collect()
+    assert len(rows) == 6
+    assert all(r.score is None for r in rows)
+
+
+def test_quality_filter_by_model(spark, docs):
+    kept = inference.quality_filter_by_model(docs, threshold=0.4).collect()
+    scores = {r.doc_id: r.score for r in inference.batch_score(docs).collect()}
+    want_ids = {i for i, s in scores.items() if s is not None and s >= 0.4}
+    assert {r.doc_id for r in kept} == want_ids
+    assert want_ids and len(want_ids) < 6  # threshold actually separates
+    # original columns survive the join back
+    assert set(kept[0].asDict()) == {"doc_id", "text", "score"}
+
+
+def test_custom_model_loader_plugs_in(spark, docs):
+    def loader():
+        return lambda texts: texts.fillna("").str.len().astype("float64")
+
+    got = {r.doc_id: r.score
+           for r in inference.batch_score(docs, model_loader=loader).collect()}
+    want = {r.doc_id: float(len(r.text)) if r.text is not None else 0.0
+            for r in docs.collect()}
+    assert got == want
