@@ -79,6 +79,33 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per id, one of
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the audit
+    every periodic corpus rebuild needs ("what did this refresh touch")
+    before retraining on it.
+
+    One digest projection per side, one co-partitioned full-outer join
+    on the id: the exchange moves 32-byte md5 hex digests, never
+    document text (same at-scale posture as ``exact_duplicates``; md5
+    rather than xxhash64 so the digest is reproducible by any SQL
+    engine auditing the same claim)."""
+    o = old.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_od"))
+    n = new.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_nd"))
+    status = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, "_id", "full_outer")
+        .select(F.col("_id").alias(id_col), status.alias("status"))
+    )
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams of a normalized text, as an array —
     built with sequence/transform (no explode until the caller asks).

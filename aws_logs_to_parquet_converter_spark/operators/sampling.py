@@ -147,3 +147,60 @@ def pack_sequences(
         start.alias("start_offset"),
         F.floor(start / F.lit(budget)).cast("long").alias("bin_id"),
     )
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    token_col: str,
+    targets: "dict[str, float]",
+    budget: int,
+    default_target: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Budget-driven corpus mixing: sample each source at the rate that
+    lands its share of a ``budget``-token corpus on the ``targets``
+    fractions ("60% web, 30% code, ... into 1T tokens") — the
+    data-dependent sibling of ``mix_sources``, which takes rates the
+    caller already knows.
+
+    rate(source) = min(1, target_frac * budget / total_tokens(source)),
+    computed IN-PLAN: one per-source aggregate (map-side combined, k
+    rows out), broadcast-joined back, then the same deterministic
+    md5-threshold filter as ``mix_sources`` — no driver-side collect,
+    no second pass over the data.  A source whose target demands more
+    tokens than it has saturates at rate 1 (take everything; the mix
+    under-fills rather than inventing data).
+
+    Every arithmetic step (double multiply/divide, floor, 8-hex-char
+    threshold) is IEEE-exact and engine-agnostic, so a SQL oracle
+    reproduces the EXACT sample."""
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_tok"))
+    tgt: Column = F.lit(float(default_target))
+    for s, frac in sorted(targets.items()):
+        tgt = F.when(F.col(source_col) == s, F.lit(float(frac))).otherwise(tgt)
+    rates = totals.select(
+        source_col,
+        F.least(
+            F.lit(1.0), tgt * F.lit(float(budget)) / F.col("_tok").cast("double")
+        ).alias("_rate"),
+    )
+    thresh = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.lit(0xFFFFFFFF),
+                    F.floor(F.col("_rate") * F.lit(float(1 << 32))).cast("long"),
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+    unit = F.substring(_order_key(F.col(key_col), seed), 1, 8)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where((F.col("_rate") >= 1.0) | (unit < thresh))
+        .drop("_rate")
+    )

@@ -966,3 +966,81 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     scored = inference.batch_score(d, id_col="doc_id", text_col="text")
     return scored.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_CORPUS_DIFF_ORACLE = """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 7 != 0
+    ), new AS (
+        SELECT doc_id,
+               md5(text || CASE WHEN doc_id % 11 = 0 THEN '!' ELSE '' END) AS d
+        FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.d IS NULL THEN 'added'
+                WHEN new.d IS NULL THEN 'removed'
+                WHEN old.d != new.d THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
+@query("q_corpus_diff", oracle=_CORPUS_DIFF_ORACLE)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus refresh audit (operators/dedup.corpus_diff): two derived
+    snapshots of the documents table (different deletion slices, an
+    edit slice) diffed by content digest into per-doc
+    added/removed/changed/unchanged statuses."""
+    d = t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.concat(
+            "text", F.when(F.col("doc_id") % 11 == 0, F.lit("!")).otherwise(F.lit(""))
+        ),
+    )
+    return dedup.corpus_diff(old, new, "doc_id", "text")
+
+
+_MIX_BUDGET_ORACLE = r"""
+    WITH totals AS (
+        SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
+        FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source,
+               LEAST(1.0,
+                     (CASE source WHEN 'src0' THEN 0.45
+                                  WHEN 'src1' THEN 0.25
+                                  WHEN 'src2' THEN 0.02
+                                  ELSE 0.01 END) * 120000.0 / tok) AS rate
+        FROM totals
+    )
+    SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS toks_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE r.rate >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) <
+          lpad(lower(to_hex(CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
+@query("q_mix_token_budget", oracle=_MIX_BUDGET_ORACLE)
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven mixing (operators/sampling.mix_to_token_budget):
+    target shares of a 120k-char budget; per-source rates computed
+    in-plan from one aggregate (src0's 45% share oversubscribes its
+    supply and saturates at rate 1), broadcast back, exact
+    deterministic sample reproduced by the oracle."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    mixed = sampling.mix_to_token_budget(
+        d, "source", "doc_id", "n_chars",
+        targets={"src0": 0.45, "src1": 0.25, "src2": 0.02},
+        budget=120_000, default_target=0.01, seed=42,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("toks_kept"))
+        .orderBy("source")
+    )

@@ -208,3 +208,15 @@ def test_simhash_neardup_param_validation(spark):
         simhash_near_duplicates(df, "doc_id", "text", bands=4, max_hamming=4)
     with pytest.raises(ValueError):
         simhash_near_duplicates(df, "doc_id", "text", bands=7)
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma EDITED"), (4, "delta")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status
+           for r in dedup.corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

@@ -250,3 +250,30 @@ def test_new_ops_tolerate_empty_and_degenerate_corpora(spark):
     probes = spark.createDataFrame([("x",)], "tok string")
     est = sketch.count_min_estimate(sk, probes, "tok").collect()
     assert est[0].est_count == 0
+
+
+def test_mix_to_token_budget_rates_and_saturation(spark):
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    rows = [(i, "small" if i < 40 else "big", 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    # small: 40 docs x 100 = 4k tokens; big: 1960 x 100 = 196k tokens.
+    # budget 40k at 50/50: small wants 20k > 4k supply -> saturates
+    # (keep all 40); big wants 20k of 196k -> rate ~0.102
+    mixed = sampling.mix_to_token_budget(
+        df, "source", "doc_id", "n_tokens",
+        targets={"small": 0.5, "big": 0.5}, budget=40_000,
+    )
+    by_src = {r["source"]: r["n"] for r in
+              mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["small"] == 40  # saturated: under-fill, never invent
+    want_big = 20_000 / 196_000 * 1960
+    assert abs(by_src["big"] - want_big) / want_big < 0.25, by_src
+    # deterministic in (key, seed)
+    again = sampling.mix_to_token_budget(
+        df, "source", "doc_id", "n_tokens",
+        targets={"small": 0.5, "big": 0.5}, budget=40_000,
+    )
+    assert sorted(r.doc_id for r in mixed.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
