@@ -80,3 +80,33 @@ def test_custom_model_loader_plugs_in(spark, docs):
     want = {r.doc_id: float(len(r.text)) if r.text is not None else 0.0
             for r in docs.collect()}
     assert got == want
+
+
+def test_batch_score_composes_with_structured_streaming(spark, tmp_path):
+    """The inference seam must run unchanged in a stream: readStream ->
+    batch_score (mapInPandas) -> parquet sink, scores identical to the
+    batch path — the continuous quality-gating shape of a live corpus
+    ingest."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs = [(i, f"document number {i} with some words " * (i + 1)) for i in range(6)]
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        inference.batch_score(stream, id_col="doc_id", text_col="text")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r.doc_id: r.score
+                for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = {r.doc_id: r.score for r in inference.batch_score(batch_df).collect()}
+    assert streamed == batch

@@ -248,3 +248,40 @@ def test_head_rewrites_never_fire_inside_string_literals():
     assert "'usage: date_diff(''day'', x, y)'" in out
     assert "'try date_add(''hour'', 1, t)'" in out
     assert "'regexp_replace(col, ''p'')' AS msg3" in out
+
+
+def test_literal_protection_property():
+    """Fuzz: ANY single-quoted literal content — including text that
+    looks exactly like the constructs the translator rewrites — must
+    survive translation verbatim, while a real date_diff outside the
+    literal still rewrites."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_logs_to_parquet_converter_spark.functions.presto_compat import translate_presto_sql
+
+    plain = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126, blacklist_characters="'"),
+        max_size=30,
+    )
+    tricky = st.sampled_from([
+        "date_diff('day', x, y)",
+        "date_add('hour', 1, t)",
+        "regexp_replace(c, 'p')",
+        '"ident"',
+        "CAST(x AS VARCHAR)",
+        "arbitrary(z)",
+        "approx_distinct(q)",
+    ])
+    content = st.lists(st.one_of(plain, tricky), min_size=1, max_size=3).map(" ".join)
+
+    @given(content)
+    @settings(max_examples=300, deadline=None)
+    def check(body):
+        lit = body.replace("'", "''")
+        sql = f"SELECT a FROM t WHERE x = '{lit}' AND date_diff('day', a, b) > 0"
+        out = translate_presto_sql(sql)
+        assert f"'{lit}'" in out, f"literal corrupted:\n in: {sql}\nout: {out}"
+        assert "timestampdiff(DAY," in out
+
+    check()
