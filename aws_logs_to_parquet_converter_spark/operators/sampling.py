@@ -204,3 +204,35 @@ def mix_to_token_budget(
         .where((F.col("_rate") >= 1.0) | (unit < thresh))
         .drop("_rate")
     )
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    value_col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the [lower_q, upper_q]
+    exact-percentile band — the winsorizing length filter of a corpus
+    clean ("drop the pathological 1% shortest/longest docs") applied to
+    any numeric signal (chars, tokens, quality score).
+
+    One global two-value aggregate (exact interpolated percentiles,
+    map-side partial) broadcast back over the scan; the filter itself
+    is pure codegen.  The single-row broadcast nested loop is O(n),
+    not a pair space.  Exact percentiles (not approx_percentile)
+    because the band must be engine-reproducible; at 100 TB swap
+    ``F.percentile`` for ``approx_percentile`` if the exact sort-based
+    aggregate's memory bound ever bites — the operator's shape is
+    unchanged."""
+    if not 0.0 <= lower_q <= upper_q <= 1.0:
+        raise ValueError(f"bad quantile band: [{lower_q}, {upper_q}]")
+    bounds = df.agg(
+        F.percentile(value_col, F.lit(lower_q)).alias("_lo"),
+        F.percentile(value_col, F.lit(upper_q)).alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .where(F.col(value_col).cast("double").between(F.col("_lo"), F.col("_hi")))
+        .drop("_lo", "_hi")
+    )

@@ -1044,3 +1044,33 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("toks_kept"))
         .orderBy("source")
     )
+
+
+_LENGTH_BAND_ORACLE = """
+    WITH b AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_len,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_len
+    FROM documents d, b
+    WHERE d.n_chars BETWEEN b.lo AND b.hi
+"""
+
+
+@query("q_length_band", oracle=_LENGTH_BAND_ORACLE)
+def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorizing length filter (operators/sampling.
+    quantile_band_filter): drop docs outside the exact [p5, p95]
+    n_chars band; the oracle recomputes the same interpolated
+    percentiles, so the kept set matches exactly."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    kept = sampling.quantile_band_filter(d, "n_chars", 0.05, 0.95)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.min("n_chars").alias("min_len"),
+        F.max("n_chars").alias("max_len"),
+    )

@@ -277,3 +277,13 @@ def test_mix_to_token_budget_rates_and_saturation(spark):
     assert sorted(r.doc_id for r in mixed.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_quantile_band_filter_exact_band(spark):
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], "doc_id long, n long")
+    kept = sorted(r.n for r in sampling.quantile_band_filter(df, "n", 0.10, 0.90).collect())
+    # exact interpolated percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert kept[0] == 11 and kept[-1] == 90 and len(kept) == 80
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.quantile_band_filter(df, "n", 0.9, 0.1)
