@@ -79,6 +79,22 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
+def exact_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The keep-side of exact dedup: drop every row whose text is a
+    byte-duplicate of a lower-id row (``exact_duplicates`` reports the
+    groups; this returns the cleaned corpus).  Digest-grouped min-id +
+    semi join — two digest-keyed exchanges, text never shuffles.  Uses
+    md5 (not xxhash64) so the kept set is engine-reproducible for
+    auditing; swap to xxhash64 for pure-Spark runs to shave digest
+    bytes."""
+    keep = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_d"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 def corpus_diff(
     old: DataFrame, new: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -1074,3 +1074,49 @@ def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_len"),
         F.max("n_chars").alias("max_len"),
     )
+
+
+_CLEAN_PIPELINE_ORACLE = """
+    WITH b AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+        FROM documents
+    ), banded AS (
+        SELECT d.* FROM documents d, b WHERE d.n_chars BETWEEN b.lo AND b.hi
+    ), deduped AS (
+        SELECT * FROM banded
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM banded GROUP BY md5(text))
+    ), mixed AS (
+        SELECT * FROM deduped
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) <
+              CASE source WHEN 'src0' THEN '20000000'
+                          WHEN 'src1' THEN 'g' ELSE 'a0000000' END
+    )
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM mixed GROUP BY source ORDER BY source
+"""
+
+
+@query("q_corpus_clean_pipeline", oracle=_CLEAN_PIPELINE_ORACLE)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus clean, composed from the engine's own
+    operators in one Catalyst plan: winsorize lengths (exact p5-p95
+    band) -> exact dedup keep-first (digest semi join) -> weighted
+    source mix (deterministic md5 thresholds) -> per-source rollup.
+    Every stage is individually oracled elsewhere; this query proves
+    the COMPOSITION stays deterministic and engine-reproducible — the
+    real shape of a production corpus build, where these steps chain
+    in one job rather than materializing between steps."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    banded = sampling.quantile_band_filter(d, "n_chars", 0.05, 0.95)
+    deduped = dedup.exact_keep_first(banded, "doc_id", "text")
+    mixed = sampling.mix_sources(
+        deduped, "source", "doc_id",
+        rates={"src0": 0.125, "src1": 1.0}, default_rate=0.625, seed=42,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )

@@ -220,3 +220,12 @@ def test_corpus_diff_statuses(spark):
     got = {r.doc_id: r.status
            for r in dedup.corpus_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_exact_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (5, "same"), (3, "same"), (2, "other")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup.exact_keep_first(df, "doc_id", "text").collect())
+    assert kept == [1, 2]  # min id per text survives

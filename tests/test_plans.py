@@ -245,6 +245,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk_lsh",
         "q_join_range",
         "q_length_band",  # one-row percentile-bounds broadcast
+        "q_corpus_clean_pipeline",  # same bounds broadcast, first stage
     }
     failures = []
     for name, q in REGISTRY.items():
