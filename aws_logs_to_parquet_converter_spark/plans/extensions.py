@@ -1120,3 +1120,48 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("source")
     )
+
+
+_ARRAY_FUNCS_ORACLE = """
+    SELECT p_partkey,
+           CAST(len(list_distinct(string_split(p_name, ' '))) AS INT) AS n_distinct,
+           COALESCE(array_to_string(list_sort(list_intersect(string_split(p_name, ' '),
+                                                             ['spring', 'misty'])), ','), '')
+               AS season_words,
+           CAST(len(string_split(p_name, ' ')[1:2]) AS INT) AS first2,
+           CAST(COALESCE(list_position(string_split(p_name, ' '), 'misty'), 0) AS BIGINT)
+               AS misty_pos,
+           array_to_string(list_reverse(list_sort(list_distinct(
+               string_split(p_name, ' ')))), '|') AS rev_sorted
+    FROM part ORDER BY p_partkey LIMIT 200
+"""
+
+
+@query("q_array_funcs", oracle=_ARRAY_FUNCS_ORACLE)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function matrix (§2.9 breadth): distinct/intersect/sort/
+    slice/position/reverse/join over split word arrays — the Presto
+    array family re-expressed with Spark's name-identical builtins,
+    oracled against DuckDB's list functions (divergences normalized:
+    list_position NULL -> 0 to match array_position's contract)."""
+    p = t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return (
+        p.select(
+            "p_partkey",
+            F.size(F.array_distinct(words)).alias("n_distinct"),
+            F.array_join(
+                F.array_sort(
+                    F.array_intersect(words, F.array(F.lit("spring"), F.lit("misty")))
+                ),
+                ",",
+            ).alias("season_words"),
+            F.size(F.slice(words, 1, 2)).alias("first2"),
+            F.array_position(words, "misty").alias("misty_pos"),
+            F.array_join(F.reverse(F.array_sort(F.array_distinct(words))), "|").alias(
+                "rev_sorted"
+            ),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
