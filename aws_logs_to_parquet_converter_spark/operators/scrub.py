@@ -47,3 +47,53 @@ def scrub_corpus(df: DataFrame, text_col: str = "text", replacement: str = "[PII
         scrub_pii(c, replacement).alias(text_col),
         *pii_counts(c),
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    k: int,
+    redaction: str = "*",
+) -> DataFrame:
+    """Suppression-based k-anonymity over the quasi-identifier columns:
+    any combination carried by fewer than ``k`` rows has ALL its quasi
+    values replaced with ``redaction``, so no released combination
+    (other than the suppression bucket itself, which aggregates every
+    suppressed row and is exempt by the standard convention) isolates
+    fewer than k individuals.  Sweeney's baseline generalization
+    (public: k-anonymity, IJUFKS 2002) — the release-side sibling of
+    PII scrubbing: scrub removes identifiers from content, this bounds
+    re-identification from metadata.
+
+    Scale shape: ONE groupBy over the quasi columns (map-side combined;
+    output is the combo cardinality, tiny) keeps only passing combos,
+    broadcast back as a semi-probe via a null-safe left join — the
+    corpus itself is never window-shuffled on the quasi key.  NULL is a
+    legitimate quasi value (null-safe equality throughout)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    passing = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("_pass_n"))
+        .where(F.col("_pass_n") >= k)
+        .select(
+            *[F.col(c).alias(f"_p_{c}") for c in quasi_cols],
+            "_pass_n",
+        )
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_p_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = df.join(F.broadcast(passing), cond, "left")
+    # matched iff the never-NULL count marker came through the join —
+    # probe-column NULLs can't disambiguate because NULL is a legal
+    # quasi value
+    matched = F.col("_pass_n").isNotNull()
+    out_cols = [
+        F.when(matched, F.col(c)).otherwise(F.lit(redaction)).alias(c)
+        if c in quasi_cols
+        else F.col(c)
+        for c in df.columns
+    ]
+    return joined.select(*out_cols)

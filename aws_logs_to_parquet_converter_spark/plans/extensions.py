@@ -1165,3 +1165,30 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(200)
     )
+
+
+_K_ANON_ORACLE = """
+    WITH counted AS (
+        SELECT doc_id, source, lang,
+               COUNT(*) OVER (PARTITION BY source, lang) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n >= 5 THEN source ELSE '*' END AS source,
+           CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang
+    FROM counted
+"""
+
+
+@query("q_k_anonymize", oracle=_K_ANON_ORACLE)
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (operators/scrub.k_anonymize) over the
+    (source, lang) quasi-identifier pair at k=5: rare combinations are
+    redacted to '*' before release.  The engine computes it with one
+    tiny combo aggregate broadcast back (no window shuffle of the
+    corpus); the oracle recomputes it with a count window — same
+    result, hash-matched."""
+    from aws_logs_to_parquet_converter_spark.operators import scrub as sc
+
+    d = t(spark, sf_dir, "documents")
+    return sc.k_anonymize(d, ["source", "lang"], k=5).select("doc_id", "source", "lang")

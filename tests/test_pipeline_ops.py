@@ -287,3 +287,29 @@ def test_quantile_band_filter_exact_band(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sampling.quantile_band_filter(df, "n", 0.9, 0.1)
+
+
+def test_k_anonymize_suppresses_rare_combos(spark):
+    rows = (
+        [(i, "web", "en") for i in range(10)]      # passing combo
+        + [(100, "web", "fr"), (101, "dark", "en")]  # singletons -> suppressed
+        + [(200 + i, None, "en") for i in range(5)]  # NULL quasi value, passing
+        + [(300, None, "fr")]                        # NULL quasi value, rare
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    out = {r.doc_id: (r.source, r.lang) for r in scrub.k_anonymize(
+        df, ["source", "lang"], k=5).collect()}
+    assert len(out) == len(rows)  # row count preserved
+    for i in range(10):
+        assert out[i] == ("web", "en")
+    assert out[100] == ("*", "*") and out[101] == ("*", "*")
+    for i in range(5):
+        assert out[200 + i] == (None, "en")  # NULL combo with n>=k survives
+    assert out[300] == ("*", "*")
+    # release guarantee: every non-suppressed combo has >= k rows
+    from collections import Counter
+    combos = Counter(v for v in out.values() if v != ("*", "*"))
+    assert all(n >= 5 for n in combos.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        scrub.k_anonymize(df, ["source"], k=0)
