@@ -78,19 +78,44 @@ def write_zordered(
     ``cols`` as a list pays ONE min/max agg pass to learn the domains;
     pass a dict of explicit ranges to skip it at scale (same contract
     as ``extract_features.size_by_bytes``: the convenience pre-scan is
-    a full extra pass on 100 TB)."""
+    a full extra pass on 100 TB).
+
+    DATE / TIMESTAMP columns are quantized on their natural number
+    line (epoch days / epoch micros) automatically — z-ordering
+    ``(dt, http_status)`` is the canonical log-warehouse layout and
+    must not require the caller to hand-convert."""
+    names = list(cols) if isinstance(cols, dict) else cols
+    dtypes = dict(df.dtypes)
+    converted = df
+    zcols: list[str] = []
+    for c in names:
+        dt = dtypes.get(c, "")
+        if dt == "date":
+            converted = converted.withColumn(f"_zv_{c}", F.datediff(F.col(c), F.lit("1970-01-01")))
+            zcols.append(f"_zv_{c}")
+        elif dt.startswith("timestamp"):
+            converted = converted.withColumn(
+                f"_zv_{c}", F.unix_micros(F.col(c).cast("timestamp"))
+            )
+            zcols.append(f"_zv_{c}")
+        else:
+            zcols.append(c)
     if isinstance(cols, dict):
-        ranges = cols
+        ranges = {zc: cols[c] for c, zc in zip(names, zcols)}
     else:
-        aggs = [f(c).alias(f"{c}_{tag}") for c in cols for tag, f in (("lo", F.min), ("hi", F.max))]
-        row = df.agg(*aggs).first()
-        ranges = {c: (float(row[f"{c}_lo"]), float(row[f"{c}_hi"]) + 1e-9) for c in cols}
+        aggs = [
+            f(zc).alias(f"{zc}_{tag}")
+            for zc in zcols
+            for tag, f in (("lo", F.min), ("hi", F.max))
+        ]
+        row = converted.agg(*aggs).first()
+        ranges = {zc: (float(row[f"{zc}_lo"]), float(row[f"{zc}_hi"]) + 1e-9) for zc in zcols}
     z = zorder_value(ranges, bits)
     (
-        df.withColumn("_z", z)
+        converted.withColumn("_z", z)
         .repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", *[zc for zc in zcols if zc.startswith("_zv_")])
         .write.mode("overwrite")
         .parquet(path)
     )

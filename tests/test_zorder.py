@@ -88,3 +88,24 @@ def test_write_zordered_explicit_ranges_no_prescan(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 64
     assert {(r.x, r.y) for r in back.collect()} == {(x, y) for x in range(8) for y in range(8)}
+
+
+def test_write_zordered_handles_date_and_timestamp_cols(spark, tmp_path):
+    """The canonical log-warehouse layout — z-order on (day, status) —
+    must work without hand-converting temporal columns."""
+    import datetime
+
+    rows = [
+        (datetime.date(2019, 2, 1) + datetime.timedelta(days=d), s * 100 + 100)
+        for d in range(16)
+        for s in range(4)
+    ]
+    df = spark.createDataFrame(rows, "day date, status long")
+    p = str(tmp_path / "zdt")
+    zorder.write_zordered(df, p, ["day", "status"], num_files=4, bits=4)
+    back = spark.read.parquet(p)
+    assert back.count() == 64
+    assert set(back.columns) == {"day", "status"}  # helper cols dropped
+    # locality: per-file day spans tighter than the full 16-day domain
+    spans = _per_file_spans(spark, p, "status")
+    assert sum(s for s in spans) / len(spans) < 300
