@@ -107,6 +107,67 @@ def _ppm_feature(payload: bytes) -> "list[float] | None":
     return [c / n for c in hist]
 
 
+def decode_wav_pcm(data: bytes) -> tuple[int, int, list[float]]:
+    """Decode a PCM WAV payload with the stdlib ``wave`` module (no
+    codec library): returns (sample_rate, n_channels, mono-mixed
+    samples normalized to [-1, 1]).  8- and 16-bit PCM — the formats
+    ``wave`` itself can emit, so the non-stub audio branch has
+    round-trip test coverage the same way P3 gives it to images."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        sr, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sr <= 0 or nch <= 0:
+        raise ValueError("invalid WAV header")
+    if sw == 2:
+        vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+        samples = [v / 32768.0 for v in vals]
+    elif sw == 1:
+        samples = [(b - 128) / 128.0 for b in raw]
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw}")
+    if nch > 1:
+        samples = [
+            sum(samples[i : i + nch]) / nch for i in range(0, len(samples) - nch + 1, nch)
+        ]
+    return sr, nch, samples
+
+
+def _wav_feature(payload: bytes) -> "list[float] | None":
+    """Real audio features from a PCM WAV payload: [duration_s, rms,
+    zero-crossing rate, peak, mean, sample_rate/48k, n_channels, 0].
+    None (quarantine) when undecodable."""
+    import math
+    import struct
+    import wave
+
+    try:
+        sr, nch, s = decode_wav_pcm(payload)
+    except (wave.Error, ValueError, EOFError, struct.error):
+        return None
+    n = len(s)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    rms = math.sqrt(sum(x * x for x in s) / n)
+    zcr = sum(1 for i in range(1, n) if (s[i - 1] < 0) != (s[i] < 0)) / n
+    peak = max(abs(x) for x in s)
+    return [n / sr, rms, zcr, peak, sum(s) / n, sr / 48000.0, float(nch), 0.0]
+
+
+def _typed_feature(payload: bytes, media_type: "str | None") -> "list[float] | None":
+    """Default non-stub decoder: dispatch on the media_type column —
+    P3/PPM for images, PCM WAV for audio; anything else (video needs a
+    real codec) quarantines as NULL."""
+    if media_type == "image":
+        return _ppm_feature(payload)
+    if media_type == "audio":
+        return _wav_feature(payload)
+    return None
+
+
 def _stub_feature(payload: bytes) -> list[float]:
     """Deterministic fake embedding: byte-histogram folded to FEATURE_DIM.
     Stands in for a real encoder; stable across runs/partitions."""
@@ -131,9 +192,12 @@ def extract_features(
     sanctioned Python crossing in the engine, used exactly where JVM
     expressions cannot express the work (codec calls).
 
-    ``decode_stub=False`` runs ``decoder`` (default: the pure-Python P3
-    PPM decoder) — undecodable payloads get NULL features, the
-    quarantine signal.
+    ``decode_stub=False`` runs ``decoder``; the default dispatches on
+    the media_type column — pure-Python P3/PPM for images, stdlib PCM
+    WAV for audio — and undecodable payloads (or types with no honest
+    pure-Python codec, i.e. video) get NULL features, the quarantine
+    signal.  A custom ``decoder`` receives the payload bytes only and
+    applies to every row.
 
     ``size_by_bytes=True`` pays ONE aggregate pre-scan to byte-balance
     the Python stage (payloads, not row counts, dominate partition
@@ -141,7 +205,14 @@ def extract_features(
     ``spark.sql.files.maxPartitionBytes`` instead — the pre-scan is a
     full extra pass there (round-2 verdict note).
     """
-    real_decoder = decoder or _ppm_feature
+    if decoder is not None:
+        _custom = decoder
+
+        def typed(p: bytes, mt: "str | None") -> "list[float] | None":
+            return _custom(p)
+
+    else:
+        typed = _typed_feature
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -151,13 +222,16 @@ def extract_features(
                     p.encode() if isinstance(p, str) else (bytes(p) if p is not None else b"")
                     for p in chunk["payload"]
                 ]
-                feat_fn = _stub_feature if decode_stub else real_decoder
+                if decode_stub:
+                    feats = [_stub_feature(p) for p in payloads]
+                else:
+                    feats = [typed(p, mt) for p, mt in zip(payloads, chunk["media_type"])]
                 yield pd.DataFrame(
                     {
                         "asset_id": chunk["asset_id"],
                         "media_type": chunk["media_type"],
                         "n_bytes": [len(p) for p in payloads],
-                        "feature": [feat_fn(p) for p in payloads],
+                        "feature": feats,
                     }
                 )
 

@@ -155,3 +155,89 @@ def test_sample_frames_fanout(spark, media):
         expect = max(videos[aid].duration_ms // 1000, 1)
         assert len(rows) == expect, f"{aid}: {len(rows)} != {expect}"
         assert sorted(r.ts_ms for r in rows) == [1000 * i for i in range(len(rows))]
+
+
+def _wav_bytes(freq_hz=440, sr=8000, seconds=0.5, amp=0.5, nch=1):
+    """Generate a real PCM WAV with the stdlib (16-bit sine)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = b"".join(
+            struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / sr)))
+            * nch
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_wav_decode_features(spark):
+    """decode_stub=False runs the REAL stdlib PCM WAV decoder for audio
+    rows: duration / RMS / zero-crossing rate land on the analytic
+    values of a sine; truncated bytes quarantine as NULL."""
+    import math
+
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("asset_id", StringType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+    wav = _wav_bytes(freq_hz=440, sr=8000, seconds=0.5, amp=0.5)
+    rows = [
+        ("sine", "audio", bytearray(wav), 0, 0, 500),
+        ("trunc", "audio", bytearray(wav[:40]), 0, 0, 0),
+        ("junk", "audio", bytearray(b"not audio"), 0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    feats = {r.asset_id: r.feature
+             for r in multimodal.extract_features(df, decode_stub=False).collect()}
+    assert feats["trunc"] is None and feats["junk"] is None
+    dur, rms, zcr, peak = feats["sine"][0], feats["sine"][1], feats["sine"][2], feats["sine"][3]
+    assert abs(dur - 0.5) < 1e-6
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+    assert abs(zcr - 2 * 440 / 8000) < 0.01      # 2 crossings per cycle
+    assert 0.45 < peak <= 0.51
+
+
+def test_typed_dispatch_image_and_audio_in_one_pass(spark):
+    """The default non-stub decoder routes by media_type in ONE seam:
+    images through P3, audio through WAV, video quarantined."""
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("asset_id", StringType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+    white = _ppm(2, 2, [[(255, 255, 255)] * 2] * 2).encode()
+    rows = [
+        ("img", "image", bytearray(white), 2, 2, 0),
+        ("aud", "audio", bytearray(_wav_bytes()), 0, 0, 500),
+        ("vid", "video", bytearray(b"h264h264"), 0, 0, 1000),
+    ]
+    feats = {r.asset_id: r.feature
+             for r in multimodal.extract_features(
+                 spark.createDataFrame(rows, schema), decode_stub=False).collect()}
+    assert feats["img"][multimodal.FEATURE_DIM - 1] == 1.0
+    assert feats["aud"] is not None and feats["aud"][0] > 0
+    assert feats["vid"] is None
