@@ -107,9 +107,15 @@ def corpus_diff(
     on the id: the exchange moves 32-byte md5 hex digests, never
     document text (same at-scale posture as ``exact_duplicates``; md5
     rather than xxhash64 so the digest is reproducible by any SQL
-    engine auditing the same claim)."""
-    o = old.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_od"))
-    n = new.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_nd"))
+    engine auditing the same claim).
+
+    The digest doubles as the presence marker, so it must never be
+    NULL: a NULL text coalesces to a sentinel digest (NULL text is a
+    present-but-empty state — two NULL texts compare unchanged, NULL
+    vs non-NULL compares changed)."""
+    digest = lambda c: F.coalesce(F.md5(F.col(c)), F.lit("<null-text>"))  # noqa: E731
+    o = old.select(F.col(id_col).alias("_id"), digest(text_col).alias("_od"))
+    n = new.select(F.col(id_col).alias("_id"), digest(text_col).alias("_nd"))
     status = (
         F.when(F.col("_od").isNull(), F.lit("added"))
         .when(F.col("_nd").isNull(), F.lit("removed"))

@@ -229,3 +229,17 @@ def test_exact_keep_first(spark):
     )
     kept = sorted(r.doc_id for r in dedup.exact_keep_first(df, "doc_id", "text").collect())
     assert kept == [1, 2]  # min id per text survives
+
+
+def test_corpus_diff_null_text_is_present_not_added(spark):
+    """NULL text must not erase presence: the digest doubles as the
+    join's presence marker, so it coalesces to a sentinel."""
+    old = spark.createDataFrame(
+        [(1, None), (2, "beta"), (3, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status
+           for r in dedup.corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
