@@ -86,9 +86,17 @@ def exact_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     semi join — two digest-keyed exchanges, text never shuffles.  Uses
     md5 (not xxhash64) so the kept set is engine-reproducible for
     auditing; swap to xxhash64 for pure-Spark runs to shave digest
-    bytes."""
+    bytes.
+
+    NULL text is unknown content, not identical content: each NULL-text
+    row keys on its own id-derived digest, so they all survive (the
+    md5-of-NULL grouping would silently collapse them to one)."""
+    digest = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("<null>"), F.col(id_col).cast("string")),
+    )
     keep = (
-        df.groupBy(F.md5(F.col(text_col)).alias("_d"))
+        df.groupBy(digest.alias("_d"))
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )

@@ -243,3 +243,12 @@ def test_corpus_diff_null_text_is_present_not_added(spark):
     got = {r.doc_id: r.status
            for r in dedup.corpus_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_exact_keep_first_null_text_not_collapsed(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup.exact_keep_first(df, "doc_id", "text").collect())
+    assert kept == [1, 2, 3]  # both NULL-text rows survive; dup text deduped
