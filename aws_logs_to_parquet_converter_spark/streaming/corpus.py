@@ -126,3 +126,47 @@ def stream_quarantine(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def stream_trending_terms(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    top_k: int = 10,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Watermarked per-window token counts over a document stream — the
+    continuous sibling of q_vocab_topk, the 'what is the crawl seeing
+    right now' monitor of a live ingest.
+
+    Shape: explode tokens (stateless fan-out) -> watermarked tumbling
+    window count (state bounded: windows close and evict past the
+    watermark).  The aggregate emits ALL (window, token) counts; rank
+    to ``top_k`` per window in the sink's foreachBatch (window ranking
+    inside a streaming agg would need a second stateful stage —
+    ``rank_trending`` below does it per closed batch instead, a plain
+    window function over a tiny per-trigger result).
+    """
+    toks = (
+        docs.withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"))
+        .where(F.length("token") >= min_token_len)
+    )
+    return toks.groupBy(F.window(ts_col, window_duration), "token").agg(
+        F.count("*").alias("n")
+    )
+
+
+def rank_trending(counts: DataFrame, top_k: int = 10) -> DataFrame:
+    """Top-k tokens per window — apply inside foreachBatch (micro-batch
+    results are tiny) or over the complete output table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window").orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("window", "token", "n", "rnk")
+    )

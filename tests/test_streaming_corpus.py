@@ -74,3 +74,52 @@ def test_quarantine_captures_corrupt_lines(spark, tmp_path):
     q.awaitTermination(120)
     dead = {r.value for r in spark.read.text(str(tmp_path / "dead")).collect()}
     assert dead == {"not json at all", '{"doc_id": broken'}
+
+
+def test_stream_trending_terms_matches_batch(spark, tmp_path):
+    """Windowed token counts over a stream == the same aggregation in
+    batch, and rank_trending yields the per-window top-k."""
+    import datetime
+
+    src = tmp_path / "tin"
+    src.mkdir()
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(20):
+        minute = i % 2  # two 1-minute windows
+        ts = (base + datetime.timedelta(minutes=minute, seconds=i)).isoformat()
+        text = "alpha beta beta" if minute == 0 else "gamma gamma gamma delta"
+        rows.append({"doc_id": i, "text": text, "ingest_ts": ts})
+    _jsonl(src / "a.jsonl", rows)
+
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+    )
+    counts = corpus.stream_trending_terms(stream, window_duration="1 minute", watermark="5 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("trend_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM trend_counts")
+    # batch equivalent computed directly
+    batch = spark.read.schema(schema).json(str(src))
+    from pyspark.sql import functions as F
+    toks = batch.select(
+        "ingest_ts", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.length("token") >= 3)
+    want_rows = {
+        (str(r.window.start), r.token): r.n
+        for r in toks.groupBy(F.window("ingest_ts", "1 minute"), "token")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    got_rows = {(str(r.window.start), r.token): r.n for r in got.collect()}
+    assert got_rows == want_rows and len(got_rows) > 0
+    top = corpus.rank_trending(got, top_k=1).collect()
+    by_window = {str(r.window.start): r.token for r in top}
+    assert len(by_window) == 2
+    assert set(by_window.values()) == {"beta", "gamma"}
