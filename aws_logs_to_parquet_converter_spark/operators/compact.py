@@ -79,3 +79,51 @@ def recompact_partition(
     if n:
         compact(part, dest, num_files=num_files, sort_keys=sort_keys, compression=compression)
     return n
+
+
+def find_fragmented_partitions(
+    spark,
+    dest: str,
+    max_files: int = 10,
+    min_file_bytes: int = 16 * 1024 * 1024,
+) -> list[dict]:
+    """Discovery half of partition maintenance: which ``dt=`` partitions
+    have accreted too many (or too small) files and deserve a
+    ``recompact_partition`` pass.  Returns
+    ``[{"dt", "n_files", "total_bytes", "avg_bytes"}, ...]`` for every
+    partition exceeding ``max_files`` OR averaging under
+    ``min_file_bytes`` (both symptoms of streaming append drift).
+
+    Listing runs through Spark's Hadoop FileSystem API (driver-side
+    metadata only, no data read) so it works on any supported
+    filesystem — local, HDFS, s3a — exactly like the write path."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("dt=")):
+            continue
+        files = [
+            f
+            for f in fs.listStatus(st.getPath())
+            if f.isFile() and f.getPath().getName().endswith(".parquet")
+        ]
+        if not files:
+            continue
+        n = len(files)
+        total = sum(f.getLen() for f in files)
+        if n > max_files or total / n < min_file_bytes:
+            out.append(
+                {
+                    "dt": name[len("dt="):],
+                    "n_files": n,
+                    "total_bytes": total,
+                    "avg_bytes": total // n,
+                }
+            )
+    return sorted(out, key=lambda d: d["dt"])

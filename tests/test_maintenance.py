@@ -49,3 +49,32 @@ def test_profile(spark):
     assert p[("v", "min")] == "2.0" and p[("v", "max")] == "4.0"
     assert p[("s", "min_len")] == "2" and p[("s", "max_len")] == "4"
     assert p[("id", "approx_distinct")] == "3"
+
+
+def test_find_fragmented_partitions(spark, tmp_path):
+    from aws_logs_to_parquet_converter_spark.operators.compact import (
+        find_fragmented_partitions,
+        recompact_partition,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "2019-02-0%d" % (1 + i % 2)) for i in range(100)], "request_time long, dt string"
+    )
+    # day 1 written fragmented (20 files), day 2 compact (2 files)
+    df.where("dt = '2019-02-01'").repartition(20).write.partitionBy("dt").parquet(dest)
+    df.where("dt = '2019-02-02'").repartition(2).write.mode("append").partitionBy("dt").parquet(dest)
+
+    frag = find_fragmented_partitions(spark, dest, max_files=10, min_file_bytes=0)
+    assert [f["dt"] for f in frag] == ["2019-02-01"]
+    # (empty shuffle partitions write no file, so 20 is an upper bound)
+    assert 10 < frag[0]["n_files"] <= 20 and frag[0]["total_bytes"] > 0
+
+    # the remediation the scanner feeds: recompact and re-scan clean
+    recompact_partition(spark, dest, "2019-02-01", num_files=2)
+    assert find_fragmented_partitions(spark, dest, max_files=10, min_file_bytes=0) == []
+    # tiny-average detection: every partition flags under a huge floor
+    flagged = find_fragmented_partitions(spark, dest, max_files=100, min_file_bytes=10**9)
+    assert {f["dt"] for f in flagged} == {"2019-02-01", "2019-02-02"}
+    # nonexistent path -> empty, not an error
+    assert find_fragmented_partitions(spark, str(tmp_path / "nope")) == []
