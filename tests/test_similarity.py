@@ -145,3 +145,31 @@ def test_normalize_vectors_unit_norm(spark):
     assert math.isclose(out[1].norm, 5.0, rel_tol=1e-12)
     assert math.isclose(sum(x * x for x in out[1].unit), 1.0, rel_tol=1e-12)
     assert out[2].unit == [0.0, 0.0]  # zero vector passes through
+
+
+def test_saved_ivf_index_full_probe_equals_exact(spark, tmp_path):
+    """Build-once/query-many: a persisted IVF index probed at ALL cells
+    must reproduce the exact brute-force top-k (the same invariant the
+    in-query IVF holds), and a partial probe must prune the scan to the
+    probed cell partitions (PartitionFilters in the plan)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    similarity.save_ivf_index(emb, idx, n_cells=8, sample_n=512)
+
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in similarity.cosine_topk(emb, queries, k=3).collect()}
+    full = {(r.query_id, r.rank): r.neighbor_id
+            for r in similarity.query_ivf_index(
+                spark, idx, queries, k=3, nprobe=8).collect()}
+    assert full == exact
+
+    partial = similarity.query_ivf_index(spark, idx, queries, k=3, nprobe=2)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = partial.collect()
+    assert len(got) > 0 and all(r.rank <= 3 for r in got)
+    # recall against exact at nprobe=2 of 8 cells should still be decent
+    part_pairs = {(r.query_id, r.neighbor_id) for r in got}
+    exact_pairs = {(q, n) for (q, _), n in exact.items()}
+    assert len(part_pairs & exact_pairs) / len(exact_pairs) >= 0.5
