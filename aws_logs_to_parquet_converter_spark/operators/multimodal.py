@@ -360,3 +360,90 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True)
             )
 
     return frames.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("payload", StringType(), True),  # binary in prod; see MEDIA_SCHEMA
+    ]
+)
+
+
+def _resample_wav(payload: bytes, target_sr: int) -> "bytes | None":
+    """Linear-interpolation resample of a PCM WAV payload, re-emitted
+    as 16-bit mono WAV at ``target_sr``.  None for undecodable payloads
+    (quarantine semantics, same as the image path)."""
+    import io
+    import struct
+    import wave
+
+    try:
+        sr, _nch, s = decode_wav_pcm(payload)
+    except (wave.Error, ValueError, EOFError, struct.error):
+        return None
+    if not s:
+        out_samples: list[float] = []
+    else:
+        n_out = max(1, int(round(len(s) * target_sr / sr)))
+        out_samples = []
+        for i in range(n_out):
+            pos = i * (len(s) - 1) / max(1, n_out - 1) if n_out > 1 else 0.0
+            lo = int(pos)
+            hi = min(lo + 1, len(s) - 1)
+            frac = pos - lo
+            out_samples.append(s[lo] * (1 - frac) + s[hi] * frac)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(target_sr)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", max(-32768, min(32767, int(round(x * 32767)))))
+                for x in out_samples
+            )
+        )
+    return buf.getvalue()
+
+
+def resample_audio(df: DataFrame, target_sr: int = 16000, decode_stub: bool = True) -> DataFrame:
+    """Audio resample seam — the audio sibling of ``resize_images``:
+    ``decode_stub=True`` re-emits the payload with a deterministic
+    marker (pipeline-shape testing without a codec);
+    ``decode_stub=False`` runs the real stdlib PCM resampler (decode,
+    mono-mix, linear-interp, 16-bit re-encode).  A production deploy
+    swaps in torchaudio/ffmpeg at this seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub:
+                payloads = [
+                    f"resampled[{target_sr}]:" + (p if isinstance(p, str) else "<bin>")
+                    for p in pdf["payload"]
+                ]
+                n_samps = [0] * len(pdf)
+            else:
+                raw = [
+                    p.encode() if isinstance(p, str) else (bytes(p) if p is not None else b"")
+                    for p in pdf["payload"]
+                ]
+                outs = [_resample_wav(p, target_sr) for p in raw]
+                payloads = [
+                    o.decode("latin-1") if o is not None else None for o in outs
+                ]
+                n_samps = [
+                    (len(o) - 44) // 2 if o is not None else 0 for o in outs
+                ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": target_sr,
+                    "n_samples": n_samps,
+                    "payload": payloads,
+                }
+            )
+
+    return df.where(F.col("media_type") == "audio").mapInPandas(run, schema=RESAMPLED_SCHEMA)

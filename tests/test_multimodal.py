@@ -241,3 +241,43 @@ def test_typed_dispatch_image_and_audio_in_one_pass(spark):
     assert feats["img"][multimodal.FEATURE_DIM - 1] == 1.0
     assert feats["aud"] is not None and feats["aud"][0] > 0
     assert feats["vid"] is None
+
+
+def test_real_audio_resample(spark):
+    """decode_stub=False really resamples: halving the rate halves the
+    sample count while the sine keeps its zero-crossing rate (frequency
+    preserved relative to the new rate)."""
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("asset_id", StringType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+    wav = _wav_bytes(freq_hz=200, sr=8000, seconds=0.5, amp=0.5)
+    rows = [("sine", "audio", bytearray(wav), 0, 0, 500),
+            ("junk", "audio", bytearray(b"xx"), 0, 0, 0)]
+    out = {r.asset_id: r for r in multimodal.resample_audio(
+        spark.createDataFrame(rows, schema), target_sr=4000, decode_stub=False).collect()}
+    assert out["junk"].payload is None
+    r = out["sine"]
+    assert r.sample_rate == 4000
+    assert abs(r.n_samples - 2000) <= 2  # 0.5s at 4kHz
+    sr2, nch2, s2 = multimodal.decode_wav_pcm(r.payload.encode("latin-1"))
+    assert sr2 == 4000 and nch2 == 1
+    import math
+    zcr = sum(1 for i in range(1, len(s2)) if (s2[i - 1] < 0) != (s2[i] < 0)) / len(s2)
+    assert abs(zcr - 2 * 200 / 4000) < 0.02  # 200 Hz tone at the new rate
+    rms = math.sqrt(sum(x * x for x in s2) / len(s2))
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.02
+
+
+def test_resample_audio_stub_mode(spark, media):
+    out = multimodal.resample_audio(media, target_sr=16000).collect()
+    assert len(out) == 10  # only audio rows
+    assert all(r.payload.startswith("resampled[16000]:") for r in out)
