@@ -29,14 +29,19 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #      row (q_url_funcs, the 10th, is already in via rule 1);
 #   3. the 6 r01-only families deferred since r03 (q_json_extract and
 #      q_window_range_frame, the other two, are already in via rule 1);
-#   4. the remaining slots rotate through the oldest hard evidence:
-#      r02-green families (dedup/similarity/text, outer joins, TPC-H
-#      remainder) unmodified since.
+#   4. the 7 round-5 additions (never graded anywhere but the local
+#      gate — r02 proved local-green != driver-green, so new queries
+#      outrank stale-but-green ones for slots);
+#   5. the remaining slots rotate through the oldest hard evidence:
+#      r02-green families (dedup/similarity/text, outer joins,
+#      recursive/lateral) unmodified since.
 # Rotated out (all r4-green and UNMODIFIED this round, keeping r4
 # currency per COVERAGE.md policy): the integer-cents contract slice
 # (q01..q_agg_stats), q_diag_bool/maxby probes, the r4-graded r02
 # additions (q_pii_scrub..q_contamination) and r01 families
-# (q_join_left..q_agg_rollup).
+# (q_join_left..q_agg_rollup).  Still waiting (r02 currency, displaced
+# by rule 4 — families already carrying multiple graded rows): q04,
+# q12, q16, q20, q_token_count, q_quality_filter, q_window_first_last.
 GRADED_WINDOW = 50
 
 _PRIORITY = [
@@ -73,11 +78,15 @@ _PRIORITY = [
     "q_correlated_scalar",
     "q_bag_set_ops",
     "q_values_dim",
-    # (4) r02-green rotation: oldest hard evidence, unmodified since
-    "q04_order_priority",
-    "q12_priority_shipping",
-    "q16_supplier_cnt",
-    "q20_promotable_suppliers",
+    # (4) round-5 additions: never driver-graded
+    "q_quality_score",
+    "q_corpus_diff",
+    "q_mix_token_budget",
+    "q_length_band",
+    "q_corpus_clean_pipeline",
+    "q_array_funcs",
+    "q_k_anonymize",
+    # (5) r02-green rotation: oldest hard evidence, unmodified since
     "q_join_right",
     "q_join_full",
     "q_salted_agg",
@@ -90,10 +99,7 @@ _PRIORITY = [
     "q_embed_neardup",
     "q_text_stats",
     "q_lang_id",
-    "q_token_count",
-    "q_quality_filter",
     "q_string_agg",
-    "q_window_first_last",
     "q_recursive_cte",
     "q_lateral_topn",
 ]

@@ -148,6 +148,10 @@ def test_graded_window_covers_priority_surface():
         # r01-only families deferred since r03
         "q_explode_words", "q_grouping_sets", "q_union_by_name",
         "q_correlated_scalar", "q_bag_set_ops", "q_values_dim",
+        # round-5 additions: never driver-graded beats stale-but-green
+        "q_quality_score", "q_corpus_diff", "q_mix_token_budget",
+        "q_length_band", "q_corpus_clean_pipeline", "q_array_funcs",
+        "q_k_anonymize",
     }
     assert required <= set(window), sorted(required - set(window))
     no_oracle_ok = {"q_hll_distinct_rollup"}
