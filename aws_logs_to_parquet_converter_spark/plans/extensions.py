@@ -1192,3 +1192,41 @@ def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return sc.k_anonymize(d, ["source", "lang"], k=5).select("doc_id", "source", "lang")
+
+
+_MAP_FUNCS_ORACLE = """
+    SELECT p_partkey,
+           CAST(cardinality(m) AS INT) AS n_keys,
+           array_to_string(map_keys(m), ',') AS keys,
+           array_to_string(map_values(m), '|') AS vals,
+           m['brand'][1] AS brand_val,
+           m['missing'][1] AS missing_val
+    FROM (SELECT p_partkey,
+                 MAP {'brand': p_brand, 'type': p_type} AS m
+          FROM part)
+    ORDER BY p_partkey LIMIT 200
+"""
+
+
+@query("q_map_funcs", oracle=_MAP_FUNCS_ORACLE)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function matrix (§2.9 breadth): construct / keys / values /
+    cardinality / element_at (present and missing) — oracled against
+    DuckDB's MAP type with its list-returning extraction normalized
+    ([1] indexing; [] -> NULL matches element_at's missing-key NULL)."""
+    p = t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        p.select(
+            "p_partkey",
+            F.size(m).alias("n_keys"),
+            F.array_join(F.map_keys(m), ",").alias("keys"),
+            F.array_join(F.map_values(m), "|").alias("vals"),
+            F.element_at(m, "brand").alias("brand_val"),
+            F.element_at(m, "missing").alias("missing_val"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
