@@ -42,7 +42,7 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 # (q_join_left..q_agg_rollup).  Still waiting (r02 currency, displaced
 # by rule 4 — families already carrying multiple graded rows): q04,
 # q12, q16, q20, q_token_count, q_quality_filter, q_window_first_last,
-# q_string_agg.
+# q_string_agg, q_lang_id.
 GRADED_WINDOW = 50
 
 _PRIORITY = [
@@ -88,6 +88,7 @@ _PRIORITY = [
     "q_array_funcs",
     "q_k_anonymize",
     "q_map_funcs",
+    "q_regexp_funcs",
     # (5) r02-green rotation: oldest hard evidence, unmodified since
     "q_join_right",
     "q_join_full",
@@ -100,7 +101,6 @@ _PRIORITY = [
     "q_embed_topk",
     "q_embed_neardup",
     "q_text_stats",
-    "q_lang_id",
     "q_recursive_cte",
     "q_lateral_topn",
 ]

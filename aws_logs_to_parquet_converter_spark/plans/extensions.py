@@ -1230,3 +1230,38 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(200)
     )
+
+
+_REGEXP_FUNCS_ORACLE = r"""
+    SELECT p_partkey,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+           COALESCE(array_to_string(regexp_extract_all(p_name, '\b\w{5}\b'), ','), '')
+               AS five_letter,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part ORDER BY p_partkey LIMIT 200
+"""
+
+
+@query("q_regexp_funcs", oracle=_REGEXP_FUNCS_ORACLE)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp-function matrix (§2.9 breadth): count / extract /
+    extract_all / global replace, patterns chosen in the RE2 ∩ Java
+    regex common subset (same doctrine as the BPE pretokenizer) so both
+    engines compile them identically.  Dialect deltas normalized:
+    DuckDB counts via len(extract_all) and needs the 'g' flag where
+    Spark replaces globally by default."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_count("p_name", F.lit("[aeiou]")).alias("n_vowels"),
+            F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+            F.array_join(
+                F.regexp_extract_all("p_name", F.lit(r"\b\w{5}\b"), F.lit(0)), ","
+            ).alias("five_letter"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )

@@ -151,7 +151,7 @@ def test_graded_window_covers_priority_surface():
         # round-5 additions: never driver-graded beats stale-but-green
         "q_quality_score", "q_corpus_diff", "q_mix_token_budget",
         "q_length_band", "q_corpus_clean_pipeline", "q_array_funcs",
-        "q_k_anonymize", "q_map_funcs",
+        "q_k_anonymize", "q_map_funcs", "q_regexp_funcs",
     }
     assert required <= set(window), sorted(required - set(window))
     no_oracle_ok = {"q_hll_distinct_rollup"}
