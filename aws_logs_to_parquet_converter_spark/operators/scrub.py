@@ -54,6 +54,7 @@ def k_anonymize(
     quasi_cols: "list[str]",
     k: int,
     redaction: str = "*",
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Suppression-based k-anonymity over the quasi-identifier columns:
     any combination carried by fewer than ``k`` rows has ALL its quasi
@@ -65,11 +66,19 @@ def k_anonymize(
     PII scrubbing: scrub removes identifiers from content, this bounds
     re-identification from metadata.
 
-    Scale shape: ONE groupBy over the quasi columns (map-side combined;
-    output is the combo cardinality, tiny) keeps only passing combos,
-    broadcast back as a semi-probe via a null-safe left join — the
-    corpus itself is never window-shuffled on the quasi key.  NULL is a
-    legitimate quasi value (null-safe equality throughout)."""
+    Scale shape: ONE groupBy over the quasi columns (map-side combined)
+    keeps only passing combos, joined back as a semi-probe via a
+    null-safe left join — the corpus itself is never window-shuffled on
+    the quasi key.  NULL is a legitimate quasi value (null-safe
+    equality throughout).
+
+    The probe table is bounded by n/k rows (every passing combo carries
+    >= k corpus rows), so with production k (50+) it is orders of
+    magnitude smaller than the corpus — but for high-cardinality
+    quasi-identifiers at 100 TB it can still exceed broadcast/driver
+    limits.  ``broadcast_probe=False`` drops the broadcast hint and
+    lets the planner pick a shuffled join (AQE still converts it back
+    to broadcast at runtime if the built side turns out small)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     passing = (
@@ -85,7 +94,8 @@ def k_anonymize(
     for c in quasi_cols:
         eq = F.col(c).eqNullSafe(F.col(f"_p_{c}"))
         cond = eq if cond is None else cond & eq
-    joined = df.join(F.broadcast(passing), cond, "left")
+    probe = F.broadcast(passing) if broadcast_probe else passing
+    joined = df.join(probe, cond, "left")
     # matched iff the never-NULL count marker came through the join —
     # probe-column NULLs can't disambiguate because NULL is a legal
     # quasi value

@@ -192,21 +192,27 @@ def kmeans_cell_centroids(
 
 def _cell_udf(centroids, nprobe: int):
     """Arrow-batched argmax-cosine cell assignment: one BLAS matmul per
-    batch, zero shuffle — the map-side half of IVF."""
+    batch, zero shuffle — the map-side half of IVF.  Always returns
+    ``array<int>`` (even for nprobe=1) so every caller can ``explode``
+    unconditionally — a scalar return at nprobe=1 made the probe paths
+    crash with AnalysisException (round-5 advisor finding)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    n = max(1, min(nprobe, len(centroids)))
 
     def _cells(vs):
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ centroids.T
-        if nprobe == 1:
-            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
-        top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        if n == 1:
+            top = np.argmax(sims, axis=1).astype("int32").reshape(-1, 1)
+        else:
+            top = np.argsort(-sims, axis=1)[:, :n].astype("int32")
         return pd.Series(list(top))
 
-    return pandas_udf(_cells, "int" if nprobe == 1 else "array<int>")
+    return pandas_udf(_cells, "array<int>")
 
 
 def cosine_topk_ivf(
@@ -238,7 +244,7 @@ def cosine_topk_ivf(
     c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _cell_udf(cents, 1)(F.col(vec_col)).alias("_cell"),
+        F.element_at(_cell_udf(cents, 1)(F.col(vec_col)), 1).alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -476,7 +482,7 @@ def save_ivf_index(
     assigned = fan_out(corpus, id_col).select(
         F.col(id_col),
         F.col(vec_col),
-        _cell_udf(cents, 1)(F.col(vec_col)).alias("cell"),
+        F.element_at(_cell_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
 
@@ -503,7 +509,7 @@ def query_ivf_index(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(_cell_udf(cents, min(nprobe, len(cents)))(F.col(vec_col))).alias("cell"),
+        F.explode(_cell_udf(cents, nprobe)(F.col(vec_col))).alias("cell"),
     )
     probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
     vec = (

@@ -18,6 +18,7 @@ one); this generalizes that sink for multi-predicate scan workloads.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -109,7 +110,21 @@ def write_zordered(
             for tag, f in (("lo", F.min), ("hi", F.max))
         ]
         row = converted.agg(*aggs).first()
-        ranges = {zc: (float(row[f"{zc}_lo"]), float(row[f"{zc}_hi"]) + 1e-9) for zc in zcols}
+        ranges = {}
+        for zc in zcols:
+            lo, hi = row[f"{zc}_lo"], row[f"{zc}_hi"]
+            if lo is None or hi is None:  # empty input / all-NULL column
+                ranges[zc] = (0.0, 1.0)
+                continue
+            lo, hi = float(lo), float(hi)
+            # math.nextafter, not +1e-9: an absolute epsilon is below one
+            # ULP for large-magnitude domains (epoch micros ~1e18), which
+            # made a constant timestamp column raise "range is empty"
+            # while a constant small column silently worked.
+            hi = math.nextafter(hi, math.inf)
+            if hi <= lo:  # degenerate even after one ULP (shouldn't happen)
+                hi = lo + 1.0
+            ranges[zc] = (lo, hi)
     z = zorder_value(ranges, bits)
     (
         converted.withColumn("_z", z)

@@ -970,10 +970,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORPUS_DIFF_ORACLE = """
     WITH old AS (
-        SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 7 != 0
+        SELECT doc_id, COALESCE(md5(text), '<null-text>') AS d
+        FROM documents WHERE doc_id % 7 != 0
     ), new AS (
         SELECT doc_id,
-               md5(text || CASE WHEN doc_id % 11 = 0 THEN '!' ELSE '' END) AS d
+               COALESCE(md5(text || CASE WHEN doc_id % 11 = 0 THEN '!' ELSE '' END),
+                        '<null-text>') AS d
         FROM documents WHERE doc_id % 5 != 0
     )
     SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
@@ -1083,8 +1085,11 @@ _CLEAN_PIPELINE_ORACLE = """
     ), banded AS (
         SELECT d.* FROM documents d, b WHERE d.n_chars BETWEEN b.lo AND b.hi
     ), deduped AS (
+        -- mirror the engine's NULL-text sentinel (dedup.exact_keep_first):
+        -- each NULL-text row keys on its own id, so none collapse together
         SELECT * FROM banded
-        WHERE doc_id IN (SELECT MIN(doc_id) FROM banded GROUP BY md5(text))
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM banded
+                         GROUP BY COALESCE(md5(text), '<null>' || CAST(doc_id AS VARCHAR)))
     ), mixed AS (
         SELECT * FROM deduped
         WHERE substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) <

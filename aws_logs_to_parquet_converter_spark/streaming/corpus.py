@@ -134,7 +134,6 @@ def stream_trending_terms(
     text_col: str = "text",
     window_duration: str = "1 minute",
     watermark: str = "2 minutes",
-    top_k: int = 10,
     min_token_len: int = 3,
 ) -> DataFrame:
     """Watermarked per-window token counts over a document stream — the
@@ -144,7 +143,7 @@ def stream_trending_terms(
     Shape: explode tokens (stateless fan-out) -> watermarked tumbling
     window count (state bounded: windows close and evict past the
     watermark).  The aggregate emits ALL (window, token) counts; rank
-    to ``top_k`` per window in the sink's foreachBatch (window ranking
+    per window in the sink's foreachBatch (window ranking
     inside a streaming agg would need a second stateful stage —
     ``rank_trending`` below does it per closed batch instead, a plain
     window function over a tiny per-trigger result).

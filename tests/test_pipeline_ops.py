@@ -313,3 +313,17 @@ def test_k_anonymize_suppresses_rare_combos(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         scrub.k_anonymize(df, ["source"], k=0)
+
+
+def test_k_anonymize_shuffled_probe_matches_broadcast(spark):
+    """broadcast_probe=False (the above-broadcast-limit fallback) must
+    produce the identical release."""
+    rows = (
+        [(i, "web", "en") for i in range(7)]
+        + [(100, "dark", "fr"), (101, None, "en"), (102, None, "en")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    a = sorted(map(tuple, scrub.k_anonymize(df, ["source", "lang"], k=2).collect()))
+    b = sorted(map(tuple, scrub.k_anonymize(
+        df, ["source", "lang"], k=2, broadcast_probe=False).collect()))
+    assert a == b

@@ -173,3 +173,28 @@ def test_saved_ivf_index_full_probe_equals_exact(spark, tmp_path):
     part_pairs = {(r.query_id, r.neighbor_id) for r in got}
     exact_pairs = {(q, n) for (q, _), n in exact.items()}
     assert len(part_pairs & exact_pairs) / len(exact_pairs) >= 0.5
+
+
+def test_ivf_nprobe_one_and_single_cell(spark, vecs, tmp_path):
+    """nprobe=1 (fast probe) and a single-cell (degenerate) corpus must
+    both work: _cell_udf always returns array<int>, so the explode in
+    the probe paths never sees a scalar (round-5 advisor finding)."""
+    rows, df = vecs
+    queries = df.where(F.col("vec_id") < 3)
+    got = similarity.cosine_topk_ivf(df, queries, k=3, n_cells=8, nprobe=1).collect()
+    assert len(got) > 0 and all(r.rank <= 3 for r in got)
+
+    # one cell total: probing it recovers the exact result
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in similarity.cosine_topk(df, queries, k=3).collect()}
+    one_cell = {(r.query_id, r.rank): r.neighbor_id
+                for r in similarity.cosine_topk_ivf(
+                    df, queries, k=3, n_cells=1, nprobe=1).collect()}
+    assert one_cell == exact
+
+    idx = str(tmp_path / "ivf1")
+    similarity.save_ivf_index(df, idx, n_cells=1, sample_n=64)
+    via_index = {(r.query_id, r.rank): r.neighbor_id
+                 for r in similarity.query_ivf_index(
+                     spark, idx, queries, k=3, nprobe=1).collect()}
+    assert via_index == exact

@@ -109,3 +109,22 @@ def test_write_zordered_handles_date_and_timestamp_cols(spark, tmp_path):
     # locality: per-file day spans tighter than the full 16-day domain
     spans = _per_file_spans(spark, p, "status")
     assert sum(s for s in spans) / len(spans) < 300
+
+
+def test_write_zordered_constant_and_empty_columns(spark, tmp_path):
+    """Auto-range must survive a constant column at any magnitude (the
+    +1e-9 epsilon was below one ULP for epoch-micros domains) and an
+    empty input (NULL min/max) — round-5 advisor finding."""
+    import datetime
+
+    ts = datetime.datetime(2019, 2, 1, 12, 0, 0)
+    rows = [(ts, i) for i in range(32)]
+    df = spark.createDataFrame(rows, "event_ts timestamp, status long")
+    p = str(tmp_path / "zconst")
+    zorder.write_zordered(df, p, ["event_ts", "status"], num_files=2, bits=4)
+    assert spark.read.parquet(p).count() == 32
+
+    empty = df.where("status < 0")
+    p2 = str(tmp_path / "zempty")
+    zorder.write_zordered(empty, p2, ["event_ts", "status"], num_files=1, bits=4)
+    assert spark.read.parquet(p2).count() == 0
