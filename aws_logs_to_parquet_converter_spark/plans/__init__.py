@@ -18,91 +18,89 @@ import aws_logs_to_parquet_converter_spark.plans.log_domain  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 
 # The driver's correctness gate grades the FIRST 50 registry entries.
-# Round-5 window policy (see COVERAGE.md "Driver-graded evidence" for
+# Round-6 window policy (see COVERAGE.md "Driver-graded evidence" for
 # the per-query currency table):
-#   1. every query whose behavior changed this round: the 12
-#      events-table queries (the t() NTZ-normalization seam rewrote
-#      their load path) plus q_diag_countif_emit (probe retired into a
-#      real BIGINT-cast query) — a regression there must be visible to
-#      the hard signal, not just the local gate;
-#   2. the 9 round-3 additions that have NEVER carried a driver-graded
-#      row (q_url_funcs, the 10th, is already in via rule 1);
-#   3. the 6 r01-only families deferred since r03 (q_json_extract and
-#      q_window_range_frame, the other two, are already in via rule 1);
-#   4. the 7 round-5 additions (never graded anywhere but the local
-#      gate — r02 proved local-green != driver-green, so new queries
-#      outrank stale-but-green ones for slots);
-#   5. the remaining slots rotate through the oldest hard evidence:
-#      r02-green families (dedup/similarity/text, outer joins,
-#      recursive/lateral) unmodified since.
-# Rotated out (all r4-green and UNMODIFIED this round, keeping r4
-# currency per COVERAGE.md policy): the integer-cents contract slice
-# (q01..q_agg_stats), q_diag_bool/maxby probes, the r4-graded r02
-# additions (q_pii_scrub..q_contamination) and r01 families
-# (q_join_left..q_agg_rollup).  Still waiting (r02 currency, displaced
-# by rule 4 — families already carrying multiple graded rows): q04,
-# q12, q16, q20, q_token_count, q_quality_filter, q_window_first_last,
-# q_string_agg, q_lang_id.
+#   1. queries whose behavior changed this round: q_corpus_diff and
+#      q_corpus_clean_pipeline (oracles rewritten to mirror the
+#      engine's NULL-text sentinel digests — the round-5 advisor
+#      finding) re-enter the same round per rotation policy;
+#   2. the 13 r02-stale queries the round-5 verdict ordered in: q04,
+#      q12, q13, q16, q18, q20, q21, q22, q_token_count,
+#      q_quality_filter, q_window_first_last, q_string_agg, q_lang_id
+#      — after this round every oracle-bearing registry entry has
+#      driver-graded evidence no older than 3 rounds;
+#   3. q_hll_distinct_rollup is OUT (it can only ever produce
+#      `no_oracle`; its sketch estimate is differentially tested in
+#      pytest instead) so the window is 50/50 hash-gradeable;
+#   4. the remaining slots rotate the oldest hard evidence back in:
+#      the r4-green set, in COVERAGE.md currency-table order (the
+#      integer-cents contract slice q01..q_agg_stats, the diag probes,
+#      the r4-graded r02 additions q_pii_scrub..q_contamination, and
+#      r01 join/window families q_join_left..q_window_ntile).
+# Rotated out (all r5-green and UNMODIFIED this round, keeping r5
+# currency): the events-table queries, the r03/r05 additions graded
+# last round, and the r5 rotation slice.  Still waiting at r4
+# currency (rotation candidates for r7): q_topk, q_set_ops,
+# q_cte_composition, q_string_funcs, q_date_funcs, q_math_funcs,
+# q_conditional, q_in_subquery, q_pivot, q_percentiles,
+# q_agg_distinct, q_agg_rollup.
 GRADED_WINDOW = 50
 
 _PRIORITY = [
     # flagship (reference's days_apart_analysis.sql run verbatim)
     "q_days_apart",
-    # (1) events-table queries — load path rewritten by the NTZ seam
-    "q_window_lag",
-    "q_window_range_frame",
-    "q_sessionize",
-    "q_asof_join",
-    "q_asof_forward_tolerance",
-    "q_session_window",
-    "q_sliding_window",
-    "q_log_status_breakdown",
-    "q_hourly_traffic",
-    "q_json_extract",
-    "q_url_funcs",
-    # (1) probe retired into a real query this round
-    "q_diag_countif_emit",
-    # (2) round-3 additions never yet driver-graded
-    "q_segment_repetition",
-    "q_top_bigram",
-    "q_mix_sources",
-    "q_embed_quantize",
-    "q_embed_normalize",
-    "q_tfidf_topterms",
-    "q_bpe_token_count",
-    "q_cms_vocab_counts",
-    "q_hll_distinct_rollup",
-    # (3) r01-only families deferred since r03
-    "q_explode_words",
-    "q_grouping_sets",
-    "q_union_by_name",
-    "q_correlated_scalar",
-    "q_bag_set_ops",
-    "q_values_dim",
-    # (4) round-5 additions: never driver-graded
-    "q_quality_score",
+    # (1) oracles changed this round (NULL-text sentinel parity)
     "q_corpus_diff",
-    "q_mix_token_budget",
-    "q_length_band",
     "q_corpus_clean_pipeline",
-    "q_array_funcs",
-    "q_k_anonymize",
-    "q_map_funcs",
-    "q_regexp_funcs",
-    # (5) r02-green rotation: oldest hard evidence, unmodified since
-    "q_join_right",
-    "q_join_full",
-    "q_salted_agg",
-    "q_join_broadcast",
-    "q_dedup_exact",
-    "q_dedup_fingerprint",
-    "q_ngram_jaccard",
-    "q_dedup_keep_list",
-    "q_embed_topk",
-    "q_embed_neardup",
-    "q_text_stats",
-    "q_recursive_cte",
-    "q_lateral_topn",
+    # (2) the 13 r02-stale rotate-ins (round-5 verdict item 1)
+    "q04_order_priority",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q16_supplier_cnt",
+    "q18_large_orders",
+    "q20_promotable_suppliers",
+    "q21_sole_blame_suppliers",
+    "q22_idle_balances",
+    "q_token_count",
+    "q_quality_filter",
+    "q_window_first_last",
+    "q_string_agg",
+    "q_lang_id",
+    # (4) oldest-evidence rotation: the r4-green set, currency order
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive",
+    "q_group_by_all",
+    "q_agg_modern",
+    "q_unpivot",
+    "q_agg_cube",
+    "q_agg_stats",
+    "q_diag_bool_emit",
+    "q_diag_maxby_emit",
+    "q_pii_scrub",
+    "q_stratified_sample",
+    "q_pack_sequences",
+    "q_chunk_docs",
+    "q_vocab_topk",
+    "q_contamination",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_window_rank",
+    "q_window_rolling",
+    "q_window_ntile",
 ]
 
 

@@ -119,43 +119,34 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-5 window
-    policy (plans/__init__.py): every query whose behavior changed this
-    round (the 12 events-table queries rewritten by the NTZ load seam +
-    the retired countif probe), the never-yet-graded r03 additions, and
-    the r01-only families deferred since r03 — and every windowed entry
-    must carry an oracle, except q_hll_distinct_rollup whose sketch
-    estimate has no SQL-expressible oracle (the driver's rows-only
-    check is the point of rotating it in)."""
+    """The driver grades the first 50 registry entries.  Round-6 window
+    policy (plans/__init__.py): the two queries whose oracles changed
+    this round (NULL-text sentinel parity), the 13 r02-stale queries
+    the round-5 verdict ordered in, and the oldest (r4-currency)
+    evidence rotating back — with the no-oracle q_hll_distinct_rollup
+    swapped OUT so every windowed entry is hash-gradeable."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
     names = list(REGISTRY)
     window = names[:GRADED_WINDOW]
     assert window == _PRIORITY
     required = {
-        # flagship + the events-table queries (NTZ seam, changed r05)
+        # flagship
         "q_days_apart",
-        "q_window_lag", "q_window_range_frame", "q_sessionize",
-        "q_asof_join", "q_asof_forward_tolerance", "q_session_window",
-        "q_sliding_window", "q_log_status_breakdown", "q_hourly_traffic",
-        "q_json_extract", "q_url_funcs",
-        # probe retired into a real query this round
-        "q_diag_countif_emit",
-        # r03 additions never yet driver-graded
-        "q_segment_repetition", "q_top_bigram", "q_mix_sources",
-        "q_embed_quantize", "q_embed_normalize", "q_tfidf_topterms",
-        "q_bpe_token_count", "q_cms_vocab_counts", "q_hll_distinct_rollup",
-        # r01-only families deferred since r03
-        "q_explode_words", "q_grouping_sets", "q_union_by_name",
-        "q_correlated_scalar", "q_bag_set_ops", "q_values_dim",
-        # round-5 additions: never driver-graded beats stale-but-green
-        "q_quality_score", "q_corpus_diff", "q_mix_token_budget",
-        "q_length_band", "q_corpus_clean_pipeline", "q_array_funcs",
-        "q_k_anonymize", "q_map_funcs", "q_regexp_funcs",
+        # oracles changed this round: NULL-text sentinel parity
+        "q_corpus_diff", "q_corpus_clean_pipeline",
+        # the 13 r02-stale rotate-ins (round-5 verdict item 1)
+        "q04_order_priority", "q12_priority_shipping",
+        "q13_order_count_distribution", "q16_supplier_cnt",
+        "q18_large_orders", "q20_promotable_suppliers",
+        "q21_sole_blame_suppliers", "q22_idle_balances",
+        "q_token_count", "q_quality_filter", "q_window_first_last",
+        "q_string_agg", "q_lang_id",
     }
     assert required <= set(window), sorted(required - set(window))
-    no_oracle_ok = {"q_hll_distinct_rollup"}
-    assert all(REGISTRY[n].oracle is not None for n in window if n not in no_oracle_ok)
+    # round-5 verdict item 2: the window must be 50/50 hash-gradeable
+    assert "q_hll_distinct_rollup" not in window
+    assert all(REGISTRY[n].oracle is not None for n in window)
 
 
 def test_right_outer_join_plans_outer(spark):
