@@ -5,14 +5,13 @@ The Spark-side mechanics are real and tested — schema contract,
 Arrow-batched ``mapInPandas`` fan-out, batch-size control, partition
 sizing.  The codec step has two modes: ``decode_stub=True`` produces
 deterministic fake features (no codec library in this container), and
-``decode_stub=False`` runs a REAL pure-Python decoder for ASCII PPM
-(P3) images — header parse, pixel read, luminance features,
-nearest-neighbor resize — so the non-stub branch has executed test
-coverage; payloads in any other format yield NULL features (quarantine
-semantics).  A production deploy swaps the P3 decoder for
-Pillow/torchaudio/ffmpeg at the same seam; video frame decode remains
-``NotImplementedError`` (no pure-Python video format exists to prove
-it with).
+``decode_stub=False`` runs REAL pure-Python decoders — ASCII PPM (P3)
+for images, PCM WAV for audio, uncompressed YUV4MPEG2 (.y4m) for video
+— so every non-stub branch has executed test coverage; payloads in any
+other format yield NULL features (quarantine semantics).  A production
+deploy swaps these decoders for Pillow/torchaudio/ffmpeg at the same
+seam; the only remaining gate is COMPRESSED codecs (mp4/webm/mp3/...),
+which have no stdlib decoder and quarantine until one is swapped in.
 
 Scale notes: binary payloads dominate partition size, so the entry
 point re-splits by target bytes before the Python stage
@@ -107,6 +106,125 @@ def _ppm_feature(payload: bytes) -> "list[float] | None":
     return [c / n for c in hist]
 
 
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: "list[bytes]",
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "C420jpeg",
+) -> bytes:
+    """Emit an uncompressed YUV4MPEG2 stream from per-frame luma planes
+    (chroma filled neutral-gray) — the fixture writer that gives the
+    video branch the same round-trip coverage ``wave`` gives audio and
+    P3 gives images."""
+    if colorspace not in ("C420", "C420jpeg", "C420mpeg2", "C420paldv", "Cmono"):
+        raise ValueError(f"unsupported fixture colorspace: {colorspace}")
+    chroma = b"" if colorspace == "Cmono" else b"\x80" * ((width // 2) * (height // 2) * 2)
+    out = [f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n".encode()]
+    for y in frames:
+        if len(y) != width * height:
+            raise ValueError(f"luma plane is {len(y)} bytes, expected {width * height}")
+        out.append(b"FRAME\n" + bytes(y) + chroma)
+    return b"".join(out)
+
+
+def decode_y4m(data: "bytes | str") -> tuple[int, int, float, "list[bytes]"]:
+    """Decode an uncompressed YUV4MPEG2 (.y4m) payload with stdlib byte
+    slicing — no codec library, the same honesty standard as the P3 and
+    PCM-WAV decoders: returns (width, height, fps, luma planes).
+
+    Handles the planar colorspaces the format defines (420 variants,
+    422, 444, mono); chroma planes are skipped — features and frame
+    sampling work on luma.  Compressed containers (mp4/webm/...) do not
+    start with the YUV4MPEG2 magic and raise ValueError."""
+    if isinstance(data, str):
+        data = data.encode("latin-1")
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing stream-header terminator")
+    w = h = 0
+    fn, fd = 25, 1
+    cs = "420jpeg"
+    for tok in data[len(b"YUV4MPEG2"):nl].split():
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fn, fd = int(num), int(den)
+        elif tag == "C":
+            cs = val
+    if w <= 0 or h <= 0 or fn <= 0 or fd <= 0:
+        raise ValueError(f"invalid Y4M geometry: W{w} H{h} F{fn}:{fd}")
+    y_size = w * h
+    if cs.startswith("420"):
+        chroma_size = 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("422"):
+        chroma_size = 2 * ((w // 2) * h)
+    elif cs.startswith("444"):
+        chroma_size = 2 * y_size
+    elif cs.startswith("mono"):
+        chroma_size = 0
+    else:
+        raise ValueError(f"unsupported Y4M colorspace: C{cs}")
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("missing frame-header terminator")
+        pos = fnl + 1
+        if pos + y_size > len(data):
+            raise ValueError("truncated frame payload")
+        frames.append(data[pos : pos + y_size])
+        pos += y_size + chroma_size
+    return w, h, fn / fd, frames
+
+
+def _y4m_feature(payload: "bytes | str") -> "list[float] | None":
+    """Real video features from a Y4M payload: [n_frames, fps,
+    mean luma, luma std, mean |frame-to-frame luma delta| (motion),
+    megapixels, duration_s, 0].  None (quarantine) when undecodable —
+    compressed codecs land here until a real decoder is swapped in."""
+    import math
+
+    try:
+        w, h, fps, frames = decode_y4m(payload)
+    except (ValueError, IndexError):
+        return None
+    if not frames:
+        return [0.0] * FEATURE_DIM
+    n_px = len(frames) * w * h
+    total = sum(sum(f) for f in frames)
+    mean = total / n_px
+    var = sum(sum((b - mean) ** 2 for b in f) for f in frames) / n_px
+    if len(frames) > 1:
+        moved = sum(
+            abs(a - b)
+            for prev, cur in zip(frames, frames[1:])
+            for a, b in zip(prev, cur)
+        )
+        motion = moved / ((len(frames) - 1) * w * h)
+    else:
+        motion = 0.0
+    return [
+        float(len(frames)),
+        fps,
+        mean / 255.0,
+        math.sqrt(var) / 255.0,
+        motion / 255.0,
+        w * h / 1e6,
+        len(frames) / fps,
+        0.0,
+    ]
+
+
 def decode_wav_pcm(data: bytes) -> tuple[int, int, list[float]]:
     """Decode a PCM WAV payload with the stdlib ``wave`` module (no
     codec library): returns (sample_rate, n_channels, mono-mixed
@@ -159,12 +277,14 @@ def _wav_feature(payload: bytes) -> "list[float] | None":
 
 def _typed_feature(payload: bytes, media_type: "str | None") -> "list[float] | None":
     """Default non-stub decoder: dispatch on the media_type column —
-    P3/PPM for images, PCM WAV for audio; anything else (video needs a
-    real codec) quarantines as NULL."""
+    P3/PPM for images, PCM WAV for audio, YUV4MPEG2 for video; anything
+    else (unknown type, compressed codec) quarantines as NULL."""
     if media_type == "image":
         return _ppm_feature(payload)
     if media_type == "audio":
         return _wav_feature(payload)
+    if media_type == "video":
+        return _y4m_feature(payload)
     return None
 
 
@@ -218,8 +338,13 @@ def extract_features(
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
+                # latin-1, not utf-8: string payloads stand in for raw
+                # bytes (MEDIA_SCHEMA note), and utf-8 double-encodes
+                # chars 128-255, corrupting any binary-carrying payload
                 payloads = [
-                    p.encode() if isinstance(p, str) else (bytes(p) if p is not None else b"")
+                    p.encode("latin-1", "replace")
+                    if isinstance(p, str)
+                    else (bytes(p) if p is not None else b"")
                     for p in chunk["payload"]
                 ]
                 if decode_stub:
@@ -325,13 +450,35 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _y4m_frame_to_ppm(payload: "bytes | str", ts_ms: int) -> "str | None":
+    """Extract the luma frame nearest ``ts_ms`` from a Y4M payload and
+    re-emit it as a grayscale P3 PPM — the sampled frame lands in the
+    same format the image operators consume, so frame-sample output
+    chains straight into resize/feature stages.  None when the payload
+    is not an uncompressed Y4M stream (the remaining codec gate)."""
+    try:
+        w, h, fps, frames = decode_y4m(payload)
+    except (ValueError, IndexError):
+        return None
+    if not frames:
+        return None
+    idx = min(int(ts_ms / 1000.0 * fps), len(frames) - 1)
+    y = frames[idx]
+    body = "\n".join(f"{v} {v} {v}" for v in y)
+    return f"P3\n{w} {h}\n255\n{body}\n"
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True) -> DataFrame:
     """Video frame sampling: one output row per sampled timestamp.
 
     The fan-out (rows-per-asset = duration/every_ms) is computed with
     native explode(sequence) BEFORE the Python stage, so partition
-    sizing sees the real output cardinality; only the per-frame decode
-    is stubbed."""
+    sizing sees the real output cardinality.  ``decode_stub=False``
+    runs the real YUV4MPEG2 path: the frame nearest each timestamp is
+    sliced out of the uncompressed stream and re-emitted as a grayscale
+    P3 image payload; compressed containers (not Y4M) quarantine as
+    NULL payloads — that is the remaining honest gate, closed by
+    swapping in ffmpeg at this seam."""
     frames = df.where(F.col("media_type") == "video").select(
         "asset_id",
         "payload",
@@ -345,17 +492,22 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real frame extraction needs a video codec (e.g. ffmpeg)")
+            if decode_stub:
+                payloads = [
+                    f"frame@{t}:" + (p or "")[:16]
+                    for t, p in zip(pdf["ts_ms"], pdf["payload"])
+                ]
+            else:
+                payloads = [
+                    _y4m_frame_to_ppm(p or "", t)
+                    for t, p in zip(pdf["ts_ms"], pdf["payload"])
+                ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "frame_idx": pdf["frame_idx"],
                     "ts_ms": pdf["ts_ms"],
-                    "payload": [
-                        f"frame@{t}:" + (p or "")[:16]
-                        for t, p in zip(pdf["ts_ms"], pdf["payload"])
-                    ],
+                    "payload": payloads,
                 }
             )
 

@@ -123,12 +123,86 @@ def test_real_resize_nearest_neighbor(spark, ppm_media):
     assert out["junk"].payload is None
 
 
-def test_video_decode_still_gated(spark, media):
-    """Frame decode keeps its honest NotImplementedError gate (no
-    pure-Python video format to prove it with)."""
-    with pytest.raises(Exception) as ei:
-        multimodal.sample_frames(media, decode_stub=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+def test_compressed_video_still_gated(spark, media):
+    """Non-Y4M video payloads (i.e. compressed codecs) keep the honest
+    gate, now as quarantine: NULL frame payloads instead of a crash."""
+    out = multimodal.sample_frames(media, decode_stub=False).collect()
+    assert len(out) > 0
+    assert all(r.payload is None for r in out)
+
+
+def _y4m_fixture():
+    """3 frames, 4x2, constant luma 0 / 128 / 255 — analytic features."""
+    w, h = 4, 2
+    frames = [bytes([v] * (w * h)) for v in (0, 128, 255)]
+    return multimodal.encode_y4m(w, h, frames, fps=(2, 1))
+
+
+def test_y4m_roundtrip_and_colorspaces():
+    data = _y4m_fixture()
+    w, h, fps, frames = multimodal.decode_y4m(data)
+    assert (w, h, fps) == (4, 2, 2.0)
+    assert [f[0] for f in frames] == [0, 128, 255]
+    # mono: no chroma bytes, same luma back
+    mono = multimodal.encode_y4m(4, 2, [bytes(8)], colorspace="Cmono")
+    assert multimodal.decode_y4m(mono)[3] == [bytes(8)]
+    # 422/444 chroma sizes parse (hand-built streams)
+    y = bytes(range(8))
+    s422 = b"YUV4MPEG2 W4 H2 F25:1 C422\n" + b"FRAME\n" + y + b"\x80" * 8
+    assert multimodal.decode_y4m(s422)[3] == [y]
+    s444 = b"YUV4MPEG2 W4 H2 F25:1 C444\n" + b"FRAME\n" + y + b"\x80" * 16
+    assert multimodal.decode_y4m(s444)[3] == [y]
+    for bad in (b"\x00\x01not-a-video", b"YUV4MPEG2 W4 H2\nFRAME\n\x00\x00",
+                b"YUV4MPEG2 W0 H2 F25:1\n", b"YUV4MPEG2 W4 H2 F25:1 C999\nFRAME\n" + bytes(8)):
+        with pytest.raises(ValueError):
+            multimodal.decode_y4m(bad)
+
+
+def test_real_y4m_decode_features(spark):
+    """decode_stub=False yields real luma/motion features for Y4M video
+    rows: mean/std/motion land on the analytic values of the constant-
+    frame fixture; junk payloads quarantine as NULL features."""
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("asset_id", StringType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+    rows = [
+        ("vid", "video", _y4m_fixture(), 4, 2, 1500),
+        ("junk", "video", b"not-a-video-stream", None, None, 1000),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    feats = {r.asset_id: r.feature for r in
+             multimodal.extract_features(df, decode_stub=False).collect()}
+    assert feats["junk"] is None
+    f = feats["vid"]
+    assert f[0] == 3.0 and f[1] == 2.0            # n_frames, fps
+    assert abs(f[2] - (0 + 128 + 255) / 3 / 255) < 1e-6  # mean luma
+    assert abs(f[4] - (128 + 127) / 2 / 255) < 1e-6      # mean frame delta
+    assert abs(f[6] - 1.5) < 1e-6                  # duration_s
+
+
+def test_real_y4m_frame_sampling_emits_ppm(spark):
+    """The real frame-sample path slices the frame nearest each
+    timestamp out of the Y4M stream and re-emits it as a P3 image the
+    image operators can consume directly."""
+    rows = [("vid", "video", _y4m_fixture().decode("latin-1"), 4, 2, 1500)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.ts_ms: r for r in
+           multimodal.sample_frames(df, every_ms=500, decode_stub=False).collect()}
+    assert set(out) == {0, 500, 1000}  # duration 1500ms @ every 500ms
+    # fps=2 -> frame at t=0 is luma 0, t=500 is luma 128, t=1000 is luma 255
+    for ts, luma in ((0, 0), (500, 128), (1000, 255)):
+        w, h, maxval, vals = multimodal.decode_ppm_p3(out[ts].payload)
+        assert (w, h) == (4, 2)
+        assert set(vals) == {luma}
 
 
 def test_media_summary(spark, media):
@@ -281,3 +355,14 @@ def test_resample_audio_stub_mode(spark, media):
     out = multimodal.resample_audio(media, target_sr=16000).collect()
     assert len(out) == 10  # only audio rows
     assert all(r.payload.startswith("resampled[16000]:") for r in out)
+
+
+def test_string_payloads_carry_binary_losslessly(spark):
+    """String stand-in payloads (MEDIA_SCHEMA) round-trip bytes 128-255:
+    the Python stage must encode latin-1, not utf-8 (which double-
+    encodes high bytes and corrupted every binary-carrying payload)."""
+    rows = [("vid", "video", _y4m_fixture().decode("latin-1"), 4, 2, 1500)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.asset_id: r.feature for r in
+             multimodal.extract_features(df, decode_stub=False).collect()}
+    assert feats["vid"] is not None and feats["vid"][0] == 3.0
