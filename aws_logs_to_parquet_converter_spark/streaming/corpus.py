@@ -14,6 +14,8 @@ past it — the unbounded-corpus version of q_dedup_exact.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -87,17 +89,26 @@ def stream_corpus_ingest(
     dest: str,
     checkpoint: str,
     trigger: dict | None = None,
+    max_files_per_trigger: int = 1000,
+    batch_hook: "Callable[[DataFrame, int], None] | None" = None,
 ) -> StreamingQuery:
     """End-to-end continuous corpus ingest: JSONL stream -> scrub
     (drops dead letters) -> digest-dedup -> parquet append,
     checkpointed.  The stateful dedup runs UPSTREAM of foreachBatch so
     its state spans micro-batches; quarantining dead letters is a
     separate ``stream_quarantine`` query with its own checkpoint, so
-    each sink recovers independently."""
-    docs = stream_documents(spark, source_glob)
+    each sink recovers independently.
+
+    ``batch_hook`` runs before each micro-batch write (metrics/audit
+    seam); a hook that raises aborts the batch BEFORE any sink output,
+    so the checkpoint stays consistent — the crash-recovery test uses
+    exactly this to kill the query between micro-batches."""
+    docs = stream_documents(spark, source_glob, max_files_per_trigger=max_files_per_trigger)
     clean = dedup_stream(scrub_stream(docs))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_hook is not None:
+            batch_hook(batch_df, batch_id)
         if not batch_df.isEmpty():
             batch_df.write.mode("append").parquet(dest)
 

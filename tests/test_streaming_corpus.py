@@ -123,3 +123,50 @@ def test_stream_trending_terms_matches_batch(spark, tmp_path):
     by_window = {str(r.window.start): r.token for r in top}
     assert len(by_window) == 2
     assert set(by_window.values()) == {"beta", "gamma"}
+
+
+def test_crash_between_microbatches_recovers_exactly_once(spark, tmp_path):
+    """Kill the ingest between micro-batches and restart from the same
+    checkpoint: every surviving document lands EXACTLY once (committed
+    batches are not replayed, uncommitted work is redone) and the
+    cross-batch dedup state survives the restart (a content dup split
+    across the crash is still dropped)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a.jsonl", [_doc(1, "alpha content here")])
+    _jsonl(src / "b.jsonl", [_doc(2, "beta content here")])
+    _jsonl(src / "c.jsonl", [_doc(3, "alpha content here"),  # dup of doc 1
+                             _doc(4, "gamma content here")])
+
+    def crash_after_first(batch_df, batch_id):
+        if batch_id >= 1:
+            raise RuntimeError("injected crash between micro-batches")
+
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, batch_hook=crash_after_first,
+    )
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("query should have died on the injected crash")
+    except StreamingQueryException:
+        pass
+    # batch 0 committed before the crash; later batches never wrote
+    first = spark.read.parquet(str(tmp_path / "out"))
+    assert first.count() == 1
+
+    q2 = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    # no loss: all three distinct contents arrived
+    assert set(by_text) == {"alpha content here", "beta content here", "gamma content here"}
+    # no dupes: neither batch replay nor the cross-crash content dup
+    assert all(len(ids) == 1 for ids in by_text.values()), by_text
