@@ -255,3 +255,49 @@ def test_registry_wide_no_scale_killers(spark):
             if name not in ARROW_SEAMS:
                 failures.append(f"{name}: unsanctioned Python/Arrow seam")
     assert not failures, "\n".join(failures)
+
+
+def test_aqe_skew_join_split_kicks_in(spark):
+    """Evidence that the session's AQE skew-join conf (session.py
+    PERF_CONF) actually splits a skewed partition at runtime: a join
+    where one key carries ~90% of the rows re-plans to
+    SortMergeJoin(skew=true) in the final adaptive plan.  The skew
+    thresholds are lowered to make the 64 KB-scale local fixture look
+    like a 256 MB-scale production partition — the detection logic
+    exercised is the same code path a 1000-executor cluster runs."""
+    from pyspark.sql import functions as F
+
+    lowered = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {}
+    for k, v in lowered.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        a = spark.range(0, 220_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise((F.col("id") % 100) + 1)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pay"),
+        )
+        b = spark.range(0, 101).select(F.col("id").alias("k"), F.lit("dim").alias("dv"))
+        j = a.join(b, "k")
+        assert len(j.collect()) == 220_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
