@@ -26,7 +26,11 @@ import sys
 
 from pyspark.sql import functions as F
 
-from aws_logs_to_parquet_converter_spark.operators.compact import compact
+from aws_logs_to_parquet_converter_spark.operators.compact import (
+    compact,
+    find_fragmented_partitions,
+    recompact_partition,
+)
 from aws_logs_to_parquet_converter_spark.session import apply_s3a_conf, get_spark, s3a_hadoop_conf
 from aws_logs_to_parquet_converter_spark.sources.listing import list_day_paths
 from aws_logs_to_parquet_converter_spark.sources.parse import parse_lines, read_raw_logs
@@ -137,8 +141,66 @@ def run(args: argparse.Namespace) -> int:
     return 1 if failures else 0
 
 
+def build_maintenance_parser() -> argparse.ArgumentParser:
+    """``maintain`` subcommand: the operational other half of the
+    reference's compaction story (README.md:52-61 runs the compacter
+    daily; this finds and repairs the small-file drift streaming
+    appends and late-data re-runs leave behind)."""
+    p = argparse.ArgumentParser(prog="compact-s3-access-logs maintain")
+    p.add_argument("--dest", required=True,
+                   help="compacted table root (the CLI's "
+                        "<destination-log-bucket>/<prefix>/<source-bucket>)")
+    p.add_argument("--aws-config", default="",
+                   help="same credentials file as the ingest command")
+    p.add_argument("--max-files", default=10, type=int,
+                   help="flag partitions with more parquet files than this")
+    p.add_argument("--min-file-bytes", default=16 * 1024 * 1024, type=int,
+                   help="flag partitions whose mean file size is below this")
+    p.add_argument("--num-output-files", default=10, type=int,
+                   help="files per partition after recompaction")
+    p.add_argument("--dt", default="",
+                   help="recompact exactly this day instead of scanning")
+    p.add_argument("--dry-run", action="store_true",
+                   help="list fragmented partitions, rewrite nothing")
+    return p
+
+
+def run_maintenance(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="s3_server_side_log_maintenance")
+    if args.aws_config:
+        apply_s3a_conf(spark, aws_config_to_s3a(args.aws_config))
+    if args.dt:
+        n = recompact_partition(spark, args.dest, args.dt, num_files=args.num_output_files)
+        print(f"{args.dt}: recompacted {n} row(s) -> {args.num_output_files} file(s)")
+        return 0
+    frags = find_fragmented_partitions(
+        spark, args.dest, max_files=args.max_files, min_file_bytes=args.min_file_bytes
+    )
+    if not frags:
+        print("no fragmented partitions")
+        return 0
+    failures = 0
+    for f in frags:
+        print(
+            f"dt={f['dt']}: {f['n_files']} files, "
+            f"{f['total_bytes']} bytes (avg {f['avg_bytes']})"
+        )
+        if args.dry_run:
+            continue
+        try:
+            n = recompact_partition(spark, args.dest, f["dt"], num_files=args.num_output_files)
+            print(f"dt={f['dt']}: recompacted {n} row(s)")
+        except Exception as e:  # same per-unit error policy as the daily loop
+            failures += 1
+            print(f"dt={f['dt']}: FAILED: {e}", file=sys.stderr)
+    return 1 if failures else 0
+
+
 def main() -> None:
-    sys.exit(run(build_parser().parse_args()))
+    argv = sys.argv[1:]
+    if argv and argv[0] == "maintain":
+        sys.exit(run_maintenance(build_maintenance_parser().parse_args(argv[1:])))
+    sys.exit(run(build_parser().parse_args(argv)))
 
 
 if __name__ == "__main__":

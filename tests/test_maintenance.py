@@ -78,3 +78,53 @@ def test_find_fragmented_partitions(spark, tmp_path):
     assert {f["dt"] for f in flagged} == {"2019-02-01", "2019-02-02"}
     # nonexistent path -> empty, not an error
     assert find_fragmented_partitions(spark, str(tmp_path / "nope")) == []
+
+
+def test_cli_maintain_subcommand(spark, tmp_path, capsys):
+    """The maintain subcommand chains scan -> recompact: fragmented
+    partitions are found, rewritten to the target file count, and a
+    dry run only reports."""
+    from aws_logs_to_parquet_converter_spark import cli
+
+    dest = str(tmp_path / "wh")
+    df = with_dt(
+        parse_lines(
+            spark.createDataFrame(
+                [(l,) for l in generate_log_lines(800, n_days=2)], "value string"
+            )
+        )
+    ).where(F.col("dt").isNotNull())
+    for i in range(4):
+        compact(df.where(F.col("bytes_sent") % 4 == i), dest, num_files=4, mode="append")
+    n_before = spark.read.parquet(dest).count()
+    frag_dts = {os.path.basename(p)[3:] for p in glob.glob(f"{dest}/dt=*")}
+
+    dry = cli.build_maintenance_parser().parse_args(
+        ["--dest", dest, "--max-files", "4", "--num-output-files", "2", "--dry-run"]
+    )
+    assert cli.run_maintenance(dry) == 0
+    assert all(len(glob.glob(f"{dest}/dt={dt}/*.parquet")) > 4 for dt in frag_dts)
+
+    args = cli.build_maintenance_parser().parse_args(
+        ["--dest", dest, "--max-files", "4", "--num-output-files", "2"]
+    )
+    assert cli.run_maintenance(args) == 0
+    for dt in frag_dts:
+        assert len(glob.glob(f"{dest}/dt={dt}/*.parquet")) <= 2
+    assert spark.read.parquet(dest).count() == n_before  # no rows lost
+
+    # healthy table (at test scale: min-file-bytes lowered): nothing to do
+    clean = cli.build_maintenance_parser().parse_args(
+        ["--dest", dest, "--min-file-bytes", "1"]
+    )
+    assert cli.run_maintenance(clean) == 0
+    out = capsys.readouterr().out
+    assert "no fragmented partitions" in out
+
+    # single-day direct mode
+    one = sorted(frag_dts)[0]
+    single = cli.build_maintenance_parser().parse_args(
+        ["--dest", dest, "--dt", one, "--num-output-files", "1"]
+    )
+    assert cli.run_maintenance(single) == 0
+    assert len(glob.glob(f"{dest}/dt={one}/*.parquet")) == 1
