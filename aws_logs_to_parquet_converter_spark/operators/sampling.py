@@ -236,3 +236,45 @@ def quantile_band_filter(
         .where(F.col(value_col).cast("double").between(F.col("_lo"), F.col("_hi")))
         .drop("_lo", "_hi")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: "dict[str, float] | None" = None,
+    seed: int = 42,
+    label_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a split
+    label from the same md5 unit-interval trick as ``mix_sources``, so
+    the partition is (a) stable under reshuffling/re-runs, (b) disjoint
+    and exhaustive by construction, and (c) exactly reproducible by any
+    SQL engine auditing the release (the oracle re-derives it).
+
+    ``splits`` maps label -> fraction in iteration order; fractions
+    must sum to 1 (±1e-9).  The LAST split takes everything above the
+    penultimate cumulative threshold, so float rounding can never
+    orphan a row.  Zero shuffles — one codegen CASE per row.  At 100 TB
+    this is the only split mechanism that survives: random() is
+    non-reproducible across retries, and a global orderBy-ntile pays a
+    full sort for no additional statistical quality."""
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if any(f < 0 for f in splits.values()):
+        raise ValueError("split fractions must be non-negative")
+    unit = F.substring(_order_key(F.col(key_col), seed), 1, 8)
+    labels = list(splits)
+    expr = None
+    cum = 0.0
+    for lbl in labels[:-1]:
+        cum += splits[lbl]
+        thr = format(min(max(0, int(cum * 0x1_0000_0000)), 0xFFFFFFFF), "08x")
+        case = F.when(unit < F.lit(thr), F.lit(lbl))
+        expr = case if expr is None else expr.when(unit < F.lit(thr), F.lit(lbl))
+    final = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    return df.withColumn(label_col, final)

@@ -43,7 +43,9 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 # currency (rotation candidates for r7): q_topk, q_set_ops,
 # q_cte_composition, q_string_funcs, q_date_funcs, q_math_funcs,
 # q_conditional, q_in_subquery, q_pivot, q_percentiles,
-# q_agg_distinct, q_agg_rollup.
+# q_agg_distinct, q_agg_rollup, q_window_rolling, q_window_ntile
+# (the last two displaced by the round-6 additions q_split_assign /
+# q_bitwise_funcs — never-graded outranks stale-but-green).
 GRADED_WINDOW = 50
 
 _PRIORITY = [
@@ -99,8 +101,11 @@ _PRIORITY = [
     "q_join_anti",
     "q_join_range",
     "q_window_rank",
-    "q_window_rolling",
-    "q_window_ntile",
+    # (5) round-6 additions: never driver-graded outranks stale-but-
+    # green (displaced q_window_rolling / q_window_ntile keep r4
+    # currency and rotate with the r7 candidates)
+    "q_split_assign",
+    "q_bitwise_funcs",
 ]
 
 

@@ -1270,3 +1270,72 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(200)
     )
+
+
+_SPLIT_ASSIGN_ORACLE = """
+    WITH labeled AS (
+        SELECT n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)
+                         < 'fae147ae' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)
+                         < 'fd70a3d7' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY split ORDER BY split
+"""
+
+
+@query("q_split_assign", oracle=_SPLIT_ASSIGN_ORACLE)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment
+    (operators/sampling.assign_splits): md5-interval labeling, zero
+    shuffles, disjoint+exhaustive by construction; the oracle
+    re-derives the exact same partition from the documented hash rule
+    — the auditability property the operator exists for."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    labeled = sampling.assign_splits(
+        d, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}, seed=42
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+_BITWISE_ORACLE = """
+    SELECT p_partkey,
+           CAST(p_partkey & p_size AS BIGINT)  AS band,
+           CAST(p_partkey | p_size AS BIGINT)  AS bor,
+           CAST(xor(p_partkey, p_size) AS BIGINT) AS bxor,
+           CAST(p_size << 3 AS BIGINT)         AS shl,
+           CAST(p_partkey >> 2 AS BIGINT)      AS shr,
+           CAST(bit_count(CAST(p_partkey AS BIGINT)) AS INT) AS popcnt
+    FROM part ORDER BY p_partkey LIMIT 200
+"""
+
+
+@query("q_bitwise_funcs", oracle=_BITWISE_ORACLE)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-function matrix (§2.9 breadth): and/or/xor, shifts,
+    popcount — the hash/partitioning arithmetic every Presto log
+    pipeline leans on.  All pure codegen in Spark; DuckDB spells xor
+    as a function and the rest as operators."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.expr("p_partkey & p_size").cast("bigint").alias("band"),
+            F.expr("p_partkey | p_size").cast("bigint").alias("bor"),
+            F.expr("p_partkey ^ p_size").cast("bigint").alias("bxor"),
+            F.shiftleft(F.col("p_size"), 3).cast("bigint").alias("shl"),
+            F.shiftright(F.col("p_partkey"), 2).cast("bigint").alias("shr"),
+            F.bit_count(F.col("p_partkey").cast("bigint")).alias("popcnt"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )

@@ -327,3 +327,37 @@ def test_k_anonymize_shuffled_probe_matches_broadcast(spark):
     b = sorted(map(tuple, scrub.k_anonymize(
         df, ["source", "lang"], k=2, broadcast_probe=False).collect()))
     assert a == b
+
+
+def test_assign_splits_disjoint_exhaustive_deterministic(spark):
+    """Every row gets exactly one label; assignment is stable under
+    repartitioning; fractions land near their targets; bad fraction
+    sets are rejected."""
+    import pytest as _pytest
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    labeled = sampling.assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000  # exhaustive + disjoint (one label per row)
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.01
+
+    a = {r.doc_id: r.split for r in labeled.collect()}
+    b = {r.doc_id: r.split
+         for r in sampling.assign_splits(
+             df.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b  # partitioning must not change the assignment
+
+    # a different seed reshuffles membership but keeps proportions
+    c = {r.doc_id: r.split
+         for r in sampling.assign_splits(
+             df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7).collect()}
+    assert a != c
+
+    with _pytest.raises(ValueError):
+        sampling.assign_splits(df, "doc_id", {"train": 0.5, "val": 0.1})  # sums to 0.6
+    with _pytest.raises(ValueError):
+        sampling.assign_splits(df, "doc_id", {})
+    with _pytest.raises(ValueError):
+        sampling.assign_splits(df, "doc_id", {"a": 1.5, "b": -0.5})
