@@ -136,6 +136,52 @@ def corpus_diff(
     )
 
 
+def dedup_against_corpus(
+    new_batch: DataFrame,
+    corpus_digests: DataFrame,
+    id_col: str,
+    text_col: str,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental exact dedup: drop every new-batch row whose content
+    already exists in the corpus, THEN keep-first within the batch —
+    the daily-ingest shape ("only genuinely new documents enter"),
+    where re-deduping the whole corpus per day would re-shuffle 100 TB
+    to admit a few GB.
+
+    ``corpus_digests`` is the persisted (1 column) digest set of the
+    existing corpus — produced by ``content_digests`` below at corpus
+    build time and appended incrementally afterwards; at 100 TB it is
+    ~32 bytes/doc, the only state this operator ever touches.  The
+    anti join shuffles batch digests against that set (or broadcasts,
+    when AQE sees a small day); corpus text is never read.
+
+    NULL text follows the ``exact_keep_first`` sentinel rule: unknown
+    content is never "already present", and NULL rows don't collapse.
+    """
+    batch_digest = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("<null>"), F.col(id_col).cast("string")),
+    )
+    staged = new_batch.withColumn("_d", batch_digest)
+    fresh = staged.join(
+        corpus_digests.select(F.col(digest_col).alias("_d")), "_d", "left_anti"
+    )
+    keep = fresh.groupBy("_d").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return fresh.join(keep, id_col, "left_semi").drop("_d")
+
+
+def content_digests(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The corpus-side state for ``dedup_against_corpus``: one distinct
+    md5 digest per present content (NULL text excluded — the sentinel
+    digests are per-id and must never match future batches)."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("digest"))
+        .distinct()
+    )
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams of a normalized text, as an array —
     built with sequence/transform (no explode until the caller asks).

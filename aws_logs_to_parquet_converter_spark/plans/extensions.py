@@ -1339,3 +1339,44 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(200)
     )
+
+
+_INCR_DEDUP_ORACLE = """
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 3 != 0
+    ), cd AS (
+        SELECT DISTINCT md5(text) AS digest FROM corpus WHERE text IS NOT NULL
+    ), batch AS (
+        SELECT doc_id, source, n_chars,
+               COALESCE(md5(text), '<null>' || CAST(doc_id AS VARCHAR)) AS d
+        FROM documents WHERE doc_id % 2 = 0
+    ), fresh AS (
+        SELECT * FROM batch WHERE d NOT IN (SELECT digest FROM cd)
+    ), kept AS (
+        SELECT * FROM fresh
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM fresh GROUP BY d)
+    )
+    SELECT source, COUNT(*) AS n_new, CAST(SUM(n_chars) AS BIGINT) AS new_chars
+    FROM kept GROUP BY source ORDER BY source
+"""
+
+
+@query("q_incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.dedup_against_corpus):
+    a new batch (even doc_ids) admits only content absent from the
+    existing corpus (doc_id % 3 != 0), then keep-first within the
+    batch.  The corpus side is its 32-byte digest set
+    (dedup.content_digests) — the persisted state that makes daily
+    dedup O(batch), never a corpus re-shuffle."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 3 != 0)
+    batch = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars", "text")
+    fresh = dedup.dedup_against_corpus(
+        batch, dedup.content_digests(corpus, "doc_id", "text"), "doc_id", "text"
+    )
+    return (
+        fresh.groupBy("source")
+        .agg(F.count("*").alias("n_new"), F.sum("n_chars").alias("new_chars"))
+        .orderBy("source")
+    )

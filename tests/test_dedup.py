@@ -252,3 +252,31 @@ def test_exact_keep_first_null_text_not_collapsed(spark):
     )
     kept = sorted(r.doc_id for r in dedup.exact_keep_first(df, "doc_id", "text").collect())
     assert kept == [1, 2, 3]  # both NULL-text rows survive; dup text deduped
+
+
+def test_dedup_against_corpus_incremental(spark):
+    """Only genuinely new content enters: already-present content is
+    dropped via the digest anti join, batch-internal dups keep-first,
+    and NULL text is never 'already present' (sentinel rule)."""
+    corpus = spark.createDataFrame(
+        [(1, "existing alpha"), (2, "existing beta"), (3, None)],
+        "doc_id long, text string",
+    )
+    digests = dedup.content_digests(corpus, "doc_id", "text")
+    assert digests.count() == 2  # NULL text contributes no corpus state
+
+    batch = spark.createDataFrame(
+        [
+            (10, "existing alpha"),   # already in corpus -> dropped
+            (11, "brand new one"),    # new -> kept
+            (12, "brand new one"),    # batch-internal dup -> dropped (keep-first)
+            (13, None),               # NULL: unknown content -> kept
+            (14, None),               # second NULL: also kept (no collapse)
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_against_corpus(batch, digests, "doc_id", "text").collect()
+    )
+    assert kept == [11, 13, 14]
