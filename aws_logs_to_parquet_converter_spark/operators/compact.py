@@ -127,3 +127,57 @@ def find_fragmented_partitions(
                 }
             )
     return sorted(out, key=lambda d: d["dt"])
+
+
+def compact_to_size(
+    df: DataFrame,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_keys: tuple[str, ...] = ("request_time",),
+    partition_cols: tuple[str, ...] = ("dt",),
+    compression: str = "snappy",
+    mode: str = "overwrite",
+    compression_ratio: float = 4.0,
+    max_files: int = 10_000,
+) -> int:
+    """``compact`` with the knob operators actually reason in: target
+    output FILE SIZE, not file count.  A fixed ``num_files`` that is
+    right for today's volume is wrong after the next 10x — this derives
+    the count per run from the plan's own size estimate, so the layout
+    converges on ~``target_file_bytes`` files (the 128 MB default
+    matches ``spark.sql.files.maxPartitionBytes``: a later scan gets
+    one well-sized task per file).
+
+    Sizing uses Catalyst's logical-plan statistics when they are real
+    (file-backed sources: sum of file sizes after pruning, zero data
+    pass — the recompaction/maintenance case this lever is for).
+    Derived plans (e.g. fresh parse output) propagate garbage row-width
+    estimates through wide projections (measured: 1e20 for the log
+    parser), so estimates above the sanity bound fall back to ONE
+    measuring aggregate — rows x mean serialized row width — an extra
+    pass that is explicit in the plan, never silent.  The estimate
+    ``compression_ratio`` applies ONLY to that raw-byte fallback (raw
+    text overstates snappy parquet ~4x); file-backed plan stats are
+    already on-disk bytes and size the output directly.  Returns the
+    file count used.
+    """
+    if target_file_bytes <= 0:
+        raise ValueError(f"target_file_bytes must be positive, got {target_file_bytes}")
+    est_out = float(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est_out > 1 << 50:  # Catalyst unknown/propagated-garbage stats
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.avg(F.length(F.to_json(F.struct(*df.columns)))).alias("w"),
+        ).first()
+        est_out = (row["n"] or 0) * (row["w"] or 1.0) / compression_ratio
+    num_files = max(1, min(max_files, round(est_out / target_file_bytes)))
+    compact(
+        df,
+        dest,
+        num_files=num_files,
+        sort_keys=sort_keys,
+        partition_cols=partition_cols,
+        compression=compression,
+        mode=mode,
+    )
+    return num_files

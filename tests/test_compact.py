@@ -53,3 +53,31 @@ def test_compact_idempotent_overwrite(spark, tmp_path):
     n1 = spark.read.parquet(dest).count()
     compact(df, dest, num_files=2)  # re-run same days => same result
     assert spark.read.parquet(dest).count() == n1
+
+
+def test_compact_to_size_scales_file_count(spark, tmp_path):
+    """The byte-targeted writer derives its file count from the plan's
+    size estimate: a small target produces more files than a huge one,
+    a huge target degenerates to 1, and rows survive either way."""
+    from aws_logs_to_parquet_converter_spark.operators.compact import compact_to_size
+
+    df = with_dt(
+        parse_lines(
+            spark.createDataFrame(
+                [(l,) for l in generate_log_lines(2000)], "value string"
+            )
+        )
+    ).where("dt IS NOT NULL")
+    n_rows = df.count()
+
+    big = compact_to_size(df, str(tmp_path / "big"), target_file_bytes=1 << 40)
+    assert big == 1
+    assert spark.read.parquet(str(tmp_path / "big")).count() == n_rows
+
+    small = compact_to_size(df, str(tmp_path / "small"), target_file_bytes=64 * 1024)
+    assert small > big
+    assert spark.read.parquet(str(tmp_path / "small")).count() == n_rows
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        compact_to_size(df, str(tmp_path / "bad"), target_file_bytes=0)
