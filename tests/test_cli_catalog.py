@@ -212,3 +212,43 @@ def test_aws_config_omitted_uses_default_chain(tmp_path):
     assert "fs.s3a.access.key" not in conf
     assert "fs.s3a.aws.credentials.provider" not in conf
     assert conf["fs.s3a.endpoint.region"] == "eu-west-1"
+
+
+def test_schema_evolution_merge_and_catalog(spark, tmp_path):
+    """Log formats grow columns over time (S3's own access-log format
+    has appended fields repeatedly).  The warehouse must absorb that:
+    a path read with mergeSchema unions old and new days (old rows
+    NULL in the new column), and the catalog table follows after an
+    ALTER TABLE ADD COLUMNS — without rewriting any old day."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_to_parquet_converter_spark.operators.compact import compact
+
+    dest = str(tmp_path / "wh")
+    base = _write_raw_days(tmp_path, ["2019-05-01"])[0]
+    d1 = cli._parse_with_delivery_dt(spark, [str(p) for p in (base / "monitored-bucket").glob("2019-05-01*")])
+    compact(d1, dest, num_files=1)
+    d2 = d1.withColumn("dt", F.lit("2019-05-02")).withColumn(
+        "acl_required", F.lit("Yes")  # the real 2022 S3 log-format addition
+    )
+    compact(d2, dest, num_files=1)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert "acl_required" in merged.columns
+    old = merged.where("dt = '2019-05-01'").select("acl_required").distinct().collect()
+    assert [r.acl_required for r in old] == [None]  # old days: NULL, not rewritten
+    new = merged.where("dt = '2019-05-02'").select("acl_required").distinct().collect()
+    assert [r.acl_required for r in new] == ["Yes"]
+
+    # catalog path: the table schema is fixed at DDL time; evolving it
+    # is one metadata-only ALTER, then both days are queryable
+    spark.sql(f"CREATE TABLE evo USING PARQUET LOCATION '{dest}'")
+    try:
+        spark.sql("MSCK REPAIR TABLE evo")
+        assert "acl_required" not in spark.table("evo").columns
+        spark.sql("ALTER TABLE evo ADD COLUMNS (acl_required STRING)")
+        got = {str(r.dt): r.acl_required for r in spark.sql(
+            "SELECT DISTINCT dt, acl_required FROM evo").collect()}
+        assert got == {"2019-05-01": None, "2019-05-02": "Yes"}
+    finally:
+        spark.sql("DROP TABLE evo")
