@@ -675,3 +675,65 @@ def simhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def drop_repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-line removal (the CCNet/RefinedWeb clean
+    step): every line that occurs more than once across the corpus is
+    kept ONLY at its first occurrence (document id, then position) and
+    dropped everywhere else — boilerplate (headers, cookie banners,
+    license stubs) disappears while its first sighting survives for
+    auditability.
+
+    Pure-Catalyst shape: posexplode lines -> digest-keyed first-
+    occurrence aggregate (8-byte xxhash64 + min (id,pos) struct — the
+    only exchange moves digests, never line text) -> semi-style join
+    back -> ordered reassembly per document, rejoined to the input so
+    a document whose every line was boilerplate survives as an empty
+    string (rows are never lost — downstream length filters decide its
+    fate).  Lines with fewer than ``min_chars`` after trimming
+    (blank/formatting lines) are exempt: deduping them would strip
+    every blank line in the corpus after the first.  NULL text passes
+    through untouched.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep, -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    digest = F.xxhash64(F.trim(F.col("_line")))
+    exempt = F.length(F.trim(F.col("_line"))) < min_chars
+    keyed = lines.withColumn("_d", digest).withColumn("_ex", exempt)
+    first = (
+        keyed.where(~F.col("_ex"))
+        .groupBy("_d")
+        .agg(F.min(F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))).alias("_f"))
+    )
+    kept = keyed.join(first, "_d", "left").where(
+        F.col("_ex")
+        | F.col("_f").isNull()
+        | ((F.col("_f.i") == F.col("_id")) & (F.col("_f.p") == F.col("_pos")))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            line_sep,
+        ).alias("_joined")
+    )
+    out = df.join(rebuilt, df[id_col] == rebuilt["_id"], "left").select(
+        *[df[c] for c in df.columns if c != text_col],
+        F.when(df[text_col].isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("_joined"), F.lit("")))
+        .alias(text_col),
+    )
+    return out.select(*df.columns)

@@ -280,3 +280,37 @@ def test_dedup_against_corpus_incremental(spark):
         for r in dedup.dedup_against_corpus(batch, digests, "doc_id", "text").collect()
     )
     assert kept == [11, 13, 14]
+
+
+def test_drop_repeated_lines_keeps_first_occurrence(spark):
+    """Boilerplate lines survive only at their first (doc, position)
+    sighting; blank lines are exempt; NULL text passes through; unique
+    lines and document order are untouched."""
+    rows = [
+        (1, "COOKIE BANNER\nunique alpha\n\nunique beta"),
+        (2, "COOKIE BANNER\nunique gamma\n\nCOOKIE BANNER"),
+        (3, None),
+        (4, "unique delta\nCOOKIE BANNER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           dedup.drop_repeated_lines(df, "doc_id", "text").collect()}
+    assert out[1] == "COOKIE BANNER\nunique alpha\n\nunique beta"  # first sighting kept
+    assert out[2] == "unique gamma\n"  # both banner copies dropped, blank kept
+    assert out[3] is None
+    assert out[4] == "unique delta"
+    # determinism under repartitioning
+    again = {r.doc_id: r.text for r in
+             dedup.drop_repeated_lines(df.repartition(5), "doc_id", "text").collect()}
+    assert out == again
+
+
+def test_drop_repeated_lines_all_boilerplate_doc_survives_empty(spark):
+    """A document consisting entirely of corpus-repeated lines must
+    survive as an empty string, never vanish (round-6 self-found row
+    loss)."""
+    rows = [(1, "BANNER"), (2, "BANNER"), (3, "BANNER")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           dedup.drop_repeated_lines(df, "doc_id", "text").collect()}
+    assert out == {1: "BANNER", 2: "", 3: ""}
