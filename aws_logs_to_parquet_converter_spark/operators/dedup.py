@@ -702,11 +702,16 @@ def drop_repeated_lines(
     every blank line in the corpus after the first.  NULL text passes
     through untouched.
     """
+    import re
+
+    # split() takes a REGEX but array_join() a literal — escape so both
+    # sides agree for any separator (".", "||", ...), not just "\n"
+    sep_pattern = re.escape(line_sep)
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep, -1)).alias(
-            "_pos", "_line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep_pattern, -1)
+        ).alias("_pos", "_line"),
     )
     digest = F.xxhash64(F.trim(F.col("_line")))
     exempt = F.length(F.trim(F.col("_line"))) < min_chars

@@ -314,3 +314,37 @@ def test_drop_repeated_lines_all_boilerplate_doc_survives_empty(spark):
     out = {r.doc_id: r.text for r in
            dedup.drop_repeated_lines(df, "doc_id", "text").collect()}
     assert out == {1: "BANNER", 2: "", 3: ""}
+
+
+def test_drop_repeated_lines_properties(spark):
+    """Property sweep on random corpora: row count conserved, no
+    non-exempt line repeats afterwards, no line invented, regex-special
+    separators behave literally."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"line{i}" for i in range(6)] + ["", " "]
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.drop_repeated_lines(df, "doc_id", "text")
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert len(got) == 40
+    seen = set()
+    src_lines = {l for _, t in rows for l in t.split("\n")}
+    for t in got.values():
+        for l in t.split("\n") if t else [""]:
+            assert l in src_lines or l == ""  # nothing invented
+            if l.strip():
+                assert l not in seen, f"residual duplicate line {l!r}"
+                seen.add(l)
+
+    # regex-special separator must be treated literally
+    df2 = spark.createDataFrame(
+        [(1, "dup.unique1"), (2, "dup.unique2")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r.text
+            for r in dedup.drop_repeated_lines(df2, "doc_id", "text", line_sep=".").collect()}
+    assert out2 == {1: "dup.unique1", 2: "unique2"}
