@@ -1380,3 +1380,65 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_new"), F.sum("n_chars").alias("new_chars"))
         .orderBy("source")
     )
+
+
+_BOILERPLATE_ORACLE = r"""
+    WITH docs AS (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '\s+(table|value)\s+', chr(10), 'g'),
+                            chr(10)) AS parts
+        FROM documents
+    ), lines AS (
+        SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS line
+        FROM docs
+    ), keyed AS (
+        SELECT doc_id, pos, line, trim(line) AS tl FROM lines
+    ), ranked AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY tl ORDER BY doc_id, pos) AS rn
+        FROM keyed WHERE length(tl) >= 1
+    ), kept AS (
+        SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, pos, line FROM keyed WHERE length(tl) < 1
+    ), rebuilt AS (
+        SELECT doc_id,
+               COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS t,
+               COUNT(*) AS n_lines
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN length(COALESCE(r.t, '')) = 0 THEN 0
+                     ELSE COALESCE(r.n_lines, 0) END AS BIGINT) AS n_lines,
+           CAST(length(COALESCE(r.t, '')) AS BIGINT) AS n_chars
+    FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@query("q_boilerplate_lines", oracle=_BOILERPLATE_ORACLE)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-line (boilerplate) removal
+    (operators/dedup.drop_repeated_lines) hash-graded end to end: the
+    query derives line structure from the flat test corpus (a
+    deterministic regexp_replace turns two common words into line
+    breaks — same expression in both engines), scrubs every
+    corpus-repeated line except its first (doc, position) occurrence,
+    and emits per-document kept-line and char counts.  The oracle
+    re-derives the identical first-occurrence rule with a window
+    function over the unnested lines."""
+    d = t(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"\s+(table|value)\s+", "\n").alias("text"),
+    )
+    cleaned = dedup.drop_repeated_lines(lined, "doc_id", "text")
+    txt = F.coalesce("text", F.lit(""))
+    return cleaned.select(
+        "doc_id",
+        F.when(F.length(txt) == 0, F.lit(0))
+        .otherwise(F.size(F.split(txt, "\n", -1)))
+        .cast("bigint")
+        .alias("n_lines"),
+        F.length(txt).cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
