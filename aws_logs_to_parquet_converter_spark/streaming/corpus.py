@@ -91,9 +91,11 @@ def stream_corpus_ingest(
     trigger: dict | None = None,
     max_files_per_trigger: int = 1000,
     batch_hook: "Callable[[DataFrame, int], None] | None" = None,
+    exactly_once: bool = False,
+    post_write_hook: "Callable[[DataFrame, int], None] | None" = None,
 ) -> StreamingQuery:
     """End-to-end continuous corpus ingest: JSONL stream -> scrub
-    (drops dead letters) -> digest-dedup -> parquet append,
+    (drops dead letters) -> digest-dedup -> parquet sink,
     checkpointed.  The stateful dedup runs UPSTREAM of foreachBatch so
     its state spans micro-batches; quarantining dead letters is a
     separate ``stream_quarantine`` query with its own checkpoint, so
@@ -101,8 +103,18 @@ def stream_corpus_ingest(
 
     ``batch_hook`` runs before each micro-batch write (metrics/audit
     seam); a hook that raises aborts the batch BEFORE any sink output,
-    so the checkpoint stays consistent — the crash-recovery test uses
-    exactly this to kill the query between micro-batches."""
+    so the checkpoint stays consistent.  ``post_write_hook`` runs after
+    the sink write but before the checkpoint commit — the window where
+    a crash forces Structured Streaming to REPLAY the batch.
+
+    ``exactly_once=False`` (default) appends — at-least-once: a crash
+    in that window duplicates the batch on replay.  ``exactly_once=
+    True`` writes each batch under its own ``_batch_id=N`` partition
+    with dynamic partition overwrite, so a replay OVERWRITES its own
+    partition instead of appending a second copy — the canonical
+    idempotent-foreachBatch upgrade; readers see one extra partition
+    column to drop (or read via ``read_ingested`` below).  Both modes
+    are exercised by the crash tests in test_streaming_corpus."""
     docs = stream_documents(spark, source_glob, max_files_per_trigger=max_files_per_trigger)
     clean = dedup_stream(scrub_stream(docs))
 
@@ -110,13 +122,31 @@ def stream_corpus_ingest(
         if batch_hook is not None:
             batch_hook(batch_df, batch_id)
         if not batch_df.isEmpty():
-            batch_df.write.mode("append").parquet(dest)
+            if exactly_once:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                (
+                    batch_df.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("_batch_id")
+                    .parquet(dest)
+                )
+            else:
+                batch_df.write.mode("append").parquet(dest)
+        if post_write_hook is not None:
+            post_write_hook(batch_df, batch_id)
 
     writer = clean.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def read_ingested(spark: SparkSession, dest: str) -> DataFrame:
+    """Read an exactly-once ingest destination without the internal
+    ``_batch_id`` bookkeeping column."""
+    df = spark.read.parquet(dest)
+    return df.drop("_batch_id") if "_batch_id" in df.columns else df
 
 
 def stream_quarantine(

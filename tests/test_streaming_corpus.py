@@ -170,3 +170,40 @@ def test_crash_between_microbatches_recovers_exactly_once(spark, tmp_path):
     assert set(by_text) == {"alpha content here", "beta content here", "gamma content here"}
     # no dupes: neither batch replay nor the cross-crash content dup
     assert all(len(ids) == 1 for ids in by_text.values()), by_text
+
+
+def test_crash_after_write_before_commit_replay_semantics(spark, tmp_path):
+    """A crash AFTER the sink write but BEFORE the checkpoint commit
+    forces a batch replay.  Default append mode duplicates the batch
+    (at-least-once, asserted honestly); exactly_once=True overwrites
+    the replayed batch's own partition, so the restart converges to
+    one copy of every row."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    for mode, expect_dup in (("append", True), ("exactly_once", False)):
+        src = tmp_path / f"in_{mode}"
+        src.mkdir()
+        _jsonl(src / "a.jsonl", [_doc(1, f"{mode} alpha"), _doc(2, f"{mode} beta")])
+        out, ckpt = str(tmp_path / f"out_{mode}"), str(tmp_path / f"ckpt_{mode}")
+        kw = dict(max_files_per_trigger=1, exactly_once=(mode == "exactly_once"))
+
+        def crash_post(batch_df, batch_id):
+            raise RuntimeError("injected crash after sink write")
+
+        q = corpus.stream_corpus_ingest(
+            spark, str(src) + "/*.jsonl", out, ckpt, post_write_hook=crash_post, **kw
+        )
+        try:
+            q.awaitTermination(120)
+            raise AssertionError("query should have died post-write")
+        except StreamingQueryException:
+            pass
+
+        q2 = corpus.stream_corpus_ingest(spark, str(src) + "/*.jsonl", out, ckpt, **kw)
+        q2.awaitTermination(120)
+        rows = corpus.read_ingested(spark, out).collect()
+        ids = sorted(r.doc_id for r in rows)
+        if expect_dup:
+            assert ids == [1, 1, 2, 2], f"append mode should replay-duplicate: {ids}"
+        else:
+            assert ids == [1, 2], f"exactly-once mode must converge: {ids}"
