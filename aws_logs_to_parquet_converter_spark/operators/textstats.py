@@ -267,3 +267,57 @@ def tfidf_top_terms(
         )
         .where(F.col("rnk") <= k)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the rolling-hash fingerprinting standard): hash every
+    k-gram of the normalized text, slide a window of ``w`` consecutive
+    k-gram hashes, keep each window's minimum; the distinct kept hashes
+    are the document's fingerprint set.  Guarantee: any shared
+    substring of length >= w + k - 1 contributes at least one shared
+    fingerprint, while the index is ~1/w the size of the full k-gram
+    inverted index — the storage/recall dial exact n-gram matching
+    lacks at 100 TB.
+
+    Pure-codegen shape: explode(sequence) -> substring -> hash -> one
+    bounded window min per position (ROWS frame of w, partitioned by
+    document — no cross-document state) -> distinct.  Returns
+    (id, fingerprint) rows — feed to a self-join on ``fingerprint``
+    for candidate pairs, same pattern as ``ngram_jaccard_pairs``.
+
+    ``hash_fn``: 'xxhash64' (8-byte ints, fastest — the engine
+    default) or 'md5' (hex strings whose lexicographic MIN any SQL
+    engine reproduces — the oracle-parity mode)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unsupported hash_fn: {hash_fn}")
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    grams = (
+        df.select(F.col(id_col).alias("_id"), norm.alias("_t"))
+        .select(
+            "_id",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_t") - (k - 1), F.lit(1)))
+            ).alias("_pos"),
+        )
+        .select("_id", "_pos", F.expr(f"substring(_t, _pos, {k})").alias("_gram"))
+    )
+    h = F.xxhash64("_gram") if hash_fn == "xxhash64" else F.md5("_gram")
+    win = Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, w - 1)
+    return (
+        grams.select("_id", F.min(h).over(win).alias("fingerprint"))
+        .distinct()
+        .select(F.col("_id").alias(id_col), "fingerprint")
+    )

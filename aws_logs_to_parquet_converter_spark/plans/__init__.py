@@ -98,15 +98,16 @@ _PRIORITY = [
     "q_contamination",
     "q_join_left",
     "q_join_semi",
-    "q_join_anti",
     # (5) round-6 additions: never driver-graded outranks stale-but-
-    # green (displaced q_join_range / q_window_rank / q_window_rolling
-    # / q_window_ntile keep r4 currency and rotate with the r7
-    # candidates)
+    # green (displaced q_join_anti / q_join_range / q_window_rank /
+    # q_window_rolling / q_window_ntile keep r4 currency and rotate
+    # with the r7 candidates; anti-join coverage stays in-window via
+    # q16's NOT IN and q21's NOT EXISTS)
     "q_split_assign",
     "q_bitwise_funcs",
     "q_incremental_dedup",
     "q_boilerplate_lines",
+    "q_winnow_fingerprints",
 ]
 
 

@@ -1442,3 +1442,46 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_lines"),
         F.length(txt).cast("bigint").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+_WINNOW_ORACLE = r"""
+    WITH docs AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS p
+        FROM docs
+    ), grams AS (
+        SELECT doc_id, p, md5(substring(t, p, 5)) AS h FROM pos
+    ), mins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    )
+    SELECT doc_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp, MIN(fp) AS min_fp
+    FROM mins GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("q_winnow_fingerprints", oracle=_WINNOW_ORACLE)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints
+    (operators/textstats.winnow_fingerprints, Schleimer et al. 2003)
+    hash-graded end to end in md5-parity mode: per document, the
+    fingerprint-set size and its minimum — the oracle re-derives the
+    identical window-min selection over unnested k-gram hashes, so any
+    drift in normalization, gram enumeration, framing, or dedup
+    hash-fails."""
+    from aws_logs_to_parquet_converter_spark.operators import textstats
+
+    d = t(spark, sf_dir, "documents")
+    fp = textstats.winnow_fingerprints(d, "doc_id", "text", k=5, w=4, hash_fn="md5")
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fingerprint").cast("bigint").alias("n_fp"),
+            F.min("fingerprint").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )

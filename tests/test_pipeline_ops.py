@@ -361,3 +361,43 @@ def test_assign_splits_disjoint_exhaustive_deterministic(spark):
         sampling.assign_splits(df, "doc_id", {})
     with _pytest.raises(ValueError):
         sampling.assign_splits(df, "doc_id", {"a": 1.5, "b": -0.5})
+
+
+def test_winnow_fingerprints_guarantee_and_determinism(spark):
+    from aws_logs_to_parquet_converter_spark.operators import textstats
+    """Winnowing invariants: identical docs share ALL fingerprints; a
+    doc sharing a long substring (>= w+k-1 chars) shares at least one;
+    an unrelated doc shares none (at this fixture size); the set is
+    ~1/w the size of the full k-gram set; partitioning doesn't matter."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, shared + " alpha tail one"),
+        (2, shared + " totally different ending here"),
+        (3, "zzz qqq vvv kkk xxx yyy www uuu"),  # unrelated
+        (4, shared + " alpha tail one"),          # exact copy of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = textstats.winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] == by_doc[4]                      # identical docs
+    assert by_doc[1] & by_doc[2], "long shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]), "unrelated docs should not collide"
+    n_grams = len(rows[0][1]) - 4
+    assert len(by_doc[1]) <= n_grams / 2               # winnowed well below full set
+    again = {(r.doc_id, r.fingerprint)
+             for r in textstats.winnow_fingerprints(
+                 df.repartition(7), "doc_id", "text", k=5, w=4).collect()}
+    assert again == {(d, f) for d, fps in by_doc.items() for f in fps}
+    # md5 mode: same SELECTION rule, engine-reproducible values
+    md5fp = textstats.winnow_fingerprints(df, "doc_id", "text", k=5, w=4, hash_fn="md5")
+    md5_by_doc = {}
+    for r in md5fp.collect():
+        md5_by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert md5_by_doc[1] == md5_by_doc[4] and md5_by_doc[1] & md5_by_doc[2]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textstats.winnow_fingerprints(df, "doc_id", "text", k=0)
+    with _pytest.raises(ValueError):
+        textstats.winnow_fingerprints(df, "doc_id", "text", hash_fn="sha1")
