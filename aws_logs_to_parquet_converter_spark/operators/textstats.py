@@ -99,7 +99,9 @@ def predict_lang(text: Column) -> Column:
 
 
 def fingerprint(text: Column) -> Column:
-    """Normalized md5 content fingerprint (rolling-hash stand-in)."""
+    """Normalized whole-document md5 fingerprint — the exact-content
+    key for near-exact dedup (case/whitespace variants collapse).  For
+    substring-robust fingerprinting use ``winnow_fingerprints``."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
