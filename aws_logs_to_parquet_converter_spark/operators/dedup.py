@@ -742,3 +742,48 @@ def drop_repeated_lines(
         .alias(text_col),
     )
     return out.select(*df.columns)
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: "int | None" = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from winnowing fingerprints
+    (textstats.winnow_fingerprints): documents meet iff they share a
+    selected k-gram minimum, so any common substring of length
+    >= w + k - 1 is caught while the inverted index is ~1/w the size
+    of the full shingle index (``ngram_jaccard_pairs``' exact-set
+    sibling, traded toward scale).  Returns (id_a, id_b, n_shared),
+    id_a < id_b, thresholded at ``min_shared`` shared fingerprints.
+
+    ``max_fp_df`` drops fingerprints hotter than the cap from the
+    index before the self-join — same guard as ngram_jaccard_pairs:
+    one boilerplate fingerprint shared by a million docs must not emit
+    10^12 join rows.  Shuffles move (fingerprint, id) pairs only."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        F.col(id_col).alias("_id"), "fingerprint"
+    )
+    if max_fp_df is not None:
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_fp_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(hot, "fingerprint", "left_anti")
+    a = fp.select(F.col("_id").alias("id_a"), "fingerprint")
+    b = fp.select(F.col("_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

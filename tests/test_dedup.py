@@ -348,3 +348,31 @@ def test_drop_repeated_lines_properties(spark):
     out2 = {r.doc_id: r.text
             for r in dedup.drop_repeated_lines(df2, "doc_id", "text", line_sep=".").collect()}
     assert out2 == {1: "dup.unique1", 2: "unique2"}
+
+
+def test_winnow_candidate_pairs_catch_and_prune(spark):
+    """Docs sharing a long substring become candidates; unrelated docs
+    do not; the hot-fingerprint cap prunes a fingerprint present in
+    every doc without killing genuine pairs."""
+    shared = "the quick brown fox jumps over the lazy dog and keeps running"
+    rows = [
+        (1, shared + " alpha ending"),
+        (2, shared + " beta conclusion"),
+        (3, "completely unrelated content qqq zzz vvv kkk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.n_shared
+           for r in dedup.winnow_candidate_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert not any(3 in pair for pair in got)
+
+    # every doc shares one boilerplate sentence -> its fingerprints are
+    # corpus-hot; cap excludes them, genuine (1,2) overlap remains
+    boiler = " COMMON FOOTER SENTENCE APPEARING EVERYWHERE"
+    df2 = spark.createDataFrame(
+        [(i, t + boiler) for i, t in rows], "doc_id long, text string"
+    )
+    capped = {(r.id_a, r.id_b)
+              for r in dedup.winnow_candidate_pairs(
+                  df2, "doc_id", "text", max_fp_df=2).collect()}
+    assert (1, 2) in capped and not any(3 in p for p in capped)
