@@ -752,6 +752,7 @@ def winnow_candidate_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_fp_df: "int | None" = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs from winnowing fingerprints
     (textstats.winnow_fingerprints): documents meet iff they share a
@@ -767,7 +768,7 @@ def winnow_candidate_pairs(
     10^12 join rows.  Shuffles move (fingerprint, id) pairs only."""
     from aws_logs_to_parquet_converter_spark.operators.textstats import winnow_fingerprints
 
-    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w, hash_fn=hash_fn).select(
         F.col(id_col).alias("_id"), "fingerprint"
     )
     if max_fp_df is not None:

@@ -96,18 +96,19 @@ _PRIORITY = [
     "q_chunk_docs",
     "q_vocab_topk",
     "q_contamination",
-    "q_join_left",
     "q_join_semi",
     # (5) round-6 additions: never driver-graded outranks stale-but-
-    # green (displaced q_join_anti / q_join_range / q_window_rank /
-    # q_window_rolling / q_window_ntile keep r4 currency and rotate
-    # with the r7 candidates; anti-join coverage stays in-window via
-    # q16's NOT IN and q21's NOT EXISTS)
+    # green (displaced q_join_left / q_join_anti / q_join_range /
+    # q_window_rank / q_window_rolling / q_window_ntile keep r4
+    # currency and rotate with the r7 candidates; outer-join coverage
+    # stays in-window via q13, anti via q16's NOT IN / q21's NOT
+    # EXISTS)
     "q_split_assign",
     "q_bitwise_funcs",
     "q_incremental_dedup",
     "q_boilerplate_lines",
     "q_winnow_fingerprints",
+    "q_winnow_pairs",
 ]
 
 

@@ -1485,3 +1485,43 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_WINNOW_PAIRS_ORACLE = r"""
+    WITH docs AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS p
+        FROM docs
+    ), grams AS (
+        SELECT doc_id, p, md5(substring(t, p, 5)) AS h FROM pos
+    ), mins AS (
+        SELECT DISTINCT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    ), capped AS (
+        SELECT fp FROM mins GROUP BY fp HAVING COUNT(*) <= 32
+    ), idx AS (
+        SELECT m.doc_id, m.fp FROM mins m JOIN capped USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 8
+    ORDER BY 1, 2
+"""
+
+
+@query("q_winnow_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs over winnowing fingerprints
+    (operators/dedup.winnow_candidate_pairs in md5-parity mode): the
+    df-capped shared-fingerprint self-join, thresholded — the whole
+    fingerprint->index->cap->pair pipeline hash-graded against the
+    identical construction in DuckDB."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.winnow_candidate_pairs(
+        d, "doc_id", "text", k=5, w=4, min_shared=8, max_fp_df=32, hash_fn="md5"
+    )
+    return pairs.orderBy("id_a", "id_b")
