@@ -18,6 +18,13 @@ bench:
 bench-dev:
 	SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
 
+# 10x scale validation (PERF.md "Round-6"): builds /tmp/sf1 once, then
+# benches against it.
+.PHONY: bench-sf1
+bench-sf1:
+	test -d /tmp/sf1 || python scripts/make_sf1.py /tmp/sf1
+	SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
+
 .PHONY: clean
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; \
