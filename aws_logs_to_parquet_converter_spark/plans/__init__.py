@@ -96,12 +96,12 @@ _PRIORITY = [
     "q_chunk_docs",
     "q_vocab_topk",
     "q_contamination",
-    "q_join_semi",
     # (5) round-6 additions: never driver-graded outranks stale-but-
-    # green (displaced q_join_left / q_join_anti / q_join_range /
-    # q_window_rank / q_window_rolling / q_window_ntile keep r4
-    # currency and rotate with the r7 candidates; outer-join coverage
-    # stays in-window via q13, anti via q16's NOT IN / q21's NOT
+    # green (displaced q_join_left / q_join_semi / q_join_anti /
+    # q_join_range / q_window_rank / q_window_rolling / q_window_ntile
+    # keep r4 currency and rotate with the r7 candidates; outer-join
+    # coverage stays in-window via q13, semi via q04/q20's
+    # EXISTS/semi-over-HAVING, anti via q16's NOT IN / q21's NOT
     # EXISTS)
     "q_split_assign",
     "q_bitwise_funcs",
@@ -109,6 +109,7 @@ _PRIORITY = [
     "q_boilerplate_lines",
     "q_winnow_fingerprints",
     "q_winnow_pairs",
+    "q_data_quality",
 ]
 
 

@@ -1525,3 +1525,47 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", k=5, w=4, min_shared=8, max_fp_df=32, hash_fn="md5"
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+_DATA_QUALITY_ORACLE = """
+    WITH checks AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity > 0, FALSE)) AS BIGINT)
+                   AS v_qty,
+               CAST(COUNT(*) FILTER (WHERE NOT COALESCE(l_discount BETWEEN 0 AND 0.5, FALSE)) AS BIGINT)
+                   AS v_disc,
+               CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+                   l_shipdate BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '1998-12-31',
+                   FALSE)) AS BIGINT) AS v_dates,
+               CAST(COUNT(*) FILTER (WHERE NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)) AS BIGINT)
+                   AS v_flag
+        FROM lineitem
+    )
+    SELECT rule, n AS n_rows, nv AS n_violations,
+           ROUND(nv * 1.0 / n, 6) AS violation_rate
+    FROM checks, (VALUES ('discount_band', 0), ('qty_positive', 1),
+                         ('returnflag_domain', 2), ('shipdate_range', 3)) AS r(rule, k),
+         LATERAL (SELECT CASE r.k WHEN 0 THEN v_disc WHEN 1 THEN v_qty
+                                  WHEN 2 THEN v_flag ELSE v_dates END AS nv) v
+    ORDER BY rule
+"""
+
+
+@query("q_data_quality", oracle=_DATA_QUALITY_ORACLE)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators/validate.
+    validation_report): four constraint rules over lineitem — positive
+    quantity, discount band, shipdate range, returnflag domain
+    — checked in ONE aggregate pass (map-side partials, zero data
+    shuffle); the oracle recomputes each violation count with filtered
+    aggregates."""
+    from aws_logs_to_parquet_converter_spark.operators import validate
+
+    li = t(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_positive": F.col("l_quantity") > 0,
+        "discount_band": F.col("l_discount").between(0, 0.5),
+        "shipdate_range": F.col("l_shipdate").between("1992-01-01", "1998-12-31"),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    return validate.validation_report(li, rules)
