@@ -1447,7 +1447,7 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_ORACLE = r"""
     WITH docs AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), pos AS (
         SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS p
         FROM docs
@@ -1475,7 +1475,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fails."""
     from aws_logs_to_parquet_converter_spark.operators import textstats
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fp = textstats.winnow_fingerprints(d, "doc_id", "text", k=5, w=4, hash_fn="md5")
     return (
         fp.groupBy("doc_id")
@@ -1490,7 +1490,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_PAIRS_ORACLE = r"""
     WITH docs AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), pos AS (
         SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS p
         FROM docs
@@ -1520,7 +1520,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped shared-fingerprint self-join, thresholded — the whole
     fingerprint->index->cap->pair pipeline hash-graded against the
     identical construction in DuckDB."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     pairs = dedup.winnow_candidate_pairs(
         d, "doc_id", "text", k=5, w=4, min_shared=8, max_fp_df=32, hash_fn="md5"
     )
