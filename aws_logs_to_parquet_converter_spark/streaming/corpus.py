@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -93,6 +93,8 @@ def stream_corpus_ingest(
     batch_hook: "Callable[[DataFrame, int], None] | None" = None,
     exactly_once: bool = False,
     post_write_hook: "Callable[[DataFrame, int], None] | None" = None,
+    rules: "dict[str, Column] | None" = None,
+    rejected_dest: "str | None" = None,
 ) -> StreamingQuery:
     """End-to-end continuous corpus ingest: JSONL stream -> scrub
     (drops dead letters) -> digest-dedup -> parquet sink,
@@ -114,13 +116,33 @@ def stream_corpus_ingest(
     partition instead of appending a second copy — the canonical
     idempotent-foreachBatch upgrade; readers see one extra partition
     column to drop (or read via ``read_ingested`` below).  Both modes
-    are exercised by the crash tests in test_streaming_corpus."""
+    are exercised by the crash tests in test_streaming_corpus.
+
+    ``rules`` (operators/validate.py rule set) extends the dead-letter
+    discipline from parse errors to semantic errors: rows failing any
+    rule divert to ``rejected_dest`` (default ``dest + "_rejected"``)
+    carrying their failed-rule names — the same rule expressions a
+    batch job passes to ``validation_report``, evaluated in-stream at
+    zero extra state."""
     docs = stream_documents(spark, source_glob, max_files_per_trigger=max_files_per_trigger)
     clean = dedup_stream(scrub_stream(docs))
+    reject_path = rejected_dest or (dest + "_rejected")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_hook is not None:
             batch_hook(batch_df, batch_id)
+        if rules:
+            from aws_logs_to_parquet_converter_spark.operators.validate import (
+                quarantine_violations,
+            )
+
+            batch_df, rejected = quarantine_violations(batch_df, rules)
+            if not rejected.isEmpty():
+                (
+                    rejected.withColumn("_violations", F.array_join("_violations", ","))
+                    .write.mode("append")
+                    .parquet(reject_path)
+                )
         if not batch_df.isEmpty():
             if exactly_once:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

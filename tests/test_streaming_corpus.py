@@ -207,3 +207,32 @@ def test_crash_after_write_before_commit_replay_semantics(spark, tmp_path):
             assert ids == [1, 1, 2, 2], f"append mode should replay-duplicate: {ids}"
         else:
             assert ids == [1, 2], f"exactly-once mode must converge: {ids}"
+
+
+def test_rule_based_quarantine_in_stream(spark, tmp_path):
+    """The batch rule set applies unchanged in-stream: rows failing a
+    validation rule divert to the rejected sink with their reasons;
+    passing rows flow to the corpus."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a.jsonl", [
+        _doc(1, "good document text"),
+        _doc(2, ""),                       # fails text_present
+        {"doc_id": 3, "text": "x" * 5, "lang": "zz", "source": "web", "n_chars": 5},
+    ])
+    rules = {
+        "text_present": F.length("text") > 0,
+        "lang_known": F.col("lang").isin("en", "fr", "de"),
+    }
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        rules=rules,
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [1]
+    rej = {r.doc_id: r._violations
+           for r in spark.read.parquet(str(tmp_path / "out_rejected")).collect()}
+    assert rej == {2: "text_present", 3: "lang_known"}
