@@ -162,13 +162,41 @@ def build_maintenance_parser() -> argparse.ArgumentParser:
                    help="recompact exactly this day instead of scanning")
     p.add_argument("--dry-run", action="store_true",
                    help="list fragmented partitions, rewrite nothing")
+    p.add_argument("--validate", action="store_true",
+                   help="print a data-quality report for the table instead "
+                        "of compacting (status domain, byte sanity, dt format)")
     return p
+
+
+LOG_TABLE_RULES = {
+    # the compacted access-log table's integrity contract: every rule a
+    # plain Catalyst expression (operators/validate.py)
+    "status_domain": "http_status IS NULL OR (http_status BETWEEN 100 AND 599)",
+    "bytes_nonnegative": "bytes_sent IS NULL OR bytes_sent >= 0",
+    "dt_format": "dt IS NOT NULL AND CAST(dt AS STRING) RLIKE "
+                 "'^[0-9]{4}-[0-9]{2}-[0-9]{2}$'",
+    "time_parsed_or_deadletter": "request_time IS NOT NULL OR error_line IS NOT NULL",
+}
 
 
 def run_maintenance(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="s3_server_side_log_maintenance")
     if args.aws_config:
         apply_s3a_conf(spark, aws_config_to_s3a(args.aws_config))
+    if args.validate:
+        from aws_logs_to_parquet_converter_spark.operators.validate import (
+            validation_report,
+        )
+
+        df = spark.read.parquet(args.dest)
+        report = validation_report(
+            df, {name: F.expr(e) for name, e in LOG_TABLE_RULES.items()}
+        )
+        worst = 0.0
+        for r in report.collect():
+            print(f"{r.rule}: {r.n_violations}/{r.n_rows} ({r.violation_rate:.2%})")
+            worst = max(worst, r.violation_rate)
+        return 1 if worst > 0 else 0
     if args.dt:
         n = recompact_partition(spark, args.dest, args.dt, num_files=args.num_output_files)
         print(f"{args.dt}: recompacted {n} row(s) -> {args.num_output_files} file(s)")

@@ -128,3 +128,24 @@ def test_cli_maintain_subcommand(spark, tmp_path, capsys):
     )
     assert cli.run_maintenance(single) == 0
     assert len(glob.glob(f"{dest}/dt={one}/*.parquet")) == 1
+
+
+def test_cli_maintain_validate_mode(spark, tmp_path, capsys):
+    """maintain --validate prints the table's rule report and exits
+    nonzero iff any rule has violations."""
+    from aws_logs_to_parquet_converter_spark import cli
+
+    dest = str(tmp_path / "wh")
+    df = with_dt(
+        parse_lines(
+            spark.createDataFrame(
+                [(l,) for l in generate_log_lines(200)], "value string"
+            )
+        )
+    ).where(F.col("dt").isNotNull())
+    compact(df, dest, num_files=1)
+    args = cli.build_maintenance_parser().parse_args(["--dest", dest, "--validate"])
+    rc = cli.run_maintenance(args)
+    out = capsys.readouterr().out
+    assert "status_domain:" in out and "dt_format:" in out
+    assert rc == 0  # generated logs satisfy the contract
