@@ -81,3 +81,23 @@ def test_compact_to_size_scales_file_count(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         compact_to_size(df, str(tmp_path / "bad"), target_file_bytes=0)
+
+
+def test_compact_to_size_file_backed_stats_path(spark, tmp_path):
+    """File-backed sources size from plan statistics (on-disk bytes, no
+    measuring pass): a target near the input size yields few files, and
+    the written output lands near the target."""
+    from aws_logs_to_parquet_converter_spark.operators.compact import compact_to_size
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumn(
+        "dt", F.lit("2019-02-01")
+    )
+    n = compact_to_size(li, str(tmp_path / "t"), target_file_bytes=64 * 1024,
+                        sort_keys=("l_orderkey",))
+    files = glob.glob(str(tmp_path / "t") + "/dt=*/*.parquet")
+    assert n == len(files) and n > 1
+    sizes = [os.path.getsize(f) for f in files]
+    # within 4x of target either way — plan stats are estimates
+    assert all(16 * 1024 < sz < 256 * 1024 for sz in sizes), sizes
+    assert spark.read.parquet(str(tmp_path / "t")).count() == li.count()

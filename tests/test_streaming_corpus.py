@@ -236,3 +236,17 @@ def test_rule_based_quarantine_in_stream(spark, tmp_path):
     rej = {r.doc_id: r._violations
            for r in spark.read.parquet(str(tmp_path / "out_rejected")).collect()}
     assert rej == {2: "text_present", 3: "lang_known"}
+
+
+def test_read_ingested_passthrough_on_append_layout(spark, tmp_path):
+    """read_ingested is a no-op on the default append layout (no
+    _batch_id column to hide)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a.jsonl", [_doc(1, "plain append doc")])
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    df = corpus.read_ingested(spark, str(tmp_path / "out"))
+    assert df.count() == 1 and "_batch_id" not in df.columns
