@@ -362,6 +362,53 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_semantic_dedup",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_aggregate(list_transform(list_zip(a.ev, b.ev), x -> x[1] * x[2]), 'sum')
+              / (sqrt(list_aggregate(list_transform(a.ev, x -> x * x), 'sum'))
+                 * sqrt(list_aggregate(list_transform(b.ev, x -> x * x), 'sum'))) >= 0.4
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) in exact mode (n_cells=1): greedy
+    upper-triangular pruning — drop every vector with a smaller-id
+    cosine neighbor >= 0.4 — over the blocked pair join, then an
+    8-byte-id anti join back to the corpus.  The oracle replays the
+    same policy as ANSI SQL (NOT IN over the exact pair space); the
+    clustered Θ(Σ|cell|²) form is q_semantic_dedup_clustered."""
+    emb = t(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    kept = similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        n_cells=1, dim=dim,
+    )
+    return kept.select("vec_id", "label")
+
+
+@query("q_semantic_dedup_clustered")  # rows-only: k-means cells are engine-specific;
+# exact-mode equivalence + cluster recall are pytest-differential (test_similarity)
+def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper: spherical-k-means cells (bounded driver-side
+    training sample, map-side Arrow assignment), near-dup pruning only
+    WITHIN each cell — the published sub-quadratic scale path for
+    corpus-level semantic dedup."""
+    emb = t(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    kept = similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        n_cells=8, dim=dim,
+    )
+    return kept.select("vec_id", "label")
+
+
+@query(
     "q_dedup_keep_list",
     oracle="""
     WITH RECURSIVE docs AS (

@@ -232,7 +232,12 @@ def test_registry_wide_no_scale_killers(spark):
         against the streamed corpus (condition is non-equi by design);
       q_join_range: interval containment vs a derived calendar dim.
     """
-    ARROW_SEAMS = {"q_embed_topk_ivf", "q_media_features", "q_quality_score"}
+    ARROW_SEAMS = {
+        "q_embed_topk_ivf",
+        "q_media_features",
+        "q_quality_score",
+        "q_semantic_dedup_clustered",  # k-means cell assignment (map-side matmul)
+    }
     BNLJ_OK = {
         "q11_important_parts",
         "q_tfidf_topterms",

@@ -198,3 +198,75 @@ def test_ivf_nprobe_one_and_single_cell(spark, vecs, tmp_path):
                  for r in similarity.query_ivf_index(
                      spark, idx, queries, k=3, nprobe=1).collect()}
     assert via_index == exact
+
+
+def _greedy_drops(rows, threshold):
+    """Reference SemDeDup upper-triangular policy in plain Python."""
+    drops = set()
+    for i, vi in rows:
+        for j, vj in rows:
+            if i < j and _cosine(vi, vj) >= threshold:
+                drops.add(j)
+    return drops
+
+
+def test_semantic_dedup_exact_matches_reference_policy(spark, vecs):
+    """n_cells=1 must equal the brute-force upper-triangular greedy
+    drop set (the policy of the public SemDeDup implementation)."""
+    rows, df = vecs
+    kept = {r.vec_id for r in similarity.semantic_dedup(
+        df, threshold=0.2, n_cells=1, dim=8).collect()}
+    expect = {i for i, _ in rows} - _greedy_drops(rows, 0.2)
+    assert kept == expect
+    assert kept != {i for i, _ in rows}  # threshold low enough to drop something
+
+
+def test_semantic_dedup_clustered_well_separated(spark):
+    """On well-separated clusters the clustered form loses nothing:
+    every near-dup pair lives inside one cell, so n_cells>1 equals the
+    exact n_cells=1 result — and duplicates are actually dropped."""
+    import random
+
+    rng = random.Random(7)
+    centers = [[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]]
+    rows = []
+    for i in range(120):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {r.vec_id for r in similarity.semantic_dedup(
+        df, threshold=0.999, n_cells=1, dim=4).collect()}
+    clustered = {r.vec_id for r in similarity.semantic_dedup(
+        df, threshold=0.999, n_cells=3, sample_n=120, dim=4).collect()}
+    assert clustered == exact
+    assert len(exact) < 120  # tight clusters => real drops happened
+
+
+def test_semantic_dedup_deterministic_and_null_safe(spark, vecs):
+    """Same seed => same keep set; rows the pair space cannot score
+    (NULL embedding) are kept, never silently dropped."""
+    rows, df = vecs
+    a = {r.vec_id for r in similarity.semantic_dedup(
+        df, threshold=0.3, n_cells=4, sample_n=64, seed=5, dim=8).collect()}
+    b = {r.vec_id for r in similarity.semantic_dedup(
+        df, threshold=0.3, n_cells=4, sample_n=64, seed=5, dim=8).collect()}
+    assert a == b
+
+    with_null = df.union(
+        spark.createDataFrame([(999, None)], "vec_id long, embedding array<double>")
+    )
+    kept = {r.vec_id for r in similarity.semantic_dedup(
+        with_null, threshold=0.2, n_cells=1, dim=8).collect()}
+    assert 999 in kept
+
+
+def test_blocked_all_pairs_key_cols_restricts_pair_space(spark):
+    """key_cols joins pairs only within equal groups and emits the key
+    once; blocking still halves same-block pairs correctly."""
+    rows = [(i, i % 2, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "rid long, grp int, payload double")
+    got = {(r.id_a, r.id_b, r.grp) for r in similarity.blocked_all_pairs(
+        df, "rid", n_blocks=3, key_cols=["grp"]).collect()}
+    expect = {(a, b, a % 2) for a in range(10) for b in range(10)
+              if a < b and a % 2 == b % 2}
+    assert got == expect
