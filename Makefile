@@ -22,7 +22,7 @@ bench-dev:
 # benches against it.
 .PHONY: bench-sf1
 bench-sf1:
-	test -d /tmp/sf1 || python scripts/make_sf1.py /tmp/sf1
+	test -f /tmp/sf1/_SF1_COMPLETE || python scripts/make_sf1.py /tmp/sf1
 	SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
 
 .PHONY: clean

@@ -198,6 +198,9 @@ def run_maintenance(args: argparse.Namespace) -> int:
             worst = max(worst, r.violation_rate)
         return 1 if worst > 0 else 0
     if args.dt:
+        if args.dry_run:
+            print(f"dt={args.dt}: dry run, nothing rewritten")
+            return 0
         n = recompact_partition(spark, args.dest, args.dt, num_files=args.num_output_files)
         print(f"{args.dt}: recompacted {n} row(s) -> {args.num_output_files} file(s)")
         return 0

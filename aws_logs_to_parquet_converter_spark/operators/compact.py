@@ -159,7 +159,16 @@ def compact_to_size(
     ``compression_ratio`` applies ONLY to that raw-byte fallback (raw
     text overstates snappy parquet ~4x); file-backed plan stats are
     already on-disk bytes and size the output directly.  Returns the
-    file count used.
+    per-wave file count used.
+
+    Multi-partition inputs: ``compact``'s round-robin repartition puts
+    every partition value in every task, so a task wave of N writes up
+    to N files PER ``dt`` — sizing must therefore divide by the number
+    of distinct partition values or a 30-day input would emit 30x too
+    many files at 1/30 the target size.  The distinct count is one
+    column-pruned pass over the partition columns (cheap next to the
+    rewrite itself); per-day file sizes then track each day's share of
+    the bytes.
     """
     if target_file_bytes <= 0:
         raise ValueError(f"target_file_bytes must be positive, got {target_file_bytes}")
@@ -170,7 +179,10 @@ def compact_to_size(
             F.avg(F.length(F.to_json(F.struct(*df.columns)))).alias("w"),
         ).first()
         est_out = (row["n"] or 0) * (row["w"] or 1.0) / compression_ratio
-    num_files = max(1, min(max_files, round(est_out / target_file_bytes)))
+    n_parts = 1
+    if partition_cols:
+        n_parts = max(1, df.select(*partition_cols).distinct().count())
+    num_files = max(1, min(max_files, round(est_out / target_file_bytes / n_parts)))
     compact(
         df,
         dest,

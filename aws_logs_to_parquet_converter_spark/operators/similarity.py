@@ -412,12 +412,17 @@ def semantic_dedup(
     block key composes with the cell key.  Returns the KEPT rows with
     the corpus's original columns.
     """
+    # NULL embeddings can't score against anything: exclude them from
+    # the pair space entirely (the anti join then keeps them, matching
+    # the exact mode) and from the k-means sample/assignment, where a
+    # NULL would crash the driver-side collect and the Arrow matmul.
+    scorable = corpus.where(F.col(vec_col).isNotNull())
     if n_cells <= 1:
         cell = F.lit(0)
     else:
-        cents = kmeans_cell_centroids(corpus, id_col, vec_col, n_cells, sample_n, seed=seed)
+        cents = kmeans_cell_centroids(scorable, id_col, vec_col, n_cells, sample_n, seed=seed)
         cell = F.element_at(_cell_udf(cents, 1)(F.col(vec_col)), 1)
-    base = corpus.select(
+    base = scorable.select(
         F.col(id_col).alias("_sid"),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col), dim).alias("_nrm"),

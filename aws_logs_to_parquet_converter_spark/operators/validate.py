@@ -31,22 +31,26 @@ def validation_report(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
     did not pass — same posture as ANSI filters dropping NULLs)."""
     if not rules:
         raise ValueError("rules must be non-empty")
+    # intermediate aliases are POSITIONAL (_v_0, _v_1, ...): a rule name
+    # interpolated into an alias and re-resolved via F.col would parse
+    # dots/backticks as identifier syntax and fail analysis — rule
+    # names are display strings, never column references
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for name, cond in rules.items():
+    for i, cond in enumerate(rules.values()):
         aggs.append(
-            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(f"_v_{name}")
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(f"_v_{i}")
         )
     row = df.agg(*aggs)
     per_rule = [
         F.struct(
             F.lit(name).alias("rule"),
             F.col("_n").alias("n_rows"),
-            F.col(f"_v_{name}").alias("n_violations"),
-            F.when(F.col("_n") > 0, F.round(F.col(f"_v_{name}") / F.col("_n"), 6))
+            F.col(f"_v_{i}").alias("n_violations"),
+            F.when(F.col("_n") > 0, F.round(F.col(f"_v_{i}") / F.col("_n"), 6))
             .otherwise(F.lit(0.0))
             .alias("violation_rate"),
         )
-        for name in rules
+        for i, name in enumerate(rules)
     ]
     return (
         row.select(F.explode(F.array(*per_rule)).alias("_r"))
@@ -55,16 +59,14 @@ def validation_report(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
     )
 
 
-def quarantine_violations(
-    df: DataFrame, rules: "dict[str, Column]", violations_col: str = "_violations"
-) -> "tuple[DataFrame, DataFrame]":
-    """Split ``df`` into (clean, quarantined): a row is quarantined iff
-    it fails ANY rule, and carries the failed rule names in
-    ``violations_col`` (sorted array — deterministic dead-letter
-    payload).  One codegen pass, no shuffle."""
+def violations_array(rules: "dict[str, Column]") -> Column:
+    """Column expression listing the failed rule names for each row
+    (sorted array — deterministic dead-letter payload).  Shared by the
+    batch quarantine split and the streaming ingest, which must tag
+    violations UPSTREAM of its stateful dedup."""
     if not rules:
         raise ValueError("rules must be non-empty")
-    failed = F.array_compact(
+    return F.array_compact(
         F.array(
             *[
                 F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
@@ -72,7 +74,15 @@ def quarantine_violations(
             ]
         )
     )
-    tagged = df.withColumn(violations_col, failed)
+
+
+def quarantine_violations(
+    df: DataFrame, rules: "dict[str, Column]", violations_col: str = "_violations"
+) -> "tuple[DataFrame, DataFrame]":
+    """Split ``df`` into (clean, quarantined): a row is quarantined iff
+    it fails ANY rule, and carries the failed rule names in
+    ``violations_col``.  One codegen pass, no shuffle."""
+    tagged = df.withColumn(violations_col, violations_array(rules))
     clean = tagged.where(F.size(violations_col) == 0).drop(violations_col)
     quarantined = tagged.where(F.size(violations_col) > 0)
     return clean, quarantined

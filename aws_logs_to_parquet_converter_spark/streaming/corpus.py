@@ -66,14 +66,21 @@ def dedup_stream(
     text_col: str = "text",
     event_time_col: str | None = None,
     watermark: str = "1 hour",
+    digest: "Column | None" = None,
 ) -> DataFrame:
     """Streaming exact-content dedup keyed on the xxhash64 digest (the
     streaming twin of q_dedup_exact: fixed-width state key, not
     document bodies).  With an event-time column the state is bounded
     by ``dropDuplicatesWithinWatermark``; without one (the documents
     table has no timestamp) ``dropDuplicates`` keeps unbounded state —
-    fine for bounded backfills via availableNow, documented trade."""
-    keyed = docs.withColumn("_digest", F.xxhash64(F.col(text_col)))
+    fine for bounded backfills via availableNow, documented trade.
+
+    ``digest`` overrides the state key expression — used by the ingest
+    to keep quarantined rows' digests in a disjoint (salted) key space
+    so a rejected row can never consume a valid row's digest."""
+    keyed = docs.withColumn(
+        "_digest", digest if digest is not None else F.xxhash64(F.col(text_col))
+    )
     if event_time_col is None:
         return keyed.dropDuplicates(["_digest"]).drop("_digest")
     return (
@@ -123,37 +130,62 @@ def stream_corpus_ingest(
     rule divert to ``rejected_dest`` (default ``dest + "_rejected"``)
     carrying their failed-rule names — the same rule expressions a
     batch job passes to ``validation_report``, evaluated in-stream at
-    zero extra state."""
+    zero extra state.  Violations are tagged UPSTREAM of the stateful
+    dedup, and rejected rows' digests live in a disjoint salted key
+    space — so a rejected row can never consume a valid duplicate's
+    digest and silently block it from the corpus (rejects still dedup
+    among themselves).  With ``exactly_once`` the rejected sink uses
+    the same batch-id-partitioned idempotent layout as the main sink,
+    so crash-replay never double-counts dead letters."""
     docs = stream_documents(spark, source_glob, max_files_per_trigger=max_files_per_trigger)
-    clean = dedup_stream(scrub_stream(docs))
+    scrubbed = scrub_stream(docs)
     reject_path = rejected_dest or (dest + "_rejected")
+    if rules:
+        from aws_logs_to_parquet_converter_spark.operators.validate import (
+            violations_array,
+        )
+
+        tagged = scrubbed.withColumn("_violations", violations_array(rules))
+        salted = F.when(
+            F.size("_violations") > 0, F.xxhash64(F.col("text"), F.lit(1))
+        ).otherwise(F.xxhash64(F.col("text")))
+        clean = dedup_stream(tagged, digest=salted)
+    else:
+        clean = dedup_stream(scrubbed)
+
+    def write_sink(batch_df: DataFrame, path: str, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if exactly_once:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                batch_df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+        else:
+            batch_df.write.mode("append").parquet(path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_hook is not None:
             batch_hook(batch_df, batch_id)
         if rules:
-            from aws_logs_to_parquet_converter_spark.operators.validate import (
-                quarantine_violations,
-            )
-
-            batch_df, rejected = quarantine_violations(batch_df, rules)
-            if not rejected.isEmpty():
-                (
-                    rejected.withColumn("_violations", F.array_join("_violations", ","))
-                    .write.mode("append")
-                    .parquet(reject_path)
+            # one evaluation of the tagged frame feeds both sinks
+            tagged_batch = batch_df.persist()
+            try:
+                rejected = tagged_batch.where(F.size("_violations") > 0).withColumn(
+                    "_violations", F.array_join("_violations", ",")
                 )
-        if not batch_df.isEmpty():
-            if exactly_once:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-                (
-                    batch_df.withColumn("_batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("_batch_id")
-                    .parquet(dest)
+                write_sink(rejected, reject_path, batch_id)
+                batch_df = tagged_batch.where(F.size("_violations") == 0).drop(
+                    "_violations"
                 )
-            else:
-                batch_df.write.mode("append").parquet(dest)
+                write_sink(batch_df, dest, batch_id)
+            finally:
+                tagged_batch.unpersist()
+        else:
+            write_sink(batch_df, dest, batch_id)
         if post_write_hook is not None:
             post_write_hook(batch_df, batch_id)
 

@@ -74,6 +74,10 @@ def main() -> None:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
         print(f"{name}: {out.count()} rows ({COPIES}x)")
+    # sentinel marks a COMPLETE build: the Makefile gates regeneration
+    # on this file, so a crashed partial build is rebuilt, not reused
+    with open(f"{dest}/_SF1_COMPLETE", "w") as fh:
+        fh.write("ok\n")
     spark.stop()
 
 

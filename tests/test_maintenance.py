@@ -149,3 +149,28 @@ def test_cli_maintain_validate_mode(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "status_domain:" in out and "dt_format:" in out
     assert rc == 0  # generated logs satisfy the contract
+
+
+def test_cli_maintain_dt_honors_dry_run(spark, tmp_path, capsys):
+    """--dt with --dry-run must not rewrite the partition (it used to
+    ignore the flag and overwrite anyway)."""
+    from aws_logs_to_parquet_converter_spark import cli
+
+    dest = str(tmp_path / "wh")
+    df = with_dt(
+        parse_lines(
+            spark.createDataFrame(
+                [(l,) for l in generate_log_lines(200, n_days=1)], "value string"
+            )
+        )
+    ).where(F.col("dt").isNotNull())
+    compact(df, dest, num_files=4)
+    dt = os.path.basename(glob.glob(f"{dest}/dt=*")[0])[3:]
+    files_before = sorted(glob.glob(f"{dest}/dt={dt}/*.parquet"))
+
+    args = cli.build_maintenance_parser().parse_args(
+        ["--dest", dest, "--dt", dt, "--num-output-files", "1", "--dry-run"]
+    )
+    assert cli.run_maintenance(args) == 0
+    assert sorted(glob.glob(f"{dest}/dt={dt}/*.parquet")) == files_before
+    assert "dry run" in capsys.readouterr().out

@@ -250,3 +250,67 @@ def test_read_ingested_passthrough_on_append_layout(spark, tmp_path):
     q.awaitTermination(120)
     df = corpus.read_ingested(spark, str(tmp_path / "out"))
     assert df.count() == 1 and "_batch_id" not in df.columns
+
+
+def test_rejected_row_never_blocks_valid_duplicate(spark, tmp_path):
+    """Violation tagging runs UPSTREAM of the stateful dedup with a
+    salted digest space, so a rejected carrier of some content must not
+    consume the digest of a later VALID row with the same text."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shared = "identical body text"
+    _jsonl(src / "a.jsonl", [
+        {"doc_id": 1, "text": shared, "lang": "zz", "source": "web",
+         "n_chars": len(shared)},                    # fails lang_known
+    ])
+    rules = {"lang_known": F.col("lang").isin("en", "fr", "de")}
+    kw = dict(rules=rules)
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"), **kw
+    )
+    q.awaitTermination(120)
+    # valid carrier of the SAME content arrives later
+    _jsonl(src / "b.jsonl", [_doc(2, shared)])
+    q2 = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"), **kw
+    )
+    q2.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [2], f"valid duplicate was blocked by the rejected carrier: {kept}"
+    rej = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out_rejected")).collect())
+    assert rej == [1]
+
+
+def test_exactly_once_rejected_sink_is_idempotent(spark, tmp_path):
+    """exactly_once extends to the rejected sink: it uses the same
+    batch-id-partitioned overwrite layout, so a replayed batch
+    overwrites its own dead letters instead of appending a second
+    copy."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a.jsonl", [
+        _doc(1, "good text"),
+        {"doc_id": 2, "text": "bad", "lang": "zz", "source": "web", "n_chars": 3},
+    ])
+    rules = {"lang_known": F.col("lang").isin("en", "fr", "de")}
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        rules=rules, exactly_once=True,
+    )
+    q.awaitTermination(120)
+    rej = spark.read.parquet(str(tmp_path / "out_rejected"))
+    assert "_batch_id" in rej.columns  # idempotent layout, not blind append
+    assert [r.doc_id for r in rej.collect()] == [2]
+    # replaying the same batch id must converge, not duplicate
+    import shutil
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        rules=rules, exactly_once=True,
+    )
+    q2.awaitTermination(120)
+    assert [r.doc_id for r in spark.read.parquet(str(tmp_path / "out_rejected")).collect()] == [2]

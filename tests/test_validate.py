@@ -60,3 +60,19 @@ def test_null_rule_result_is_violation(spark):
         validate.validation_report(df, {})
     with pytest.raises(ValueError):
         validate.quarantine_violations(df, {})
+
+
+def test_rule_names_are_display_strings_not_identifiers(spark, table):
+    """Rule names containing identifier-hostile characters (dots,
+    backticks, spaces) are legal: intermediate aliases are positional,
+    so nothing re-parses the name as a column reference."""
+    rules = {
+        "qty.positive": F.col("qty") > 0,
+        "cat `present` ok": F.col("cat").isNotNull(),
+    }
+    rep = {r.rule: r.n_violations for r in validate.validation_report(table, rules).collect()}
+    assert rep == {"qty.positive": 1, "cat `present` ok": 1}
+    clean, bad = validate.quarantine_violations(table, rules)
+    assert sorted(r.id for r in clean.collect()) == [1, 4]
+    tags = {r.id: list(r._violations) for r in bad.collect()}
+    assert tags == {2: ["qty.positive"], 3: ["cat `present` ok"]}
