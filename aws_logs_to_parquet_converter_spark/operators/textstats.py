@@ -323,3 +323,96 @@ def winnow_fingerprints(
         .distinct()
         .select(F.col("_id").alias(id_col), "fingerprint")
     )
+
+
+def train_unigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+    alpha: float = 0.5,
+) -> "tuple[DataFrame, float]":
+    """Train a smoothed unigram language model on a corpus: the LM half
+    of CCNet-style perplexity filtering (Wenzek et al. 2020,
+    arXiv:1911.00359 — CCNet scores with a KenLM 5-gram; the unigram
+    form keeps the same operational shape while staying exactly
+    SQL-expressible for the oracle).
+
+    Vocabulary is the ``max_vocab`` most frequent tokens (ties broken
+    by token — deterministic); everything else folds into one OOV
+    pseudo-token, exactly how fixed-vocab LMs treat unseen words.
+    Smoothing: p(t) = (c(t) + alpha) / (N + alpha * (V + 1)).
+
+    Returns ``(lm, oov_logp)``: a (token, logp) DataFrame bounded by
+    ``max_vocab`` rows (broadcastable by construction) and the log2
+    probability for OOV tokens.  Driver-side collection is three
+    integer aggregates (N, kept-sum, V) — O(1) rows; the only global
+    single-task step is the vocabulary ranking window, O(vocab) rows
+    after the count aggregation, never O(corpus).
+    """
+    from pyspark.sql import Window
+
+    toks = corpus.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), "token")
+    kept = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_vocab)
+        .drop("_r")
+    )
+    n = counts.agg(F.sum("c")).first()[0] or 0
+    krow = kept.agg(F.sum("c"), F.count("*")).first()
+    kc, v = (krow[0] or 0), krow[1]
+    denom = float(n + alpha * (v + 1))
+    lm = kept.select(
+        "token", F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp")
+    )
+    import math
+
+    oov_logp = math.log2((n - kc + alpha) / denom)
+    return lm, oov_logp
+
+
+def perplexity_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_corpus: "DataFrame | None" = None,
+    max_vocab: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document unigram perplexity — the CCNet quality-filter
+    signal (low perplexity under a reference LM ~ fluent/common text;
+    high ~ gibberish or out-of-domain).  ``lm_corpus`` is the reference
+    corpus the LM trains on (CCNet uses Wikipedia); default trains on
+    ``docs`` itself (self-perplexity: surfaces outlier documents).
+
+    Scale shape: the LM is bounded by ``max_vocab`` and broadcast; the
+    token->logp join is map-side; the per-doc mean is one shuffle of
+    (id, partial sums) with map-side combine.  Documents with no
+    tokens score NULL (nothing to average), kept via the left join.
+
+    Returns (id, n_tokens, ppl) with ppl = 2^(-mean log2 p(token)).
+    """
+    lm, oov_logp = train_unigram_lm(
+        lm_corpus if lm_corpus is not None else docs, text_col, max_vocab, alpha
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    scored = toks.join(F.broadcast(lm), "token", "left")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp))).alias("_mlp"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.pow(F.lit(2.0), -F.col("_mlp")).alias("ppl"),
+        )
+    )

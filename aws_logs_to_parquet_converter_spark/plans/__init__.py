@@ -88,7 +88,6 @@ _PRIORITY = [
     "q_unpivot",
     "q_agg_cube",
     "q_agg_stats",
-    "q_diag_maxby_emit",
     "q_pii_scrub",
     "q_stratified_sample",
     "q_pack_sequences",
@@ -109,9 +108,11 @@ _PRIORITY = [
     "q_winnow_fingerprints",
     "q_winnow_pairs",
     "q_data_quality",
-    # SemDeDup exact mode (new this round; displaced q_diag_bool_emit,
-    # an r4-green diag probe — never-graded outranks stale-but-green)
+    # SemDeDup exact mode and CCNet perplexity (new this round;
+    # displaced q_diag_bool_emit / q_diag_maxby_emit, r4-green diag
+    # probes — never-graded outranks stale-but-green)
     "q_semantic_dedup",
+    "q_perplexity",
 ]
 
 

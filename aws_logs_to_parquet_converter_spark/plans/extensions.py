@@ -362,6 +362,58 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x != '')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ), ranked AS (
+        SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS r
+        FROM counts
+    ), kept AS (
+        SELECT token, c FROM ranked WHERE r <= 20
+    ), tot AS (
+        SELECT (SELECT SUM(c) FROM counts) AS n,
+               (SELECT SUM(c) FROM kept) AS kc,
+               (SELECT COUNT(*) FROM kept) AS v
+    ), lm AS (
+        SELECT token, log2((c + 0.5) / (n + 0.5 * (v + 1))) AS logp
+        FROM kept, tot
+    ), scored AS (
+        SELECT t.doc_id,
+               COALESCE(l.logp,
+                        (SELECT log2((n - kc + 0.5) / (n + 0.5 * (v + 1)))
+                         FROM tot)) AS lp
+        FROM toks t LEFT JOIN lm l USING (token)
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS mlp
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           ROUND(POWER(2.0, -p.mlp), 3) AS ppl
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram perplexity scoring (Wenzek et al. 2020):
+    train a smoothed top-20-vocab LM on the corpus itself (small cap so
+    the OOV path is exercised on the synthetic vocabulary), broadcast
+    it, score every document as 2^(-mean log2 p).  The oracle re-derives
+    the identical LM and scoring in SQL; log2/avg run engine-side on
+    both, with the final round absorbing last-ULP libm drift."""
+    d = t(spark, sf_dir, "documents")
+    res = textstats.perplexity_scores(
+        d, id_col="doc_id", text_col="text", max_vocab=20, alpha=0.5
+    )
+    return res.select("doc_id", "n_tokens", F.round("ppl", 3).alias("ppl"))
+
+
+@query(
     "q_semantic_dedup",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

@@ -401,3 +401,51 @@ def test_winnow_fingerprints_guarantee_and_determinism(spark):
         textstats.winnow_fingerprints(df, "doc_id", "text", k=0)
     with _pytest.raises(ValueError):
         textstats.winnow_fingerprints(df, "doc_id", "text", hash_fn="sha1")
+
+
+def test_perplexity_ranks_fluent_below_gibberish(spark):
+    """CCNet signal sanity: a document of corpus-common tokens scores
+    LOWER perplexity than one of rare/unseen tokens; empty docs score
+    NULL with 0 tokens; same inputs => same scores."""
+    import math
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        perplexity_scores,
+        train_unigram_lm,
+    )
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(20)] + [
+        (100, "the cat sat"),            # all common tokens
+        (101, "zyx qwv jkl"),            # all OOV
+        (102, ""),                       # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in perplexity_scores(df, max_vocab=5).collect()}
+    assert got[100].ppl < got[101].ppl
+    assert got[102].n_tokens == 0 and got[102].ppl is None
+    again = {r.doc_id: r.ppl for r in perplexity_scores(df, max_vocab=5).collect()}
+    assert again == {i: r.ppl for i, r in got.items()}
+
+    # analytic check on a tiny LM: p(tok) = (c + 0.5)/(N + 0.5*(V+1))
+    lm, oov = train_unigram_lm(df.where("doc_id = 100"), max_vocab=10)
+    probs = {r.token: r.logp for r in lm.collect()}
+    # corpus "the cat sat": N=3, V=3, denom = 3 + 0.5*4 = 5
+    for tok in ("the", "cat", "sat"):
+        assert abs(probs[tok] - math.log2(1.5 / 5.0)) < 1e-12
+    assert abs(oov - math.log2(0.5 / 5.0)) < 1e-12
+
+
+def test_perplexity_external_reference_lm(spark):
+    """lm_corpus decouples training from scoring (the real CCNet setup:
+    LM trained on a clean reference, applied to the crawl)."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import perplexity_scores
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)], "doc_id long, text string"
+    )
+    crawl = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.ppl for r in perplexity_scores(crawl, lm_corpus=ref).collect()}
+    assert got[1] < got[2]  # in-domain text is less surprising
