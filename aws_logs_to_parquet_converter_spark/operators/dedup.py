@@ -142,6 +142,10 @@ def dedup_against_corpus(
     id_col: str,
     text_col: str,
     digest_col: str = "digest",
+    bloom: "DataFrame | None" = None,
+    bloom_m_bits: int = 1 << 22,
+    bloom_k: int = 4,
+    bloom_seed: int = 42,
 ) -> DataFrame:
     """Incremental exact dedup: drop every new-batch row whose content
     already exists in the corpus, THEN keep-first within the batch —
@@ -158,17 +162,118 @@ def dedup_against_corpus(
 
     NULL text follows the ``exact_keep_first`` sentinel rule: unknown
     content is never "already present", and NULL rows don't collapse.
+
+    ``bloom`` (a ``digest_bloom`` built over ``corpus_digests`` with
+    the same ``bloom_*`` parameters) short-circuits the anti join: rows
+    the broadcast bitmap rules out are definitely new and skip the
+    corpus-digest exchange entirely; only possible-present rows (the
+    overlap plus the bounded false-positive slice) pay the exact
+    verification.  The result is IDENTICAL with or without the filter
+    — false positives are caught by the anti join — so the knob is
+    pure shuffle avoidance for the daily case where most content is
+    genuinely new.
     """
     batch_digest = F.coalesce(
         F.md5(F.col(text_col)),
         F.concat(F.lit("<null>"), F.col(id_col).cast("string")),
     )
     staged = new_batch.withColumn("_d", batch_digest)
-    fresh = staged.join(
-        corpus_digests.select(F.col(digest_col).alias("_d")), "_d", "left_anti"
-    )
+    if bloom is not None:
+        flagged = bloom_maybe_present(
+            staged, bloom, "_d", bloom_m_bits, bloom_k, bloom_seed
+        )
+        verified = flagged.where(F.col("_maybe")).join(
+            corpus_digests.select(F.col(digest_col).alias("_d")), "_d", "left_anti"
+        )
+        fresh = flagged.where(~F.col("_maybe")).unionByName(verified).drop("_maybe")
+    else:
+        fresh = staged.join(
+            corpus_digests.select(F.col(digest_col).alias("_d")), "_d", "left_anti"
+        )
     keep = fresh.groupBy("_d").agg(F.min(id_col).alias(id_col)).select(id_col)
     return fresh.join(keep, id_col, "left_semi").drop("_d")
+
+
+def _bloom_positions(digest: Column, m_bits: int, k: int, seed: int) -> "list[Column]":
+    """The k bit positions a digest sets/probes, via double hashing
+    (Kirsch & Mitzenmacher 2006: pos_i = (h1 + i*h2) mod m needs only
+    two base hashes for k independent-enough probes).  Both base hashes
+    reduce mod m BEFORE combining, so i*h2 stays ~k*m << 2^63 and never
+    trips ANSI bigint-overflow; h2 is forced odd so it cycles the full
+    power-of-two modulus."""
+    h1 = F.pmod(F.xxhash64(digest, F.lit(seed)), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(digest, F.lit(seed + 1)), F.lit(m_bits)).bitwiseOR(F.lit(1))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def digest_bloom(
+    corpus_digests: DataFrame,
+    digest_col: str = "digest",
+    m_bits: int = 1 << 22,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Pure-Catalyst Bloom filter (Bloom 1970) over a digest set, as a
+    SPARSE (word, mask) bitmap: at most ``m_bits/64`` rows of
+    (int, bigint), built by one explode -> ``bit_or`` aggregation —
+    no Python, no driver-side bit array, mergeable across corpus
+    increments by re-aggregating ``bit_or`` on word.
+
+    Purpose: the pre-filter state for ``dedup_against_corpus`` — a
+    daily batch probes the broadcast bitmap map-side and only rows the
+    filter CANNOT rule out pay the exact anti join.  Size m_bits for
+    ~10 bits per corpus document (<1% false positives); the bitmap is
+    m_bits/8 bytes dense, so it broadcasts comfortably up to a few
+    billion documents — beyond that the plain digest anti join is
+    already the right plan and the filter is just skipped."""
+    pos = _bloom_positions(F.col(digest_col), m_bits, k, seed)
+    return (
+        corpus_digests.select(F.explode(F.array(*pos)).alias("_pos"))
+        .select(
+            F.shiftright(F.col("_pos"), 6).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("mask"))
+    )
+
+
+def bloom_maybe_present(
+    df: DataFrame,
+    bloom: DataFrame,
+    digest_col: str,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+    seed: int = 42,
+    flag_col: str = "_maybe",
+) -> DataFrame:
+    """Annotate ``df`` with ``flag_col``: False means the digest is
+    DEFINITELY absent from the set the bloom was built on; True means
+    possibly present (verify exactly).  One explode to k probe rows, a
+    broadcast join against the sparse bitmap, and a per-row bool_and —
+    zero shuffle of ``df`` itself beyond the k-row fan-out/regroup.
+
+    Parameters must match the ``digest_bloom`` build exactly."""
+    probes = df.select(F.col(digest_col).alias("_pd")).distinct()
+    pos = _bloom_positions(F.col("_pd"), m_bits, k, seed)
+    checked = (
+        probes.select("_pd", F.explode(F.array(*pos)).alias("_pos"))
+        .select(
+            "_pd",
+            F.shiftright(F.col("_pos"), 6).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_m"),
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "_pd",
+            (F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(F.col("_m")) != 0).alias("_hit"),
+        )
+        .groupBy("_pd")
+        .agg(F.bool_and("_hit").alias(flag_col))
+    )
+    return df.join(
+        checked.withColumnRenamed("_pd", digest_col), digest_col, "left"
+    ).withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(True)))
 
 
 def content_digests(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

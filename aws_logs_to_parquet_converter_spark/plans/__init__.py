@@ -86,7 +86,6 @@ _PRIORITY = [
     "q_group_by_all",
     "q_agg_modern",
     "q_unpivot",
-    "q_agg_cube",
     "q_agg_stats",
     "q_pii_scrub",
     "q_stratified_sample",
@@ -108,11 +107,13 @@ _PRIORITY = [
     "q_winnow_fingerprints",
     "q_winnow_pairs",
     "q_data_quality",
-    # SemDeDup exact mode and CCNet perplexity (new this round;
-    # displaced q_diag_bool_emit / q_diag_maxby_emit, r4-green diag
-    # probes — never-graded outranks stale-but-green)
+    # SemDeDup exact mode, CCNet perplexity, and the Bloom-prefiltered
+    # incremental dedup (new this round; displaced q_diag_bool_emit /
+    # q_diag_maxby_emit / q_agg_cube, all r4-green with in-window or
+    # recent family siblings — never-graded outranks stale-but-green)
     "q_semantic_dedup",
     "q_perplexity",
+    "q_incremental_dedup_bloom",
 ]
 
 

@@ -1481,6 +1481,31 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_incremental_dedup_bloom", oracle=_INCR_DEDUP_ORACLE)
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_incremental_dedup through the Bloom pre-filter path
+    (dedup.digest_bloom: sparse bit_or bitmap, broadcast probe,
+    double-hashed positions).  Shares q_incremental_dedup's oracle
+    BECAUSE the filter is result-invariant by contract — false
+    positives fall through to the exact anti join, false negatives
+    cannot exist — so a hash-grade green here proves the whole
+    shuffle-avoidance path end to end."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 3 != 0)
+    batch = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars", "text")
+    digests = dedup.content_digests(corpus, "doc_id", "text")
+    m_bits = 1 << 16
+    fresh = dedup.dedup_against_corpus(
+        batch, digests, "doc_id", "text",
+        bloom=dedup.digest_bloom(digests, m_bits=m_bits), bloom_m_bits=m_bits,
+    )
+    return (
+        fresh.groupBy("source")
+        .agg(F.count("*").alias("n_new"), F.sum("n_chars").alias("new_chars"))
+        .orderBy("source")
+    )
+
+
 _BOILERPLATE_ORACLE = r"""
     WITH docs AS (
         SELECT doc_id,

@@ -376,3 +376,51 @@ def test_winnow_candidate_pairs_catch_and_prune(spark):
               for r in dedup.winnow_candidate_pairs(
                   df2, "doc_id", "text", max_fp_df=2).collect()}
     assert (1, 2) in capped and not any(3 in p for p in capped)
+
+
+def test_bloom_prefilter_identity_pruning_and_bounds(spark):
+    """digest_bloom + dedup_against_corpus(bloom=...): (1) results are
+    IDENTICAL to the plain anti join — including under a deliberately
+    tiny (false-positive-saturated) filter, since FPs fall through to
+    exact verification; (2) at a healthy size the filter actually rules
+    out new content (no membership false negatives ever, measured
+    pruning); (3) the sparse bitmap respects its m/64 row bound."""
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        bloom_maybe_present,
+        content_digests,
+        dedup_against_corpus,
+        digest_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "corpus doc 7"), (101, "fresh one"), (102, "fresh two"),
+         (103, "fresh one"), (104, None)],
+        "doc_id long, text string",
+    )
+    digests = content_digests(corpus, "doc_id", "text")
+
+    plain = {r.doc_id for r in dedup_against_corpus(batch, digests, "doc_id", "text").collect()}
+    for m_bits in (1 << 16, 64):  # healthy and FP-saturated
+        bl = digest_bloom(digests, m_bits=m_bits)
+        got = {r.doc_id for r in dedup_against_corpus(
+            batch, digests, "doc_id", "text",
+            bloom=bl, bloom_m_bits=m_bits).collect()}
+        assert got == plain, f"m_bits={m_bits}: bloom changed the result"
+        assert bl.count() <= max(1, m_bits // 64)
+
+    # no false negatives: every corpus digest must flag maybe-present
+    bl = digest_bloom(digests, m_bits=1 << 16)
+    flags = bloom_maybe_present(digests, bl, "digest", m_bits=1 << 16)
+    assert all(r._maybe for r in flags.collect())
+    # measured pruning: unseen digests overwhelmingly ruled out
+    fresh = spark.createDataFrame(
+        [(i, f"unseen {i}") for i in range(200)], "doc_id long, text string"
+    )
+    ff = bloom_maybe_present(
+        content_digests(fresh, "doc_id", "text"), bl, "digest", m_bits=1 << 16
+    )
+    pruned = sum(0 if r._maybe else 1 for r in ff.collect())
+    assert pruned >= 190, f"filter pruned only {pruned}/200 unseen digests"
