@@ -83,7 +83,6 @@ _PRIORITY = [
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q19_disjunctive",
-    "q_group_by_all",
     "q_agg_modern",
     "q_unpivot",
     "q_agg_stats",
@@ -114,6 +113,9 @@ _PRIORITY = [
     "q_semantic_dedup",
     "q_perplexity",
     "q_incremental_dedup_bloom",
+    # GK quantile sketch graded in its exact regime (displaced
+    # q_group_by_all, r4-green syntax-sugar entry)
+    "q_approx_percentiles",
 ]
 
 

@@ -987,6 +987,44 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS q25,
+           CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE) AS q50,
+           CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) AS q75,
+           CAST(quantile_disc(l_quantity, 0.95) AS DOUBLE) AS q95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (Greenwald-Khanna via the builtin
+    approx_percentile) — the third sketch in the family next to CMS
+    and HLL.  Graded in the EXACT regime: accuracy >= group size makes
+    the GK summary lossless, so the discrete quantiles equal DuckDB's
+    quantile_disc and the whole sketch build/merge/query path
+    hash-grades; the bounded-error sketch regime (accuracy << n, the
+    100 TB setting — fixed sketch size per group, map-side mergeable)
+    is pytest-checked against its rank-error guarantee instead."""
+    li = t(spark, sf_dir, "lineitem")
+    qs = F.expr(
+        "approx_percentile(l_quantity, array(0.25D, 0.50D, 0.75D, 0.95D), 1000000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("_q"))
+        .select(
+            "l_returnflag",
+            F.element_at("_q", 1).cast("double").alias("q25"),
+            F.element_at("_q", 2).cast("double").alias("q50"),
+            F.element_at("_q", 3).cast("double").alias("q75"),
+            F.element_at("_q", 4).cast("double").alias("q95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q_cms_vocab_counts",
     oracle=f"""
     SELECT tok AS key, COUNT(*) AS est_count FROM (

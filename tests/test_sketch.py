@@ -42,3 +42,28 @@ def test_sketch_size_is_bounded(spark):
     df = spark.range(10_000).select(F.concat(F.lit("k"), F.col("id")).alias("tok"))
     sk = sketch.count_min_build(df, "tok", depth=4, width=256)
     assert sk.count() <= 4 * 256
+
+
+def test_approx_percentile_sketch_regime_rank_error_bound(spark):
+    """In the true sketch regime (accuracy << n) Greenwald-Khanna
+    guarantees rank error <= n/accuracy.  Build a skewed 20k-row column,
+    query p50/p90 at accuracy=100, and assert the returned element's
+    true rank lies within the guaranteed band."""
+    from pyspark.sql import functions as F
+
+    n, accuracy = 20_000, 100
+    df = spark.range(n).select((F.col("id") * F.col("id") % 7919).alias("v"))
+    vals = sorted(r.v for r in df.collect())
+    for p in (0.5, 0.9):
+        got = df.agg(
+            F.expr(f"approx_percentile(v, {p}D, {accuracy})").alias("q")
+        ).first().q
+        import bisect
+
+        lo = bisect.bisect_left(vals, got)
+        hi = bisect.bisect_right(vals, got) - 1
+        target = p * (n - 1)
+        tol = n / accuracy + 1
+        assert lo - tol <= target <= hi + tol, (
+            f"p={p}: value {got} spans ranks [{lo},{hi}], target {target}"
+        )
