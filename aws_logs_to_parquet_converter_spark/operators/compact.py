@@ -165,23 +165,29 @@ def compact_to_size(
     every partition value in every task, so a task wave of N writes up
     to N files PER ``dt`` — sizing must therefore divide by the number
     of distinct partition values or a 30-day input would emit 30x too
-    many files at 1/30 the target size.  The distinct count is one
-    column-pruned pass over the partition columns (cheap next to the
-    rewrite itself); per-day file sizes then track each day's share of
-    the bytes.
+    many files at 1/30 the target size.  The distinct count folds into
+    the measuring aggregate on the fallback path (no extra job); the
+    plan-stats path pays one column-pruned countDistinct job — cheap
+    next to the rewrite itself.  Per-day file sizes then track each
+    day's share of the bytes.
     """
     if target_file_bytes <= 0:
         raise ValueError(f"target_file_bytes must be positive, got {target_file_bytes}")
+    # struct() wraps the partition key so NULL-valued combos still
+    # count as partitions (countDistinct alone drops them, but the
+    # writer emits a __HIVE_DEFAULT_PARTITION__ directory for them)
+    part_key = F.countDistinct(F.struct(*partition_cols)) if partition_cols else F.lit(1)
     est_out = float(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     if est_out > 1 << 50:  # Catalyst unknown/propagated-garbage stats
         row = df.agg(
             F.count("*").alias("n"),
             F.avg(F.length(F.to_json(F.struct(*df.columns)))).alias("w"),
+            part_key.alias("p"),
         ).first()
         est_out = (row["n"] or 0) * (row["w"] or 1.0) / compression_ratio
-    n_parts = 1
-    if partition_cols:
-        n_parts = max(1, df.select(*partition_cols).distinct().count())
+        n_parts = max(1, row["p"] or 0)
+    else:
+        n_parts = max(1, df.agg(part_key).first()[0] or 0) if partition_cols else 1
     num_files = max(1, min(max_files, round(est_out / target_file_bytes / n_parts)))
     compact(
         df,

@@ -142,10 +142,7 @@ def dedup_against_corpus(
     id_col: str,
     text_col: str,
     digest_col: str = "digest",
-    bloom: "DataFrame | None" = None,
-    bloom_m_bits: int = 1 << 22,
-    bloom_k: int = 4,
-    bloom_seed: int = 42,
+    bloom: "BloomFilter | None" = None,
 ) -> DataFrame:
     """Incremental exact dedup: drop every new-batch row whose content
     already exists in the corpus, THEN keep-first within the batch —
@@ -163,15 +160,15 @@ def dedup_against_corpus(
     NULL text follows the ``exact_keep_first`` sentinel rule: unknown
     content is never "already present", and NULL rows don't collapse.
 
-    ``bloom`` (a ``digest_bloom`` built over ``corpus_digests`` with
-    the same ``bloom_*`` parameters) short-circuits the anti join: rows
-    the broadcast bitmap rules out are definitely new and skip the
-    corpus-digest exchange entirely; only possible-present rows (the
-    overlap plus the bounded false-positive slice) pay the exact
-    verification.  The result is IDENTICAL with or without the filter
-    — false positives are caught by the anti join — so the knob is
-    pure shuffle avoidance for the daily case where most content is
-    genuinely new.
+    ``bloom`` (a ``digest_bloom`` built over ``corpus_digests``; the
+    filter carries its own parameters, so build and probe cannot
+    disagree) short-circuits the anti join: rows the broadcast bitmap
+    rules out are definitely new and skip the corpus-digest exchange
+    entirely; only possible-present rows (the overlap plus the bounded
+    false-positive slice) pay the exact verification.  The result is
+    IDENTICAL with or without the filter — false positives are caught
+    by the anti join — so the knob is pure shuffle avoidance for the
+    daily case where most content is genuinely new.
     """
     batch_digest = F.coalesce(
         F.md5(F.col(text_col)),
@@ -179,9 +176,7 @@ def dedup_against_corpus(
     )
     staged = new_batch.withColumn("_d", batch_digest)
     if bloom is not None:
-        flagged = bloom_maybe_present(
-            staged, bloom, "_d", bloom_m_bits, bloom_k, bloom_seed
-        )
+        flagged = bloom_maybe_present(staged, bloom, "_d")
         verified = flagged.where(F.col("_maybe")).join(
             corpus_digests.select(F.col(digest_col).alias("_d")), "_d", "left_anti"
         )
@@ -206,13 +201,28 @@ def _bloom_positions(digest: Column, m_bits: int, k: int, seed: int) -> "list[Co
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 
+class BloomFilter:
+    """A ``digest_bloom`` result: the sparse (word, mask) bitmap PLUS
+    the (m_bits, k, seed) parameters it was built with.  Carrying the
+    parameters makes a build/probe mismatch impossible — probing with
+    different parameters than the build would silently produce false
+    negatives (the one failure mode a Bloom filter must never have),
+    so they travel with the bitmap instead of being re-specified."""
+
+    def __init__(self, bitmap: DataFrame, m_bits: int, k: int, seed: int):
+        self.bitmap = bitmap
+        self.m_bits = m_bits
+        self.k = k
+        self.seed = seed
+
+
 def digest_bloom(
     corpus_digests: DataFrame,
     digest_col: str = "digest",
     m_bits: int = 1 << 22,
     k: int = 4,
     seed: int = 42,
-) -> DataFrame:
+) -> BloomFilter:
     """Pure-Catalyst Bloom filter (Bloom 1970) over a digest set, as a
     SPARSE (word, mask) bitmap: at most ``m_bits/64`` rows of
     (int, bigint), built by one explode -> ``bit_or`` aggregation —
@@ -225,9 +235,10 @@ def digest_bloom(
     ~10 bits per corpus document (<1% false positives); the bitmap is
     m_bits/8 bytes dense, so it broadcasts comfortably up to a few
     billion documents — beyond that the plain digest anti join is
-    already the right plan and the filter is just skipped."""
+    already the right plan and the filter is just skipped.  Returns a
+    ``BloomFilter`` carrying its own parameters."""
     pos = _bloom_positions(F.col(digest_col), m_bits, k, seed)
-    return (
+    bitmap = (
         corpus_digests.select(F.explode(F.array(*pos)).alias("_pos"))
         .select(
             F.shiftright(F.col("_pos"), 6).cast("int").alias("word"),
@@ -236,44 +247,38 @@ def digest_bloom(
         .groupBy("word")
         .agg(F.bit_or("_m").alias("mask"))
     )
+    return BloomFilter(bitmap, m_bits, k, seed)
 
 
 def bloom_maybe_present(
     df: DataFrame,
-    bloom: DataFrame,
+    bloom: BloomFilter,
     digest_col: str,
-    m_bits: int = 1 << 22,
-    k: int = 4,
-    seed: int = 42,
     flag_col: str = "_maybe",
 ) -> DataFrame:
     """Annotate ``df`` with ``flag_col``: False means the digest is
     DEFINITELY absent from the set the bloom was built on; True means
-    possibly present (verify exactly).  One explode to k probe rows, a
-    broadcast join against the sparse bitmap, and a per-row bool_and —
-    zero shuffle of ``df`` itself beyond the k-row fan-out/regroup.
+    possibly present (verify exactly).
 
-    Parameters must match the ``digest_bloom`` build exactly."""
-    probes = df.select(F.col(digest_col).alias("_pd")).distinct()
-    pos = _bloom_positions(F.col("_pd"), m_bits, k, seed)
-    checked = (
-        probes.select("_pd", F.explode(F.array(*pos)).alias("_pos"))
-        .select(
-            "_pd",
-            F.shiftright(F.col("_pos"), 6).cast("int").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_m"),
+    Plan shape: k left broadcast-hash joins of the (tiny) bitmap on k
+    inline word keys, AND-ed into one flag — ``df`` itself is NEVER
+    exchanged (no distinct, no regroup, no join-back); the probe rides
+    the scan map-side, which is the entire point of the pre-filter."""
+    pos = _bloom_positions(F.col(digest_col), bloom.m_bits, bloom.k, bloom.seed)
+    out = df
+    flag = F.lit(True)
+    for i, p in enumerate(pos):
+        pc, w, m, bm = f"_bp{i}", f"_bw{i}", f"_bm{i}", f"_bb{i}"
+        out = (
+            out.withColumn(pc, p)
+            .withColumn(w, F.shiftright(F.col(pc), 6).cast("int"))
+            .withColumn(m, F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pc} % 64 AS INT))"))
         )
-        .join(F.broadcast(bloom), "word", "left")
-        .select(
-            "_pd",
-            (F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(F.col("_m")) != 0).alias("_hit"),
-        )
-        .groupBy("_pd")
-        .agg(F.bool_and("_hit").alias(flag_col))
-    )
-    return df.join(
-        checked.withColumnRenamed("_pd", digest_col), digest_col, "left"
-    ).withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(True)))
+        side = bloom.bitmap.select(F.col("word").alias(w), F.col("mask").alias(bm))
+        out = out.join(F.broadcast(side), w, "left")
+        flag = flag & (F.coalesce(F.col(bm), F.lit(0)).bitwiseAND(F.col(m)) != 0)
+    drops = [c for i in range(bloom.k) for c in (f"_bp{i}", f"_bw{i}", f"_bm{i}", f"_bb{i}")]
+    return out.withColumn(flag_col, flag).drop(*drops)
 
 
 def content_digests(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -343,10 +343,13 @@ def train_unigram_lm(
     Smoothing: p(t) = (c(t) + alpha) / (N + alpha * (V + 1)).
 
     Returns ``(lm, oov_logp)``: a (token, logp) DataFrame bounded by
-    ``max_vocab`` rows (broadcastable by construction) and the log2
-    probability for OOV tokens.  Driver-side collection is three
-    integer aggregates (N, kept-sum, V) — O(1) rows; the only global
-    single-task step is the vocabulary ranking window, O(vocab) rows
+    ``max_vocab`` rows (a local relation — broadcastable by
+    construction) and the log2 probability for OOV tokens.  The corpus
+    is tokenized and counted exactly ONCE: the count table persists
+    while the total and the ranked vocabulary read it, and the kept
+    vocabulary is collected driver-side — O(max_vocab) rows, the same
+    bound the scoring broadcast already imposes.  The only global
+    single-task step is the ranking window, O(distinct tokens) rows
     after the count aggregation, never O(corpus).
     """
     from pyspark.sql import Window
@@ -354,20 +357,23 @@ def train_unigram_lm(
     toks = corpus.select(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
     ).where(F.col("token") != "")
-    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.desc("c"), "token")
-    kept = (
-        counts.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= max_vocab)
-        .drop("_r")
-    )
-    n = counts.agg(F.sum("c")).first()[0] or 0
-    krow = kept.agg(F.sum("c"), F.count("*")).first()
-    kc, v = (krow[0] or 0), krow[1]
+    counts = toks.groupBy("token").agg(F.count("*").alias("c")).persist()
+    try:
+        n = counts.agg(F.sum("c")).first()[0] or 0
+        w = Window.orderBy(F.desc("c"), "token")
+        kept_rows = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= max_vocab)
+            .select("token", "c")
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    kc, v = sum(r.c for r in kept_rows), len(kept_rows)
     denom = float(n + alpha * (v + 1))
-    lm = kept.select(
-        "token", F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp")
-    )
+    lm = corpus.sparkSession.createDataFrame(
+        [(r.token, r.c) for r in kept_rows], "token string, c long"
+    ).select("token", F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"))
     import math
 
     oov_logp = math.log2((n - kc + alpha) / denom)

@@ -1532,10 +1532,9 @@ def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.where(F.col("doc_id") % 3 != 0)
     batch = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars", "text")
     digests = dedup.content_digests(corpus, "doc_id", "text")
-    m_bits = 1 << 16
     fresh = dedup.dedup_against_corpus(
         batch, digests, "doc_id", "text",
-        bloom=dedup.digest_bloom(digests, m_bits=m_bits), bloom_m_bits=m_bits,
+        bloom=dedup.digest_bloom(digests, m_bits=1 << 16),
     )
     return (
         fresh.groupBy("source")

@@ -61,6 +61,15 @@ def scrub_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _content_digest(text_col: str) -> Column:
+    """The stream's dedup state key.  ONE definition shared by the
+    plain path and the rules path's valid branch — if these diverged,
+    the same document would map to different state keys depending on
+    whether rules were passed, and a checkpointed stream would stop
+    recognizing its own prior digests."""
+    return F.xxhash64(F.col(text_col))
+
+
 def dedup_stream(
     docs: DataFrame,
     text_col: str = "text",
@@ -79,7 +88,7 @@ def dedup_stream(
     to keep quarantined rows' digests in a disjoint (salted) key space
     so a rejected row can never consume a valid row's digest."""
     keyed = docs.withColumn(
-        "_digest", digest if digest is not None else F.xxhash64(F.col(text_col))
+        "_digest", digest if digest is not None else _content_digest(text_col)
     )
     if event_time_col is None:
         return keyed.dropDuplicates(["_digest"]).drop("_digest")
@@ -112,7 +121,10 @@ def stream_corpus_ingest(
 
     ``batch_hook`` runs before each micro-batch write (metrics/audit
     seam); a hook that raises aborts the batch BEFORE any sink output,
-    so the checkpoint stays consistent.  ``post_write_hook`` runs after
+    so the checkpoint stays consistent.  With ``rules`` set, the hook
+    receives the TAGGED frame — it includes the ``_violations`` array
+    column (empty = clean), so audit hooks can see rejection reasons
+    before the split.  ``post_write_hook`` runs after
     the sink write but before the checkpoint commit — the window where
     a crash forces Structured Streaming to REPLAY the batch.
 
@@ -148,7 +160,7 @@ def stream_corpus_ingest(
         tagged = scrubbed.withColumn("_violations", violations_array(rules))
         salted = F.when(
             F.size("_violations") > 0, F.xxhash64(F.col("text"), F.lit(1))
-        ).otherwise(F.xxhash64(F.col("text")))
+        ).otherwise(_content_digest("text"))
         clean = dedup_stream(tagged, digest=salted)
     else:
         clean = dedup_stream(scrubbed)

@@ -20,6 +20,7 @@ Usage: python scripts/make_sf1.py [dest_dir]   (default /tmp/sf1)
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -49,6 +50,12 @@ CONSTANT = ["region", "nation"]
 
 def main() -> None:
     dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    # invalidate any prior build FIRST: a rerun that crashes mid-way
+    # must not leave a stale sentinel blessing a half-rewritten mix
+    try:
+        os.remove(f"{dest}/_SF1_COMPLETE")
+    except FileNotFoundError:
+        pass
     spark = get_spark(app_name="make_sf1", extra_conf={"spark.ui.enabled": "false"})
     for name in CONSTANT:
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(

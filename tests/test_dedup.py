@@ -406,21 +406,26 @@ def test_bloom_prefilter_identity_pruning_and_bounds(spark):
     for m_bits in (1 << 16, 64):  # healthy and FP-saturated
         bl = digest_bloom(digests, m_bits=m_bits)
         got = {r.doc_id for r in dedup_against_corpus(
-            batch, digests, "doc_id", "text",
-            bloom=bl, bloom_m_bits=m_bits).collect()}
+            batch, digests, "doc_id", "text", bloom=bl).collect()}
         assert got == plain, f"m_bits={m_bits}: bloom changed the result"
-        assert bl.count() <= max(1, m_bits // 64)
+        assert bl.bitmap.count() <= max(1, m_bits // 64)
+        assert bl.m_bits == m_bits  # probe params travel with the filter
 
     # no false negatives: every corpus digest must flag maybe-present
     bl = digest_bloom(digests, m_bits=1 << 16)
-    flags = bloom_maybe_present(digests, bl, "digest", m_bits=1 << 16)
+    flags = bloom_maybe_present(digests, bl, "digest")
     assert all(r._maybe for r in flags.collect())
     # measured pruning: unseen digests overwhelmingly ruled out
     fresh = spark.createDataFrame(
         [(i, f"unseen {i}") for i in range(200)], "doc_id long, text string"
     )
-    ff = bloom_maybe_present(
-        content_digests(fresh, "doc_id", "text"), bl, "digest", m_bits=1 << 16
-    )
+    ff = bloom_maybe_present(content_digests(fresh, "doc_id", "text"), bl, "digest")
     pruned = sum(0 if r._maybe else 1 for r in ff.collect())
     assert pruned >= 190, f"filter pruned only {pruned}/200 unseen digests"
+    # the probe itself must not shuffle the batch: k broadcast-hash
+    # joins, never a sort-merge join (the bitmap BUILD side has its own
+    # bit_or aggregation exchange — that is corpus-side, paid once)
+    plan = ff._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert "SortMergeJoin" not in final, final
+    assert final.count("BroadcastHashJoin") == bl.k, final
