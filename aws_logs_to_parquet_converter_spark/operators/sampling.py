@@ -278,3 +278,66 @@ def assign_splits(
         expr = case if expr is None else expr.when(unit < F.lit(thr), F.lit(lbl))
     final = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
     return df.withColumn(label_col, final)
+
+
+def write_training_shards(
+    df: DataFrame,
+    dest: str,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    size_col: "str | None" = None,
+) -> "list[dict]":
+    """Export a corpus as training shards: deterministic pseudo-random
+    GLOBAL order, fixed shard count, manifest returned (and written as
+    ``_manifest.json``).
+
+    Trainers want (a) documents shuffled — adjacent source documents
+    must not land adjacent in the stream; (b) a stable layout — the
+    same corpus + seed must produce byte-identical shard membership on
+    any cluster shape or retry; (c) a manifest to size epochs without
+    re-scanning.  The md5 order key gives (a)+(b) in one
+    ``repartitionByRange`` + task-local sort — the range exchange is
+    the single shuffle, there is no global sort barrier, and
+    ``shard = hash-range`` means membership is a pure function of the
+    key, never of partitioning history.  Each shard directory
+    ``shard=NNNN`` holds exactly one sorted parquet file.
+
+    ``size_col`` (e.g. a precomputed token count) adds per-shard sums
+    to the manifest.  Returns the manifest: one dict per shard with
+    ``shard``, ``n_rows`` and optionally ``size``."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    keyed = df.withColumn("_ord", _order_key(F.col(key_col), seed)).withColumn(
+        "shard",
+        F.least(
+            F.lit(n_shards - 1),
+            (F.conv(F.substring("_ord", 1, 8), 16, 10).cast("double")
+             / F.lit(float(0x1_0000_0000)) * n_shards).cast("int"),
+        ),
+    )
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ord")
+        .drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(dest)
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).alias("size"))
+    manifest = [
+        {k: (int(v) if v is not None else None) for k, v in r.asDict().items()}
+        for r in keyed.groupBy("shard").agg(*aggs).orderBy("shard").collect()
+    ]
+    import json
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{dest}/_manifest.json")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(path, True)
+    out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    out.close()
+    return manifest

@@ -381,11 +381,12 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: "int | str" = 16,
     sample_n: int = 2048,
     n_blocks: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    target_cell_size: int = 5000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with spherical k-means, then
@@ -405,6 +406,14 @@ def semantic_dedup(
     the clustered form trades recall across cell boundaries for the
     quadratic savings, exactly as the paper does.
 
+    The SCALE CONTRACT is cells ∝ corpus: per-cell pair work is
+    Θ(|cell|²), so a FIXED n_cells degrades quadratically as the
+    corpus grows (PERF.md measures it), while cells sized to a
+    constant expected occupancy keep total pair work LINEAR — the
+    paper runs ~10⁵ clusters at web scale for exactly this reason.
+    ``n_cells="auto"`` encodes that: ceil(count / target_cell_size),
+    one count() job to size the index.
+
     Shuffle story at 100 TB: one Arrow map-side assignment pass (no
     shuffle), the block-pair exchange replicating each row ~n_blocks/2
     times within its cell, and an 8-byte-id anti join.  Per-task
@@ -417,6 +426,8 @@ def semantic_dedup(
     # the exact mode) and from the k-means sample/assignment, where a
     # NULL would crash the driver-side collect and the Arrow matmul.
     scorable = corpus.where(F.col(vec_col).isNotNull())
+    if n_cells == "auto":
+        n_cells = max(1, -(-scorable.count() // target_cell_size))
     if n_cells <= 1:
         cell = F.lit(0)
     else:

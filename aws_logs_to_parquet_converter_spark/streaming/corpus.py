@@ -111,6 +111,9 @@ def stream_corpus_ingest(
     post_write_hook: "Callable[[DataFrame, int], None] | None" = None,
     rules: "dict[str, Column] | None" = None,
     rejected_dest: "str | None" = None,
+    corpus_digests: "DataFrame | None" = None,
+    corpus_bloom=None,
+    id_col: str = "doc_id",
 ) -> StreamingQuery:
     """End-to-end continuous corpus ingest: JSONL stream -> scrub
     (drops dead letters) -> digest-dedup -> parquet sink,
@@ -148,7 +151,17 @@ def stream_corpus_ingest(
     digest and silently block it from the corpus (rejects still dedup
     among themselves).  With ``exactly_once`` the rejected sink uses
     the same batch-id-partitioned idempotent layout as the main sink,
-    so crash-replay never double-counts dead letters."""
+    so crash-replay never double-counts dead letters.
+
+    ``corpus_digests`` closes the fresh-checkpoint gap: the stream's
+    own dedup state starts EMPTY, so a new stream over an EXISTING
+    corpus would re-admit content the corpus already has.  Passing the
+    persisted digest set (operators/dedup.content_digests) runs each
+    micro-batch through ``dedup_against_corpus`` before the sink —
+    same operator, same NULL-text sentinel semantics as the batch
+    path, optional ``corpus_bloom`` pre-filter and all — so only
+    genuinely new content lands.  In-stream state still handles
+    within-run duplicates; the digest set handles history."""
     docs = stream_documents(spark, source_glob, max_files_per_trigger=max_files_per_trigger)
     scrubbed = scrub_stream(docs)
     reject_path = rejected_dest or (dest + "_rejected")
@@ -164,6 +177,17 @@ def stream_corpus_ingest(
         clean = dedup_stream(tagged, digest=salted)
     else:
         clean = dedup_stream(scrubbed)
+
+    def against_corpus(batch_df: DataFrame) -> DataFrame:
+        if corpus_digests is None:
+            return batch_df
+        from aws_logs_to_parquet_converter_spark.operators.dedup import (
+            dedup_against_corpus,
+        )
+
+        return dedup_against_corpus(
+            batch_df, corpus_digests, id_col, "text", bloom=corpus_bloom
+        )
 
     def write_sink(batch_df: DataFrame, path: str, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -190,13 +214,14 @@ def stream_corpus_ingest(
                     "_violations", F.array_join("_violations", ",")
                 )
                 write_sink(rejected, reject_path, batch_id)
-                batch_df = tagged_batch.where(F.size("_violations") == 0).drop(
-                    "_violations"
+                batch_df = against_corpus(
+                    tagged_batch.where(F.size("_violations") == 0).drop("_violations")
                 )
                 write_sink(batch_df, dest, batch_id)
             finally:
                 tagged_batch.unpersist()
         else:
+            batch_df = against_corpus(batch_df)
             write_sink(batch_df, dest, batch_id)
         if post_write_hook is not None:
             post_write_hook(batch_df, batch_id)

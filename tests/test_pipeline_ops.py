@@ -449,3 +449,47 @@ def test_perplexity_external_reference_lm(spark):
     )
     got = {r.doc_id: r.ppl for r in perplexity_scores(crawl, lm_corpus=ref).collect()}
     assert got[1] < got[2]  # in-domain text is less surprising
+
+
+def test_write_training_shards_layout_determinism_manifest(spark, tmp_path):
+    """Shard export: fixed shard count with one sorted file per shard
+    dir, membership a pure function of (key, seed) — invariant under
+    input partitioning — and a manifest whose sums match the corpus."""
+    import glob
+
+    from aws_logs_to_parquet_converter_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + i % 7) for i in range(500)],
+        "doc_id long, text string, n_tokens long",
+    )
+    dest = str(tmp_path / "shards")
+    manifest = write_training_shards(df, dest, n_shards=8, size_col="n_tokens")
+    assert [m["shard"] for m in manifest] == list(range(8))
+    assert sum(m["n_rows"] for m in manifest) == 500
+    assert sum(m["size"] for m in manifest) == sum(10 + i % 7 for i in range(500))
+    for s in range(8):
+        files = glob.glob(f"{dest}/shard={s}/*.parquet")
+        assert len(files) == 1, f"shard {s}: {files}"
+    back = spark.read.parquet(dest)
+    assert back.count() == 500
+
+    # membership is partitioning-invariant and seed-deterministic
+    membership = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
+    dest2 = str(tmp_path / "shards2")
+    write_training_shards(df.repartition(13), dest2, n_shards=8, size_col="n_tokens")
+    m2 = {(r.doc_id, r.shard)
+          for r in spark.read.parquet(dest2).select("doc_id", "shard").collect()}
+    assert m2 == membership
+
+    # adjacent source ids scatter: shard 0 must not hold a doc_id run
+    ids_in_0 = sorted(r.doc_id for r in back.where("shard = 0").collect())
+    assert ids_in_0 != list(range(len(ids_in_0)))
+
+    # manifest file readable
+    import json
+
+    with open(f"{dest}/_manifest.json") as fh:
+        assert json.load(fh) == manifest

@@ -270,3 +270,16 @@ def test_blocked_all_pairs_key_cols_restricts_pair_space(spark):
     expect = {(a, b, a % 2) for a in range(10) for b in range(10)
               if a < b and a % 2 == b % 2}
     assert got == expect
+
+
+def test_semantic_dedup_auto_cells(spark, vecs):
+    """n_cells='auto' sizes the index to ceil(n/target_cell_size) —
+    the linear-total-work scale contract — and matches the explicit
+    cell count it derives."""
+    rows, df = vecs  # 100 vectors
+    auto = {r.vec_id for r in similarity.semantic_dedup(
+        df, threshold=0.3, n_cells="auto", target_cell_size=25,
+        sample_n=100, dim=8).collect()}
+    explicit = {r.vec_id for r in similarity.semantic_dedup(
+        df, threshold=0.3, n_cells=4, sample_n=100, dim=8).collect()}
+    assert auto == explicit  # ceil(100/25) == 4

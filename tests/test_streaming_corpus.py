@@ -314,3 +314,33 @@ def test_exactly_once_rejected_sink_is_idempotent(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert [r.doc_id for r in spark.read.parquet(str(tmp_path / "out_rejected")).collect()] == [2]
+
+
+def test_fresh_stream_respects_existing_corpus(spark, tmp_path):
+    """A NEW stream (empty checkpoint) over an EXISTING corpus must not
+    re-admit content the corpus already holds: corpus_digests runs each
+    micro-batch through dedup_against_corpus — with the Bloom
+    pre-filter engaged — before the sink."""
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        content_digests,
+        digest_bloom,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "already ingested text"), (2, "another known doc")],
+        "doc_id long, text string",
+    )
+    digests = content_digests(existing, "doc_id", "text")
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a.jsonl", [
+        _doc(10, "already ingested text"),   # known content, new id
+        _doc(11, "genuinely new content"),
+    ])
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        corpus_digests=digests, corpus_bloom=digest_bloom(digests, m_bits=1 << 12),
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [11], f"known content re-admitted: {kept}"
