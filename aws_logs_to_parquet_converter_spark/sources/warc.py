@@ -1,0 +1,159 @@
+"""WARC (Web ARChive, ISO 28500) record source — the Common Crawl
+ingestion format every web-scale training corpus starts from.
+
+Spark-first design: ``spark.read.text`` with the record boundary
+``\\r\\n\\r\\nWARC/1.0\\r\\n`` as the custom ``lineSep`` splits a WARC
+member into one row per record NATIVELY — the scan stays splittable
+and streamed, and everything after it (header parsing, payload
+separation, filtering) is codegen ``regexp_extract``/``substring``
+expressions.  No Python worker touches the bytes.
+
+Honest caveats, stated up front:
+
+  * This is the UNCOMPRESSED WARC path.  Common Crawl ships
+    ``.warc.gz`` with per-record gzip members; Spark reads ``.gz``
+    text only as a whole-file stream (non-splittable), which works but
+    serializes each file to one task — for the compressed form at
+    scale, decompress in the lake first (the standard practice) or
+    accept file-level parallelism (CC ships ~1 GB files, so
+    file-level parallelism is in practice how every engine reads it).
+  * Splitting on the boundary string assumes payloads do not contain
+    ``\\r\\n\\r\\nWARC/1.0\\r\\n`` verbatim.  Real HTML payloads
+    essentially never do (the sequence requires a blank line followed
+    by a WARC version line), but a length-based parser is the
+    watertight form; ``Content-Length`` is carried through so readers
+    can VERIFY the split (``payload_length_ok``) and quarantine any
+    record whose payload length disagrees — the same
+    dead-letter-not-silent-drop discipline as the log parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Record boundary: blank line then the next record's version line.  The
+# FIRST record in a file has no preceding blank line, so its version
+# line survives at the head of the first split and is stripped there.
+RECORD_SEP = "\r\n\r\nWARC/1.0\r\n"
+
+_HEADER_FIELDS = {
+    "warc_type": "WARC-Type",
+    "warc_record_id": "WARC-Record-ID",
+    "warc_date": "WARC-Date",
+    "target_uri": "WARC-Target-URI",
+    "content_type": "Content-Type",
+    "content_length": "Content-Length",
+}
+
+
+def read_warc_records(
+    spark: SparkSession, path: str, record_types: "tuple[str, ...] | None" = ("response",)
+) -> DataFrame:
+    """One row per WARC record: the typed header fields above, the raw
+    header block, the payload, and ``payload_length_ok`` (whether the
+    payload's byte length matches ``Content-Length`` — False flags a
+    mis-split or truncated record for quarantine, mirroring the log
+    parser's dead-letter contract; NULL when the record declares no
+    length).
+
+    ``record_types`` pre-filters on WARC-Type (``("response",)`` keeps
+    page captures and drops request/metadata records — ~2/3 of a crawl
+    — right at the scan; pass None to keep everything).  The filter
+    and all projections are codegen expressions over the one text
+    scan."""
+    raw = spark.read.option("lineSep", RECORD_SEP).text(path)
+    # strip the file-leading version line the separator can't consume
+    rec = raw.select(
+        F.regexp_replace("value", r"\A(?s)WARC/1\.0\r\n", "").alias("_rec")
+    ).where(F.length("_rec") > 0)
+    # header block = up to the first blank line; payload = the rest.
+    # Pure Column API (no F.expr): string escapes here must not depend
+    # on the parser's escapedStringLiterals setting.
+    blank = F.instr(F.col("_rec"), "\r\n\r\n")
+    header = F.substring_index(F.col("_rec"), "\r\n\r\n", 1)
+    cols = [header.alias("warc_headers")]
+    for name, field in _HEADER_FIELDS.items():
+        cols.append(
+            F.nullif(
+                F.regexp_extract(header, rf"(?m)^{field}:\s*(.*?)\r?$", 1), F.lit("")
+            ).alias(name)
+        )
+    raw_pay = F.when(
+        blank > 0, F.col("_rec").substr(blank + 4, F.length("_rec"))
+    ).otherwise(F.lit(""))
+    # The LAST record keeps its \r\n\r\n terminator (every other one is
+    # consumed by the separator match) — but a payload may also END
+    # with a legitimate \r\n\r\n (e.g. an HTTP request with no body),
+    # so the strip is Content-Length-aware: keep the form whose byte
+    # length matches the declaration; without a declaration strip the
+    # trailing terminator best-effort.
+    stripped = F.regexp_replace(raw_pay, r"(?s)\r\n\r\n\Z", "")
+    decl = F.col("content_length").cast("long")
+    cols.append(raw_pay.alias("_rp"))
+    cols.append(stripped.alias("_sp"))
+    out = (
+        rec.select(*cols)
+        .withColumn(
+            "payload",
+            F.when(decl.isNotNull() & (F.octet_length("_rp") == decl), F.col("_rp"))
+            .when(decl.isNotNull() & (F.octet_length("_sp") == decl), F.col("_sp"))
+            .when(decl.isNull(), F.col("_sp"))
+            .otherwise(F.col("_rp")),
+        )
+        .drop("_rp", "_sp")
+        .withColumn(
+            "payload_length_ok",
+            F.when(decl.isNotNull(), F.octet_length("payload") == decl),
+        )
+    )
+    if record_types is not None:
+        out = out.where(F.col("warc_type").isin(*record_types))
+    return out
+
+
+def warc_to_documents(
+    records: DataFrame, id_col: str = "doc_id", strip_http: bool = True
+) -> DataFrame:
+    """Project WARC response records onto the documents-table shape
+    (doc_id, text, lang, source, n_chars) so every downstream corpus
+    operator (dedup, quality, perplexity, sampling) applies unchanged.
+
+    ``strip_http`` drops the HTTP response envelope (status line +
+    headers) that ``application/http`` payloads carry before the body.
+    doc_id is the xxhash64 of the record id — deterministic, collision
+    odds the same 2^-64 class the digest operators already accept;
+    lang is left NULL for the language-ID operator to fill."""
+    body = F.col("payload")
+    if strip_http:
+        blank = F.instr(F.col("payload"), "\r\n\r\n")
+        body = F.when(
+            F.col("content_type").startswith("application/http") & (blank > 0),
+            F.col("payload").substr(blank + 4, F.length("payload")),
+        ).otherwise(F.col("payload"))
+    return records.select(
+        F.xxhash64("warc_record_id").alias(id_col),
+        body.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("target_uri").alias("source"),
+        F.length(body).cast("long").alias("n_chars"),
+    )
+
+
+def write_warc(rows: "list[tuple[dict, str]]", path: str) -> None:
+    """Test-fixture helper: serialize (headers, payload) pairs as a
+    spec-shaped uncompressed WARC file (version line, CRLF headers,
+    blank line, payload, double-CRLF record terminator).  Driver-side
+    and tiny by design — real WARC comes FROM the crawler; the engine
+    only reads it."""
+    with open(path, "wb") as fh:
+        for headers, payload in rows:
+            pb = payload.encode("utf-8")
+            fh.write(b"WARC/1.0\r\n")
+            hdrs = dict(headers)
+            hdrs.setdefault("Content-Length", str(len(pb)))
+            for k, v in hdrs.items():
+                fh.write(f"{k}: {v}\r\n".encode())
+            fh.write(b"\r\n")
+            fh.write(pb)
+            fh.write(b"\r\n\r\n")

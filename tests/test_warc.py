@@ -1,0 +1,113 @@
+"""WARC source (sources/warc.py): record splitting, header typing,
+payload integrity check, documents projection, downstream composition."""
+
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.sources import warc
+
+
+def _fixture(path):
+    rows = [
+        (
+            {
+                "WARC-Type": "warcinfo",
+                "WARC-Record-ID": "<urn:uuid:0000>",
+                "WARC-Date": "2019-03-01T00:00:00Z",
+                "Content-Type": "application/warc-fields",
+            },
+            "software: testcrawler/1.0",
+        ),
+        (
+            {
+                "WARC-Type": "request",
+                "WARC-Record-ID": "<urn:uuid:0001>",
+                "WARC-Date": "2019-03-01T00:00:01Z",
+                "WARC-Target-URI": "http://example.com/a",
+                "Content-Type": "application/http; msgtype=request",
+            },
+            "GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": "<urn:uuid:0002>",
+                "WARC-Date": "2019-03-01T00:00:02Z",
+                "WARC-Target-URI": "http://example.com/a",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>page A body</html>",
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": "<urn:uuid:0003>",
+                "WARC-Date": "2019-03-01T00:00:03Z",
+                "WARC-Target-URI": "http://example.com/b",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            "HTTP/1.1 200 OK\r\n\r\n<html>page B body</html>",
+        ),
+    ]
+    warc.write_warc(rows, path)
+
+
+def test_warc_records_and_typed_headers(spark, tmp_path):
+    p = str(tmp_path / "crawl.warc")
+    _fixture(p)
+    # default filter: responses only
+    recs = warc.read_warc_records(spark, p).collect()
+    assert [r.warc_record_id for r in recs] == ["<urn:uuid:0002>", "<urn:uuid:0003>"]
+    assert all(r.warc_type == "response" for r in recs)
+    assert all(r.payload_length_ok for r in recs), [
+        (r.content_length, len(r.payload)) for r in recs
+    ]
+    assert recs[0].target_uri == "http://example.com/a"
+    assert recs[0].payload.endswith("<html>page A body</html>")
+
+    # unfiltered: all four records, including first-in-file and last-in-file
+    every = warc.read_warc_records(spark, p, record_types=None).collect()
+    assert len(every) == 4
+    assert every[0].warc_type == "warcinfo"  # leading version line stripped
+    assert all(r.payload_length_ok for r in every)  # incl. last record's
+    # plan stays Python-free
+    df = warc.read_warc_records(spark, p)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not any(m in plan for m in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))
+
+
+def test_warc_to_documents_composes_with_corpus_ops(spark, tmp_path):
+    from aws_logs_to_parquet_converter_spark.operators import textstats
+
+    p = str(tmp_path / "crawl.warc")
+    _fixture(p)
+    docs = warc.warc_to_documents(warc.read_warc_records(spark, p))
+    rows = {r.source: r for r in docs.collect()}
+    # HTTP envelope stripped: text is the body only
+    assert rows["http://example.com/a"].text == "<html>page A body</html>"
+    assert rows["http://example.com/b"].text == "<html>page B body</html>"
+    assert rows["http://example.com/a"].n_chars == len("<html>page A body</html>")
+    assert docs.schema.simpleString().startswith(
+        "struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>"
+    )
+    # downstream operators apply unchanged
+    scored = warc.warc_to_documents(warc.read_warc_records(spark, p))
+    ppl = textstats.perplexity_scores(scored, id_col="doc_id", text_col="text")
+    assert ppl.count() == 2
+
+
+def test_warc_length_mismatch_flags_not_drops(spark, tmp_path):
+    p = str(tmp_path / "bad.warc")
+    warc.write_warc(
+        [(
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": "<urn:uuid:9999>",
+                "Content-Length": "5",  # wrong on purpose
+            },
+            "payload longer than five",
+        )],
+        p,
+    )
+    recs = warc.read_warc_records(spark, p).collect()
+    assert len(recs) == 1  # flagged, never silently dropped
+    assert recs[0].payload_length_ok is False
