@@ -422,3 +422,35 @@ def perplexity_scores(
             F.pow(F.lit(2.0), -F.col("_mlp")).alias("ppl"),
         )
     )
+
+
+def html_to_text(html: Column) -> Column:
+    """Extract readable text from HTML markup — the step between a
+    crawl capture (sources/warc.py payloads) and the documents table.
+
+    Chained codegen ``regexp_replace`` passes, all patterns inside the
+    RE2 ∩ Java subset (no backreferences — script and style get their
+    own passes — so a DuckDB oracle can run the identical program):
+
+      1. drop <script>/<style> blocks wholesale (content is code, not
+         text), and comments;
+      2. every remaining tag -> one space (block boundaries must not
+         glue words together);
+      3. decode the entity five-plus-nbsp that dominate real pages
+         (&amp; last, so "&amp;lt;" decodes to "&lt;" not "<");
+      4. collapse whitespace, trim.
+
+    Heuristic by design — a browser-grade extractor needs a DOM — but
+    it is the standard first-pass shape (c4/CCNet pipelines do exactly
+    this class of strip) and it rides the scan at zero extra cost.
+    """
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

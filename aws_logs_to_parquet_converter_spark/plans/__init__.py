@@ -84,7 +84,6 @@ _PRIORITY = [
     "q17_small_qty_revenue",
     "q19_disjunctive",
     "q_agg_modern",
-    "q_unpivot",
     "q_agg_stats",
     "q_pii_scrub",
     "q_stratified_sample",
@@ -116,6 +115,9 @@ _PRIORITY = [
     # GK quantile sketch graded in its exact regime (displaced
     # q_group_by_all, r4-green syntax-sugar entry)
     "q_approx_percentiles",
+    # HTML->text extraction differential (displaced q_unpivot, r4-green
+    # with its inverse q_pivot already an r7 rotation candidate)
+    "q_html_extract",
 ]
 
 

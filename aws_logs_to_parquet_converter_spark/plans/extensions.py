@@ -986,6 +986,63 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_PRE = '<html><head><title>'
+_HTML_MID = ('</title><style>p { color: red }</style>'
+             '<script>var x = "<p>ignore</p>";</script></head><body><p>')
+_HTML_POST = '</p><!-- footer &amp; trailer --> &nbsp;</body></html>'
+
+
+@query(
+    "q_html_extract",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, text,
+               '{_HTML_PRE}' || source || '{_HTML_MID.replace("'", "''")}'
+               || text || '{_HTML_POST}' AS html
+        FROM documents
+    ), e AS (
+        SELECT doc_id, source, text,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?s)<[^>]+>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                 '\\s+', ' ', 'g')) AS txt
+        FROM h
+    )
+    SELECT doc_id, length(txt) AS n_ext,
+           (txt = source || ' ' || text) AS clean_roundtrip
+    FROM e
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (textstats.html_to_text — the step
+    between a WARC capture and the documents table), differentially
+    graded by wrapping every document in a fixed markup shell (title,
+    style, script-with-fake-tags, comment, entities) in BOTH engines
+    and running the IDENTICAL strip program: the extracted text must
+    round-trip to 'source text' exactly."""
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE), F.col("source"), F.lit(_HTML_MID),
+        F.col("text"), F.lit(_HTML_POST),
+    )
+    txt = textstats.html_to_text(html)
+    return d.select(
+        "doc_id",
+        F.length(txt).alias("n_ext"),
+        (txt == F.concat(F.col("source"), F.lit(" "), F.col("text"))).alias(
+            "clean_roundtrip"
+        ),
+    )
+
+
 @query(
     "q_approx_percentiles",
     oracle="""

@@ -493,3 +493,27 @@ def test_write_training_shards_layout_determinism_manifest(spark, tmp_path):
 
     with open(f"{dest}/_manifest.json") as fh:
         assert json.load(fh) == manifest
+
+
+def test_html_to_text_extraction(spark):
+    """Strip program handles the crawl-reality cases: script/style
+    bodies (including fake tags inside JS strings), comments, entities
+    (incl. double-encoded &amp;lt;), block-boundary spacing, and
+    whitespace collapse."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import html_to_text
+
+    cases = [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        ('<script type="text/javascript">var s = "<p>not text</p>";</script>After', "After"),
+        ("<style>p{}</style>Visible<!-- hidden -->", "Visible"),
+        ("A&nbsp;B &amp; C &lt;tag&gt; &quot;q&quot; &#39;a&#39;", 'A B & C <tag> "q" \'a\''),
+        ("&amp;lt;", "&lt;"),  # decode order: &amp; last
+        ("<div>one</div><div>two</div>", "one two"),  # blocks don't glue
+        ("  <p>\n  spaced\t text </p> ", "spaced text"),
+        ("no markup at all", "no markup at all"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i long, html string")
+    got = {r.i: r.txt for r in df.select("i", html_to_text(F.col("html")).alias("txt")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
