@@ -304,11 +304,21 @@ def write_training_shards(
     ``shard=NNNN`` holds exactly one sorted parquet file.
 
     ``size_col`` (e.g. a precomputed token count) adds per-shard sums
-    to the manifest.  Returns the manifest: one dict per shard with
-    ``shard``, ``n_rows`` and optionally ``size``."""
+    to the manifest.  Returns the manifest: one dict per shard —
+    INCLUDING empty shards (n_rows 0) so positional consumers can zip
+    it with range(n_shards) — aggregated from the WRITTEN output, not
+    the input lineage (describes what actually landed, costs one scan
+    of the just-written columns, and stays correct even if the input
+    lineage is non-deterministic).  A NULL key raises at write time
+    (F.raise_error in-plan, zero extra pass): NULL has no hash, so it
+    has no shard."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    keyed = df.withColumn("_ord", _order_key(F.col(key_col), seed)).withColumn(
+    key = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(F.lit(f"write_training_shards: NULL {key_col} has no shard")),
+    ).otherwise(F.col(key_col))
+    keyed = df.withColumn("_ord", _order_key(key, seed)).withColumn(
         "shard",
         F.least(
             F.lit(n_shards - 1),
@@ -317,19 +327,34 @@ def write_training_shards(
         ),
     )
     (
-        keyed.repartition(n_shards, "shard")
+        keyed.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "_ord")
         .drop("_ord")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(dest)
     )
+    spark = df.sparkSession
+    written = spark.read.parquet(dest)
     aggs = [F.count("*").alias("n_rows")]
     if size_col is not None:
         aggs.append(F.sum(size_col).alias("size"))
+    by_shard = {
+        int(r["shard"]): r
+        for r in written.groupBy("shard").agg(*aggs).collect()
+    }
+    empty = {"n_rows": 0, **({"size": 0} if size_col is not None else {})}
     manifest = [
-        {k: (int(v) if v is not None else None) for k, v in r.asDict().items()}
-        for r in keyed.groupBy("shard").agg(*aggs).orderBy("shard").collect()
+        {
+            "shard": s,
+            **(
+                {k: (int(v) if v is not None else None)
+                 for k, v in by_shard[s].asDict().items() if k != "shard"}
+                if s in by_shard
+                else empty
+            ),
+        }
+        for s in range(n_shards)
     ]
     import json
 

@@ -426,8 +426,16 @@ def semantic_dedup(
     # the exact mode) and from the k-means sample/assignment, where a
     # NULL would crash the driver-side collect and the Arrow matmul.
     scorable = corpus.where(F.col(vec_col).isNotNull())
-    if n_cells == "auto":
+    if isinstance(n_cells, str):
+        if n_cells != "auto":
+            raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
         n_cells = max(1, -(-scorable.count() // target_cell_size))
+        # the k-means sample must grow with the cell count or the
+        # centroid list gets truncated to sample_n and occupancy (and
+        # the pair space) silently returns to the quadratic regime the
+        # auto mode exists to prevent; ~8 sample points per centroid
+        # keeps training meaningful at O(n_cells * dim) driver memory
+        sample_n = max(sample_n, 8 * n_cells)
     if n_cells <= 1:
         cell = F.lit(0)
     else:

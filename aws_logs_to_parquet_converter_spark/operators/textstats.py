@@ -453,4 +453,7 @@ def html_to_text(html: Column) -> Column:
         ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    # explicit whitespace class, NOT \s: Java's \s includes U+000B
+    # (vertical tab) while RE2's does not — the one divergence in this
+    # program's pattern set, sidestepped so the oracle stays identical
+    return F.trim(F.regexp_replace(t, r"[ \t\r\n\f\x0b]+", " "))

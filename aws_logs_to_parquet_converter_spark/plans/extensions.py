@@ -1013,7 +1013,7 @@ _HTML_POST = '</p><!-- footer &amp; trailer --> &nbsp;</body></html>'
                      '(?s)<[^>]+>', ' ', 'g'),
                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-                 '\\s+', ' ', 'g')) AS txt
+                 '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS txt
         FROM h
     )
     SELECT doc_id, length(txt) AS n_ext,

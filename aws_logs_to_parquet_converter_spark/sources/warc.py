@@ -35,7 +35,41 @@ from pyspark.sql import functions as F
 # Record boundary: blank line then the next record's version line.  The
 # FIRST record in a file has no preceding blank line, so its version
 # line survives at the head of the first split and is stripped there.
-RECORD_SEP = "\r\n\r\nWARC/1.0\r\n"
+# The version ("1.0" / "1.1") is auto-detected from the first file's
+# leading bytes — a wrong separator would not error, it would collapse
+# the whole file into one mis-typed record.
+def _record_sep(version: str) -> str:
+    return f"\r\n\r\nWARC/{version}\r\n"
+
+
+def _detect_version(spark: SparkSession, path: str) -> str:
+    """Read the first 16 bytes of one matching file driver-side and
+    return its WARC version ('1.0' fallback).  Metadata-scale I/O via
+    the same Hadoop FS the scan uses, so it works on any filesystem."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        matches = fs.globStatus(p)
+        if not matches:
+            return "1.0"
+        stream = fs.open(matches[0].getPath())
+        try:
+            buf = []
+            for _ in range(16):
+                b = stream.read()  # one byte; -1 on EOF
+                if b < 0:
+                    break
+                buf.append(b)
+            head = bytes(buf)
+        finally:
+            stream.close()
+        import re
+
+        m = re.match(rb"WARC/(1\.[01])", head)
+        return m.group(1).decode() if m else "1.0"
+    except Exception:
+        return "1.0"
 
 _HEADER_FIELDS = {
     "warc_type": "WARC-Type",
@@ -48,7 +82,10 @@ _HEADER_FIELDS = {
 
 
 def read_warc_records(
-    spark: SparkSession, path: str, record_types: "tuple[str, ...] | None" = ("response",)
+    spark: SparkSession,
+    path: str,
+    record_types: "tuple[str, ...] | None" = ("response",),
+    version: "str | None" = None,
 ) -> DataFrame:
     """One row per WARC record: the typed header fields above, the raw
     header block, the payload, and ``payload_length_ok`` (whether the
@@ -61,11 +98,18 @@ def read_warc_records(
     page captures and drops request/metadata records — ~2/3 of a crawl
     — right at the scan; pass None to keep everything).  The filter
     and all projections are codegen expressions over the one text
-    scan."""
-    raw = spark.read.option("lineSep", RECORD_SEP).text(path)
+    scan.
+
+    ``version`` pins the record-boundary version string; None (the
+    default) auto-detects it from the first matching file, so WARC/1.1
+    archives split correctly too.  Header field matching is
+    case-insensitive per the spec."""
+    if version is None:
+        version = _detect_version(spark, path)
+    raw = spark.read.option("lineSep", _record_sep(version)).text(path)
     # strip the file-leading version line the separator can't consume
     rec = raw.select(
-        F.regexp_replace("value", r"\A(?s)WARC/1\.0\r\n", "").alias("_rec")
+        F.regexp_replace("value", r"\A(?s)WARC/1\.[01]\r\n", "").alias("_rec")
     ).where(F.length("_rec") > 0)
     # header block = up to the first blank line; payload = the rest.
     # Pure Column API (no F.expr): string escapes here must not depend
@@ -76,7 +120,8 @@ def read_warc_records(
     for name, field in _HEADER_FIELDS.items():
         cols.append(
             F.nullif(
-                F.regexp_extract(header, rf"(?m)^{field}:\s*(.*?)\r?$", 1), F.lit("")
+                # (?i): WARC/HTTP field names are case-insensitive
+                F.regexp_extract(header, rf"(?im)^{field}:\s*(.*?)\r?$", 1), F.lit("")
             ).alias(name)
         )
     raw_pay = F.when(
@@ -140,7 +185,7 @@ def warc_to_documents(
     )
 
 
-def write_warc(rows: "list[tuple[dict, str]]", path: str) -> None:
+def write_warc(rows: "list[tuple[dict, str]]", path: str, version: str = "1.0") -> None:
     """Test-fixture helper: serialize (headers, payload) pairs as a
     spec-shaped uncompressed WARC file (version line, CRLF headers,
     blank line, payload, double-CRLF record terminator).  Driver-side
@@ -149,7 +194,7 @@ def write_warc(rows: "list[tuple[dict, str]]", path: str) -> None:
     with open(path, "wb") as fh:
         for headers, payload in rows:
             pb = payload.encode("utf-8")
-            fh.write(b"WARC/1.0\r\n")
+            fh.write(f"WARC/{version}\r\n".encode())
             hdrs = dict(headers)
             hdrs.setdefault("Content-Length", str(len(pb)))
             for k, v in hdrs.items():

@@ -161,7 +161,12 @@ def stream_corpus_ingest(
     same operator, same NULL-text sentinel semantics as the batch
     path, optional ``corpus_bloom`` pre-filter and all — so only
     genuinely new content lands.  In-stream state still handles
-    within-run duplicates; the digest set handles history."""
+    within-run duplicates; the digest set handles history.  Both the
+    digest set and the bloom bitmap are persisted here ONCE — their
+    lineages are corpus-sized aggregations, and foreachBatch would
+    otherwise re-execute them on every trigger; they stay cached for
+    the stream's lifetime (unpersist after stopping the query if the
+    executors need the memory back)."""
     docs = stream_documents(spark, source_glob, max_files_per_trigger=max_files_per_trigger)
     scrubbed = scrub_stream(docs)
     reject_path = rejected_dest or (dest + "_rejected")
@@ -177,6 +182,11 @@ def stream_corpus_ingest(
         clean = dedup_stream(tagged, digest=salted)
     else:
         clean = dedup_stream(scrubbed)
+
+    if corpus_digests is not None:
+        corpus_digests = corpus_digests.persist()
+        if corpus_bloom is not None:
+            corpus_bloom.bitmap.persist()
 
     def against_corpus(batch_df: DataFrame) -> DataFrame:
         if corpus_digests is None:

@@ -517,3 +517,43 @@ def test_html_to_text_extraction(spark):
     got = {r.i: r.txt for r in df.select("i", html_to_text(F.col("html")).alias("txt")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_write_training_shards_empty_shards_and_null_keys(spark, tmp_path):
+    """The manifest carries one entry per shard INCLUDING empty ones
+    (positional consumers may zip with range(n_shards)); a NULL key
+    fails loudly at write time instead of silently pooling rows."""
+    import pytest as _pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    tiny = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    manifest = write_training_shards(tiny, str(tmp_path / "s"), n_shards=16)
+    assert [m["shard"] for m in manifest] == list(range(16))
+    assert sum(m["n_rows"] for m in manifest) == 2
+    assert any(m["n_rows"] == 0 for m in manifest)
+
+    with_null = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="NULL doc_id"):
+        write_training_shards(with_null, str(tmp_path / "s2"), n_shards=4)
+
+
+def test_html_to_text_vertical_tab_and_semantic_dedup_arg_validation(spark):
+    """Vertical tab collapses like any whitespace (the explicit class
+    sidesteps the Java-vs-RE2 \\s divergence); a misspelled n_cells
+    string raises a named error, not an opaque TypeError."""
+    import pytest as _pytest
+
+    from aws_logs_to_parquet_converter_spark.operators import similarity
+    from aws_logs_to_parquet_converter_spark.operators.textstats import html_to_text
+
+    df = spark.createDataFrame([("a\x0bb",)], "html string")
+    assert df.select(html_to_text(F.col("html")).alias("t")).first().t == "a b"
+
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="'auto'"):
+        similarity.semantic_dedup(vecs, n_cells="Auto")

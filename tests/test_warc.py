@@ -111,3 +111,37 @@ def test_warc_length_mismatch_flags_not_drops(spark, tmp_path):
     recs = warc.read_warc_records(spark, p).collect()
     assert len(recs) == 1  # flagged, never silently dropped
     assert recs[0].payload_length_ok is False
+
+
+def test_warc_version_11_and_case_insensitive_headers(spark, tmp_path):
+    """WARC/1.1 files split correctly (version auto-detected from the
+    file head) and spec-legal lowercase header names still type."""
+    p = str(tmp_path / "v11.warc")
+    warc.write_warc(
+        [
+            (
+                {
+                    "warc-type": "response",           # lowercase on purpose
+                    "WARC-Record-ID": "<urn:uuid:1100>",
+                    "warc-target-uri": "http://example.com/x",
+                },
+                "HTTP-free body one",
+            ),
+            (
+                {
+                    "WARC-Type": "response",
+                    "warc-record-id": "<urn:uuid:1101>",
+                    "WARC-Target-URI": "http://example.com/y",
+                },
+                "HTTP-free body two",
+            ),
+        ],
+        p,
+        version="1.1",
+    )
+    recs = warc.read_warc_records(spark, p).collect()
+    assert len(recs) == 2, [r.warc_type for r in recs]
+    assert {r.target_uri for r in recs} == {
+        "http://example.com/x", "http://example.com/y"
+    }
+    assert all(r.payload_length_ok for r in recs)
