@@ -457,3 +457,107 @@ def html_to_text(html: Column) -> Column:
     # (vertical tab) while RE2's does not — the one divergence in this
     # program's pattern set, sidestepped so the oracle stays identical
     return F.trim(F.regexp_replace(t, r"[ \t\r\n\f\x0b]+", " "))
+
+
+def bigram_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_corpus: "DataFrame | None" = None,
+    max_vocab: int = 50_000,
+    alpha: float = 0.5,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model scoring with Stupid Backoff (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    web-scale scheme: unnormalized conditional scores, no discounting,
+    backoff weight 0.4), the order-2 upgrade of ``perplexity_scores``:
+
+      score(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})    if seen,
+                             backoff * p_unigram(w_i)        otherwise;
+
+    tokens outside the ``max_vocab`` most-frequent map to ``<unk>``
+    BEFORE counting, so the bigram table is over a closed vocabulary;
+    a document's first token scores with the unigram model (no left
+    context).  Returns (id, n_tokens, ppl) with
+    ppl = 2^(-mean log2 score) — not a true perplexity (Stupid Backoff
+    is unnormalized) but the standard comparable filter signal.
+
+    Scale shape: vocabulary and unigram LM as in ``train_unigram_lm``
+    (one corpus pass, driver-bounded vocab, broadcast); the bigram
+    count table is at most vocab² but in practice corpus-bigram-bounded
+    — it joins on the (w1, w2) pair key as a plain shuffled hash join
+    (NOT broadcast: at web scale it is the big side), with the doc
+    token stream's window-lag providing pairs at one (id) shuffle.
+    """
+    lm_src = lm_corpus if lm_corpus is not None else docs
+    uni_lm, oov_logp = train_unigram_lm(lm_src, text_col, max_vocab, alpha)
+    inv = uni_lm.select("token", F.lit(True).alias("_inv"))
+
+    def mapped_tokens(src: DataFrame) -> DataFrame:
+        # bigrams are bounded WITHIN documents, so the LM corpus must
+        # carry the same id column as the scored corpus
+        toks = src.select(
+            F.col(id_col).alias("_mid"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "_pos", "_rawtok"
+            ),
+        ).where(F.col("_rawtok") != "")
+        return toks.join(
+            F.broadcast(inv.withColumnRenamed("token", "_rawtok")), "_rawtok", "left"
+        ).select(
+            "_mid",
+            "_pos",
+            F.when(F.col("_inv"), F.col("_rawtok")).otherwise(F.lit("<unk>")).alias("_tok"),
+        )
+
+    from pyspark.sql import Window
+
+    def bigrams(tok_df: DataFrame, part: "list[str]") -> DataFrame:
+        w = Window.partitionBy(*part).orderBy("_pos")
+        return tok_df.select(
+            *part, "_pos", F.lag("_tok").over(w).alias("_w1"), F.col("_tok").alias("_w2")
+        )
+
+    # training side: corpus bigram conditionals c(w1 w2) / c(w1)
+    train_toks = mapped_tokens(lm_src)
+    tb = bigrams(train_toks, ["_mid"]).where(F.col("_w1").isNotNull())
+    c1 = train_toks.groupBy(F.col("_tok").alias("_w1")).agg(F.count("*").alias("_c1"))
+    big_lm = (
+        tb.groupBy("_w1", "_w2")
+        .agg(F.count("*").alias("_c12"))
+        .join(c1, "_w1")
+        .select("_w1", "_w2", F.log2(F.col("_c12") / F.col("_c1")).alias("_logs"))
+    )
+
+    # scoring side
+    doc_toks = mapped_tokens(docs)
+    db = bigrams(doc_toks, ["_mid"])
+    uni = uni_lm.select(F.col("token").alias("_w2"), F.col("logp").alias("_ulp"))
+    import math
+
+    uni_of_w2 = F.coalesce(F.col("_ulp"), F.lit(oov_logp))
+    lp = F.when(
+        # the first token has no left context: unigram logp, no backoff
+        F.col("_w1").isNull(),
+        uni_of_w2,
+    ).otherwise(
+        F.coalesce(F.col("_logs"), F.lit(math.log2(backoff)) + uni_of_w2)
+    )
+    scored = (
+        db.join(F.broadcast(uni), "_w2", "left")
+        .join(big_lm, ["_w1", "_w2"], "left")
+        .select("_mid", lp.alias("_lp"))
+    )
+    per_doc = scored.groupBy("_mid").agg(
+        F.count("*").alias("n_tokens"), F.avg("_lp").alias("_mlp")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_mid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.pow(F.lit(2.0), -F.col("_mlp")).alias("ppl"),
+        )
+    )

@@ -414,6 +414,74 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bigram_lm",
+    oracle="""
+    WITH docs0 AS (
+        SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS rawtok
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS parts
+              FROM documents)
+    ), toks AS (
+        SELECT doc_id, pos, rawtok FROM docs0 WHERE rawtok != ''
+    ), counts AS (
+        SELECT rawtok AS token, COUNT(*) AS c FROM toks GROUP BY 1
+    ), ranked AS (
+        SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS r FROM counts
+    ), kept AS (
+        SELECT token, c FROM ranked WHERE r <= 20
+    ), tot AS (
+        SELECT (SELECT SUM(c) FROM counts) AS n,
+               (SELECT SUM(c) FROM kept) AS kc,
+               (SELECT COUNT(*) FROM kept) AS v
+    ), uni AS (
+        SELECT token, log2((c + 0.5) / (n + 0.5 * (v + 1))) AS logp FROM kept, tot
+    ), oov AS (
+        SELECT log2((n - kc + 0.5) / (n + 0.5 * (v + 1))) AS logp FROM tot
+    ), mapped AS (
+        SELECT t.doc_id, t.pos, COALESCE(k.token, '<unk>') AS tok
+        FROM toks t LEFT JOIN kept k ON k.token = t.rawtok
+    ), big AS (
+        SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               tok AS w2
+        FROM mapped
+    ), c1 AS (
+        SELECT tok AS w1, COUNT(*) AS c1 FROM mapped GROUP BY 1
+    ), b12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM big WHERE w1 IS NOT NULL GROUP BY 1, 2
+    ), blm AS (
+        SELECT b12.w1, b12.w2, log2(c12 / c1) AS logs FROM b12 JOIN c1 USING (w1)
+    ), scoredtok AS (
+        SELECT big.doc_id,
+               CASE WHEN big.w1 IS NULL
+                    THEN COALESCE(u.logp, (SELECT logp FROM oov))
+                    ELSE COALESCE(blm.logs,
+                                  log2(0.4) + COALESCE(u.logp, (SELECT logp FROM oov)))
+               END AS lp
+        FROM big
+        LEFT JOIN uni u ON u.token = big.w2
+        LEFT JOIN blm ON blm.w1 = big.w1 AND blm.w2 = big.w2
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS mlp
+        FROM scoredtok GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+           ROUND(POWER(2.0, -p.mlp), 3) AS ppl
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff scoring (Brants et al. 2007) — the
+    order-2 sibling of q_perplexity: closed top-20 vocabulary with
+    <unk> fold-in, per-document lag() bigrams, conditional
+    c(w1 w2)/c(w1) scores backing off to 0.4 * smoothed-unigram.  The
+    oracle re-derives the entire two-level LM in SQL."""
+    d = t(spark, sf_dir, "documents")
+    res = textstats.bigram_scores(
+        d, id_col="doc_id", text_col="text", max_vocab=20, alpha=0.5, backoff=0.4
+    )
+    return res.select("doc_id", "n_tokens", F.round("ppl", 3).alias("ppl"))
+
+
+@query(
     "q_semantic_dedup",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

@@ -10,13 +10,14 @@ expressions.  No Python worker touches the bytes.
 
 Honest caveats, stated up front:
 
-  * This is the UNCOMPRESSED WARC path.  Common Crawl ships
-    ``.warc.gz`` with per-record gzip members; Spark reads ``.gz``
-    text only as a whole-file stream (non-splittable), which works but
-    serializes each file to one task — for the compressed form at
-    scale, decompress in the lake first (the standard practice) or
-    accept file-level parallelism (CC ships ~1 GB files, so
-    file-level parallelism is in practice how every engine reads it).
+  * ``.warc.gz`` WORKS through the same reader (tested): Hadoop's
+    gzip codec decompresses transparently — including Common Crawl's
+    concatenated per-record gzip members, which decode as one stream —
+    and the version peek decodes the member head driver-side.  The
+    cost is splittability: each ``.gz`` file is one task, i.e.
+    file-level parallelism, which for CC's ~1 GB files is how every
+    engine reads them anyway; decompress in the lake first if you need
+    intra-file splits.
   * Splitting on the boundary string assumes payloads do not contain
     ``\\r\\n\\r\\nWARC/1.0\\r\\n`` verbatim.  Real HTML payloads
     essentially never do (the sequence requires a blank line followed
@@ -53,10 +54,11 @@ def _detect_version(spark: SparkSession, path: str) -> str:
         matches = fs.globStatus(p)
         if not matches:
             return "1.0"
-        stream = fs.open(matches[0].getPath())
+        first = matches[0].getPath()
+        stream = fs.open(first)
         try:
             buf = []
-            for _ in range(16):
+            for _ in range(256):
                 b = stream.read()  # one byte; -1 on EOF
                 if b < 0:
                     break
@@ -64,6 +66,10 @@ def _detect_version(spark: SparkSession, path: str) -> str:
             head = bytes(buf)
         finally:
             stream.close()
+        if head[:2] == b"\x1f\x8b":  # gzip member: peek the DECODED head
+            import zlib
+
+            head = zlib.decompressobj(wbits=31).decompress(head, 16)
         import re
 
         m = re.match(rb"WARC/(1\.[01])", head)

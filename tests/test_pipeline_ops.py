@@ -557,3 +557,34 @@ def test_html_to_text_vertical_tab_and_semantic_dedup_arg_validation(spark):
     vecs = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="'auto'"):
         similarity.semantic_dedup(vecs, n_cells="Auto")
+
+
+def test_bigram_scores_analytic_and_backoff(spark):
+    """Stupid Backoff exactness on a hand-computable corpus, plus the
+    two fallback layers: unseen bigram of seen words -> 0.4 * unigram;
+    unseen word -> 0.4 * OOV mass."""
+    import math
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import bigram_scores
+
+    train = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")]
+    df = spark.createDataFrame(train, "doc_id long, text string")
+    got = {r.doc_id: r.ppl for r in bigram_scores(df, max_vocab=10).collect()}
+    # counts: a=4 b=3 c=1, N=8, V=3, denom=10; first-token p(a)=4.5/10
+    exp1 = 2 ** -((math.log2(0.45) + math.log2(3 / 4)) / 2)
+    exp4 = 2 ** -((math.log2(0.45) + math.log2(1 / 4)) / 2)
+    assert abs(got[1] - exp1) < 1e-9 and abs(got[4] - exp4) < 1e-9
+    assert got[4] > got[1]  # rarer continuation = higher surprise
+
+    # score NEW docs against the trained corpus (lm_corpus seam)
+    crawl = spark.createDataFrame(
+        [(10, "b a"), (11, "a zzz")], "doc_id long, text string"
+    )
+    s = {r.doc_id: r.ppl for r in bigram_scores(
+        crawl, lm_corpus=df, max_vocab=10).collect()}
+    # doc 10: "b a" — bigram (b,a) unseen -> backoff to 0.4*p(a)
+    exp10 = 2 ** -((math.log2(3.5 / 10) + (math.log2(0.4) + math.log2(4.5 / 10))) / 2)
+    assert abs(s[10] - exp10) < 1e-9
+    # doc 11: "a zzz" — zzz maps to <unk>: backoff to 0.4 * oov mass (0.5/10)
+    exp11 = 2 ** -((math.log2(4.5 / 10) + (math.log2(0.4) + math.log2(0.5 / 10))) / 2)
+    assert abs(s[11] - exp11) < 1e-9

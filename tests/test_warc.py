@@ -194,3 +194,32 @@ def test_warc_roundtrip_property(spark, tmp_path):
                 assert not r.payload_length_ok, (
                     f"{rid}: wrong payload yet flagged ok: {r.payload!r} != {payload!r}"
                 )
+
+
+def test_warc_gzip_transparent(spark, tmp_path):
+    """.warc.gz reads through the same path (Hadoop codec decompresses
+    transparently; one task per file) — including version detection on
+    a compressed WARC/1.1 member."""
+    import gzip
+
+    plain = tmp_path / "c.warc"
+    _fixture(str(plain))
+    gz = tmp_path / "c.warc.gz"
+    with open(plain, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    recs = warc.read_warc_records(spark, str(gz)).collect()
+    assert [r.warc_record_id for r in recs] == ["<urn:uuid:0002>", "<urn:uuid:0003>"]
+    assert all(r.payload_length_ok for r in recs)
+
+    # version detection must see the DECODED head
+    v11 = tmp_path / "v11.warc.gz"
+    rows = [({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:g11>"}, "body")]
+    import io
+
+    buf = io.BytesIO()
+    tmp = tmp_path / "v11.tmp.warc"
+    warc.write_warc(rows, str(tmp), version="1.1")
+    with open(tmp, "rb") as f, gzip.open(v11, "wb") as g:
+        g.write(f.read())
+    got = warc.read_warc_records(spark, str(v11)).collect()
+    assert len(got) == 1 and got[0].payload == "body" and got[0].payload_length_ok
