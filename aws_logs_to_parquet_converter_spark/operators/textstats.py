@@ -519,8 +519,12 @@ def bigram_scores(
             *part, "_pos", F.lag("_tok").over(w).alias("_w1"), F.col("_tok").alias("_w2")
         )
 
-    # training side: corpus bigram conditionals c(w1 w2) / c(w1)
-    train_toks = mapped_tokens(lm_src)
+    # training side: corpus bigram conditionals c(w1 w2) / c(w1).
+    # The mapped token stream feeds FOUR consumers (bigram counts, the
+    # w1 marginals, and — when scoring the training corpus itself —
+    # both scoring branches), so it persists; Spark holds the cache
+    # until the result is computed and evicts LRU afterwards.
+    train_toks = mapped_tokens(lm_src).persist()
     tb = bigrams(train_toks, ["_mid"]).where(F.col("_w1").isNotNull())
     c1 = train_toks.groupBy(F.col("_tok").alias("_w1")).agg(F.count("*").alias("_c1"))
     big_lm = (
@@ -530,8 +534,8 @@ def bigram_scores(
         .select("_w1", "_w2", F.log2(F.col("_c12") / F.col("_c1")).alias("_logs"))
     )
 
-    # scoring side
-    doc_toks = mapped_tokens(docs)
+    # scoring side: self-scoring reuses the persisted training stream
+    doc_toks = train_toks if lm_corpus is None else mapped_tokens(docs)
     db = bigrams(doc_toks, ["_mid"])
     uni = uni_lm.select(F.col("token").alias("_w2"), F.col("logp").alias("_ulp"))
     import math

@@ -44,7 +44,9 @@ def _record_sep(version: str) -> str:
 
 
 def _detect_version(spark: SparkSession, path: str) -> str:
-    """Read the first 16 bytes of one matching file driver-side and
+    """Peek the first ~256 bytes of one matching FILE driver-side (one
+    buffered JVM read, directories descended one level — a glob or a
+    directory path must not fall into the open-a-directory trap) and
     return its WARC version ('1.0' fallback).  Metadata-scale I/O via
     the same Hadoop FS the scan uses, so it works on any filesystem."""
     jvm = spark._jvm
@@ -54,16 +56,24 @@ def _detect_version(spark: SparkSession, path: str) -> str:
         matches = fs.globStatus(p)
         if not matches:
             return "1.0"
-        first = matches[0].getPath()
+        first = None
+        for st in matches:
+            if st.isFile():
+                first = st.getPath()
+                break
+            for inner in fs.listStatus(st.getPath()):
+                if inner.isFile():
+                    first = inner.getPath()
+                    break
+            if first is not None:
+                break
+        if first is None:
+            return "1.0"
         stream = fs.open(first)
         try:
-            buf = []
-            for _ in range(256):
-                b = stream.read()  # one byte; -1 on EOF
-                if b < 0:
-                    break
-                buf.append(b)
-            head = bytes(buf)
+            head = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream, 256)
+            )
         finally:
             stream.close()
         if head[:2] == b"\x1f\x8b":  # gzip member: peek the DECODED head
@@ -140,7 +150,10 @@ def read_warc_records(
     # length matches the declaration; without a declaration strip the
     # trailing terminator best-effort.
     stripped = F.regexp_replace(raw_pay, r"(?s)\r\n\r\n\Z", "")
-    decl = F.col("content_length").cast("long")
+    # try_cast: a malformed Content-Length (crawler-supplied data) must
+    # flag the record (NULL decl -> payload_length_ok NULL), never kill
+    # the job under ANSI mode — the parser's dead-letter discipline
+    decl = F.col("content_length").try_cast("long")
     cols.append(raw_pay.alias("_rp"))
     cols.append(stripped.alias("_sp"))
     out = (

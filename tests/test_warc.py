@@ -179,7 +179,6 @@ def test_warc_roundtrip_property(spark, tmp_path):
         # silently wrong-but-ok
         for (hdrs, payload) in rows:
             rid = hdrs["WARC-Record-ID"]
-            sep_tail = payload.endswith("\r\n\r\n") or payload.endswith("\r\n\r\nWARC/1.0")
             if rid not in got:
                 # a mis-split swallowed it into the previous record —
                 # that previous record must then be flagged
@@ -223,3 +222,55 @@ def test_warc_gzip_transparent(spark, tmp_path):
         g.write(f.read())
     got = warc.read_warc_records(spark, str(v11)).collect()
     assert len(got) == 1 and got[0].payload == "body" and got[0].payload_length_ok
+
+
+def test_warc_gzip_multi_member(spark, tmp_path):
+    """Common Crawl's actual layout: one gzip MEMBER per record,
+    concatenated — the decompressor must continue past the first
+    member or records vanish silently."""
+    import gzip
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": f"<urn:uuid:m{i:03d}>",
+          "WARC-Target-URI": f"http://example.com/{i}"}, f"member body {i}")
+        for i in range(5)
+    ]
+    gz = tmp_path / "multi.warc.gz"
+    with open(gz, "wb") as out:
+        for r in recs:
+            one = tmp_path / "one.warc"
+            warc.write_warc([r], str(one))
+            out.write(gzip.compress(one.read_bytes()))
+    got = warc.read_warc_records(spark, str(gz)).collect()
+    assert len(got) == 5, [r.warc_record_id for r in got]
+    assert {r.payload for r in got} == {f"member body {i}" for i in range(5)}
+    assert all(r.payload_length_ok for r in got)
+
+
+def test_warc_directory_path_and_bad_content_length(spark, tmp_path):
+    """A DIRECTORY of WARC/1.1 files must auto-detect correctly (the
+    peek descends to a file instead of trying to open the directory);
+    a malformed Content-Length flags the record, never throws."""
+    d = tmp_path / "crawldir"
+    d.mkdir()
+    warc.write_warc(
+        [({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:d1>"}, "dir body one")],
+        str(d / "a.warc"), version="1.1",
+    )
+    warc.write_warc(
+        [({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:d2>"}, "dir body two")],
+        str(d / "b.warc"), version="1.1",
+    )
+    got = warc.read_warc_records(spark, str(d)).collect()
+    assert {r.warc_record_id for r in got} == {"<urn:uuid:d1>", "<urn:uuid:d2>"}
+    assert all(r.payload_length_ok for r in got)
+
+    bad = tmp_path / "bad.warc"
+    warc.write_warc(
+        [({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:b1>",
+           "Content-Length": "12abc"}, "body")],
+        str(bad),
+    )
+    rows = warc.read_warc_records(spark, str(bad)).collect()
+    assert len(rows) == 1
+    assert rows[0].payload_length_ok is None  # undeclared-length semantics
