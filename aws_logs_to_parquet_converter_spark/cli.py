@@ -227,10 +227,76 @@ def run_maintenance(args: argparse.Namespace) -> int:
     return 1 if failures else 0
 
 
+def build_corpus_parser() -> argparse.ArgumentParser:
+    """``corpus`` subcommand: the training-data half's operational
+    entry point, mirroring what the daily loop + ``maintain`` are for
+    the log half — one command from a raw document table to deduped,
+    quality-gated, shard-exported training data."""
+    p = argparse.ArgumentParser(prog="compact-s3-access-logs corpus")
+    p.add_argument("--src", required=True,
+                   help="input documents parquet (doc_id, text, ... schema)")
+    p.add_argument("--dest", required=True, help="shard output directory")
+    p.add_argument("--aws-config", default="",
+                   help="same credentials file as the ingest command")
+    p.add_argument("--n-shards", default=64, type=int)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--dedup", default="exact", choices=["none", "exact", "fingerprint"],
+                   help="exact = byte-identical text (keep smallest doc_id); "
+                        "fingerprint = case/whitespace-normalized")
+    p.add_argument("--min-quality", default=0.0, type=float,
+                   help="drop documents scoring below this "
+                        "(operators/textstats.quality_score, 0 disables)")
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="redact emails/phones/etc before export")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    return p
+
+
+def run_corpus(args: argparse.Namespace) -> int:
+    from aws_logs_to_parquet_converter_spark.operators import dedup as dedup_ops
+    from aws_logs_to_parquet_converter_spark.operators.sampling import (
+        write_training_shards,
+    )
+    from aws_logs_to_parquet_converter_spark.operators.scrub import scrub_pii
+    from aws_logs_to_parquet_converter_spark.operators.textstats import quality_score
+
+    spark = get_spark(app_name="corpus_export")
+    if args.aws_config:
+        apply_s3a_conf(spark, aws_config_to_s3a(args.aws_config))
+    df = spark.read.parquet(args.src)
+    n_in = df.count()
+    if args.min_quality > 0:
+        df = df.where(quality_score(F.col(args.text_col)) >= args.min_quality)
+    if args.dedup == "exact":
+        df = dedup_ops.exact_keep_first(df, args.id_col, args.text_col)
+    elif args.dedup == "fingerprint":
+        keep = (
+            df.groupBy(F.md5(F.trim(F.regexp_replace(F.lower(F.col(args.text_col)),
+                                                     r"\s+", " "))).alias("_fp"))
+            .agg(F.min(args.id_col).alias(args.id_col))
+            .select(args.id_col)
+        )
+        df = df.join(keep, args.id_col, "left_semi")
+    if args.scrub_pii:
+        df = df.withColumn(args.text_col, scrub_pii(F.col(args.text_col)))
+    manifest = write_training_shards(
+        df, args.dest, n_shards=args.n_shards, key_col=args.id_col, seed=args.seed
+    )
+    n_out = sum(m["n_rows"] for m in manifest)
+    print(f"{n_in} documents in -> {n_out} exported across "
+          f"{args.n_shards} shards at {args.dest}")
+    for m in manifest:
+        print(f"shard={m['shard']:04d}: {m['n_rows']} rows")
+    return 0
+
+
 def main() -> None:
     argv = sys.argv[1:]
     if argv and argv[0] == "maintain":
         sys.exit(run_maintenance(build_maintenance_parser().parse_args(argv[1:])))
+    if argv and argv[0] == "corpus":
+        sys.exit(run_corpus(build_corpus_parser().parse_args(argv[1:])))
     sys.exit(run(build_parser().parse_args(argv)))
 
 

@@ -174,3 +174,36 @@ def test_cli_maintain_dt_honors_dry_run(spark, tmp_path, capsys):
     assert cli.run_maintenance(args) == 0
     assert sorted(glob.glob(f"{dest}/dt={dt}/*.parquet")) == files_before
     assert "dry run" in capsys.readouterr().out
+
+
+def test_cli_corpus_subcommand(spark, tmp_path, capsys):
+    """corpus subcommand: raw table -> quality gate -> dedup ->
+    PII scrub -> shard export, one command; manifest totals match."""
+    import json
+
+    from aws_logs_to_parquet_converter_spark import cli
+
+    rows = [
+        (1, "the cat sat on the mat and it was a good day for sitting"),
+        (2, "the cat sat on the mat and it was a good day for sitting"),  # dup of 1
+        (3, "the dog ran in the park and it was a fine morning for running"),
+        (4, "x"),                                       # fails quality gate
+        (5, "write to admin@example.com for the offer of a deal on it"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    dest = str(tmp_path / "shards")
+    args = cli.build_corpus_parser().parse_args([
+        "--src", src, "--dest", dest, "--n-shards", "4",
+        "--dedup", "exact", "--min-quality", "0.7", "--scrub-pii",
+    ])
+    assert cli.run_corpus(args) == 0
+    out = spark.read.parquet(dest)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 5]  # dup 2 dropped, low-quality 4 dropped
+    scrubbed = {r.doc_id: r.text for r in out.collect()}
+    assert "@" not in scrubbed[5] and "[PII]" in scrubbed[5]
+    with open(f"{dest}/_manifest.json") as fh:
+        manifest = json.load(fh)
+    assert len(manifest) == 4 and sum(m["n_rows"] for m in manifest) == 3
+    assert "3 exported across 4 shards" in capsys.readouterr().out
