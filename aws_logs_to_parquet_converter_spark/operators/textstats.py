@@ -565,3 +565,75 @@ def bigram_scores(
             F.pow(F.lit(2.0), -F.col("_mlp")).alias("ppl"),
         )
     )
+
+
+# The eight Gopher stopwords of the "has at least 2 stop words" rule
+# (Rae et al. 2021, arXiv:2112.11446, Appendix A1.1) — distinct from
+# the density heuristic's EN_STOPWORDS list above.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    Appendix A1.1) as per-rule boolean columns plus the conjunction —
+    the canonical pre-training filter set, wired to this module's
+    signal builders:
+
+      * word_count_ok:   50 <= words <= 100,000
+      * mean_word_ok:    3 <= mean word length <= 10
+      * symbol_ratio_ok: (# '#' + # '...') / words <= 0.1
+      * bullet_ok:       <= 90% of lines start with a bullet
+      * ellipsis_ok:     <= 30% of lines end with '...'
+      * alpha_words_ok:  >= 80% of words contain a letter
+      * stopwords_ok:    >= 2 of the 8 Gopher stop words present
+
+    (The repetition rules of the same appendix — duplicate line/para
+    fractions, top-n-gram coverage — need per-doc explodes and live in
+    ``segment_repetition`` / ``top_ngram_fraction``; compose them with
+    this row-local set for the full battery.)  Pure codegen column
+    expressions — the filter rides the corpus scan.  Returns
+    (id, each flag, keep = AND of all)."""
+    text = F.col(text_col)
+    words = token_count(text)
+    mean_len = mean_token_len(text)
+    symbols = F.regexp_count(text, F.lit(r"#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    ellipsis_ends = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    # per-token letter test as an array filter (once per row — the
+    # sanctioned HOF class): lookaround would be Java-only, RE2 (the
+    # oracle) has none
+    alpha_words = F.size(
+        F.filter(
+            F.split(text, r"\s+"),
+            lambda tok: (tok != "") & tok.rlike(r"\p{L}"),
+        )
+    )
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.when(text.rlike(rf"(?i)(^|\s){sw}(\s|$)"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    flags = {
+        "word_count_ok": (words >= 50) & (words <= 100_000),
+        "mean_word_ok": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "symbol_ratio_ok": F.when(words > 0, symbols / words <= 0.1).otherwise(False),
+        "bullet_ok": F.when(n_lines > 0, bullets / n_lines <= 0.9).otherwise(False),
+        "ellipsis_ok": F.when(n_lines > 0, ellipsis_ends / n_lines <= 0.3).otherwise(
+            False
+        ),
+        "alpha_words_ok": F.when(words > 0, alpha_words / words >= 0.8).otherwise(
+            False
+        ),
+        "stopwords_ok": stop_hits >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )

@@ -414,6 +414,68 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gopher_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                   AS words,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+               string_split(text, chr(10)) AS lines,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '' AND regexp_matches(x, '\\p{L}')))
+                   AS alphaw,
+               (CASE WHEN regexp_matches(text, '(?i)(^|\\s)the(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)be(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)to(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)of(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)and(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)that(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)have(\\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)with(\\s|$)') THEN 1 ELSE 0 END
+               ) AS stop_hits
+        FROM documents
+    ), f AS (
+        SELECT doc_id,
+               (words >= 50 AND words <= 100000) AS word_count_ok,
+               CASE WHEN words > 0
+                    THEN nonspace / words >= 3.0 AND nonspace / words <= 10.0
+                    ELSE FALSE END AS mean_word_ok,
+               CASE WHEN words > 0 THEN symbols / words <= 0.1
+                    ELSE FALSE END AS symbol_ratio_ok,
+               CASE WHEN len(lines) > 0
+                    THEN len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+                         / len(lines) <= 0.9
+                    ELSE FALSE END AS bullet_ok,
+               CASE WHEN len(lines) > 0
+                    THEN len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.$')))
+                         / len(lines) <= 0.3
+                    ELSE FALSE END AS ellipsis_ok,
+               CASE WHEN words > 0 THEN alphaw / words >= 0.8
+                    ELSE FALSE END AS alpha_words_ok,
+               stop_hits >= 2 AS stopwords_ok
+        FROM t
+    )
+    SELECT doc_id, word_count_ok, mean_word_ok, symbol_ratio_ok, bullet_ok,
+           ellipsis_ok, alpha_words_ok, stopwords_ok,
+           (word_count_ok AND mean_word_ok AND symbol_ratio_ok AND bullet_ok
+            AND ellipsis_ok AND alpha_words_ok AND stopwords_ok) AS keep
+    FROM f
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021 A1.1) as
+    one per-document rule battery (textstats.gopher_quality_flags);
+    the oracle re-derives every rule — word/mean-length bounds, symbol
+    and bullet/ellipsis ratios, alphabetic-word share, the 8-stopword
+    presence test — in SQL."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.gopher_quality_flags(d, "doc_id", "text")
+
+
+@query(
     "q_bigram_lm",
     oracle="""
     WITH docs0 AS (

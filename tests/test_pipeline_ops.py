@@ -588,3 +588,37 @@ def test_bigram_scores_analytic_and_backoff(spark):
     # doc 11: "a zzz" — zzz maps to <unk>: backoff to 0.4 * oov mass (0.5/10)
     exp11 = 2 ** -((math.log2(4.5 / 10) + (math.log2(0.4) + math.log2(0.5 / 10))) / 2)
     assert abs(s[11] - exp11) < 1e-9
+
+
+def test_gopher_rules_battery(spark):
+    """Each published rule flips on its own violation class; a
+    well-formed document passes all seven."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    good = ("the quick brown fox jumps over that lazy dog and it runs with "
+            "great joy to have a fine day in the sunny park where children "
+            "play games of chance and skill while parents watch from benches "
+            "under shady trees that line the wide gravel paths of the garden "
+            "and birds sing songs of summer in the warm evening air nearby")
+    rows = [
+        (1, good),
+        (2, "too few words to pass the count rule"),        # word_count
+        (3, " ".join(["supercalifragilisticexpialidocious"] * 60)),  # mean len + stopwords
+        (4, good + " " + "# " * 30),                          # symbol ratio
+        (5, "\n".join(["- bullet line of the list with that"] * 10)),  # bullets
+        (6, "\n".join([f"{good}..."] * 10)),                  # ellipsis ends
+        (7, " ".join(["12345"] * 30) + " the of and " + " ".join(["999"] * 30)),  # alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert got[1].keep, got[1]
+    assert not got[2].word_count_ok
+    assert not got[3].mean_word_ok and not got[3].stopwords_ok
+    assert not got[4].symbol_ratio_ok
+    assert not got[5].bullet_ok
+    assert not got[6].ellipsis_ok
+    assert not got[7].alpha_words_ok
+    for i in range(2, 8):
+        assert not got[i].keep
