@@ -271,13 +271,7 @@ def run_corpus(args: argparse.Namespace) -> int:
     if args.dedup == "exact":
         df = dedup_ops.exact_keep_first(df, args.id_col, args.text_col)
     elif args.dedup == "fingerprint":
-        keep = (
-            df.groupBy(F.md5(F.trim(F.regexp_replace(F.lower(F.col(args.text_col)),
-                                                     r"\s+", " "))).alias("_fp"))
-            .agg(F.min(args.id_col).alias(args.id_col))
-            .select(args.id_col)
-        )
-        df = df.join(keep, args.id_col, "left_semi")
+        df = dedup_ops.fingerprint_keep_first(df, args.id_col, args.text_col)
     if args.scrub_pii:
         df = df.withColumn(args.text_col, scrub_pii(F.col(args.text_col)))
     manifest = write_training_shards(

@@ -103,6 +103,24 @@ def exact_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
+def fingerprint_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``exact_keep_first`` on the NORMALIZED fingerprint (lowercased,
+    whitespace-collapsed — textstats.fingerprint's key): near-exact
+    variants collapse to the smallest id.  Same NULL-text sentinel
+    rule — unknown content is never identical content, so NULL-text
+    rows all survive instead of collapsing into one group."""
+    digest = F.coalesce(
+        F.md5(_normalized(F.col(text_col))),
+        F.concat(F.lit("<null>"), F.col(id_col).cast("string")),
+    )
+    keep = (
+        df.groupBy(digest.alias("_d"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 def corpus_diff(
     old: DataFrame, new: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

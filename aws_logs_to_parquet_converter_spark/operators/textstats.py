@@ -352,6 +352,21 @@ def train_unigram_lm(
     single-task step is the ranking window, O(distinct tokens) rows
     after the count aggregation, never O(corpus).
     """
+    kept_rows, n, kc, v = _unigram_counts(corpus, text_col, max_vocab)
+    denom = float(n + alpha * (v + 1))
+    lm = corpus.sparkSession.createDataFrame(
+        [(r.token, r.c) for r in kept_rows], "token string, c long"
+    ).select("token", F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"))
+    import math
+
+    oov_logp = math.log2((n - kc + alpha) / denom)
+    return lm, oov_logp
+
+
+def _unigram_counts(corpus: DataFrame, text_col: str, max_vocab: int):
+    """One tokenize+count pass: returns (kept_rows, N, kept_sum, V)
+    with the top-``max_vocab`` (token, c) rows collected driver-side
+    (the vocab bound both LMs already impose on their broadcasts)."""
     from pyspark.sql import Window
 
     toks = corpus.select(
@@ -369,15 +384,7 @@ def train_unigram_lm(
         )
     finally:
         counts.unpersist()
-    kc, v = sum(r.c for r in kept_rows), len(kept_rows)
-    denom = float(n + alpha * (v + 1))
-    lm = corpus.sparkSession.createDataFrame(
-        [(r.token, r.c) for r in kept_rows], "token string, c long"
-    ).select("token", F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"))
-    import math
-
-    oov_logp = math.log2((n - kc + alpha) / denom)
-    return lm, oov_logp
+    return kept_rows, n, sum(r.c for r in kept_rows), len(kept_rows)
 
 
 def perplexity_scores(
@@ -490,8 +497,23 @@ def bigram_scores(
     (NOT broadcast: at web scale it is the big side), with the doc
     token stream's window-lag providing pairs at one (id) shuffle.
     """
+    import math
+
     lm_src = lm_corpus if lm_corpus is not None else docs
-    uni_lm, oov_logp = train_unigram_lm(lm_src, text_col, max_vocab, alpha)
+    # ONE tokenize+count pass yields vocabulary, the smoothed unigram
+    # LM, AND the c(w1) marginals (kept counts + the folded <unk>
+    # remainder) — no cached token stream, nothing left persisted
+    kept_rows, n, kc, v = _unigram_counts(lm_src, text_col, max_vocab)
+    denom = float(n + alpha * (v + 1))
+    spark = docs.sparkSession
+    uni_lm = spark.createDataFrame(
+        [(r.token, r.c) for r in kept_rows], "token string, c long"
+    ).select("token", F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"))
+    oov_logp = math.log2((n - kc + alpha) / denom)
+    c1 = spark.createDataFrame(
+        [(r.token, r.c) for r in kept_rows] + [("<unk>", n - kc)],
+        "_w1 string, _c1 long",
+    )
     inv = uni_lm.select("token", F.lit(True).alias("_inv"))
 
     def mapped_tokens(src: DataFrame) -> DataFrame:
@@ -519,23 +541,23 @@ def bigram_scores(
             *part, "_pos", F.lag("_tok").over(w).alias("_w1"), F.col("_tok").alias("_w2")
         )
 
-    # training side: corpus bigram conditionals c(w1 w2) / c(w1).
-    # The mapped token stream feeds FOUR consumers (bigram counts, the
-    # w1 marginals, and — when scoring the training corpus itself —
-    # both scoring branches), so it persists; Spark holds the cache
-    # until the result is computed and evicts LRU afterwards.
-    train_toks = mapped_tokens(lm_src).persist()
-    tb = bigrams(train_toks, ["_mid"]).where(F.col("_w1").isNotNull())
-    c1 = train_toks.groupBy(F.col("_tok").alias("_w1")).agg(F.count("*").alias("_c1"))
+    # training side: corpus bigram conditionals c(w1 w2) / c(w1).  The
+    # c(w1) marginals came for free from the vocabulary collection
+    # above (local relation, broadcast), so this is one window + one
+    # aggregation over the mapped stream — lazily recomputed rather
+    # than persisted: nothing stays pinned in executor storage after
+    # the result materializes (the earlier persist leaked for the
+    # SparkContext lifetime).
+    tb = bigrams(mapped_tokens(lm_src), ["_mid"]).where(F.col("_w1").isNotNull())
     big_lm = (
         tb.groupBy("_w1", "_w2")
         .agg(F.count("*").alias("_c12"))
-        .join(c1, "_w1")
+        .join(F.broadcast(c1), "_w1")
         .select("_w1", "_w2", F.log2(F.col("_c12") / F.col("_c1")).alias("_logs"))
     )
 
-    # scoring side: self-scoring reuses the persisted training stream
-    doc_toks = train_toks if lm_corpus is None else mapped_tokens(docs)
+    # scoring side
+    doc_toks = mapped_tokens(docs)
     db = bigrams(doc_toks, ["_mid"])
     uni = uni_lm.select(F.col("token").alias("_w2"), F.col("logp").alias("_ulp"))
     import math

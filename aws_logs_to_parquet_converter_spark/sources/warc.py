@@ -71,9 +71,16 @@ def _detect_version(spark: SparkSession, path: str) -> str:
             return "1.0"
         stream = fs.open(first)
         try:
-            head = bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream, 256)
+            # read UP TO 256 bytes in one buffered call.  Two traps
+            # here: IOUtils.toByteArray(stream, n) demands exactly n
+            # (EOFException on shorter files), and py4j passes primitive
+            # arrays BY VALUE (a JVM-side read fills a copy the Python
+            # side never sees) — so bound the stream and take the bytes
+            # as a RETURN value.
+            bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+                stream, 256
             )
+            head = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(bounded))
         finally:
             stream.close()
         if head[:2] == b"\x1f\x8b":  # gzip member: peek the DECODED head
@@ -106,9 +113,9 @@ def read_warc_records(
     """One row per WARC record: the typed header fields above, the raw
     header block, the payload, and ``payload_length_ok`` (whether the
     payload's byte length matches ``Content-Length`` — False flags a
-    mis-split or truncated record for quarantine, mirroring the log
-    parser's dead-letter contract; NULL when the record declares no
-    length).
+    mis-split, truncated, or malformed-declaration record for
+    quarantine, mirroring the log parser's dead-letter contract; NULL
+    only when the record genuinely declares no length).
 
     ``record_types`` pre-filters on WARC-Type (``("response",)`` keeps
     page captures and drops request/metadata records — ~2/3 of a crawl
@@ -151,9 +158,12 @@ def read_warc_records(
     # trailing terminator best-effort.
     stripped = F.regexp_replace(raw_pay, r"(?s)\r\n\r\n\Z", "")
     # try_cast: a malformed Content-Length (crawler-supplied data) must
-    # flag the record (NULL decl -> payload_length_ok NULL), never kill
-    # the job under ANSI mode — the parser's dead-letter discipline
+    # never kill the job under ANSI mode; a DECLARED-but-malformed
+    # length flags False (quarantine), only a genuinely absent header
+    # yields the NULL "no declaration" state — keeping the dead-letter
+    # filter `payload_length_ok == False` able to catch corruption
     decl = F.col("content_length").try_cast("long")
+    malformed_decl = F.col("content_length").isNotNull() & decl.isNull()
     cols.append(raw_pay.alias("_rp"))
     cols.append(stripped.alias("_sp"))
     out = (
@@ -168,7 +178,9 @@ def read_warc_records(
         .drop("_rp", "_sp")
         .withColumn(
             "payload_length_ok",
-            F.when(decl.isNotNull(), F.octet_length("payload") == decl),
+            F.when(malformed_decl, F.lit(False)).when(
+                decl.isNotNull(), F.octet_length("payload") == decl
+            ),
         )
     )
     if record_types is not None:

@@ -253,8 +253,12 @@ def test_warc_directory_path_and_bad_content_length(spark, tmp_path):
     a malformed Content-Length flags the record, never throws."""
     d = tmp_path / "crawldir"
     d.mkdir()
+    # a.warc holds TWO records in a sub-256-byte file: if detection
+    # silently fell back to 1.0 the file would collapse to one record
+    # and this assertion would catch it
     warc.write_warc(
-        [({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:d1>"}, "dir body one")],
+        [({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:d1>"}, "dir body one"),
+         ({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:d3>"}, "dir body three")],
         str(d / "a.warc"), version="1.1",
     )
     warc.write_warc(
@@ -262,7 +266,9 @@ def test_warc_directory_path_and_bad_content_length(spark, tmp_path):
         str(d / "b.warc"), version="1.1",
     )
     got = warc.read_warc_records(spark, str(d)).collect()
-    assert {r.warc_record_id for r in got} == {"<urn:uuid:d1>", "<urn:uuid:d2>"}
+    assert {r.warc_record_id for r in got} == {
+        "<urn:uuid:d1>", "<urn:uuid:d2>", "<urn:uuid:d3>"
+    }
     assert all(r.payload_length_ok for r in got)
 
     bad = tmp_path / "bad.warc"
@@ -273,4 +279,6 @@ def test_warc_directory_path_and_bad_content_length(spark, tmp_path):
     )
     rows = warc.read_warc_records(spark, str(bad)).collect()
     assert len(rows) == 1
-    assert rows[0].payload_length_ok is None  # undeclared-length semantics
+    # declared-but-malformed flags False (quarantinable), distinct from
+    # the NULL no-declaration state
+    assert rows[0].payload_length_ok is False
