@@ -429,3 +429,19 @@ def test_bloom_prefilter_identity_pruning_and_bounds(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both
     assert "SortMergeJoin" not in final, final
     assert final.count("BroadcastHashJoin") == bl.k, final
+
+
+def test_fingerprint_keep_first_normalizes_and_keeps_nulls(spark):
+    """Near-exact variants (case/whitespace) collapse to the smallest
+    id; NULL-text rows are unknown content and ALL survive."""
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        fingerprint_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "HELLO\tWORLD"),
+         (4, "different"), (5, None), (6, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in fingerprint_keep_first(df, "doc_id", "text").collect())
+    assert kept == [1, 4, 5, 6]
