@@ -246,6 +246,9 @@ def build_corpus_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-quality", default=0.0, type=float,
                    help="drop documents scoring below this "
                         "(operators/textstats.quality_score, 0 disables)")
+    p.add_argument("--gopher", action="store_true",
+                   help="apply the published Gopher document rules "
+                        "(textstats.gopher_quality_flags) as a hard gate")
     p.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/phones/etc before export")
     p.add_argument("--id-col", default="doc_id")
@@ -268,6 +271,15 @@ def run_corpus(args: argparse.Namespace) -> int:
     n_in = df.count()
     if args.min_quality > 0:
         df = df.where(quality_score(F.col(args.text_col)) >= args.min_quality)
+    if args.gopher:
+        from aws_logs_to_parquet_converter_spark.operators.textstats import (
+            gopher_quality_flags,
+        )
+
+        passing = gopher_quality_flags(df, args.id_col, args.text_col).where(
+            "keep"
+        ).select(args.id_col)
+        df = df.join(passing, args.id_col, "left_semi")
     if args.dedup == "exact":
         df = dedup_ops.exact_keep_first(df, args.id_col, args.text_col)
     elif args.dedup == "fingerprint":

@@ -207,3 +207,23 @@ def test_cli_corpus_subcommand(spark, tmp_path, capsys):
         manifest = json.load(fh)
     assert len(manifest) == 4 and sum(m["n_rows"] for m in manifest) == 3
     assert "3 exported across 4 shards" in capsys.readouterr().out
+
+
+def test_cli_corpus_gopher_gate(spark, tmp_path):
+    """--gopher applies the published rule battery as a hard gate."""
+    from aws_logs_to_parquet_converter_spark import cli
+
+    good = ("the quick brown fox jumps over that lazy dog and it runs with "
+            "great joy to have a fine day in the sunny park where children "
+            "play games of chance and skill while parents watch from benches "
+            "under shady trees that line the wide gravel paths of the garden "
+            "and birds sing songs of summer in the warm evening air nearby")
+    rows = [(1, good), (2, "way too short")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    dest = str(tmp_path / "shards")
+    args = cli.build_corpus_parser().parse_args(
+        ["--src", src, "--dest", dest, "--n-shards", "2", "--dedup", "none", "--gopher"]
+    )
+    assert cli.run_corpus(args) == 0
+    assert [r.doc_id for r in spark.read.parquet(dest).collect()] == [1]
