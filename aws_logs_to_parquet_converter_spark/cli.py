@@ -268,18 +268,13 @@ def run_corpus(args: argparse.Namespace) -> int:
     if args.aws_config:
         apply_s3a_conf(spark, aws_config_to_s3a(args.aws_config))
     df = spark.read.parquet(args.src)
-    n_in = df.count()
     if args.min_quality > 0:
         df = df.where(quality_score(F.col(args.text_col)) >= args.min_quality)
     if args.gopher:
-        from aws_logs_to_parquet_converter_spark.operators.textstats import (
-            gopher_quality_flags,
-        )
+        from aws_logs_to_parquet_converter_spark.operators.textstats import gopher_keep
 
-        passing = gopher_quality_flags(df, args.id_col, args.text_col).where(
-            "keep"
-        ).select(args.id_col)
-        df = df.join(passing, args.id_col, "left_semi")
+        # inline predicate: rides the scan, no join-back, no extra pass
+        df = df.where(gopher_keep(F.col(args.text_col)))
     if args.dedup == "exact":
         df = dedup_ops.exact_keep_first(df, args.id_col, args.text_col)
     elif args.dedup == "fingerprint":
@@ -290,7 +285,10 @@ def run_corpus(args: argparse.Namespace) -> int:
         df, args.dest, n_shards=args.n_shards, key_col=args.id_col, seed=args.seed
     )
     n_out = sum(m["n_rows"] for m in manifest)
-    print(f"{n_in} documents in -> {n_out} exported across "
+    # output counts come from the manifest (one scan of the written
+    # shards); an input df.count() would be a full extra source pass
+    # just for a log line
+    print(f"{n_out} documents exported across "
           f"{args.n_shards} shards at {args.dest}")
     for m in manifest:
         print(f"shard={m['shard']:04d}: {m['n_rows']} rows")

@@ -91,8 +91,15 @@ def exact_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     NULL text is unknown content, not identical content: each NULL-text
     row keys on its own id-derived digest, so they all survive (the
     md5-of-NULL grouping would silently collapse them to one)."""
+    return _keep_first(df, id_col, F.md5(F.col(text_col)))
+
+
+def _keep_first(df: DataFrame, id_col: str, content_digest: Column) -> DataFrame:
+    """Shared keep-first mechanics: NULL-content sentinel, digest-
+    grouped min-id, semi join back — ONE definition so the exact and
+    fingerprint variants cannot drift."""
     digest = F.coalesce(
-        F.md5(F.col(text_col)),
+        content_digest,
         F.concat(F.lit("<null>"), F.col(id_col).cast("string")),
     )
     keep = (
@@ -109,16 +116,7 @@ def fingerprint_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFra
     variants collapse to the smallest id.  Same NULL-text sentinel
     rule — unknown content is never identical content, so NULL-text
     rows all survive instead of collapsing into one group."""
-    digest = F.coalesce(
-        F.md5(_normalized(F.col(text_col))),
-        F.concat(F.lit("<null>"), F.col(id_col).cast("string")),
-    )
-    keep = (
-        df.groupBy(digest.alias("_d"))
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    return df.join(keep, id_col, "left_semi")
+    return _keep_first(df, id_col, F.md5(_normalized(F.col(text_col))))
 
 
 def corpus_diff(

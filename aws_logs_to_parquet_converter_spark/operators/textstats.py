@@ -352,13 +352,21 @@ def train_unigram_lm(
     single-task step is the ranking window, O(distinct tokens) rows
     after the count aggregation, never O(corpus).
     """
-    kept_rows, n, kc, v = _unigram_counts(corpus, text_col, max_vocab)
-    denom = float(n + alpha * (v + 1))
-    lm = corpus.sparkSession.createDataFrame(
-        [(r.token, r.c) for r in kept_rows], "token string, c long"
-    ).select("token", F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"))
+    counts = _unigram_counts(corpus, text_col, max_vocab)
+    return _lm_from_counts(corpus.sparkSession, counts, alpha)
+
+
+def _lm_from_counts(spark, counts, alpha: float):
+    """The ONE smoothed-LM construction (shared by the unigram and
+    bigram scorers so the formula cannot drift): (lm, oov_logp) from a
+    ``_unigram_counts`` tuple."""
     import math
 
+    kept_rows, n, kc, v = counts
+    denom = float(n + alpha * (v + 1))
+    lm = spark.createDataFrame(
+        [(r.token, r.c) for r in kept_rows], "token string, c long"
+    ).select("token", F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"))
     oov_logp = math.log2((n - kc + alpha) / denom)
     return lm, oov_logp
 
@@ -497,22 +505,21 @@ def bigram_scores(
     (NOT broadcast: at web scale it is the big side), with the doc
     token stream's window-lag providing pairs at one (id) shuffle.
     """
-    import math
-
     lm_src = lm_corpus if lm_corpus is not None else docs
     # ONE tokenize+count pass yields vocabulary, the smoothed unigram
     # LM, AND the c(w1) marginals (kept counts + the folded <unk>
     # remainder) — no cached token stream, nothing left persisted
-    kept_rows, n, kc, v = _unigram_counts(lm_src, text_col, max_vocab)
-    denom = float(n + alpha * (v + 1))
+    counts = _unigram_counts(lm_src, text_col, max_vocab)
+    kept_rows, n, kc, v = counts
     spark = docs.sparkSession
-    uni_lm = spark.createDataFrame(
-        [(r.token, r.c) for r in kept_rows], "token string, c long"
-    ).select("token", F.log2((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"))
-    oov_logp = math.log2((n - kc + alpha) / denom)
+    uni_lm, oov_logp = _lm_from_counts(spark, counts, alpha)
+    # merge the OOV remainder into any LITERAL '<unk>' vocabulary entry
+    # — the mapped stream counts both as the same token, and two rows
+    # with the same _w1 key would duplicate every joined bigram
+    c1_map: "dict[str, int]" = {r.token: r.c for r in kept_rows}
+    c1_map["<unk>"] = c1_map.get("<unk>", 0) + (n - kc)
     c1 = spark.createDataFrame(
-        [(r.token, r.c) for r in kept_rows] + [("<unk>", n - kc)],
-        "_w1 string, _c1 long",
+        [(tok, c) for tok, c in c1_map.items()], "_w1 string, _c1 long"
     )
     inv = uni_lm.select("token", F.lit(True).alias("_inv"))
 
@@ -614,8 +621,32 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     ``segment_repetition`` / ``top_ngram_fraction``; compose them with
     this row-local set for the full battery.)  Pure codegen column
     expressions — the filter rides the corpus scan.  Returns
-    (id, each flag, keep = AND of all)."""
-    text = F.col(text_col)
+    (id, each flag, keep = AND of all).  For an inline predicate (no
+    extra projection or join-back), use ``gopher_keep``."""
+    flags = gopher_flag_exprs(F.col(text_col))
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_keep(text: Column) -> Column:
+    """The Gopher battery as ONE boolean expression — filter-ready
+    (``df.where(gopher_keep(F.col("text")))`` rides the scan with no
+    join-back and no id assumptions)."""
+    keep = None
+    for c in gopher_flag_exprs(text).values():
+        keep = c if keep is None else keep & c
+    return keep
+
+
+def gopher_flag_exprs(text: Column) -> "dict[str, Column]":
+    """The seven rule expressions keyed by flag name — the single
+    definition both the reporting and filtering forms share."""
     words = token_count(text)
     mean_len = mean_token_len(text)
     symbols = F.regexp_count(text, F.lit(r"#")) + F.regexp_count(
@@ -624,7 +655,10 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     lines = F.split(text, r"\n")
     n_lines = F.size(lines)
     bullets = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
-    ellipsis_ends = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    # \r?$ — CRLF text split on \n leaves a trailing \r, and Java's $
+    # would match before it while RE2's (the oracle) would not; the
+    # explicit \r? keeps both engines identical
+    ellipsis_ends = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.\r?$")))
     # per-token letter test as an array filter (once per row — the
     # sanctioned HOF class): lookaround would be Java-only, RE2 (the
     # oracle) has none
@@ -636,7 +670,12 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
     stop_hits = None
     for sw in GOPHER_STOPWORDS:
-        hit = F.when(text.rlike(rf"(?i)(^|\s){sw}(\s|$)"), 1).otherwise(0)
+        # word boundaries = any non-alphanumeric (the published rule
+        # counts tokenized words, so 'the,' or '(and' must hit);
+        # \p{L}/\p{N} classes are RE2 ∩ Java
+        hit = F.when(
+            text.rlike(rf"(?i)(^|[^\p{{L}}\p{{N}}]){sw}([^\p{{L}}\p{{N}}]|$)"), 1
+        ).otherwise(0)
         stop_hits = hit if stop_hits is None else stop_hits + hit
     flags = {
         "word_count_ok": (words >= 50) & (words <= 100_000),
@@ -651,11 +690,4 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         ),
         "stopwords_ok": stop_hits >= 2,
     }
-    keep = None
-    for c in flags.values():
-        keep = c if keep is None else keep & c
-    return df.select(
-        F.col(id_col),
-        *[c.alias(n) for n, c in flags.items()],
-        keep.alias("keep"),
-    )
+    return flags

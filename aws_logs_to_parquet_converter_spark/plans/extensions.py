@@ -427,14 +427,14 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(string_split_regex(text, '\\s+'),
                                x -> x != '' AND regexp_matches(x, '\\p{L}')))
                    AS alphaw,
-               (CASE WHEN regexp_matches(text, '(?i)(^|\\s)the(\\s|$)') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)be(\\s|$)') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)to(\\s|$)') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)of(\\s|$)') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)and(\\s|$)') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)that(\\s|$)') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)have(\\s|$)') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)(^|\\s)with(\\s|$)') THEN 1 ELSE 0 END
+               (CASE WHEN regexp_matches(text, '(?i)(^|[^\\p{L}\\p{N}])the([^\\p{L}\\p{N}]|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|[^\\p{L}\\p{N}])be([^\\p{L}\\p{N}]|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|[^\\p{L}\\p{N}])to([^\\p{L}\\p{N}]|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|[^\\p{L}\\p{N}])of([^\\p{L}\\p{N}]|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|[^\\p{L}\\p{N}])and([^\\p{L}\\p{N}]|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|[^\\p{L}\\p{N}])that([^\\p{L}\\p{N}]|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|[^\\p{L}\\p{N}])have([^\\p{L}\\p{N}]|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)(^|[^\\p{L}\\p{N}])with([^\\p{L}\\p{N}]|$)') THEN 1 ELSE 0 END
                ) AS stop_hits
         FROM documents
     ), f AS (
@@ -450,7 +450,7 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / len(lines) <= 0.9
                     ELSE FALSE END AS bullet_ok,
                CASE WHEN len(lines) > 0
-                    THEN len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.$')))
+                    THEN len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.\\r?$')))
                          / len(lines) <= 0.3
                     ELSE FALSE END AS ellipsis_ok,
                CASE WHEN words > 0 THEN alphaw / words >= 0.8

@@ -56,15 +56,22 @@ def _detect_version(spark: SparkSession, path: str) -> str:
         matches = fs.globStatus(p)
         if not matches:
             return "1.0"
+        def visible(status) -> bool:
+            # match the scan's hiddenFileFilter: _SUCCESS markers and
+            # .crc checksums must not be the file we peek
+            name = status.getPath().getName()
+            return not (name.startswith("_") or name.startswith("."))
+
         first = None
         for st in matches:
-            if st.isFile():
+            if st.isFile() and visible(st):
                 first = st.getPath()
                 break
-            for inner in fs.listStatus(st.getPath()):
-                if inner.isFile():
-                    first = inner.getPath()
-                    break
+            if st.isDirectory():
+                for inner in fs.listStatus(st.getPath()):
+                    if inner.isFile() and visible(inner):
+                        first = inner.getPath()
+                        break
             if first is not None:
                 break
         if first is None:

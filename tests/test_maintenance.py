@@ -206,7 +206,7 @@ def test_cli_corpus_subcommand(spark, tmp_path, capsys):
     with open(f"{dest}/_manifest.json") as fh:
         manifest = json.load(fh)
     assert len(manifest) == 4 and sum(m["n_rows"] for m in manifest) == 3
-    assert "3 exported across 4 shards" in capsys.readouterr().out
+    assert "3 documents exported across 4 shards" in capsys.readouterr().out
 
 
 def test_cli_corpus_gopher_gate(spark, tmp_path):
