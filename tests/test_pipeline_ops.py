@@ -622,3 +622,43 @@ def test_gopher_rules_battery(spark):
     assert not got[7].alpha_words_ok
     for i in range(2, 8):
         assert not got[i].keep
+
+
+def test_gopher_patterns_crlf_and_punctuation_cross_engine(spark):
+    """The two Gopher patterns hardened for engine divergence stay
+    IDENTICAL between Java regex (Spark) and RE2 (DuckDB) on hostile
+    inputs: CRLF line endings (Java's $ matches before a trailing CR)
+    and punctuation-adjacent stopwords."""
+    import duckdb
+
+    texts = [
+        "line one...\r\nline two...\r\nline three",     # CRLF + ellipsis ends
+        "bread, and butter, with it.",                   # punctuation-adjacent stopwords
+        "The (and) said: 'with'!",
+        "no stopwords here whatsoever",
+        "ends with ellipsis...",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    eng = {
+        r.i: (r.ell, r.stop)
+        for r in df.select(
+            "i",
+            F.size(F.filter(F.split(F.col("text"), r"\n"),
+                            lambda l: F.trim(l).rlike(r"\.\.\.\r?$"))).alias("ell"),
+            F.when(F.col("text").rlike(r"(?i)(^|[^\p{L}\p{N}])and([^\p{L}\p{N}]|$)"), 1)
+            .otherwise(0).alias("stop"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        ell, stop = con.execute(
+            """SELECT len(list_filter(string_split(?, chr(10)),
+                          x -> regexp_matches(trim(x), '\\.\\.\\.\\r?$'))),
+                      CASE WHEN regexp_matches(?, '(?i)(^|[^\\p{L}\\p{N}])and([^\\p{L}\\p{N}]|$)')
+                           THEN 1 ELSE 0 END""",
+            [t, t],
+        ).fetchone()
+        assert (ell, stop) == eng[i], f"text {i}: duckdb {(ell, stop)} vs spark {eng[i]}"
+    # sanity on intent: CRLF ellipsis lines ARE counted, punctuation
+    # stopwords ARE hits
+    assert eng[0][0] == 2 and eng[1][1] == 1 and eng[3][1] == 0
