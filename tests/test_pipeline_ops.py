@@ -662,3 +662,25 @@ def test_gopher_patterns_crlf_and_punctuation_cross_engine(spark):
     # sanity on intent: CRLF ellipsis lines ARE counted, punctuation
     # stopwords ARE hits
     assert eng[0][0] == 2 and eng[1][1] == 1 and eng[3][1] == 0
+
+
+def test_gopher_full_filter_composition(spark):
+    """Full battery = row-local rules AND dup-line rule AND top-bigram
+    rule; each rejection class trips its own verdict."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        gopher_full_filter,
+    )
+
+    good = ("the quick brown fox jumps over that lazy dog and it runs with "
+            "great joy to have a fine day in the sunny park where children "
+            "play games of chance and skill while parents watch from benches "
+            "under shady trees that line the wide gravel paths of the garden "
+            "and birds sing songs of summer in the warm evening air nearby")
+    repeated_lines = "\n".join(["the same long line of the report with that content"] * 12)
+    bigram_heavy = "the dog " * 40 + "and it runs to have with that of be nearby"
+    rows = [(1, good), (2, repeated_lines), (3, bigram_heavy)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_full_filter(df, "doc_id", "text").collect()}
+    assert got[1].keep, got[1]
+    assert not got[2].keep_dup_lines and not got[2].keep
+    assert not got[3].keep_top_ngram and not got[3].keep
