@@ -698,13 +698,22 @@ def gopher_full_filter(
     id_col: str,
     text_col: str,
     max_dup_line_char_fraction: float = 0.2,
-    max_top_bigram_fraction: float = 0.18,
+    max_top_bigram_fraction: float = 0.20,
 ) -> DataFrame:
-    """The COMPLETE Gopher battery: the seven row-local rules
-    (``gopher_quality_flags``) plus the two repetition-rule families
-    the same appendix specifies — duplicate-line character share
-    (``segment_repetition``) and top-2-gram coverage
-    (``top_ngram_fraction``), at the paper's published thresholds.
+    """The seven row-local Gopher rules (``gopher_quality_flags``)
+    conjoined with the two LEADING repetition rules of the same
+    appendix: duplicate-line character share (``segment_repetition``)
+    and top-2-gram coverage (``top_ngram_fraction``).
+
+    Fidelity notes, stated plainly: the 0.20 bigram default is the
+    paper's top-2-gram threshold, applied here to the TOKEN-weighted
+    coverage ``top_ngram_fraction`` computes (the paper weights by
+    characters — short-word bigrams therefore trip this form slightly
+    earlier); and the appendix's remaining repetition variants
+    (duplicate-line/paragraph COUNT fractions, top 3-/4-gram,
+    duplicate 5-10-gram character shares) are not bundled — each
+    composes from the same two building blocks exactly as these two
+    do.
 
     Shape: the row-local rules ride the scan; the repetition signals
     add their own per-doc aggregations (one (id, segment) and one
@@ -731,11 +740,12 @@ def gopher_full_filter(
     out = (
         flags.join(rep, id_col, "left")
         .join(ngram, id_col, "left")
-        # a doc with no segments/tokens has nothing to repeat: NULL
-        # repetition signals pass their rule (the row-local word-count
-        # rule already rejects empty docs)
+        # a doc with no non-blank segments has nothing to repeat: a
+        # NULL dup-line signal passes its rule (the row-local
+        # word-count rule already rejects empty docs).  The ngram side
+        # never yields NULL — top_ngram_fraction emits 0.0 coverage
+        # for token-less docs.
         .withColumn("keep_dup_lines", F.coalesce("keep_dup_lines", F.lit(True)))
-        .withColumn("keep_top_ngram", F.coalesce("keep_top_ngram", F.lit(True)))
     )
     return out.withColumn(
         "keep",
