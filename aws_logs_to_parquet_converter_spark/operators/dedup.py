@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aws_logs_to_parquet_converter_spark.operators.textstats import WS_PLUS
+
 from aws_logs_to_parquet_converter_spark.operators.partitioning import fan_out as _fan_out
 
 # Mersenne prime 2^31-1: modulus for the MinHash permutation family
@@ -42,7 +44,7 @@ _P = (1 << 31) - 1
 
 def _normalized(text: Column) -> Column:
     """Lowercase, whitespace-collapsed content key."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), WS_PLUS, " "))
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -335,7 +335,12 @@ def write_training_shards(
         .parquet(dest)
     )
     spark = df.sparkSession
-    written = spark.read.parquet(dest)
+    # explicit schema: an EMPTY corpus (every gate dropped every doc)
+    # writes only _SUCCESS, and schema inference would raise — the
+    # manifest must instead report all-zero shards (round-6 advisor
+    # finding).  The written layout's schema is the input minus the
+    # order key (shard is a real column in it, partition-pruned back).
+    written = spark.read.schema(keyed.drop("_ord").schema).parquet(dest)
     aggs = [F.count("*").alias("n_rows")]
     if size_col is not None:
         aggs.append(F.sum(size_col).alias("size"))

@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 # language gate; a production run would swap in per-language tables.
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "it"]
 
+# Explicit whitespace class instead of \s: Java's \s is exactly
+# [ \t\n\x0B\f\r] while RE2's (the DuckDB oracle's) omits U+000B, so a
+# vertical tab would make token counts disagree between the engines.
+# Spelling the class out (the same trick html_to_text uses) keeps both
+# sides byte-identical; Spark-side semantics are unchanged (the class
+# IS Java's \s).
+WS_CLASS = r"[ \t\r\n\f\x0b]"
+WS_PLUS = WS_CLASS + "+"
+NONWS_CLASS = r"[^ \t\r\n\f\x0b]"
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of lowercased text (empty-safe), as an
@@ -29,13 +39,14 @@ def tokens(text: Column) -> Column:
     targets hot paths evaluated per candidate pair).  Counting paths
     (``token_count``/``mean_token_len``) use the codegen regexp forms
     below instead."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda tok: tok != "")
+    return F.filter(F.split(F.lower(text), WS_PLUS), lambda tok: tok != "")
 
 
 def token_count(text: Column) -> Column:
-    """Number of whitespace-delimited tokens — regexp_count('\\S+')
-    stays in wholestage codegen (no array materialization, no HOF)."""
-    return F.regexp_count(text, F.lit(r"\S+"))
+    """Number of whitespace-delimited tokens — one codegen
+    regexp_count of non-whitespace runs (no array materialization, no
+    HOF; explicit class per the WS_CLASS note)."""
+    return F.regexp_count(text, F.lit(NONWS_CLASS + "+"))
 
 
 # GPT-2-style pretokenizer pattern, restricted to the Java-regex ∩ RE2
@@ -45,7 +56,10 @@ def token_count(text: Column) -> Column:
 # divergence that cancels in whitespace-normalized corpora.  Verified
 # equal on contractions / mixed alphanumerics / punctuation runs /
 # unicode letters across both engines (test_pipeline_ops).
-BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\r\n\f\x0b\p{L}\p{N}]+|[ \t\r\n\f\x0b]+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -66,7 +80,7 @@ def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     n = F.length(text)
-    stripped = F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stripped = F.length(F.regexp_replace(text, r"[^\w \t\r\n\f\x0b]", ""))
     return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
 
 
@@ -74,7 +88,7 @@ def mean_token_len(text: Column) -> Column:
     """Mean token length = total non-whitespace chars / token count —
     two codegen regexps, identical to summing per-token lengths."""
     tc = token_count(text)
-    total = F.length(F.regexp_replace(text, r"\s", ""))
+    total = F.length(F.regexp_replace(text, WS_CLASS, ""))
     return F.when(tc > 0, total / tc).otherwise(F.lit(0.0))
 
 
@@ -102,7 +116,7 @@ def fingerprint(text: Column) -> Column:
     """Normalized whole-document md5 fingerprint — the exact-content
     key for near-exact dedup (case/whitespace variants collapse).  For
     substring-robust fingerprinting use ``winnow_fingerprints``."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), WS_PLUS, " ")))
 
 
 def segment_repetition(
@@ -169,7 +183,7 @@ def top_ngram_fraction(df: DataFrame, id_col: str, text_col: str, n: int = 2) ->
 
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.lower(text_col), r"\s+")).alias("_pos", "_tok"),
+        F.posexplode(F.split(F.lower(text_col), WS_PLUS)).alias("_pos", "_tok"),
     ).where(F.col("_tok") != "")
     w = Window.partitionBy("_id").orderBy("_pos")
     parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
@@ -241,7 +255,7 @@ def tfidf_top_terms(
 
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.lower(text_col), r"\s+")).alias("_tok"),
+        F.explode(F.split(F.lower(text_col), WS_PLUS)).alias("_tok"),
     ).where(F.col("_tok") != "")
     tf = toks.groupBy("_id", "_tok").agg(F.count("*").alias("tf"))
     # document frequency as a window over the SAME (doc, term) relation:
@@ -304,7 +318,7 @@ def winnow_fingerprints(
         raise ValueError(f"unsupported hash_fn: {hash_fn}")
     from pyspark.sql import Window
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_PLUS, " "))
     grams = (
         df.select(F.col(id_col).alias("_id"), norm.alias("_t"))
         .select(
@@ -348,9 +362,9 @@ def train_unigram_lm(
     is tokenized and counted exactly ONCE: the count table persists
     while the total and the ranked vocabulary read it, and the kept
     vocabulary is collected driver-side — O(max_vocab) rows, the same
-    bound the scoring broadcast already imposes.  The only global
-    single-task step is the ranking window, O(distinct tokens) rows
-    after the count aggregation, never O(corpus).
+    bound the scoring broadcast already imposes.  The vocabulary rank
+    is a TakeOrderedAndProject (parallel partial top-k) — no global
+    window, no single-task funnel, even at 10^8 distinct tokens.
     """
     counts = _unigram_counts(corpus, text_col, max_vocab)
     return _lm_from_counts(corpus.sparkSession, counts, alpha)
@@ -374,25 +388,32 @@ def _lm_from_counts(spark, counts, alpha: float):
 def _unigram_counts(corpus: DataFrame, text_col: str, max_vocab: int):
     """One tokenize+count pass: returns (kept_rows, N, kept_sum, V)
     with the top-``max_vocab`` (token, c) rows collected driver-side
-    (the vocab bound both LMs already impose on their broadcasts)."""
-    from pyspark.sql import Window
+    (the vocab bound both LMs already impose on their broadcasts).
 
+    The ranking is ``orderBy(...).limit(max_vocab)`` — Spark plans a
+    TakeOrderedAndProject (parallel per-partition top-k, merged on the
+    driver), NOT a global window: at web scale the distinct-token
+    table is 10^8+ rows and a ``row_number`` over an unpartitioned
+    ``Window.orderBy`` would funnel all of them through one task (the
+    round-6 scale finding).  Tiebreak (count desc, token asc) is
+    unchanged and deterministic."""
     toks = corpus.select(
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+        F.explode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias("token")
     ).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count("*").alias("c")).persist()
     try:
         n = counts.agg(F.sum("c")).first()[0] or 0
-        w = Window.orderBy(F.desc("c"), "token")
-        kept_rows = (
-            counts.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= max_vocab)
-            .select("token", "c")
-            .collect()
-        )
+        kept_rows = _ranked_vocab(counts, max_vocab).collect()
     finally:
         counts.unpersist()
     return kept_rows, n, sum(r.c for r in kept_rows), len(kept_rows)
+
+
+def _ranked_vocab(counts: DataFrame, max_vocab: int) -> DataFrame:
+    """Top-``max_vocab`` (token, c) by count desc, token asc —
+    exposed so tests can pin the physical plan (must be a
+    TakeOrderedAndProject, never a global WindowExec)."""
+    return counts.orderBy(F.desc("c"), "token").limit(max_vocab)
 
 
 def perplexity_scores(
@@ -421,7 +442,7 @@ def perplexity_scores(
     )
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        F.explode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias("token"),
     ).where(F.col("token") != "")
     scored = toks.join(F.broadcast(lm), "token", "left")
     per_doc = scored.groupBy(id_col).agg(
@@ -528,7 +549,7 @@ def bigram_scores(
         # carry the same id column as the scored corpus
         toks = src.select(
             F.col(id_col).alias("_mid"),
-            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            F.posexplode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias(
                 "_pos", "_rawtok"
             ),
         ).where(F.col("_rawtok") != "")
@@ -610,7 +631,8 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
       * word_count_ok:   50 <= words <= 100,000
       * mean_word_ok:    3 <= mean word length <= 10
-      * symbol_ratio_ok: (# '#' + # '...') / words <= 0.1
+      * symbol_ratio_ok: # '#' / words <= 0.1 AND # '...' / words
+        <= 0.1 (each symbol tested separately, per the paper)
       * bullet_ok:       <= 90% of lines start with a bullet
       * ellipsis_ok:     <= 30% of lines end with '...'
       * alpha_words_ok:  >= 80% of words contain a letter
@@ -649,9 +671,8 @@ def gopher_flag_exprs(text: Column) -> "dict[str, Column]":
     definition both the reporting and filtering forms share."""
     words = token_count(text)
     mean_len = mean_token_len(text)
-    symbols = F.regexp_count(text, F.lit(r"#")) + F.regexp_count(
-        text, F.lit(r"\.\.\.")
-    )
+    hashes = F.regexp_count(text, F.lit(r"#"))
+    ellipses = F.regexp_count(text, F.lit(r"\.\.\."))
     lines = F.split(text, r"\n")
     n_lines = F.size(lines)
     bullets = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
@@ -664,7 +685,7 @@ def gopher_flag_exprs(text: Column) -> "dict[str, Column]":
     # oracle) has none
     alpha_words = F.size(
         F.filter(
-            F.split(text, r"\s+"),
+            F.split(text, WS_PLUS),
             lambda tok: (tok != "") & tok.rlike(r"\p{L}"),
         )
     )
@@ -680,7 +701,12 @@ def gopher_flag_exprs(text: Column) -> "dict[str, Column]":
     flags = {
         "word_count_ok": (words >= 50) & (words <= 100_000),
         "mean_word_ok": (mean_len >= 3.0) & (mean_len <= 10.0),
-        "symbol_ratio_ok": F.when(words > 0, symbols / words <= 0.1).otherwise(False),
+        # the paper tests EACH symbol-to-word ratio separately ("#" and
+        # "..." each <= 0.1), not their sum — a 0.06+0.06 document
+        # passes (round-6 advisor finding)
+        "symbol_ratio_ok": F.when(
+            words > 0, (hashes / words <= 0.1) & (ellipses / words <= 0.1)
+        ).otherwise(False),
         "bullet_ok": F.when(n_lines > 0, bullets / n_lines <= 0.9).otherwise(False),
         "ellipsis_ok": F.when(n_lines > 0, ellipsis_ends / n_lines <= 0.3).otherwise(
             False

@@ -17,7 +17,7 @@ from aws_logs_to_parquet_converter_spark.operators import dedup, similarity, tex
 from aws_logs_to_parquet_converter_spark.plans.registry import query, t
 
 # Shared DuckDB fragments (keep dialect drift in one place).
-_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'), x -> x != '')"
 _DUCK_STOPWORDS = "['the','a','of','and','to','in','is','for','on','it']"
 _DUCK_SW_RATIO = (
     f"CASE WHEN len({_DUCK_TOKENS}) > 0 THEN "
@@ -64,7 +64,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
     FROM (SELECT doc_id,
-                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                 md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g'))) AS fp
           FROM documents)
     GROUP BY fp
     """,
@@ -86,7 +86,7 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_jaccard",
     oracle="""
     WITH docs AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
         FROM documents
     ), sh AS (
         SELECT doc_id,
@@ -307,7 +307,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                    THEN 1.0 ELSE 0.4 END) +
              (CASE WHEN {_DUCK_SW_RATIO} >= 0.05 THEN 1.0 ELSE 0.5 END) +
              (CASE WHEN length(text) > 0 AND
-                        (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                        (length(text) - length(regexp_replace(text, '[^\\w \\t\\r\\n\\f\\x0b]', '', 'g')))
                         / length(text) <= 0.2
                    THEN 1.0 ELSE 0.5 END)
            ) / 4.0, 4) AS quality
@@ -366,7 +366,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+               unnest(list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'),
                                   x -> x != '')) AS token
         FROM documents
     ), counts AS (
@@ -418,13 +418,13 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT doc_id,
-               len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+               len(list_filter(string_split_regex(text, '[ \\t\\r\\n\\f\\x0b]+'), x -> x != ''))
                    AS words,
-               length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
-               len(regexp_extract_all(text, '#'))
-                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+               length(regexp_replace(text, '[ \\t\\r\\n\\f\\x0b]', '', 'g')) AS nonspace,
+               len(regexp_extract_all(text, '#')) AS hashes,
+               len(regexp_extract_all(text, '\\.\\.\\.')) AS ellipses,
                string_split(text, chr(10)) AS lines,
-               len(list_filter(string_split_regex(text, '\\s+'),
+               len(list_filter(string_split_regex(text, '[ \\t\\r\\n\\f\\x0b]+'),
                                x -> x != '' AND regexp_matches(x, '\\p{L}')))
                    AS alphaw,
                (CASE WHEN regexp_matches(text, '(?i)(^|[^\\p{L}\\p{N}])the([^\\p{L}\\p{N}]|$)') THEN 1 ELSE 0 END
@@ -443,7 +443,8 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN words > 0
                     THEN nonspace / words >= 3.0 AND nonspace / words <= 10.0
                     ELSE FALSE END AS mean_word_ok,
-               CASE WHEN words > 0 THEN symbols / words <= 0.1
+               CASE WHEN words > 0 THEN hashes / words <= 0.1
+                                     AND ellipses / words <= 0.1
                     ELSE FALSE END AS symbol_ratio_ok,
                CASE WHEN len(lines) > 0
                     THEN len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
@@ -480,7 +481,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH docs0 AS (
         SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS rawtok
-        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS parts
+        FROM (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+') AS parts
               FROM documents)
     ), toks AS (
         SELECT doc_id, pos, rawtok FROM docs0 WHERE rawtok != ''
@@ -594,7 +595,7 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_keep_list",
     oracle="""
     WITH RECURSIVE docs AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
         FROM documents
     ), sh AS (
         SELECT doc_id,
@@ -779,7 +780,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the partial aggregation collapses each partition to its
     distinct tokens before the single shuffle)."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")).where(
+    toks = d.select(F.explode(F.split(F.lower("text"), r"[ \t\r\n\f\x0b]+")).alias("tok")).where(
         F.col("tok") != ""
     )
     return (
@@ -794,7 +795,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_contamination",
     oracle="""
     WITH norm AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
         FROM documents
     ), sh AS (
         SELECT doc_id,
@@ -931,7 +932,7 @@ def q_segment_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH arrs AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS a
+               list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'), x -> x <> '') AS a
         FROM documents
     ), grams AS (
         SELECT doc_id, a[i] || ' ' || a[i+1] AS gram
@@ -1063,7 +1064,7 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+               unnest(list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'), x -> x <> '')) AS tok
         FROM documents),
     tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
     df_t AS (SELECT tok, COUNT(*) AS dft FROM tf GROUP BY 1),
@@ -1187,15 +1188,20 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (Greenwald-Khanna via the builtin
     approx_percentile) — the third sketch in the family next to CMS
-    and HLL.  Graded in the EXACT regime: accuracy >= group size makes
+    and HLL.  Graded in the EXACT regime: accuracy > group size makes
     the GK summary lossless, so the discrete quantiles equal DuckDB's
     quantile_disc and the whole sketch build/merge/query path
-    hash-grades; the bounded-error sketch regime (accuracy << n, the
-    100 TB setting — fixed sketch size per group, map-side mergeable)
-    is pytest-checked against its rank-error guarantee instead."""
+    hash-grades.  Accuracy is 10^7 because the LARGEST graded scale
+    factor matters, not the driver's sf0.01: sf1 lineitem groups reach
+    ~3M rows, where the old 10^6 setting allowed rank drift of up to 3
+    (round-6 advisor finding) — 10^7 keeps rank error < 1 at every SF
+    this repo grades.  The bounded-error sketch regime (accuracy << n,
+    the 100 TB setting — fixed sketch size per group, map-side
+    mergeable) is pytest-checked against its rank-error guarantee
+    instead."""
     li = t(spark, sf_dir, "lineitem")
     qs = F.expr(
-        "approx_percentile(l_quantity, array(0.25D, 0.50D, 0.75D, 0.95D), 1000000)"
+        "approx_percentile(l_quantity, array(0.25D, 0.50D, 0.75D, 0.95D), 10000000)"
     )
     return (
         li.groupBy("l_returnflag")
@@ -1230,7 +1236,7 @@ def q_cms_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_logs_to_parquet_converter_spark.operators import sketch as sk
 
     d = t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")).where(
+    toks = d.select(F.explode(F.split(F.lower("text"), r"[ \t\r\n\f\x0b]+")).alias("tok")).where(
         F.col("tok") != ""
     )
     cms = sk.count_min_build(toks, "tok", depth=4, width=4096)
@@ -1247,7 +1253,7 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Differential bounds vs exact counts in test_pipeline_ops."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
-        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        "source", F.explode(F.split(F.lower("text"), r"[ \t\r\n\f\x0b]+")).alias("tok")
     ).where(F.col("tok") != "")
     per_source = toks.groupBy("source").agg(F.hll_sketch_agg("tok").alias("sk"))
     return per_source.agg(
@@ -1266,7 +1272,7 @@ _QUALITY_SCORE_ORACLE = r"""
              -1.5
              + 0.8 * LEAST(
                  (CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 100.0,
+                       ELSE len(regexp_split_to_array(trim(text), '[ \t\r\n\f\x0b]+')) END) / 100.0,
                  1.0)
              + 1.2 * (CASE WHEN length(text) = 0 THEN 0
                            ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
@@ -1733,7 +1739,7 @@ def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOILERPLATE_ORACLE = r"""
     WITH docs AS (
         SELECT doc_id,
-               string_split(regexp_replace(text, '\s+(table|value)\s+', chr(10), 'g'),
+               string_split(regexp_replace(text, '[ \t\r\n\f\x0b]+(table|value)[ \t\r\n\f\x0b]+', chr(10), 'g'),
                             chr(10)) AS parts
         FROM documents
     ), lines AS (
@@ -1778,7 +1784,7 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     lined = d.select(
         "doc_id",
-        F.regexp_replace("text", r"\s+(table|value)\s+", "\n").alias("text"),
+        F.regexp_replace("text", r"[ \t\r\n\f\x0b]+(table|value)[ \t\r\n\f\x0b]+", "\n").alias("text"),
     )
     cleaned = dedup.drop_repeated_lines(lined, "doc_id", "text")
     txt = F.coalesce("text", F.lit(""))
@@ -1794,7 +1800,7 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_ORACLE = r"""
     WITH docs AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\r\n\f\x0b]+', ' ', 'g')) AS t
         FROM documents WHERE text IS NOT NULL
     ), pos AS (
         SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS p
@@ -1837,7 +1843,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_PAIRS_ORACLE = r"""
     WITH docs AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\r\n\f\x0b]+', ' ', 'g')) AS t
         FROM documents WHERE text IS NOT NULL
     ), pos AS (
         SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS p

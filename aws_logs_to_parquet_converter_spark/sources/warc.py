@@ -48,58 +48,80 @@ def _detect_version(spark: SparkSession, path: str) -> str:
     buffered JVM read, directories descended one level — a glob or a
     directory path must not fall into the open-a-directory trap) and
     return its WARC version ('1.0' fallback).  Metadata-scale I/O via
-    the same Hadoop FS the scan uses, so it works on any filesystem."""
+    the same Hadoop FS the scan uses, so it works on any filesystem.
+
+    I/O errors PROPAGATE (round-6 advisor finding: a silently-swallowed
+    transient read failure on a WARC/1.1 archive would pick the wrong
+    lineSep, collapse each file into one mis-typed record, and the
+    default record_types filter would then drop everything — data loss
+    with no flag).  Callers hitting a flaky filesystem can pin
+    ``version=`` explicitly.  Content-based fallbacks (no matching
+    file; head that is not a WARC version line) return '1.0' with a
+    loud warning instead, because there the scan itself will surface
+    the real problem."""
+    import warnings
+
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    try:
-        matches = fs.globStatus(p)
-        if not matches:
-            return "1.0"
-        def visible(status) -> bool:
-            # match the scan's hiddenFileFilter: _SUCCESS markers and
-            # .crc checksums must not be the file we peek
-            name = status.getPath().getName()
-            return not (name.startswith("_") or name.startswith("."))
-
-        first = None
-        for st in matches:
-            if st.isFile() and visible(st):
-                first = st.getPath()
-                break
-            if st.isDirectory():
-                for inner in fs.listStatus(st.getPath()):
-                    if inner.isFile() and visible(inner):
-                        first = inner.getPath()
-                        break
-            if first is not None:
-                break
-        if first is None:
-            return "1.0"
-        stream = fs.open(first)
-        try:
-            # read UP TO 256 bytes in one buffered call.  Two traps
-            # here: IOUtils.toByteArray(stream, n) demands exactly n
-            # (EOFException on shorter files), and py4j passes primitive
-            # arrays BY VALUE (a JVM-side read fills a copy the Python
-            # side never sees) — so bound the stream and take the bytes
-            # as a RETURN value.
-            bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
-                stream, 256
-            )
-            head = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(bounded))
-        finally:
-            stream.close()
-        if head[:2] == b"\x1f\x8b":  # gzip member: peek the DECODED head
-            import zlib
-
-            head = zlib.decompressobj(wbits=31).decompress(head, 16)
-        import re
-
-        m = re.match(rb"WARC/(1\.[01])", head)
-        return m.group(1).decode() if m else "1.0"
-    except Exception:
+    matches = fs.globStatus(p)
+    if not matches:
+        warnings.warn(
+            f"warc version peek: no files match {path!r}; assuming WARC/1.0"
+        )
         return "1.0"
+    def visible(status) -> bool:
+        # match the scan's hiddenFileFilter: _SUCCESS markers and
+        # .crc checksums must not be the file we peek
+        name = status.getPath().getName()
+        return not (name.startswith("_") or name.startswith("."))
+
+    first = None
+    for st in matches:
+        if st.isFile() and visible(st):
+            first = st.getPath()
+            break
+        if st.isDirectory():
+            for inner in fs.listStatus(st.getPath()):
+                if inner.isFile() and visible(inner):
+                    first = inner.getPath()
+                    break
+        if first is not None:
+            break
+    if first is None:
+        warnings.warn(
+            f"warc version peek: no visible data file under {path!r}; "
+            "assuming WARC/1.0"
+        )
+        return "1.0"
+    stream = fs.open(first)
+    try:
+        # read UP TO 256 bytes in one buffered call.  Two traps
+        # here: IOUtils.toByteArray(stream, n) demands exactly n
+        # (EOFException on shorter files), and py4j passes primitive
+        # arrays BY VALUE (a JVM-side read fills a copy the Python
+        # side never sees) — so bound the stream and take the bytes
+        # as a RETURN value.
+        bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+            stream, 256
+        )
+        head = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(bounded))
+    finally:
+        stream.close()
+    if head[:2] == b"\x1f\x8b":  # gzip member: peek the DECODED head
+        import zlib
+
+        head = zlib.decompressobj(wbits=31).decompress(head, 16)
+    import re
+
+    m = re.match(rb"WARC/(1\.[01])", head)
+    if m is None:
+        warnings.warn(
+            f"warc version peek: {first} does not start with a WARC "
+            "version line; assuming WARC/1.0 (pin version= to override)"
+        )
+        return "1.0"
+    return m.group(1).decode()
 
 _HEADER_FIELDS = {
     "warc_type": "WARC-Type",

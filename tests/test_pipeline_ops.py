@@ -541,6 +541,15 @@ def test_write_training_shards_empty_shards_and_null_keys(spark, tmp_path):
     with _pytest.raises(Exception, match="NULL doc_id"):
         write_training_shards(with_null, str(tmp_path / "s2"), n_shards=4)
 
+    # a fully-filtered corpus (every gate dropped every document) must
+    # still yield an all-zero manifest, not a schema-inference crash on
+    # the _SUCCESS-only output dir (round-6 advisor finding — this is
+    # exactly what `cli corpus` hits when quality gates reject all input)
+    empty = tiny.where(F.lit(False))
+    manifest = write_training_shards(empty, str(tmp_path / "s3"), n_shards=4)
+    assert [m["shard"] for m in manifest] == list(range(4))
+    assert all(m["n_rows"] == 0 for m in manifest)
+
 
 def test_html_to_text_vertical_tab_and_semantic_dedup_arg_validation(spark):
     """Vertical tab collapses like any whitespace (the explicit class
@@ -610,6 +619,10 @@ def test_gopher_rules_battery(spark):
         (5, "\n".join(["- bullet line of the list with that"] * 10)),  # bullets
         (6, "\n".join([f"{good}..."] * 10)),                  # ellipsis ends
         (7, " ".join(["12345"] * 30) + " the of and " + " ".join(["999"] * 30)),  # alpha
+        # ~0.06 hash ratio + ~0.06 ellipsis ratio: the paper tests each
+        # symbol separately, so this document PASSES (a summed ratio
+        # would wrongly reject it — the round-6 advisor finding)
+        (8, good + " # # # # ... ... ... ... end"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
@@ -622,6 +635,7 @@ def test_gopher_rules_battery(spark):
     assert not got[7].alpha_words_ok
     for i in range(2, 8):
         assert not got[i].keep
+    assert got[8].symbol_ratio_ok and got[8].keep, got[8]
 
 
 def test_gopher_patterns_crlf_and_punctuation_cross_engine(spark):

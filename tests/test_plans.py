@@ -329,3 +329,20 @@ def test_round6_additions_plan_shapes(spark):
     # project that adds the split column
     sa = explain_str(REGISTRY["q_split_assign"].builder(spark, SF), "formatted")
     assert "BatchEvalPython" not in sa
+
+
+def test_vocab_ranking_is_take_ordered_not_window(spark):
+    """The LM vocabulary ranking (train_unigram_lm/bigram_scores via
+    _ranked_vocab) must plan as TakeOrderedAndProject — a parallel
+    per-partition top-k merged on the driver — and NEVER as a
+    row_number over an unpartitioned window, which funnels the entire
+    distinct-token table (10^8+ rows at web scale) through ONE task
+    (the round-6 scale finding)."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import _ranked_vocab
+
+    counts = spark.createDataFrame(
+        [(f"tok{i}", i % 7 + 1) for i in range(100)], "token string, c long"
+    )
+    plan = explain_str(_ranked_vocab(counts, 10), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan

@@ -282,3 +282,26 @@ def test_warc_directory_path_and_bad_content_length(spark, tmp_path):
     # declared-but-malformed flags False (quarantinable), distinct from
     # the NULL no-declaration state
     assert rows[0].payload_length_ok is False
+
+
+def test_detect_version_warns_on_fallback_instead_of_swallowing(spark, tmp_path):
+    """The version peek must not silently assume 1.0: a head that is
+    not a WARC version line (or an empty glob) warns loudly so callers
+    can pin version= — and genuine I/O errors now PROPAGATE instead of
+    being swallowed into a wrong lineSep that would silently drop every
+    record of a WARC/1.1 archive (round-6 advisor finding)."""
+    import warnings
+
+    from aws_logs_to_parquet_converter_spark.sources.warc import _detect_version
+
+    notwarc = tmp_path / "plain.warc"
+    notwarc.write_bytes(b"this is not a warc file at all\r\n")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _detect_version(spark, str(notwarc)) == "1.0"
+    assert any("WARC version line" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _detect_version(spark, str(tmp_path / "nope-*.warc")) == "1.0"
+    assert any("no files match" in str(w.message) for w in caught)
