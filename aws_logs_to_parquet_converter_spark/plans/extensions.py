@@ -1123,6 +1123,25 @@ _HTML_MID = ('</title><style>p { color: red }</style>'
 _HTML_POST = '</p><!-- footer &amp; trailer --> &nbsp;</body></html>'
 
 
+def _duck_html_strip(html_expr: str) -> str:
+    """The DuckDB-side mirror of textstats.html_to_text — ONE
+    definition shared by q_html_extract and q_warc_extract so the
+    cross-engine strip program cannot drift."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        + html_expr + ","
+        " '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+        " '(?is)<style[^>]*>.*?</style>', ' ', 'g'),"
+        " '(?s)<!--.*?-->', ' ', 'g'),"
+        " '(?s)<[^>]+>', ' ', 'g'),"
+        " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),"
+        " '&quot;', '\"'), '&#39;', ''''), '&amp;', '&'),"
+        " '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g'))"
+    )
+
+
 @query(
     "q_html_extract",
     oracle=f"""
@@ -1133,18 +1152,7 @@ _HTML_POST = '</p><!-- footer &amp; trailer --> &nbsp;</body></html>'
         FROM documents
     ), e AS (
         SELECT doc_id, source, text,
-               trim(regexp_replace(
-                 replace(replace(replace(replace(replace(replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                       '(?s)<!--.*?-->', ' ', 'g'),
-                     '(?s)<[^>]+>', ' ', 'g'),
-                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-                 '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS txt
+               {_duck_html_strip('html')} AS txt
         FROM h
     )
     SELECT doc_id, length(txt) AS n_ext,
@@ -1171,6 +1179,72 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (txt == F.concat(F.col("source"), F.lit(" "), F.col("text"))).alias(
             "clean_roundtrip"
         ),
+    )
+
+
+@query(
+    "q_warc_extract",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               '{_HTML_PRE}' || coalesce(source, '')
+               || '{_HTML_MID.replace("'", "''")}'
+               || coalesce(text, '') || '{_HTML_POST}' AS html
+        FROM documents
+    ), e AS (
+        SELECT doc_id, html, {_duck_html_strip('html')} AS txt FROM h
+    )
+    SELECT doc_id, md5(txt) AS text_md5, length(html) AS n_chars FROM e
+    """,
+)
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE Common Crawl front door under the oracle gate: every
+    document is serialized into a real on-disk WARC file (spec-shaped
+    records, Content-Length, response type), then flows through the
+    production chain ``read_warc_records -> warc_to_documents ->
+    html_to_text`` (reference-counterpart: the ingestion half of
+    compacter.py:154-171 generalized to web archives).  The oracle
+    never sees the WARC file — it recomputes the payload digests
+    straight from the documents table, so the grade proves the reader
+    reconstructed every payload byte-exactly.  The
+    ``payload_length_ok`` filter participates through the row count: a
+    mis-split record would drop a row and fail the grade.  The fixture
+    build collects the documents driver-side — bounded, test-fixture
+    I/O (real WARC comes FROM the crawler); the graded chain itself is
+    the distributed scan."""
+    import os
+    import tempfile
+
+    from aws_logs_to_parquet_converter_spark.sources import warc as warcmod
+
+    d = t(spark, sf_dir, "documents")
+    rows = d.select("doc_id", "source", "text").collect()
+    tmp = tempfile.mkdtemp(prefix="q_warc_extract_")
+    fixture = []
+    for r in rows:
+        payload = (
+            _HTML_PRE + (r.source or "") + _HTML_MID + (r.text or "") + _HTML_POST
+        )
+        fixture.append(
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:doc:{r.doc_id}>",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                    "WARC-Target-URI": f"http://corpus.test/doc/{r.doc_id}",
+                    "Content-Type": "text/html",
+                },
+                payload,
+            )
+        )
+    path = os.path.join(tmp, "fixture.warc")
+    warcmod.write_warc(fixture, path)
+    rec = warcmod.read_warc_records(spark, path).where(F.col("payload_length_ok"))
+    docs = warcmod.warc_to_documents(rec)
+    return docs.select(
+        F.regexp_extract("source", r"/doc/(-?\d+)$", 1).cast("long").alias("doc_id"),
+        F.md5(textstats.html_to_text(F.col("text"))).alias("text_md5"),
+        F.col("n_chars"),
     )
 
 

@@ -168,6 +168,70 @@ def q_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_daily_events",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the driver's oracle gate: the events
+    table replayed as a BOUNDED stream (file source, availableNow
+    trigger) through a watermarked tumbling-day aggregation — the
+    exact operator shape streaming/ingest.stream_hourly_stats runs on
+    live data — then graded against the batch SQL computing the same
+    windows.  Output mode is ``complete`` (the bounded-replay form
+    whose final table equals the batch aggregate exactly; in
+    ``append`` mode the still-open last window would never emit at
+    end-of-stream).  Watermark/late-data *eviction* semantics are
+    covered by tests/test_streaming.py; this entry is the
+    driver-graded batch-parity evidence for the streaming surface.
+    State is bounded by (watermark horizon x groups); the memory sink
+    holds only the final (day, event_type) aggregate rows."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a DIRECTORY: point it at sf_dir
+    # with a glob filter so only the events file replays
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        # NTZ micros -> session-UTC instant, same normalization t()
+        # applies on the batch path
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    sink = "q_stream_daily_events_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
     "q_sessionize",
     oracle="""
     WITH gaps AS (

@@ -18,14 +18,16 @@ Honest caveats, stated up front:
     file-level parallelism, which for CC's ~1 GB files is how every
     engine reads them anyway; decompress in the lake first if you need
     intra-file splits.
-  * Splitting on the boundary string assumes payloads do not contain
-    ``\\r\\n\\r\\nWARC/1.0\\r\\n`` verbatim.  Real HTML payloads
-    essentially never do (the sequence requires a blank line followed
-    by a WARC version line), but a length-based parser is the
-    watertight form; ``Content-Length`` is carried through so readers
-    can VERIFY the split (``payload_length_ok``) and quarantine any
-    record whose payload length disagrees — the same
-    dead-letter-not-silent-drop discipline as the log parser.
+  * Splitting on the boundary string mis-splits a payload that
+    contains ``\\r\\n\\r\\nWARC/1.0\\r\\n`` verbatim.  Real HTML
+    payloads essentially never do, and when one does the reader now
+    RECOVERS it: ``Content-Length`` proves the repair (head + boundary
+    + next row re-join when the byte count matches the declaration —
+    see ``read_warc_records(stitch=...)``).  Records the stitcher
+    cannot prove (double-embedded boundary, corrupt declarations)
+    still flag ``payload_length_ok = False`` for quarantine — the same
+    dead-letter-not-silent-drop discipline as the log parser, never a
+    silent wrong payload.
 """
 
 from __future__ import annotations
@@ -138,6 +140,7 @@ def read_warc_records(
     path: str,
     record_types: "tuple[str, ...] | None" = ("response",),
     version: "str | None" = None,
+    stitch: bool = True,
 ) -> DataFrame:
     """One row per WARC record: the typed header fields above, the raw
     header block, the payload, and ``payload_length_ok`` (whether the
@@ -155,14 +158,37 @@ def read_warc_records(
     ``version`` pins the record-boundary version string; None (the
     default) auto-detects it from the first matching file, so WARC/1.1
     archives split correctly too.  Header field matching is
-    case-insensitive per the spec."""
+    case-insensitive per the spec.
+
+    ``stitch`` (default True) RECOVERS records whose payload embeds the
+    boundary string verbatim: such a payload mis-splits into a
+    truncated head plus a headerless continuation row, and
+    Content-Length proves the repair — when
+    ``len(head) + len(separator) + len(next row)`` equals the declared
+    length, the two rows re-join and the continuation row is dropped.
+    This turns the boundary-split caveat from flag-and-lose into
+    flag-or-recover; only payloads embedding the boundary TWICE (or
+    genuinely corrupt lengths) remain quarantined.  Cost: one
+    per-file window (lead/lag over record order), i.e. a shuffle keyed
+    by file — for gzipped crawls each file is one task anyway.  Pass
+    ``stitch=False`` for the pure single-pass scan when payloads are
+    known boundary-free (e.g. already-validated archives)."""
     if version is None:
         version = _detect_version(spark, path)
-    raw = spark.read.option("lineSep", _record_sep(version)).text(path)
-    # strip the file-leading version line the separator can't consume
+    sep = _record_sep(version)
+    raw = spark.read.option("lineSep", sep).text(path)
+    # strip the file-leading version line the separator can't consume.
+    # Keep file + in-file order: the stitcher must know physical
+    # adjacency.  (monotonically_increasing_id is ordered within a
+    # partition and text splits cover ascending byte ranges, so
+    # (file, id) reproduces record order.)
     rec = raw.select(
-        F.regexp_replace("value", r"\A(?s)WARC/1\.[01]\r\n", "").alias("_rec")
-    ).where(F.length("_rec") > 0)
+        F.regexp_replace("value", r"\A(?s)WARC/1\.[01]\r\n", "").alias("_rec"),
+        F.col("_metadata.file_path").alias("_file"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    if not stitch:
+        rec = rec.where(F.length("_rec") > 0)
     # header block = up to the first blank line; payload = the rest.
     # Pure Column API (no F.expr): string escapes here must not depend
     # on the parser's escapedStringLiterals setting.
@@ -195,22 +221,93 @@ def read_warc_records(
     malformed_decl = F.col("content_length").isNotNull() & decl.isNull()
     cols.append(raw_pay.alias("_rp"))
     cols.append(stripped.alias("_sp"))
+    cols.append(decl.alias("_decl"))
+    cols.append(F.col("_rec").alias("_raw_rec"))
+    parsed = rec.select("_file", "_mid", *cols)
+    if stitch:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_file").orderBy("_mid")
+        sep_len = len(sep.encode())
+        # under-length head: the declaration says bytes are missing —
+        # the mis-split signature (payload embedded the separator, so
+        # its tail became the NEXT row).  Two reconstruction shapes:
+        #   * the head row HAS a header-blank (its raw payload is the
+        #     piece before the embedded separator): the payload is
+        #     head + separator + next row;
+        #   * the head row has NO header-blank at all — the payload
+        #     BEGAN with 'WARC/x.y\r\n', so the separator match ate
+        #     the true header-blank plus that prefix: the payload is
+        #     separator-minus-its-leading-CRLFCRLF + next row.
+        has_blank = F.instr("_raw_rec", "\r\n\r\n") > 0
+        under = F.col("_decl").isNotNull() & (
+            F.octet_length("_rp") < F.col("_decl")
+        )
+        nxt = F.coalesce(F.lead("_raw_rec").over(w), F.lit(""))
+        mend_prefix = F.when(
+            has_blank, F.concat("_rp", F.lit(sep))
+        ).otherwise(F.lit(sep[4:]))
+        # byte count the stitch contributes BEFORE the next row's bytes
+        # (needed again from the continuation row's perspective below)
+        base_len = F.when(
+            has_blank, F.octet_length("_rp") + F.lit(sep_len)
+        ).otherwise(F.lit(sep_len - 4))
+        mended = F.concat(mend_prefix, nxt)
+        mended_sp = F.regexp_replace(mended, r"(?s)\r\n\r\n\Z", "")
+        parsed = parsed.withColumn("_under", under).withColumn(
+            "_mend",
+            F.when(under & (F.octet_length(mended) == F.col("_decl")), mended).when(
+                under & (F.octet_length(mended_sp) == F.col("_decl")), mended_sp
+            ),
+        )
+        # a row is a CONSUMED continuation iff the previous row was
+        # under-length and the stitch using THIS row's bytes satisfied
+        # the previous row's declaration (mirror of the _mend success
+        # conditions, evaluated from the next row's perspective)
+        prev_under = F.lag("_under").over(w)
+        prev_decl = F.lag("_decl").over(w)
+        prev_base = F.lag(base_len).over(w)
+        own_len = F.octet_length("_raw_rec")
+        own_sp_len = F.octet_length(
+            F.regexp_replace("_raw_rec", r"(?s)\r\n\r\n\Z", "")
+        )
+        consumed = (
+            F.coalesce(prev_under, F.lit(False))
+            & (
+                (prev_base + own_len == prev_decl)
+                | (prev_base + own_sp_len == prev_decl)
+            )
+        )
+        parsed = (
+            parsed.withColumn("_consumed", consumed)
+            .where(~F.col("_consumed"))
+            .withColumn("_rp", F.coalesce("_mend", "_rp"))
+            .withColumn("_sp", F.coalesce("_mend", "_sp"))
+            .drop("_under", "_mend", "_consumed")
+        )
+    parsed = parsed.where(F.length("_raw_rec") > 0)
     out = (
-        rec.select(*cols)
-        .withColumn(
+        parsed.withColumn(
             "payload",
-            F.when(decl.isNotNull() & (F.octet_length("_rp") == decl), F.col("_rp"))
-            .when(decl.isNotNull() & (F.octet_length("_sp") == decl), F.col("_sp"))
-            .when(decl.isNull(), F.col("_sp"))
+            F.when(
+                F.col("_decl").isNotNull() & (F.octet_length("_rp") == F.col("_decl")),
+                F.col("_rp"),
+            )
+            .when(
+                F.col("_decl").isNotNull() & (F.octet_length("_sp") == F.col("_decl")),
+                F.col("_sp"),
+            )
+            .when(F.col("_decl").isNull(), F.col("_sp"))
             .otherwise(F.col("_rp")),
         )
-        .drop("_rp", "_sp")
         .withColumn(
             "payload_length_ok",
             F.when(malformed_decl, F.lit(False)).when(
-                decl.isNotNull(), F.octet_length("payload") == decl
+                F.col("_decl").isNotNull(),
+                F.octet_length("payload") == F.col("_decl"),
             ),
         )
+        .drop("_rp", "_sp", "_decl", "_raw_rec", "_file", "_mid")
     )
     if record_types is not None:
         out = out.where(F.col("warc_type").isin(*record_types))

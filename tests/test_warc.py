@@ -305,3 +305,41 @@ def test_detect_version_warns_on_fallback_instead_of_swallowing(spark, tmp_path)
         warnings.simplefilter("always")
         assert _detect_version(spark, str(tmp_path / "nope-*.warc")) == "1.0"
     assert any("no files match" in str(w.message) for w in caught)
+
+
+def test_warc_embedded_boundary_recovers_via_stitch(spark, tmp_path):
+    """A payload embedding the record boundary VERBATIM round-trips:
+    Content-Length proves the repair (head + separator + continuation
+    re-join), the continuation row disappears, and neighbors are
+    untouched (the round-6 hardening: recovery, not just flagging).
+    A payload that even BEGINS with 'WARC/1.0' — where the separator
+    match eats the true header-blank — recovers through the
+    no-header-blank reconstruction shape.  stitch=False keeps the old
+    flag-only behavior for callers that want the pure scan."""
+    import aws_logs_to_parquet_converter_spark.sources.warc as w
+
+    sep = "\r\n\r\nWARC/1.0\r\n"
+    rows = [
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:a>"}, "before"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:b>"},
+         "part one" + sep + "part two"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:c>"},
+         "WARC/1.0\r\nstarts like a boundary"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:d>"}, "after"),
+    ]
+    p = str(tmp_path / "stitch.warc")
+    w.write_warc(rows, p)
+
+    got = {r.warc_record_id: r for r in w.read_warc_records(spark, p).collect()}
+    assert set(got) == {"<urn:a>", "<urn:b>", "<urn:c>", "<urn:d>"}
+    for (hdrs, payload) in rows:
+        r = got[hdrs["WARC-Record-ID"]]
+        assert r.payload == payload, (hdrs["WARC-Record-ID"], r.payload)
+        assert r.payload_length_ok
+
+    # stitch=False: the embedded-boundary record is flagged, never
+    # silently wrong — and the continuation garbage row carries no type
+    flagged = {r.warc_record_id: r
+               for r in w.read_warc_records(spark, p, stitch=False).collect()}
+    assert flagged["<urn:b>"].payload_length_ok is False
+    assert flagged["<urn:c>"].payload_length_ok is False
