@@ -349,9 +349,15 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> 
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 5, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, signature array<bigint>[num_hashes]) MinHash signatures.
+    """(id, signature array[num_hashes]) MinHash signatures.
 
     Shape chosen by measurement (local[32], 5000 docs x ~150 shingles):
     explode(sequence) -> substring -> xxhash64 rows feeding a 64-state
@@ -365,19 +371,37 @@ def minhash_signatures(
     The one shuffle is the groupBy on doc id — at 100 TB that is a
     hash-partitioned pass over (id, 8B-hash) pairs with map-side
     partial mins, the minimum data movement for this sketch.
-    """
-    import random
 
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
-
+    ``hash_fn``: 'xxhash64' (the engine default — one base hash per
+    shingle, ``num_hashes`` affine permutations of it, array<bigint>)
+    or 'md5' (the ORACLE-PARITY mode, same trick as
+    winnow_fingerprints: permutation i is ``md5('i:' || shingle)`` and
+    the signature element is the lexicographic MIN hex string —
+    array<string> any SQL engine reproduces byte-identically.  The
+    estimator contract is the same k-independent-min-hash family;
+    slower by construction, use it for differential grading, not
+    production sweeps)."""
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
-    # Non-negative base hash < P so the affine maps stay in-range.
-    sh = sh.select("_id", F.pmod(F.xxhash64("_sh"), F.lit(_P)).alias("_h"))
-    mins = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
+    if hash_fn == "md5":
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        import random
+
+        rng = random.Random(seed)
+        coeffs = [
+            (rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)
+        ]
+        # Non-negative base hash < P so the affine maps stay in-range.
+        sh = sh.select("_id", F.pmod(F.xxhash64("_sh"), F.lit(_P)).alias("_h"))
+        mins = [
+            F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"_m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    else:
+        raise ValueError(f"unsupported hash_fn: {hash_fn}")
     agg = sh.groupBy("_id").agg(*mins)
     return agg.select(
         F.col("_id").alias(id_col),
@@ -452,6 +476,7 @@ def minhash_near_duplicates(
     seed: int = 42,
     signature_method: str = "affine",
     persist: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding, scored by
     estimated Jaccard (fraction of agreeing minhashes), filtered at
@@ -465,6 +490,13 @@ def minhash_near_duplicates(
     (one-permutation hashing; see minhash_signatures_oph for when the
     trade flips).
 
+    ``hash_fn='md5'`` selects the oracle-parity signatures (see
+    minhash_signatures) AND exact band keys: the bucket becomes the
+    band's concatenated hex values instead of an xxhash64 of the
+    slice, so the candidate set — not just the surviving pairs — is
+    byte-reproducible by any SQL engine.  Requires
+    signature_method='affine'.
+
     ``persist``: materialize the signature DataFrame before the band
     self-join.  Catalyst does not reuse the aggregation subplan across
     the join's two branches, so signatures compute twice without it.
@@ -477,21 +509,31 @@ def minhash_near_duplicates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig_fn = {"oph": minhash_signatures_oph, "affine": minhash_signatures}[signature_method]
-    sig = sig_fn(df, id_col, text_col, num_hashes, shingle_n, seed)
+    if hash_fn == "md5":
+        if signature_method != "affine":
+            raise ValueError("hash_fn='md5' requires signature_method='affine'")
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn="md5"
+        )
+    else:
+        sig_fn = {"oph": minhash_signatures_oph, "affine": minhash_signatures}[
+            signature_method
+        ]
+        sig = sig_fn(df, id_col, text_col, num_hashes, shingle_n, seed)
     if persist:
         sig = sig.persist()
 
     # Band structs built python-side (literal slice offsets) — explode
     # of a plain array expression, no interpreted higher-order function.
+    def _bucket(b: int):
+        sl = F.slice("signature", b * rows_per_band + 1, rows_per_band)
+        # md5 mode: EXACT band key (hex concat) for engine parity;
+        # default: fixed-width xxhash64 of the slice (cheaper shuffle)
+        return F.array_join(sl, "|") if hash_fn == "md5" else F.xxhash64(sl)
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
-                    "bucket"
-                ),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ]
     )

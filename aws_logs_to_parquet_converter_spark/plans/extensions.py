@@ -135,6 +135,77 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
+# md5-parity MinHash pipeline: EVERYTHING — shingling, the 16 per-
+# permutation min-hex signatures, exact band keys, the banded
+# candidate join, the agreement-fraction estimate, the threshold —
+# re-derived in DuckDB SQL, so the driver hash-grades the complete
+# LSH near-dup pipeline (its xxhash64 production sibling above stays
+# rows-only by construction).
+_MH_K, _MH_BANDS, _MH_N, _MH_T = 16, 4, 5, 0.3
+_MH_RPB = _MH_K // _MH_BANDS
+_MH_MINS = ", ".join(
+    f"min(md5('{i}:' || g)) AS m{i}" for i in range(_MH_K)
+)
+_MH_BKEYS = ", ".join(
+    "concat_ws('|', "
+    + ", ".join(f"m{j}" for j in range(b * _MH_RPB, (b + 1) * _MH_RPB))
+    + f") AS bk{b}"
+    for b in range(_MH_BANDS)
+)
+_MH_EQ = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_K))
+_MH_BANDMATCH = " OR ".join(f"a.bk{b} = b.bk{b}" for b in range(_MH_BANDS))
+
+
+@query(
+    "q_dedup_minhash_md5",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, substring(nt, pos, {_MH_N}) AS g
+        FROM (SELECT doc_id, nt,
+                     unnest(generate_series(1, greatest(length(nt) - {_MH_N - 1}, 1)))
+                         AS pos
+              FROM n)
+    ), m AS (
+        SELECT doc_id, {_MH_MINS} FROM sh GROUP BY doc_id
+    ), k AS (
+        SELECT *, {_MH_BKEYS} FROM m
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(({_MH_EQ}) / {_MH_K}.0, 4) AS est_jaccard
+    FROM k a JOIN k b ON a.doc_id < b.doc_id AND ({_MH_BANDMATCH})
+    WHERE ({_MH_EQ}) / {_MH_K}.0 >= {_MH_T}
+    """,
+)
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH near-dup pipeline in its ORACLE-PARITY mode
+    (dedup.minhash_near_duplicates(hash_fn='md5')): permutation i is
+    the lexicographic min of md5('i:'||shingle) and band keys are the
+    exact hex concatenation, so candidates AND estimates are
+    byte-reproducible by the DuckDB oracle — the whole banded pipeline
+    hash-grades, not just its row count.  The production xxhash64 form
+    (q_dedup_minhash) keeps the identical plan shape with a cheaper
+    hash family; its estimator is differentially tested in
+    test_dedup.py."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        shingle_n=_MH_N,
+        threshold=_MH_T,
+        hash_fn="md5",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 @query("q_simhash")  # rows-only: engine-specific hash; invariants tested in test_dedup.py
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash sketch per document (explode-free array fold)."""
