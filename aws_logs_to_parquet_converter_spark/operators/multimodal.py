@@ -89,6 +89,17 @@ def decode_ppm_p3(data: "bytes | str") -> tuple[int, int, int, list[int]]:
     return w, h, maxval, vals
 
 
+def _luma_histogram(w: int, h: int, maxval: int, vals: list[int]) -> list[float]:
+    """FEATURE_DIM-bin normalized ITU-R 601 luminance histogram over
+    flat RGB samples — the ONE image feature both decoders feed."""
+    hist = [0] * FEATURE_DIM
+    for i in range(0, len(vals), 3):
+        luma = (299 * vals[i] + 587 * vals[i + 1] + 114 * vals[i + 2]) / (1000 * maxval)
+        hist[min(int(luma * FEATURE_DIM), FEATURE_DIM - 1)] += 1
+    n = float(w * h)
+    return [c / n for c in hist]
+
+
 def _ppm_feature(payload: bytes) -> "list[float] | None":
     """Real feature from a P3 payload: FEATURE_DIM-bin normalized
     luminance histogram.  None (not fake numbers) when the payload is
@@ -97,13 +108,170 @@ def _ppm_feature(payload: bytes) -> "list[float] | None":
         w, h, maxval, vals = decode_ppm_p3(payload)
     except (ValueError, UnicodeDecodeError):
         return None
-    hist = [0] * FEATURE_DIM
-    for i in range(0, len(vals), 3):
-        # ITU-R 601 luma, binned to FEATURE_DIM
-        luma = (299 * vals[i] + 587 * vals[i + 1] + 114 * vals[i + 2]) / (1000 * maxval)
-        hist[min(int(luma * FEATURE_DIM), FEATURE_DIM - 1)] += 1
-    n = float(w * h)
-    return [c / n for c in hist]
+    return _luma_histogram(w, h, maxval, vals)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: "bytes | str") -> tuple[int, int, int, list[int]]:
+    """Decode a PNG with the stdlib only (zlib inflate + per-scanline
+    filter reconstruction): returns (width, height, 255, flat
+    [r,g,b,...]) — the same contract as ``decode_ppm_p3``, closing the
+    compressed-image gap of the multimodal gate the way the Y4M
+    decoder closed video.  Supported: 8-bit depth, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five
+    scanline filters, chunk CRCs verified.  Adam7 interlace, 16-bit
+    depth, and malformed streams raise ValueError so callers
+    quarantine (NULL feature) instead of crashing the task.  JPEG has
+    no honest stdlib decoder and stays gated."""
+    import struct
+    import zlib
+
+    if isinstance(data, str):
+        data = data.encode("latin-1")
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat, iend = 8, None, None, b"", False
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        crc_bytes = data[pos + 8 + length : pos + 12 + length]
+        if len(chunk) < length or len(crc_bytes) < 4:
+            raise ValueError("truncated PNG chunk")
+        if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != struct.unpack(">I", crc_bytes)[0]:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13 or not idat or not iend:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w <= 0 or h <= 0:
+        raise ValueError("invalid PNG dimensions")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if color not in (0, 2, 3, 4, 6):
+        raise ValueError(f"unsupported PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"PNG inflate failed: {e}") from e
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = w * bpp
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        fbyte = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if fbyte == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif fbyte == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif fbyte == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif fbyte == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif fbyte != 0:
+            raise ValueError(f"unknown PNG scanline filter {fbyte}")
+        out += line
+        prev = line
+    if color == 2:
+        vals = list(out)
+    elif color == 6:
+        vals = [out[i + j] for i in range(0, len(out), 4) for j in range(3)]
+    elif color == 0:
+        vals = [v for v in out for _ in range(3)]
+    elif color == 4:
+        vals = [out[i] for i in range(0, len(out), 2) for _ in range(3)]
+    else:  # palette
+        if plte is None or len(plte) % 3 != 0:
+            raise ValueError("PNG palette missing or invalid")
+        vals = []
+        for idx in out:
+            if 3 * idx + 2 >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            vals.extend(plte[3 * idx : 3 * idx + 3])
+    return w, h, 255, vals
+
+
+def encode_png(width: int, height: int, pixels: "list[int]") -> bytes:
+    """Minimal RGB8 PNG writer (filter-0 scanlines) — the fixture
+    encoder tests and stubs use, sibling of ``encode_y4m``."""
+    import struct
+    import zlib
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be flat RGB of length 3*w*h")
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * 3 * width : (y + 1) * 3 * width])
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_feature(payload: bytes) -> "list[float] | None":
+    """Real feature from a PNG payload (same luminance histogram as
+    P3); None quarantines undecodable streams."""
+    try:
+        w, h, maxval, vals = decode_png(payload)
+    except (ValueError, UnicodeDecodeError):
+        return None
+    return _luma_histogram(w, h, maxval, vals)
+
+
+def _image_feature(payload: bytes) -> "list[float] | None":
+    """Magic-byte dispatch between the two honest image decoders: PNG
+    (signature) or ASCII PPM; anything else — JPEG and friends —
+    quarantines as NULL."""
+    head = (
+        payload.encode("latin-1")[:8]
+        if isinstance(payload, str)
+        else bytes(payload[:8])
+    )
+    if head == _PNG_SIG:
+        return _png_feature(payload)
+    return _ppm_feature(payload)
 
 
 def encode_y4m(
@@ -277,10 +445,12 @@ def _wav_feature(payload: bytes) -> "list[float] | None":
 
 def _typed_feature(payload: bytes, media_type: "str | None") -> "list[float] | None":
     """Default non-stub decoder: dispatch on the media_type column —
-    P3/PPM for images, PCM WAV for audio, YUV4MPEG2 for video; anything
-    else (unknown type, compressed codec) quarantines as NULL."""
+    PNG or P3/PPM for images (magic-byte dispatch), PCM WAV for audio,
+    YUV4MPEG2 for video; anything else (unknown type, compressed codec
+    without an honest stdlib decoder — JPEG stays gated) quarantines
+    as NULL."""
     if media_type == "image":
-        return _ppm_feature(payload)
+        return _image_feature(payload)
     if media_type == "audio":
         return _wav_feature(payload)
     if media_type == "video":

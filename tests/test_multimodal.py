@@ -366,3 +366,115 @@ def test_string_payloads_carry_binary_losslessly(spark):
     feats = {r.asset_id: r.feature for r in
              multimodal.extract_features(df, decode_stub=False).collect()}
     assert feats["vid"] is not None and feats["vid"][0] == 3.0
+
+
+def _png_from_raw(w, h, color, raw, plte=None, interlace=0, corrupt_crc=False):
+    """Build a PNG container around pre-filtered scanline bytes (test
+    helper: exercises decoder paths encode_png's filter-0 writer
+    cannot reach)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, payload, bad=False):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        if bad:
+            crc ^= 1
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    out += chunk(b"IDAT", zlib.compress(raw), bad=corrupt_crc)
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_png_all_filters_and_color_types():
+    """The decoder reconstructs every scanline filter (the test applies
+    the spec's FORWARD filter to known pixels, the decoder must invert
+    it) and normalizes gray/palette/alpha color types to flat RGB."""
+    import random
+
+    rng = random.Random(7)
+
+    def forward_filter(rows, filters, bpp):
+        raw = b""
+        prev = [0] * len(rows[0])
+        for r, f in zip(rows, filters):
+            line = bytearray()
+            for i, x in enumerate(r):
+                a = r[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    v = x
+                elif f == 1:
+                    v = x - a
+                elif f == 2:
+                    v = x - b
+                elif f == 3:
+                    v = x - (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    v = x - pred
+                line.append(v & 0xFF)
+            raw += bytes([f]) + bytes(line)
+            prev = r
+        return raw
+
+    w, h = 4, 5
+    rows = [[rng.randrange(256) for _ in range(3 * w)] for _ in range(h)]
+    raw = forward_filter(rows, [0, 1, 2, 3, 4], 3)
+    gw, gh, maxval, vals = multimodal.decode_png(_png_from_raw(w, h, 2, raw))
+    assert (gw, gh, maxval) == (w, h, 255)
+    assert vals == [v for r in rows for v in r]
+
+    # encode_png -> decode_png round trip
+    px = [rng.randrange(256) for _ in range(3 * 3 * 2)]
+    assert multimodal.decode_png(multimodal.encode_png(3, 2, px))[3] == px
+
+    # gray replicates to RGB; RGBA drops alpha; palette dereferences
+    raw_gray = bytes([0, 7, 200])
+    assert multimodal.decode_png(_png_from_raw(2, 1, 0, raw_gray))[3] == [7, 7, 7, 200, 200, 200]
+    raw_rgba = bytes([0, 1, 2, 3, 99, 4, 5, 6, 50])
+    assert multimodal.decode_png(_png_from_raw(2, 1, 6, raw_rgba))[3] == [1, 2, 3, 4, 5, 6]
+    raw_pal = bytes([0, 1, 0])
+    plte = [10, 20, 30, 40, 50, 60]
+    assert multimodal.decode_png(_png_from_raw(2, 1, 3, raw_pal, plte=plte))[3] == [40, 50, 60, 10, 20, 30]
+
+
+def test_malformed_png_quarantines_not_crashes(spark):
+    """CRC corruption, Adam7 interlace, truncation, missing palette,
+    and JPEG magic all quarantine (NULL feature / ValueError), never a
+    task crash; a valid PNG row decodes REAL features next to a P3 row
+    in the same pass (magic-byte dispatch)."""
+    import pytest as _pytest
+
+    ok_raw = bytes([0, 255, 255, 255, 0, 0, 0])  # 2x1 white,black
+    good = _png_from_raw(2, 1, 2, ok_raw)
+    bad_crc = _png_from_raw(2, 1, 2, ok_raw, corrupt_crc=True)
+    interlaced = _png_from_raw(2, 1, 2, ok_raw, interlace=1)
+    for bad in (bad_crc, interlaced, good[:20], b"\xff\xd8\xffjpegdata"):
+        with _pytest.raises(ValueError):
+            multimodal.decode_png(bad)
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(_png_from_raw(1, 1, 3, bytes([0, 9])))  # palette idx OOR
+
+    rows = [
+        ("png-ok", "image", good.decode("latin-1"), 2, 1, 0),
+        ("png-badcrc", "image", bad_crc.decode("latin-1"), 2, 1, 0),
+        ("png-interlaced", "image", interlaced.decode("latin-1"), 2, 1, 0),
+        ("jpeg-gated", "image", b"\xff\xd8\xff\xe0jpeg".decode("latin-1"), 0, 0, 0),
+        ("ppm-ok", "image", _ppm(2, 1, [[(255, 255, 255), (0, 0, 0)]]), 2, 1, 0),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.asset_id: r.feature
+             for r in multimodal.extract_features(df, decode_stub=False).collect()}
+    for bad in ("png-badcrc", "png-interlaced", "jpeg-gated"):
+        assert feats[bad] is None, f"{bad} should quarantine"
+    # the white/black 2x1 PNG and the identical P3 land the SAME feature
+    assert feats["png-ok"] == feats["ppm-ok"]
+    assert feats["png-ok"][0] == 0.5 and feats["png-ok"][multimodal.FEATURE_DIM - 1] == 0.5
