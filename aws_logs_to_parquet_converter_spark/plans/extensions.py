@@ -434,6 +434,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_perplexity",
+    headline=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id,
@@ -617,6 +618,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_semantic_dedup",
+    headline=True,
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     drops AS (
@@ -1857,7 +1859,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_incremental_dedup_bloom", oracle=_INCR_DEDUP_ORACLE)
+@query("q_incremental_dedup_bloom", headline=True, oracle=_INCR_DEDUP_ORACLE)
 def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_incremental_dedup through the Bloom pre-filter path
     (dedup.digest_bloom: sparse bit_or bitmap, broadcast probe,
