@@ -227,3 +227,68 @@ def test_cli_corpus_gopher_gate(spark, tmp_path):
     )
     assert cli.run_corpus(args) == 0
     assert [r.doc_id for r in spark.read.parquet(dest).collect()] == [1]
+
+
+def test_cli_corpus_gopher_shard_export_golden_manifest(spark, tmp_path):
+    """End-to-end `corpus` run: Gopher gate + exact dedup + shard
+    export, checked against a GOLDEN manifest (the md5 hash-range
+    layout is a pure function of ids + seed, so the exact bytes are
+    reproducible on any cluster shape), re-run to a second dest for
+    byte-identity, and an all-rejected corpus exits cleanly with an
+    all-zero manifest instead of the pre-round-7 schema-inference
+    crash."""
+    import json
+
+    from aws_logs_to_parquet_converter_spark import cli
+
+    good = ("the quick brown fox jumps over that lazy dog and it runs with "
+            "great joy to have a fine day in the sunny park where children "
+            "play games of chance and skill while parents watch from benches "
+            "under shady trees that line the wide gravel paths of the garden "
+            "and birds sing songs of summer in the warm evening air nearby")
+    good2 = good.replace("cat", "fox") + " second variant of the long document body here"
+    good3 = good + " third variant with more words of the same fine style in it"
+    rows = [
+        (1, good),
+        (2, good2),
+        (3, good3),
+        (4, good),            # exact dup of 1 -> dedup drops
+        (5, "way too short"), # gopher word-count rule drops
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    def run(dest):
+        args = cli.build_corpus_parser().parse_args(
+            ["--src", src, "--dest", dest, "--n-shards", "4",
+             "--dedup", "exact", "--gopher"]
+        )
+        assert cli.run_corpus(args) == 0
+        with open(f"{dest}/_manifest.json") as fh:
+            return fh.read()
+
+    m1 = run(str(tmp_path / "shards1"))
+    golden = [
+        {"shard": 0, "n_rows": 0},
+        {"shard": 1, "n_rows": 1},
+        {"shard": 2, "n_rows": 1},
+        {"shard": 3, "n_rows": 1},
+    ]
+    assert json.loads(m1) == golden
+    assert run(str(tmp_path / "shards2")) == m1  # byte-identical re-run
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "shards1")).collect()
+    ) == [1, 2, 3]
+
+    # every gate rejects everything -> clean exit, all-zero manifest
+    src2 = str(tmp_path / "docs-empty")
+    spark.createDataFrame(
+        [(9, "tiny"), (10, "also tiny")], "doc_id long, text string"
+    ).write.parquet(src2)
+    args = cli.build_corpus_parser().parse_args(
+        ["--src", src2, "--dest", str(tmp_path / "shards3"), "--n-shards", "4",
+         "--dedup", "exact", "--gopher"]
+    )
+    assert cli.run_corpus(args) == 0
+    with open(f"{tmp_path}/shards3/_manifest.json") as fh:
+        assert all(m["n_rows"] == 0 for m in json.load(fh))

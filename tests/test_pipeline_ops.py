@@ -329,6 +329,34 @@ def test_k_anonymize_shuffled_probe_matches_broadcast(spark):
     assert a == b
 
 
+def test_k_anonymize_auto_probe_strategy(spark):
+    """broadcast_probe='auto' (the default) picks the join strategy
+    from an in-plan cardinality bound instead of making the caller
+    know their quasi cardinality (round-6 verdict item): a tiny combo
+    space gets the explicit broadcast hint; forcing the threshold
+    below the estimate drops the hint (AQE's runtime conversion takes
+    over); results are identical either way; a junk flag raises."""
+    import pytest as _pytest
+
+    rows = [(i, ["web", "app"][i % 2], "en") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+
+    auto = scrub.k_anonymize(df, ["source", "lang"], k=2)
+    plan_auto = auto._jdf.queryExecution().toString()
+    assert "broadcast" in plan_auto.lower()
+
+    small = scrub.k_anonymize(
+        df, ["source", "lang"], k=2, auto_broadcast_rows=1
+    )
+    # logical plan must carry NO broadcast hint (AQE may still convert
+    # at runtime — that is the point of the fallback)
+    assert "ResolvedHint" not in small._jdf.queryExecution().logical().toString()
+
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, small.collect()))
+    with _pytest.raises(ValueError, match="broadcast_probe"):
+        scrub.k_anonymize(df, ["source", "lang"], k=2, broadcast_probe="maybe")
+
+
 def test_assign_splits_disjoint_exhaustive_deterministic(spark):
     """Every row gets exactly one label; assignment is stable under
     repartitioning; fractions land near their targets; bad fraction
