@@ -387,6 +387,7 @@ def semantic_dedup(
     seed: int = 42,
     dim: int | None = None,
     target_cell_size: int = 5000,
+    persist_assignments: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with spherical k-means, then
@@ -447,6 +448,17 @@ def semantic_dedup(
         _norm(F.col(vec_col), dim).alias("_nrm"),
         cell.alias("_cell"),
     )
+    if persist_assignments and n_cells > 1:
+        # The cell assignment is the one Arrow pass in the plan, and
+        # the pair self-join evaluates `base` on BOTH branches —
+        # without materialization the Python crossing runs twice and
+        # dominates wall-clock (measured: 2.8s/pass vs <0.1s for the
+        # exact-mode literal cell at sf0.1).  ~(id + vec + norm + cell)
+        # per row cached — the corpus's own width, the same trade the
+        # paper's pipeline makes by writing cluster ids to disk.
+        # Callers who must not cache (memory-tight executors) pass
+        # False and pay the second pass.
+        base = base.persist()
     pairs = blocked_all_pairs(base, "_sid", n_blocks, seed, key_cols=["_cell"])
     sim = _dot(F.col("_v_l"), F.col("_v_r"), dim) / (F.col("_nrm_l") * F.col("_nrm_r"))
     drops = (

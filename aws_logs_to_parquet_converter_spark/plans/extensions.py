@@ -618,7 +618,6 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_semantic_dedup",
-    headline=True,
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     drops AS (
@@ -648,18 +647,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id", "label")
 
 
-@query("q_semantic_dedup_clustered")  # rows-only: k-means cells are engine-specific;
-# exact-mode equivalence + cluster recall are pytest-differential (test_similarity)
+@query("q_semantic_dedup_clustered", headline=True)  # rows-only: k-means cells are
+# engine-specific; exact-mode equivalence + cluster recall are
+# pytest-differential (test_similarity).  THIS is the headline bench
+# entry for semantic dedup — the exact n_cells=1 mode (q_semantic_dedup,
+# oracle-graded) is the declared Θ(n²) ground-truth tool, and timing a
+# quadratic verifier across scale factors measures only the label on
+# its tin; the auto-celled form holds the linear pair-work contract a
+# 100 TB run needs, so ITS wall-clock is the one worth guarding.
 def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup proper: spherical-k-means cells (bounded driver-side
     training sample, map-side Arrow assignment), near-dup pruning only
     WITHIN each cell — the published sub-quadratic scale path for
-    corpus-level semantic dedup."""
+    corpus-level semantic dedup.  Cells are auto-sized to ~1000
+    vectors of expected occupancy, so per-cell pair work stays
+    constant and total work linear as sf grows (the scale contract
+    PERF.md measures)."""
     emb = t(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]
     kept = similarity.semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
-        n_cells=8, dim=dim,
+        n_cells="auto", target_cell_size=1000, dim=dim,
     )
     return kept.select("vec_id", "label")
 
