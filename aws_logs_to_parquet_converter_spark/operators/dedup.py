@@ -203,8 +203,20 @@ def dedup_against_corpus(
         fresh = staged.join(
             corpus_digests.select(F.col(digest_col).alias("_d")), "_d", "left_anti"
         )
-    keep = fresh.groupBy("_d").agg(F.min(id_col).alias(id_col)).select(id_col)
-    return fresh.join(keep, id_col, "left_semi").drop("_d")
+    # keep-first in ONE pass: min-id per digest via a partitioned
+    # window (no ordering, no single-partition risk).  The groupBy +
+    # semi-join form shuffles less per row ((digest, id) pairs) but
+    # evaluates `fresh` TWICE — and fresh's lineage carries the whole
+    # bloom-probe/anti-join stage, so the double evaluation costs more
+    # than the one full-row exchange on the (daily-sized) batch.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_d")
+    return (
+        fresh.withColumn("_min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id", "_d")
+    )
 
 
 def _bloom_positions(digest: Column, m_bits: int, k: int, seed: int) -> "list[Column]":
@@ -264,6 +276,14 @@ def digest_bloom(
         )
         .groupBy("word")
         .agg(F.bit_or("_m").alias("mask"))
+        # the probe broadcasts this bitmap k times (one join per bit
+        # position); unpersisted, Catalyst re-runs the corpus-digest
+        # scan + bit_or aggregation for EVERY broadcast — k full
+        # corpus passes for a table bounded at m_bits/64 rows by
+        # construction (round-7 measurement: 4x rebuild dominated
+        # q_incremental_dedup_bloom's sf1 wall).  Bounded cache, so
+        # persist unconditionally.
+        .persist()
     )
     return BloomFilter(bitmap, m_bits, k, seed)
 
