@@ -726,3 +726,52 @@ def test_gopher_full_filter_composition(spark):
     assert got[1].keep, got[1]
     assert not got[2].keep_dup_lines and not got[2].keep
     assert not got[3].keep_top_ngram and not got[3].keep
+
+
+def test_vertical_tab_tokenization_agrees_cross_engine(spark):
+    """The round-7 explicit-whitespace-class migration's point, proven
+    on hostile input: a document containing U+000B tokenizes
+    IDENTICALLY in Spark (Java regex) and DuckDB (RE2) — token count,
+    gopher word signals, and the BPE pretokenizer count all agree,
+    where the old \\s-based forms diverged (Java's \\s includes
+    vertical tab, RE2's does not)."""
+    import duckdb
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        BPE_TOKEN_PATTERN,
+        NONWS_CLASS,
+        WS_PLUS,
+        bpe_token_count,
+        token_count,
+    )
+
+    texts = [
+        "one\x0btwo three",          # VT between words: 3 tokens both engines
+        "a\x0b\x0bb",                # VT run
+        "tab\tand\x0bvt mix\r\n",
+        "plain words only here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: (r.tc, r.bpe)
+        for r in df.select(
+            "i", token_count(F.col("text")).alias("tc"),
+            bpe_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        tc, bpe = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{NONWS_CLASS}+')),"
+            f"       len(regexp_extract_all(?, ?))",
+            [t, t, BPE_TOKEN_PATTERN],
+        ).fetchone()
+        assert got[i] == (tc, bpe), (i, got[i], (tc, bpe))
+    # and the split form used by the LM/shingle paths agrees too
+    sp = {r.i: r.parts for r in df.select(
+        "i", F.split(F.lower("text"), WS_PLUS).alias("parts")).collect()}
+    for i, t in enumerate(texts):
+        (duck,) = con.execute(
+            "SELECT string_split_regex(lower(?), '[ \\t\\r\\n\\f\\x0b]+')", [t]
+        ).fetchone()
+        assert sp[i] == duck, (i, sp[i], duck)
