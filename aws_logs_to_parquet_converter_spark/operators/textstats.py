@@ -777,3 +777,79 @@ def gopher_full_filter(
         "keep",
         F.col("keep_rules") & F.col("keep_dup_lines") & F.col("keep_top_ngram"),
     )
+
+
+# The C4 cleanup's demonstration blocklist.  The published filter uses
+# the "List of Dirty, Naughty, Obscene or Otherwise Bad Words"; a
+# production run swaps the real list in — the operator seam (word-
+# boundary regex per entry, OR-folded) is what matters here.
+C4_BADWORDS = ["badword1", "badword2"]
+
+# Terminal punctuation per C4: period, exclamation, question mark,
+# or end quotation mark.
+_C4_TERMINAL = r"[.!?\"]$"
+
+
+def c4_clean_lines(text: Column) -> Column:
+    """The C4 line filter (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+    keep only lines that end in terminal punctuation AND carry at
+    least 5 words; surviving lines re-join with newlines.  The
+    per-line tests are a once-per-row array filter (the sanctioned
+    HOF class — same as the Gopher bullet rule); the word count per
+    line is the explicit-class regexp so the DuckDB oracle counts
+    identically (see WS_CLASS)."""
+    lines = F.split(text, r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(_C4_TERMINAL)
+        & (F.regexp_count(l, F.lit(NONWS_CLASS + "+")) >= 5),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The C4 page-level rules as per-rule boolean columns plus the
+    conjunction — the second canonical published pre-training filter
+    battery next to the Gopher rules:
+
+      * enough_sentences_ok: >= 3 sentences survive the line filter
+        (fidelity note: C4 splits sentences with an NLP tokenizer;
+        here a sentence is a terminal-punctuation occurrence in the
+        CLEANED text — the standard SQL-expressible approximation,
+        biased identically in both engines);
+      * no_lorem_ok:   'lorem ipsum' absent (case-insensitive);
+      * no_brace_ok:   '{' absent (the code-page heuristic);
+      * no_badwords_ok: none of C4_BADWORDS present as whole words.
+
+    The paper's remaining steps are separate operators here: the
+    three-sentence-span dedup is the winnowing/boilerplate family,
+    language ID is ``predict_lang`` — compose them downstream.  Pure
+    codegen except the one row-local line filter.  Returns
+    (id, cleaned_text, n_kept_lines, each flag, keep)."""
+    cleaned = c4_clean_lines(F.col(text_col))
+    n_lines = F.when(cleaned == "", F.lit(0)).otherwise(
+        F.size(F.split(cleaned, r"\n"))
+    )
+    sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    bad = None
+    for w in C4_BADWORDS:
+        hit = F.lower(F.col(text_col)).rlike(
+            rf"(^|[^\p{{L}}\p{{N}}]){w}([^\p{{L}}\p{{N}}]|$)"
+        )
+        bad = hit if bad is None else bad | hit
+    flags = {
+        "enough_sentences_ok": sentences >= 3,
+        "no_lorem_ok": ~F.lower(F.col(text_col)).contains("lorem ipsum"),
+        "no_brace_ok": ~F.col(text_col).contains("{"),
+        "no_badwords_ok": ~bad,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("cleaned_text"),
+        n_lines.alias("n_kept_lines"),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )

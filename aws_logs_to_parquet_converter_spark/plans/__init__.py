@@ -23,10 +23,11 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #   1. never driver-graded oracle-bearing entries outrank everything
 #      (the standing policy): the two r6 late additions the round-6
 #      verdict ordered in first (q_gopher_rules, q_bigram_lm) plus the
-#      three NEW r7 queries (q_warc_extract — the WARC ingest chain
-#      under the oracle; q_stream_daily_events — the first graded
-#      streaming row; q_dedup_minhash_md5 — the LSH pipeline in its
-#      md5 oracle-parity mode);
+#      four NEW r7 queries (q_c4_rules — the C4 cleanup battery;
+#      q_warc_extract — the WARC ingest chain under the oracle;
+#      q_stream_daily_events — the first graded streaming row;
+#      q_dedup_minhash_md5 — the LSH pipeline in its md5
+#      oracle-parity mode);
 #   2. queries whose BEHAVIOR changed this round re-enter the same
 #      round: the explicit-whitespace-class migration rewrote every
 #      tokenization oracle (round-6 advisor: Java \s includes U+000B,
@@ -35,10 +36,11 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #      ratios separately, q_approx_percentiles' accuracy was raised
 #      to cover sf1 group sizes, and q_k_anonymize gained the 'auto'
 #      probe strategy — 22 previously-graded entries total;
-#   3. the remaining 22 slots take the r4-stale rotation candidates
-#      the round-6 verdict listed, leaving only the two diagnostic
-#      probes (q_diag_bool_emit, q_diag_maxby_emit) waiting at r4
-#      currency for r8 — no oracle-bearing entry is older than r4.
+#   3. the remaining slots take the r4-stale rotation candidates the
+#      round-6 verdict listed, leaving only q_window_ntile and the two
+#      diagnostic probes (q_diag_bool_emit, q_diag_maxby_emit) waiting
+#      at r4 currency for r8 — no oracle-bearing entry is older
+#      than r4.
 # Rotated out (green at their latest grade and UNMODIFIED this
 # round): the r6-graded TPC-H slice (q01..q22), the r6 additions
 # (q_split_assign, q_bitwise_funcs, q_incremental_dedup[_bloom],
@@ -52,6 +54,7 @@ _PRIORITY = [
     # flagship (reference's days_apart_analysis.sql run verbatim)
     "q_days_apart",
     # (1) never driver-graded
+    "q_c4_rules",
     "q_gopher_rules",
     "q_bigram_lm",
     "q_warc_extract",
@@ -103,7 +106,10 @@ _PRIORITY = [
     "q_join_range",
     "q_window_rank",
     "q_window_rolling",
-    "q_window_ntile",
+    # (q_window_ntile displaced by the late r7 addition q_c4_rules —
+    # never-graded outranks stale-but-green; its family keeps rank and
+    # rolling in-window, ntile waits at r4 currency with the two diag
+    # probes)
 ]
 
 

@@ -549,6 +549,60 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_c4_rules",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, text,
+               coalesce(array_to_string(
+                 list_filter(string_split(text, chr(10)),
+                   x -> regexp_matches(trim(x), '[.!?"]$')
+                    AND len(regexp_extract_all(x, '[^ \\t\\r\\n\\f\\x0b]+')) >= 5),
+                 chr(10)), '') AS cleaned
+        FROM documents
+    ), f AS (
+        SELECT doc_id, cleaned,
+               CASE WHEN cleaned = '' THEN 0
+                    ELSE len(string_split(cleaned, chr(10))) END AS n_kept_lines,
+               len(regexp_extract_all(cleaned, '[.!?]')) AS sentences,
+               NOT contains(lower(text), 'lorem ipsum') AS no_lorem_ok,
+               NOT contains(text, '{') AS no_brace_ok,
+               NOT (regexp_matches(lower(text),
+                      '(^|[^\\p{L}\\p{N}])badword1([^\\p{L}\\p{N}]|$)')
+                 OR regexp_matches(lower(text),
+                      '(^|[^\\p{L}\\p{N}])badword2([^\\p{L}\\p{N}]|$)'))
+                   AS no_badwords_ok
+        FROM c
+    )
+    SELECT doc_id, md5(cleaned) AS cleaned_md5, n_kept_lines,
+           sentences >= 3 AS enough_sentences_ok,
+           no_lorem_ok, no_brace_ok, no_badwords_ok,
+           (sentences >= 3 AND no_lorem_ok AND no_brace_ok
+            AND no_badwords_ok) AS keep
+    FROM f
+    """,
+)
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleanup battery (Raffel et al. 2020 §2.2 — the second
+    canonical published pre-training filter next to the Gopher rules,
+    textstats.c4_page_flags): terminal-punctuation + 5-word line
+    filter, 3-sentence minimum, lorem-ipsum / curly-brace / bad-word
+    page rejections.  The oracle re-derives the line filter and every
+    page rule in SQL; the cleaned text is compared by digest."""
+    d = t(spark, sf_dir, "documents")
+    out = textstats.c4_page_flags(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "n_kept_lines",
+        "enough_sentences_ok",
+        "no_lorem_ok",
+        "no_brace_ok",
+        "no_badwords_ok",
+        "keep",
+    )
+
+
+@query(
     "q_bigram_lm",
     oracle="""
     WITH docs0 AS (

@@ -775,3 +775,36 @@ def test_vertical_tab_tokenization_agrees_cross_engine(spark):
             "SELECT string_split_regex(lower(?), '[ \\t\\r\\n\\f\\x0b]+')", [t]
         ).fetchone()
         assert sp[i] == duck, (i, sp[i], duck)
+
+
+def test_c4_rules_battery(spark):
+    """Each C4 rule (Raffel et al. 2020 §2.2) flips on its own
+    violation class; the line filter keeps exactly the
+    terminal-punctuation + >=5-word lines."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import c4_page_flags
+
+    good_line = "this line has plenty of words and ends properly."
+    good = "\n".join([good_line] * 3)
+    rows = [
+        (1, good),
+        (2, "short line.\ntiny one.\nwee.\nnope."),          # <5 words/line
+        (3, "\n".join(["no terminal punctuation here at all"] * 3)),
+        (4, good + "\nlorem ipsum dolor sit amet filler."),
+        (5, good + "\nfunction f() { return 1; } more words."),
+        (6, good.replace("plenty", "badword1")),
+        (7, "\n".join([good_line] * 2)),                      # only 2 sentences
+        (8, good_line + " two. three."),                      # 1 line, 3 sentences
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_page_flags(df, "doc_id", "text").collect()}
+    assert got[1].keep and got[1].n_kept_lines == 3
+    assert got[1].cleaned_text == good
+    assert got[2].n_kept_lines == 0 and not got[2].enough_sentences_ok
+    assert got[3].cleaned_text == "" and not got[3].keep
+    assert not got[4].no_lorem_ok and not got[4].keep
+    assert not got[5].no_brace_ok
+    assert not got[6].no_badwords_ok
+    assert not got[7].enough_sentences_ok  # 2 sentences < 3
+    assert got[8].keep and got[8].n_kept_lines == 1  # sentences counted, not lines
+    for i in range(2, 8):
+        assert not got[i].keep, i

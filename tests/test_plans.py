@@ -135,7 +135,7 @@ def test_graded_window_covers_priority_surface():
         # flagship
         "q_days_apart",
         # never driver-graded before this round
-        "q_gopher_rules", "q_bigram_lm", "q_warc_extract",
+        "q_c4_rules", "q_gopher_rules", "q_bigram_lm", "q_warc_extract",
         "q_stream_daily_events", "q_dedup_minhash_md5",
         # behavior changed this round (sample of the 22 — the full
         # list lives in _PRIORITY; these anchor the policy)
