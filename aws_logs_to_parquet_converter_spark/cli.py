@@ -249,6 +249,11 @@ def build_corpus_parser() -> argparse.ArgumentParser:
     p.add_argument("--gopher", action="store_true",
                    help="apply the published Gopher document rules "
                         "(textstats.gopher_quality_flags) as a hard gate")
+    p.add_argument("--c4", action="store_true",
+                   help="apply the C4 cleanup (textstats.c4_page_flags): "
+                        "REWRITES text to the surviving lines, then drops "
+                        "pages failing the sentence/lorem/brace/bad-word "
+                        "rules")
     p.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/phones/etc before export")
     p.add_argument("--id-col", default="doc_id")
@@ -275,6 +280,29 @@ def run_corpus(args: argparse.Namespace) -> int:
 
         # inline predicate: rides the scan, no join-back, no extra pass
         df = df.where(gopher_keep(F.col(args.text_col)))
+    if args.c4:
+        from aws_logs_to_parquet_converter_spark.operators.textstats import (
+            C4_BADWORDS,
+            c4_clean_lines,
+        )
+
+        # C4 REWRITES the page (only terminal-punctuation >=5-word
+        # lines survive) and then gates on the page rules — all inline
+        # expressions riding the scan, mirroring c4_page_flags
+        raw = F.col(args.text_col)
+        bad = None
+        for w in C4_BADWORDS:
+            hit = F.lower(raw).rlike(
+                rf"(^|[^\p{{L}}\p{{N}}]){w}([^\p{{L}}\p{{N}}]|$)"
+            )
+            bad = hit if bad is None else bad | hit
+        df = (
+            df.where(~F.lower(raw).contains("lorem ipsum"))
+            .where(~raw.contains("{"))
+            .where(~bad)
+            .withColumn(args.text_col, c4_clean_lines(raw))
+            .where(F.regexp_count(F.col(args.text_col), F.lit(r"[.!?]")) >= 3)
+        )
     if args.dedup == "exact":
         df = dedup_ops.exact_keep_first(df, args.id_col, args.text_col)
     elif args.dedup == "fingerprint":

@@ -292,3 +292,28 @@ def test_cli_corpus_gopher_shard_export_golden_manifest(spark, tmp_path):
     assert cli.run_corpus(args) == 0
     with open(f"{tmp_path}/shards3/_manifest.json") as fh:
         assert all(m["n_rows"] == 0 for m in json.load(fh))
+
+
+def test_cli_corpus_c4_gate_rewrites_and_filters(spark, tmp_path):
+    """--c4 REWRITES pages to their surviving lines (terminal
+    punctuation, >=5 words) and drops pages failing the sentence /
+    lorem / brace / bad-word rules."""
+    from aws_logs_to_parquet_converter_spark import cli
+
+    line = "this sentence has more than five words in it."
+    keepable = "\n".join([line] * 3) + "\nnoise line no punct"
+    rows = [
+        (1, keepable),                                   # kept, noise line dropped
+        (2, "lorem ipsum dolor. " + "\n".join([line] * 3)),  # lorem page dropped
+        (3, "too. few. words."),                         # line filter empties it
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    dest = str(tmp_path / "shards")
+    args = cli.build_corpus_parser().parse_args(
+        ["--src", src, "--dest", dest, "--n-shards", "2", "--dedup", "none", "--c4"]
+    )
+    assert cli.run_corpus(args) == 0
+    out = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
+    assert list(out) == [1]
+    assert out[1] == "\n".join([line] * 3)  # noise line rewritten away
