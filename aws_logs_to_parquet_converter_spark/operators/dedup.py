@@ -245,6 +245,14 @@ class BloomFilter:
         self.k = k
         self.seed = seed
 
+    def unpersist(self) -> None:
+        """Release the cached bitmap.  ``digest_bloom`` persists it
+        (the k probe joins would otherwise rebuild it k times); a
+        long-lived driver cycling many daily blooms should call this
+        when a filter is retired, or the cache entries accumulate for
+        the session's lifetime."""
+        self.bitmap.unpersist()
+
 
 def digest_bloom(
     corpus_digests: DataFrame,

@@ -98,8 +98,14 @@ def k_anonymize(
         est = df.agg(
             F.approx_count_distinct(F.struct(*quasi_cols)).alias("n")
         ).first()["n"]
-        # approx_count_distinct default rsd is 5%; 1.1x covers it
-        broadcast_probe = est * 1.1 <= auto_broadcast_rows
+        # approx_count_distinct's 5% rsd is a standard deviation, not
+        # a bound: 1.3x leaves ~6 sigma of underestimate headroom, so
+        # a sketch fluke near the threshold cannot force the explicit
+        # hint onto an over-limit build side (the mis-broadcast OOM
+        # this mode exists to prevent); the cost of the margin is only
+        # that borderline probes fall through to AQE, which still
+        # broadcasts them at runtime if they prove small.
+        broadcast_probe = est * 1.3 <= auto_broadcast_rows
     elif not isinstance(broadcast_probe, bool):
         raise ValueError(f"broadcast_probe must be bool or 'auto', got {broadcast_probe!r}")
     passing = (

@@ -781,13 +781,17 @@ def gopher_full_filter(
 
 # The C4 cleanup's demonstration blocklist.  The published filter uses
 # the "List of Dirty, Naughty, Obscene or Otherwise Bad Words"; a
-# production run swaps the real list in — the operator seam (word-
-# boundary regex per entry, OR-folded) is what matters here.
+# production run swaps the real list in — entries are REGEX-ESCAPED at
+# use (the real list contains regex metacharacters like '$'), and an
+# EMPTY list legally disables the rule.
 C4_BADWORDS = ["badword1", "badword2"]
 
-# Terminal punctuation per C4: period, exclamation, question mark,
-# or end quotation mark.
-_C4_TERMINAL = r"[.!?\"]$"
+# Terminal punctuation per C4: period, exclamation, question mark, or
+# end quotation mark.  The explicit \r? keeps Java (Spark) and RE2
+# (the oracle) identical on CRLF documents: Java's $ matches before a
+# trailing \r, RE2's does not — the same divergence the Gopher
+# ellipsis rule hardens against.
+_C4_TERMINAL = r"[.!?\"]\r?$"
 
 
 def c4_clean_lines(text: Column) -> Column:
@@ -807,6 +811,39 @@ def c4_clean_lines(text: Column) -> Column:
     return F.array_join(kept, "\n")
 
 
+def c4_badword_hit(text: Column, badwords: "list[str] | None" = None) -> Column:
+    """True iff any blocklist entry occurs as a whole word.  Entries
+    are regex-escaped (the published list contains metacharacters —
+    an unescaped '$' would silently never match); an empty list means
+    no rule, i.e. constant False."""
+    import re
+
+    hit = F.lit(False)
+    for w in badwords if badwords is not None else C4_BADWORDS:
+        esc = re.escape(w.lower())
+        hit = hit | F.lower(text).rlike(
+            rf"(^|[^\p{{L}}\p{{N}}]){esc}([^\p{{L}}\p{{N}}]|$)"
+        )
+    return hit
+
+
+def c4_page_rule_exprs(text: Column) -> "dict[str, Column]":
+    """The C4 page-level rule expressions keyed by flag name — the ONE
+    definition the reporting form (``c4_page_flags``) and the CLI's
+    inline ``--c4`` gate share, mirroring ``gopher_flag_exprs``.  NULL
+    text is treated as the empty page (coalesced once here), so both
+    engines agree on NULL-bearing corpora."""
+    t = F.coalesce(text, F.lit(""))
+    cleaned = c4_clean_lines(t)
+    flags = {
+        "enough_sentences_ok": F.regexp_count(cleaned, F.lit(r"[.!?]")) >= 3,
+        "no_lorem_ok": ~F.lower(t).contains("lorem ipsum"),
+        "no_brace_ok": ~t.contains("{"),
+        "no_badwords_ok": ~c4_badword_hit(t),
+    }
+    return flags
+
+
 def c4_page_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """The C4 page-level rules as per-rule boolean columns plus the
     conjunction — the second canonical published pre-training filter
@@ -824,25 +861,14 @@ def c4_page_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     The paper's remaining steps are separate operators here: the
     three-sentence-span dedup is the winnowing/boilerplate family,
     language ID is ``predict_lang`` — compose them downstream.  Pure
-    codegen except the one row-local line filter.  Returns
+    codegen except the one row-local line filter.  NULL text behaves
+    as the empty page.  Returns
     (id, cleaned_text, n_kept_lines, each flag, keep)."""
-    cleaned = c4_clean_lines(F.col(text_col))
+    cleaned = c4_clean_lines(F.coalesce(F.col(text_col), F.lit("")))
     n_lines = F.when(cleaned == "", F.lit(0)).otherwise(
         F.size(F.split(cleaned, r"\n"))
     )
-    sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
-    bad = None
-    for w in C4_BADWORDS:
-        hit = F.lower(F.col(text_col)).rlike(
-            rf"(^|[^\p{{L}}\p{{N}}]){w}([^\p{{L}}\p{{N}}]|$)"
-        )
-        bad = hit if bad is None else bad | hit
-    flags = {
-        "enough_sentences_ok": sentences >= 3,
-        "no_lorem_ok": ~F.lower(F.col(text_col)).contains("lorem ipsum"),
-        "no_brace_ok": ~F.col(text_col).contains("{"),
-        "no_badwords_ok": ~bad,
-    }
+    flags = c4_page_rule_exprs(F.col(text_col))
     keep = None
     for c in flags.values():
         keep = c if keep is None else keep & c

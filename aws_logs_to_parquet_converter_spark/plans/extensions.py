@@ -10,6 +10,8 @@ tests/test_dedup.py and tests/test_similarity.py.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -548,14 +550,26 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_quality_flags(d, "doc_id", "text")
 
 
+# The bad-word disjunction is GENERATED from C4_BADWORDS with the same
+# regex escaping the Spark side applies (textstats.c4_badword_hit) —
+# a production blocklist swap updates both engines from one list.  An
+# empty list degenerates to FALSE (rule disabled) on both sides.
+_C4_BAD_SQL = " OR ".join(
+    "regexp_matches(lower(text), '(^|[^\\p{L}\\p{N}])"
+    + re.escape(w.lower()).replace("'", "''")
+    + "([^\\p{L}\\p{N}]|$)')"
+    for w in textstats.C4_BADWORDS
+) or "FALSE"
+
+
 @query(
     "q_c4_rules",
-    oracle="""
+    oracle=f"""
     WITH c AS (
-        SELECT doc_id, text,
+        SELECT doc_id, coalesce(text, '') AS text,
                coalesce(array_to_string(
-                 list_filter(string_split(text, chr(10)),
-                   x -> regexp_matches(trim(x), '[.!?"]$')
+                 list_filter(string_split(coalesce(text, ''), chr(10)),
+                   x -> regexp_matches(trim(x), '[.!?"]\\r?$')
                     AND len(regexp_extract_all(x, '[^ \\t\\r\\n\\f\\x0b]+')) >= 5),
                  chr(10)), '') AS cleaned
         FROM documents
@@ -565,12 +579,8 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE len(string_split(cleaned, chr(10))) END AS n_kept_lines,
                len(regexp_extract_all(cleaned, '[.!?]')) AS sentences,
                NOT contains(lower(text), 'lorem ipsum') AS no_lorem_ok,
-               NOT contains(text, '{') AS no_brace_ok,
-               NOT (regexp_matches(lower(text),
-                      '(^|[^\\p{L}\\p{N}])badword1([^\\p{L}\\p{N}]|$)')
-                 OR regexp_matches(lower(text),
-                      '(^|[^\\p{L}\\p{N}])badword2([^\\p{L}\\p{N}]|$)'))
-                   AS no_badwords_ok
+               NOT contains(text, '{{') AS no_brace_ok,
+               NOT ({_C4_BAD_SQL}) AS no_badwords_ok
         FROM c
     )
     SELECT doc_id, md5(cleaned) AS cleaned_md5, n_kept_lines,
@@ -1347,6 +1357,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     build collects the documents driver-side — bounded, test-fixture
     I/O (real WARC comes FROM the crawler); the graded chain itself is
     the distributed scan."""
+    import hashlib
     import os
     import tempfile
 
@@ -1354,7 +1365,14 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     rows = d.select("doc_id", "source", "text").collect()
-    tmp = tempfile.mkdtemp(prefix="q_warc_extract_")
+    # ONE stable fixture dir per sf_dir, overwritten each invocation —
+    # repeated grading/bench runs must not accumulate corpus-sized
+    # copies under /tmp (round-7 review finding)
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        "q_warc_extract_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(tmp, exist_ok=True)
     fixture = []
     for r in rows:
         payload = (

@@ -192,6 +192,12 @@ def q_stream_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is bounded by (watermark horizon x groups); the memory sink
     holds only the final (day, event_type) aggregate rows."""
     path = f"{sf_dir}/events.parquet"
+    # mirror t()'s events timestamp seam exactly (registry.t handles
+    # NANOS-as-long / NTZ / instant); reading the schema through the
+    # same conf means a nanos-encoded fixture arrives as bigint here
+    # and gets the same div-1000 conversion — a bare cast would
+    # misread nanos as seconds (round-7 review finding)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # the streaming file source wants a DIRECTORY: point it at sf_dir
     # with a glob filter so only the events file replays
@@ -200,6 +206,8 @@ def q_stream_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         # NTZ micros -> session-UTC instant, same normalization t()
         # applies on the batch path

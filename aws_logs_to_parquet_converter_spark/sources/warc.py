@@ -113,7 +113,17 @@ def _detect_version(spark: SparkSession, path: str) -> str:
     if head[:2] == b"\x1f\x8b":  # gzip member: peek the DECODED head
         import zlib
 
-        head = zlib.decompressobj(wbits=31).decompress(head, 16)
+        try:
+            head = zlib.decompressobj(wbits=31).decompress(head, 16)
+        except zlib.error:
+            # a corrupt gzip head is a CONTENT problem, not an I/O
+            # problem: warn-and-fallback (the scan itself will surface
+            # the corruption per record), do not abort the whole read
+            warnings.warn(
+                f"warc version peek: {first} has an undecodable gzip "
+                "head; assuming WARC/1.0 (pin version= to override)"
+            )
+            return "1.0"
     import re
 
     m = re.match(rb"WARC/(1\.[01])", head)

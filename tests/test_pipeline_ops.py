@@ -808,3 +808,51 @@ def test_c4_rules_battery(spark):
     assert got[8].keep and got[8].n_kept_lines == 1  # sentences counted, not lines
     for i in range(2, 8):
         assert not got[i].keep, i
+
+
+def test_c4_hardened_edges_crlf_badwords_null(spark):
+    """The round-7 review's C4 edge classes: CRLF lines keep their
+    terminal punctuation in BOTH engines (explicit \\r? anchor), a
+    blocklist entry carrying regex metacharacters matches literally
+    (escaped, never a silent no-op or a PatternSyntaxException), an
+    EMPTY blocklist disables the rule instead of crashing, and NULL
+    text behaves as the empty page."""
+    import duckdb
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        c4_badword_hit,
+        c4_page_flags,
+    )
+
+    line = "this sentence has more than five words in it."
+    crlf = "\r\n".join([line] * 3)
+    df = spark.createDataFrame(
+        [(1, crlf), (2, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in c4_page_flags(df, "doc_id", "text").collect()}
+    assert got[1].keep and got[1].n_kept_lines == 3
+    assert got[2].keep is False and got[2].n_kept_lines == 0
+    assert got[2].cleaned_text == ""
+
+    # cross-engine: DuckDB RE2 with the same \r? anchor keeps the line
+    con = duckdb.connect()
+    (n,) = con.execute(
+        """SELECT len(list_filter(string_split(?, chr(10)),
+                  x -> regexp_matches(trim(x), '[.!?"]\\r?$')
+                   AND len(regexp_extract_all(x, '[^ \\t\\r\\n\\f\\x0b]+')) >= 5))""",
+        [crlf],
+    ).fetchone()
+    assert n == 3
+
+    # metacharacter blocklist entry: matches literally, never compiles wrong
+    hits = spark.createDataFrame(
+        [(1, "he said a$$ loudly"), (2, "ordinary assessment text")],
+        "i long, text string",
+    ).select("i", c4_badword_hit(F.col("text"), ["a$$"]).alias("hit")).collect()
+    got2 = {r.i: r.hit for r in hits}
+    assert got2[1] is True and got2[2] is False
+    # empty blocklist: constant-False rule, no crash
+    empty = spark.createDataFrame([(1, "anything")], "i long, text string").select(
+        c4_badword_hit(F.col("text"), []).alias("hit")
+    ).first()
+    assert empty.hit is False
