@@ -343,3 +343,31 @@ def test_warc_embedded_boundary_recovers_via_stitch(spark, tmp_path):
                for r in w.read_warc_records(spark, p, stitch=False).collect()}
     assert flagged["<urn:b>"].payload_length_ok is False
     assert flagged["<urn:c>"].payload_length_ok is False
+
+
+def test_warc_gzip_stitch_recovery(spark, tmp_path):
+    """Boundary-embedded payload recovery works through the gzip path
+    too (one task per .gz file — the per-file window's natural
+    granularity on real Common Crawl inputs)."""
+    import gzip
+
+    import aws_logs_to_parquet_converter_spark.sources.warc as w
+
+    sep = "\r\n\r\nWARC/1.0\r\n"
+    rows = [
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:g1>"},
+         "head piece" + sep + "tail piece"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:g2>"}, "plain"),
+    ]
+    plain = str(tmp_path / "x.warc")
+    w.write_warc(rows, plain)
+    gz = str(tmp_path / "x.warc.gz")
+    with open(plain, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    import os
+    os.remove(plain)
+
+    got = {r.warc_record_id: r for r in w.read_warc_records(spark, gz).collect()}
+    assert got["<urn:g1>"].payload == "head piece" + sep + "tail piece"
+    assert got["<urn:g1>"].payload_length_ok
+    assert got["<urn:g2>"].payload == "plain"
