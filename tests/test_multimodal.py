@@ -478,3 +478,64 @@ def test_malformed_png_quarantines_not_crashes(spark):
     # the white/black 2x1 PNG and the identical P3 land the SAME feature
     assert feats["png-ok"] == feats["ppm-ok"]
     assert feats["png-ok"][0] == 0.5 and feats["png-ok"][multimodal.FEATURE_DIM - 1] == 0.5
+
+
+def test_decode_png_property_filter_inversion():
+    """Property: for ANY pixel content, any per-row filter choice, and
+    any supported color type, the decoder inverts the spec's forward
+    filter exactly (the test applies the filter equations forward;
+    decode must reproduce the raw samples)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def forward(rows, filters, bpp):
+        raw = b""
+        prev = [0] * len(rows[0])
+        for r, f in zip(rows, filters):
+            line = bytearray()
+            for i, x in enumerate(r):
+                a = r[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = [0, a, b, (a + b) // 2,
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)][f]
+                line.append((x - pred) & 0xFF)
+            raw += bytes([f]) + bytes(line)
+            prev = r
+        return raw
+
+    CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 5), st.integers(1, 5),
+        st.sampled_from([0, 2, 4, 6]),
+        st.data(),
+    )
+    def run(w, h, color, data):
+        bpp = CHANNELS[color]
+        rows = [
+            [data.draw(st.integers(0, 255)) for _ in range(w * bpp)]
+            for _ in range(h)
+        ]
+        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        raw = forward(rows, filters, bpp)
+        gw, gh, maxval, vals = multimodal.decode_png(
+            _png_from_raw(w, h, color, raw)
+        )
+        assert (gw, gh, maxval) == (w, h, 255)
+        # reconstruct expected flat RGB from the raw samples
+        flat = [v for r in rows for v in r]
+        if color == 2:
+            exp = flat
+        elif color == 6:
+            exp = [flat[i + j] for i in range(0, len(flat), 4) for j in range(3)]
+        elif color == 0:
+            exp = [v for v in flat for _ in range(3)]
+        else:  # 4: gray+alpha
+            exp = [flat[i] for i in range(0, len(flat), 2) for _ in range(3)]
+        assert vals == exp
+
+    run()
