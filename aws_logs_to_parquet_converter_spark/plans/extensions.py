@@ -30,7 +30,7 @@ _DUCK_SW_RATIO = (
 # The BPE-ish pretokenizer pattern as a DuckDB SQL string literal
 # (embedded quote doubled).  Must stay byte-identical to
 # textstats.BPE_TOKEN_PATTERN — asserted in test_pipeline_ops.
-from aws_logs_to_parquet_converter_spark.operators.textstats import BPE_TOKEN_PATTERN
+from aws_logs_to_parquet_converter_spark.operators.textstats import BPE_TOKEN_PATTERN, WS_PLUS
 
 _BPE_SQL_LIT = "'" + BPE_TOKEN_PATTERN.replace("'", "''") + "'"
 
@@ -1468,6 +1468,36 @@ def q_cms_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cms = sk.count_min_build(toks, "tok", depth=4, width=4096)
     return sk.count_min_estimate(cms, toks, "tok", depth=4, width=4096)
+
+
+@query(
+    "q_approx_top_k",
+    oracle=f"""
+    SELECT tok AS token, COUNT(*) AS est_count FROM (
+        SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+    GROUP BY tok
+    """,
+)
+def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (the builtin ``approx_top_k``, Spark 4) —
+    the fourth sketch in the family next to HLL, GK, and count-min:
+    ONE bounded-state aggregate replaces the full groupBy for "top
+    terms per shard" accounting, mergeable where exact counting
+    re-shuffles raw keys.  Graded in the EXACT regime (k and
+    maxItemsTracked far above the fixture vocabulary, so every
+    distinct token comes back with its exact count and the grade is
+    tie-order-immune — the result is the full frequency table, not a
+    tie-broken prefix); the heavy-hitter sketch regime
+    (maxItemsTracked << distinct) is pytest-checked instead."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), WS_PLUS)).alias("tok")
+    ).where(F.col("tok") != "")
+    top = toks.agg(F.expr("approx_top_k(tok, 10000, 100000)").alias("_t"))
+    return top.select(F.explode("_t").alias("e")).select(
+        F.col("e.item").alias("token"),
+        F.col("e.count").alias("est_count"),
+    )
 
 
 @query("q_hll_distinct_rollup")  # rows-only: HLL estimates are engine-specific

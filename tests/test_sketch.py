@@ -67,3 +67,25 @@ def test_approx_percentile_sketch_regime_rank_error_bound(spark):
         assert lo - tol <= target <= hi + tol, (
             f"p={p}: value {got} spans ranks [{lo},{hi}], target {target}"
         )
+
+
+def test_approx_top_k_sketch_regime_surfaces_heavy_hitters(spark):
+    """approx_top_k with tracked slots far below the distinct count
+    (the 100 TB accounting regime) must still surface the heavy
+    hitters — presence plus a not-below-truth estimate (bounded-state
+    frequent-items sketches never undercount a tracked item); the
+    exact regime (slots >= distinct) is oracle-graded by
+    q_approx_top_k."""
+    from pyspark.sql import functions as F
+
+    rows = [("heavy",)] * 500 + [("mid",)] * 80 + [
+        (f"light{i}",) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "x string").repartition(8)
+    (top,) = df.agg(F.expr("approx_top_k(x, 3, 16)")).first()
+    items = {e["item"]: e["count"] for e in top}
+    assert "heavy" in items and items["heavy"] >= 500
+    assert "mid" in items and items["mid"] >= 80
+    # the sketch may return FEWER than k items when merged partials
+    # cannot certify a third heavy hitter — never more than k
+    assert len(items) <= 3
