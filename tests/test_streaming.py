@@ -159,3 +159,41 @@ def test_stream_dedup(spark, tmp_path):
     assert got.count() <= parsed_batch  # no more than one file's worth
     # every surviving request_id is unique
     assert got.count() == got.select("request_id").distinct().count()
+
+
+def test_stream_daily_events_handles_nanos_fixture(spark, tmp_path):
+    """q_stream_daily_events mirrors t()'s timestamp seam: a
+    NANOS-encoded events fixture (which the vectorized reader rejects
+    and the legacy conf surfaces as bigint) must aggregate into the
+    same day buckets as a micros fixture — a bare cast would read
+    nanos as SECONDS and scatter the windows across millennia."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_logs_to_parquet_converter_spark.plans import REGISTRY
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = {
+        "event_id": list(range(6)),
+        "ts": [base + datetime.timedelta(hours=6 * i) for i in range(6)],
+        "user_id": [1] * 6,
+        "event_type": ["view"] * 6,
+        "value": [1.0] * 6,
+        "props": ["{}"] * 6,
+    }
+    table = pa.table(
+        {
+            **rows,
+            "ts": pa.array(rows["ts"], type=pa.timestamp("ns")),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(table, f"{sf_dir}/events.parquet")
+
+    out = REGISTRY["q_stream_daily_events"].builder(spark, sf_dir)
+    got = {(r.day, r.event_type): r.n_events for r in out.collect()}
+    # 6 events at 6h spacing from Mar 1 12:00 -> days 1,1,2,2,2,2... :
+    # 12:00,18:00 on Mar 1; 00:00,06:00,12:00,18:00 on Mar 2
+    assert got == {("2024-03-01", "view"): 2, ("2024-03-02", "view"): 4}, got
