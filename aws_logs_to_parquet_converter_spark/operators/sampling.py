@@ -31,6 +31,18 @@ def _order_key(key: Column, seed: int) -> Column:
     return F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}")))
 
 
+def _hex_threshold(x: float) -> str:
+    """A unit-interval value as the 8-hex-char threshold its md5
+    prefix compares against — the ONE clamp both mix_sources and
+    assign_splits use (clamped to 8 chars: a 9-char '100000000' would
+    compare lexicographically BELOW '40000000' and invert the
+    filter); >= 1.0 returns 'g', which sorts above every hex digit
+    (keep-all)."""
+    if x >= 1.0:
+        return "g"
+    return format(min(max(0, int(x * 0x1_0000_0000)), 0xFFFFFFFF), "08x")
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,
@@ -42,7 +54,9 @@ def stratified_sample(
     the stratum is smaller), deterministic in (key, seed).
 
     One window over the stratum: rank rows by the md5 hash of their
-    key and keep the first n.  At 100 TB this is a single shuffle on
+    key and keep the first n.  ``key_col`` must be unique per row (an
+    id) — duplicate keys tie on both sort terms and the boundary pick
+    would fall to partition order, breaking the determinism contract.  At 100 TB this is a single shuffle on
     the stratum key; if one stratum dominates, AQE's skew handling
     splits it (ranking within a stratum still needs its rows together
     — same requirement as any per-group top-k)."""
@@ -75,12 +89,15 @@ def chunk_documents(
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     step = chunk_chars - overlap
-    n = F.length(F.col(text_col))
+    # NULL text would make the sequence() bound NULL and explode() drop
+    # the document entirely — coalesce to the empty doc the docstring
+    # promises (one empty chunk)
+    n = F.length(F.coalesce(F.col(text_col), F.lit("")))
     n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)).cast("int")
     return df.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_i"),
-        F.col(text_col).alias("_t"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
     ).select(
         id_col,
         F.col("_i").alias("chunk_idx"),
@@ -111,16 +128,9 @@ def mix_sources(
     literal CASE.  Rate 1.0 keeps everything (threshold above the hex
     alphabet); rate 0.0 drops the source."""
 
-    def threshold(rate: float) -> str:
-        if rate >= 1.0:
-            return "g"  # sorts above every hex digit -> keep all
-        # clamp to 8 hex chars: a 9-char "100000000" would compare
-        # lexicographically BELOW "40000000" and invert the filter
-        return format(min(max(0, int(rate * 0x1_0000_0000)), 0xFFFFFFFF), "08x")
-
-    cond = F.lit(threshold(default_rate))
+    cond = F.lit(_hex_threshold(default_rate))
     for src, rate in sorted(rates.items()):
-        cond = F.when(F.col(source_col) == src, F.lit(threshold(rate))).otherwise(cond)
+        cond = F.when(F.col(source_col) == src, F.lit(_hex_threshold(rate))).otherwise(cond)
     unit = F.substring(_order_key(F.col(key_col), seed), 1, 8)
     return df.where(unit < cond)
 
@@ -138,7 +148,17 @@ def pack_sequences(
 
     Returns the input plus (n_tokens, start_offset, bin_id)."""
     tok = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
-    w = Window.partitionBy(group_col).orderBy(id_col)
+    # ROWS frame, not the default RANGE frame: under RANGE, rows with
+    # DUPLICATE ids are frame peers and each would receive a cumulative
+    # sum including the other's tokens — overlapping offsets that break
+    # the bin-budget invariant (round-7 review finding).  With ROWS,
+    # duplicate ids still pack disjointly (their relative order is then
+    # input-order, so unique ids remain the determinism contract).
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(tok).over(w)
     start = (cum - tok).cast("long")
     return df.select(
@@ -273,7 +293,7 @@ def assign_splits(
     cum = 0.0
     for lbl in labels[:-1]:
         cum += splits[lbl]
-        thr = format(min(max(0, int(cum * 0x1_0000_0000)), 0xFFFFFFFF), "08x")
+        thr = _hex_threshold(cum)
         case = F.when(unit < F.lit(thr), F.lit(lbl))
         expr = case if expr is None else expr.when(unit < F.lit(thr), F.lit(lbl))
     final = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
@@ -363,7 +383,6 @@ def write_training_shards(
     ]
     import json
 
-    spark = df.sparkSession
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(f"{dest}/_manifest.json")
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())

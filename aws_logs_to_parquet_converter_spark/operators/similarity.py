@@ -52,7 +52,15 @@ def _norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+    """Cosine similarity with the zero-norm guard: 0/0 is NaN, and
+    Spark orders NaN ABOVE every number, so an unguarded NaN would
+    pass every `sim >= t` filter and rank first in every top-k (a
+    failed/padded all-zero embedding would become everyone's nearest
+    neighbor).  nanvl pins it to 0.0 — matching pandas_cosine's
+    explicit guard, so the two paths really do agree."""
+    return F.nanvl(
+        _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim)), F.lit(0.0)
+    )
 
 
 # public aliases (callers precomputing per-side norms use these)
@@ -131,10 +139,13 @@ def cosine_topk(
 
 
 def hyperplane_signatures(
-    df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
+    vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
 ) -> Column:
     """Random-hyperplane (SRP) LSH bit signature as a bigint column
-    expression: bit i = sign(v . r_i).  cos-similar vectors collide
+    EXPRESSION — a pure column factory (it binds to whatever DataFrame
+    it is selected against; the old DataFrame parameter was never used
+    and only implied a binding that did not exist): bit i =
+    sign(v . r_i).  cos-similar vectors collide
     with probability 1 - theta/pi per bit."""
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
@@ -172,7 +183,10 @@ def kmeans_cell_centroids(
     import numpy as np
 
     rows = (
-        corpus.select(vec_col)
+        # NULL embeddings would crash list(None) here and np.asarray in
+        # the assignment UDF — they carry no geometry, exclude them
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(sample_n)
         .collect()
@@ -241,6 +255,9 @@ def cosine_topk_ivf(
     a subset of the exact result, recall grows with nprobe.
     """
     cents = kmeans_cell_centroids(corpus, id_col, vec_col, n_cells, sample_n, seed=seed)
+    # NULL embeddings can't be assigned or scored: exclude them from
+    # the candidate path (semantic_dedup applies the same rule)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -372,7 +389,11 @@ def cosine_neardup_pairs(
         _norm(F.col(vec_col), dim).alias("_nrm"),
     )
     pairs = blocked_all_pairs(base, "_nid", n_blocks, seed)
-    sim = _dot(F.col("_v_l"), F.col("_v_r"), dim) / (F.col("_nrm_l") * F.col("_nrm_r"))
+    sim = F.nanvl(  # zero-norm guard: see cosine()
+        _dot(F.col("_v_l"), F.col("_v_r"), dim)
+        / (F.col("_nrm_l") * F.col("_nrm_r")),
+        F.lit(0.0),
+    )
     return pairs.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= threshold)
 
 
@@ -456,11 +477,17 @@ def semantic_dedup(
         # exact-mode literal cell at sf0.1).  ~(id + vec + norm + cell)
         # per row cached — the corpus's own width, the same trade the
         # paper's pipeline makes by writing cluster ids to disk.
-        # Callers who must not cache (memory-tight executors) pass
-        # False and pay the second pass.
+        # Callers who must not cache (memory-tight executors) or who
+        # cycle MANY corpora through one long-lived session (each call
+        # caches its own assignment until spark.catalog.clearCache())
+        # pass False and pay the second pass.
         base = base.persist()
     pairs = blocked_all_pairs(base, "_sid", n_blocks, seed, key_cols=["_cell"])
-    sim = _dot(F.col("_v_l"), F.col("_v_r"), dim) / (F.col("_nrm_l") * F.col("_nrm_r"))
+    sim = F.nanvl(  # zero-norm guard: see cosine()
+        _dot(F.col("_v_l"), F.col("_v_r"), dim)
+        / (F.col("_nrm_l") * F.col("_nrm_r")),
+        F.lit(0.0),
+    )
     drops = (
         pairs.where(sim >= threshold)
         .select(F.col("id_b").alias(id_col))
@@ -492,12 +519,12 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        hyperplane_signatures(queries, vec_col, dim, n_planes, seed).alias("_qsig"),
+        hyperplane_signatures(vec_col, dim, n_planes, seed).alias("_qsig"),
     )
     c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        hyperplane_signatures(corpus, vec_col, dim, n_planes, seed).alias("_csig"),
+        hyperplane_signatures(vec_col, dim, n_planes, seed).alias("_csig"),
     )
     hamming = F.bit_count(F.col("_qsig").bitwiseXOR(F.col("_csig")))
     scored = (
@@ -577,6 +604,9 @@ def save_ivf_index(
     Arrow matmul) plus the partitioned write's exchange; every query
     batch after that touches only its probed cells."""
     spark = corpus.sparkSession
+    # NULL embeddings have no cell: exclude them from the index (the
+    # same rule the in-memory IVF and semantic_dedup apply)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     cents = kmeans_cell_centroids(corpus, id_col, vec_col, n_cells, sample_n, seed=seed)
     cent_rows = [(i, [float(v) for v in cents[i]]) for i in range(len(cents))]
     (
