@@ -52,14 +52,20 @@ def _norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity with the zero-norm guard: 0/0 is NaN, and
-    Spark orders NaN ABOVE every number, so an unguarded NaN would
-    pass every `sim >= t` filter and rank first in every top-k (a
-    failed/padded all-zero embedding would become everyone's nearest
-    neighbor).  nanvl pins it to 0.0 — matching pandas_cosine's
-    explicit guard, so the two paths really do agree."""
-    return F.nanvl(
-        _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim)), F.lit(0.0)
+    """Cosine similarity with the zero-norm guard: under ANSI mode
+    (this engine's default) a zero divisor THROWS DIVIDE_BY_ZERO and
+    kills the task — one failed/padded all-zero embedding would abort
+    a corpus-wide job; with ANSI off it yields NaN, which Spark orders
+    ABOVE every number, silently making the zero vector everyone's
+    rank-1 neighbor.  try_divide + coalesce pins both failure modes to
+    0.0 — matching pandas_cosine's explicit guard, so the two paths
+    really do agree."""
+    return F.coalesce(
+        F.nanvl(
+            F.try_divide(_dot(a, b, dim), _norm(a, dim) * _norm(b, dim)),
+            F.lit(0.0),
+        ),
+        F.lit(0.0),
     )
 
 
@@ -146,7 +152,11 @@ def hyperplane_signatures(
     it is selected against; the old DataFrame parameter was never used
     and only implied a binding that did not exist): bit i =
     sign(v . r_i).  cos-similar vectors collide
-    with probability 1 - theta/pi per bit."""
+    with probability 1 - theta/pi per bit.  ``n_planes`` caps at 63:
+    bit 64 would wrap shiftleft's shift count mod 64 and silently
+    OR-collide with bit 0, corrupting every hamming distance."""
+    if not 1 <= n_planes <= 63:
+        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
     bits = []
@@ -389,9 +399,14 @@ def cosine_neardup_pairs(
         _norm(F.col(vec_col), dim).alias("_nrm"),
     )
     pairs = blocked_all_pairs(base, "_nid", n_blocks, seed)
-    sim = F.nanvl(  # zero-norm guard: see cosine()
-        _dot(F.col("_v_l"), F.col("_v_r"), dim)
-        / (F.col("_nrm_l") * F.col("_nrm_r")),
+    sim = F.coalesce(  # zero-norm guard (ANSI divide-by-zero): see cosine()
+        F.nanvl(
+            F.try_divide(
+                _dot(F.col("_v_l"), F.col("_v_r"), dim),
+                F.col("_nrm_l") * F.col("_nrm_r"),
+            ),
+            F.lit(0.0),
+        ),
         F.lit(0.0),
     )
     return pairs.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= threshold)
@@ -483,9 +498,14 @@ def semantic_dedup(
         # pass False and pay the second pass.
         base = base.persist()
     pairs = blocked_all_pairs(base, "_sid", n_blocks, seed, key_cols=["_cell"])
-    sim = F.nanvl(  # zero-norm guard: see cosine()
-        _dot(F.col("_v_l"), F.col("_v_r"), dim)
-        / (F.col("_nrm_l") * F.col("_nrm_r")),
+    sim = F.coalesce(  # zero-norm guard (ANSI divide-by-zero): see cosine()
+        F.nanvl(
+            F.try_divide(
+                _dot(F.col("_v_l"), F.col("_v_r"), dim),
+                F.col("_nrm_l") * F.col("_nrm_r"),
+            ),
+            F.lit(0.0),
+        ),
         F.lit(0.0),
     )
     drops = (

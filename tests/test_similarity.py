@@ -283,3 +283,49 @@ def test_semantic_dedup_auto_cells(spark, vecs):
     explicit = {r.vec_id for r in similarity.semantic_dedup(
         df, threshold=0.3, n_cells=4, sample_n=100, dim=8).collect()}
     assert auto == explicit  # ceil(100/25) == 4
+
+
+def test_zero_norm_embedding_never_wins(spark):
+    """The NaN guard: an all-zero embedding (failed/padded vector) has
+    cosine 0.0 against everything — under the old unguarded 0/0 = NaN,
+    Spark's NaN-sorts-largest semantics made it every query's rank-1
+    neighbor and a 'near duplicate' of every row."""
+    from aws_logs_to_parquet_converter_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = sim.cosine_topk(emb, emb.where("vec_id = 0"), k=2)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in top.collect()}
+    assert got[(0, 1)][0] == 1                    # the real neighbor wins
+    assert got[(0, 2)] == (2, 0.0)                # zero vector scores 0.0, never NaN
+
+    pairs = sim.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.5, dim=4)
+    pair_ids = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 2) not in pair_ids and (1, 2) not in pair_ids
+    assert (0, 1) in pair_ids
+
+    kept = sim.semantic_dedup(emb, threshold=0.5, n_cells=1, dim=4)
+    assert sorted(r.vec_id for r in kept.collect()) == [0, 2]  # 1 drops; 2 survives
+
+
+def test_ivf_excludes_null_embeddings_and_rejects_wide_planes(spark):
+    """NULL embeddings must not crash the IVF assignment UDF (they are
+    excluded from index and candidates); n_planes > 63 is rejected
+    instead of silently wrapping shiftleft and corrupting hamming
+    distances."""
+    import pytest as _pytest
+
+    from aws_logs_to_parquet_converter_spark.operators import similarity as sim
+
+    rows = [(i, [float(i), 1.0]) for i in range(8)] + [(99, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.cosine_topk_ivf(emb, emb.where("vec_id = 0"), k=3, n_cells=2, nprobe=2)
+    ids = {r.neighbor_id for r in out.collect()}
+    assert 99 not in ids and len(ids) > 0
+
+    with _pytest.raises(ValueError, match="n_planes"):
+        sim.hyperplane_signatures("embedding", dim=2, n_planes=64)
