@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from aws_logs_to_parquet_converter_spark.operators.textstats import WS_PLUS
+from aws_logs_to_parquet_converter_spark.operators.textstats import WS_PLUS, normalized_text
 
 from aws_logs_to_parquet_converter_spark.operators.partitioning import fan_out as _fan_out
 
@@ -43,8 +43,9 @@ _P = (1 << 31) - 1
 
 
 def _normalized(text: Column) -> Column:
-    """Lowercase, whitespace-collapsed content key."""
-    return F.trim(F.regexp_replace(F.lower(text), WS_PLUS, " "))
+    """Lowercase, whitespace-collapsed content key — delegates to
+    textstats.normalized_text (ONE definition; fingerprint parity)."""
+    return normalized_text(text)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -57,9 +58,16 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     a 10-billion-doc corpus); callers needing certainty add
     ``md5(text)`` as a second group key or verify within groups — the
     digest only CO-LOCATES candidates, so a verification pass is a
-    narrow within-group comparison, never a second full shuffle."""
+    narrow within-group comparison, never a second full shuffle.
+
+    NULL text is unknown content, not identical content (the module
+    rule _keep_first enforces): NULL rows are excluded from the report
+    — the old behavior collapsed every NULL-text row into one bogus
+    'byte-identical' group whose collect_list could hold the whole
+    NULL population in a single task."""
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("_digest"))
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.xxhash64(F.col(text_col)).alias("_digest"))
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count("*").alias("n_copies"),
@@ -74,8 +82,10 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     """Near-exact dedup on a normalized md5 fingerprint — catches
     case/whitespace variants that byte-equality misses."""
     fp = F.md5(_normalized(F.col(text_col)))
+    # same NULL rule as exact_duplicates: unknown content never groups
     return (
-        df.groupBy(fp.alias("fingerprint"))
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(fp.alias("fingerprint"))
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
         .where(F.col("n_copies") > 1)
     )
@@ -180,13 +190,15 @@ def dedup_against_corpus(
 
     ``bloom`` (a ``digest_bloom`` built over ``corpus_digests``; the
     filter carries its own parameters, so build and probe cannot
-    disagree) short-circuits the anti join: rows the broadcast bitmap
-    rules out are definitely new and skip the corpus-digest exchange
-    entirely; only possible-present rows (the overlap plus the bounded
-    false-positive slice) pay the exact verification.  The result is
-    IDENTICAL with or without the filter — false positives are caught
-    by the anti join — so the knob is pure shuffle avoidance for the
-    daily case where most content is genuinely new.
+    disagree) short-circuits the verification: rows the broadcast
+    bitmap rules out are definitely new — the anti-join condition is
+    constant-false for them, so they stream through without matching
+    corpus state; only possible-present rows (the overlap plus the
+    bounded false-positive slice) pay the exact digest comparison.
+    The result is IDENTICAL with or without the filter — false
+    positives are caught by the anti join — so the knob prunes
+    verification work for the daily case where most content is
+    genuinely new.
     """
     batch_digest = F.coalesce(
         F.md5(F.col(text_col)),
@@ -194,11 +206,19 @@ def dedup_against_corpus(
     )
     staged = new_batch.withColumn("_d", batch_digest)
     if bloom is not None:
+        # ONE conditional anti join, not a where/where union: the
+        # union form evaluated the probed batch TWICE (each branch
+        # re-ran the scan and all k broadcast probe joins — the same
+        # double-evaluation this function's keep-first rewrite
+        # removed; measured 0.89s -> 0.56s warm at sf1).  The anti
+        # condition `digest match AND maybe-present` keeps every
+        # definitely-new row untouched (the condition is false for
+        # all corpus rows) while maybe-rows verify exactly.
         flagged = bloom_maybe_present(staged, bloom, "_d")
-        verified = flagged.where(F.col("_maybe")).join(
-            corpus_digests.select(F.col(digest_col).alias("_d")), "_d", "left_anti"
-        )
-        fresh = flagged.where(~F.col("_maybe")).unionByName(verified).drop("_maybe")
+        cd = corpus_digests.select(F.col(digest_col).alias("_cd"))
+        fresh = flagged.join(
+            cd, (F.col("_d") == F.col("_cd")) & F.col("_maybe"), "left_anti"
+        ).drop("_maybe")
     else:
         fresh = staged.join(
             corpus_digests.select(F.col(digest_col).alias("_d")), "_d", "left_anti"
@@ -364,7 +384,18 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> 
     """
     norm = _normalized(F.col(text_col))
     return (
-        _fan_out(df.select(F.col(id_col).alias("_id"), norm.alias("_nt")), "_id")
+        # NULL/empty text emits NO shingles: substring(NULL)/substring('')
+        # would hash to a per-class CONSTANT, giving every contentless doc
+        # an identical signature — m such docs then meet in every LSH band
+        # and the candidate join degenerates to the O(m^2) blowup the
+        # sketch exists to avoid (round-7 review finding).  Contentless
+        # docs simply have no signature (unknown content never pairs).
+        _fan_out(
+            df.select(F.col(id_col).alias("_id"), norm.alias("_nt")).where(
+                F.col("_nt").isNotNull() & (F.col("_nt") != "")
+            ),
+            "_id",
+        )
         .select(
             "_id",
             "_nt",
@@ -586,10 +617,17 @@ def minhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(num_hashes)
-    ).alias("est_jaccard")
+    # unrolled per-slot equality, NOT zip_with/filter: the estimate is
+    # evaluated PER CANDIDATE PAIR, exactly the hot-path class where
+    # PERF.md measured interpreted array HOFs ~5x slower than codegen
+    # expressions (num_hashes is a build-time literal, so the unroll
+    # is num_hashes fused comparisons inside wholestage codegen)
+    agree = F.lit(0)
+    for i in range(1, num_hashes + 1):
+        agree = agree + (
+            F.element_at("sig_a", i) == F.element_at("sig_b", i)
+        ).cast("int")
+    est = (agree / F.lit(num_hashes)).alias("est_jaccard")
     return pairs.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
 
 
@@ -751,6 +789,13 @@ def connected_components(
     shallow, typically 2-3).  This is the transitive-closure step that
     turns pairwise candidates into dedup groups; genuinely iterative,
     hence no SQL oracle (differential-tested on known graphs).
+
+    Exhausting ``max_iter`` without converging RAISES: an unconverged
+    label table is silently WRONG (a long chain would split into
+    several components and dedup_keep_list would keep extra
+    'canonical' duplicates with no indication anything failed — the
+    round-7 review finding).  Diameter > 20 means a pathological
+    chain-shaped cluster; raise ``max_iter`` explicitly for it.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -787,8 +832,12 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(graph diameter exceeds max_iter); the partial labels would be "
+        "silently wrong — raise max_iter"
+    )
 
 
 def dedup_keep_list(
@@ -842,7 +891,17 @@ def simhash_near_duplicates(
         )
     width = 64 // bands
     mask = (1 << width) - 1
-    sigs = simhash(df, id_col, text_col).select(
+    # contentless (NULL/empty/whitespace-only) docs all carry the
+    # coalesced simhash 0 — banding them would put m such docs into
+    # the same bucket in EVERY band, an O(m^2) clique of bogus
+    # hamming-0 pairs (round-7 review finding).  Unknown content never
+    # near-dups: exclude them from the pair space (exact dedup owns
+    # genuinely-identical empties).
+    scorable = df.where(
+        _normalized(F.col(text_col)).isNotNull()
+        & (_normalized(F.col(text_col)) != "")
+    )
+    sigs = simhash(scorable, id_col, text_col).select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("_sig")
     )
     band_structs = F.array(
@@ -895,10 +954,18 @@ def drop_repeated_lines(
     back -> ordered reassembly per document, rejoined to the input so
     a document whose every line was boilerplate survives as an empty
     string (rows are never lost — downstream length filters decide its
-    fate).  Lines with fewer than ``min_chars`` after trimming
-    (blank/formatting lines) are exempt: deduping them would strip
-    every blank line in the corpus after the first.  NULL text passes
-    through untouched.
+    fate).  Lines with fewer than ``min_chars`` after stripping ALL
+    whitespace (blank/formatting lines — including CRLF remnants like
+    a lone ``\r`` and tab-only lines, which ``trim()`` would NOT
+    catch since it strips spaces only) are exempt: deduping them would
+    strip every blank separator in the corpus after the first and
+    merge paragraphs corpus-wide.  NULL text passes through untouched.
+
+    The dedup identity is ``md5(trim(line))`` — the destructive-drop
+    rule of this module (64-bit digests only CO-LOCATE; decisions that
+    DELETE content use the 128-bit class, same as exact_keep_first):
+    at 10^12 corpus lines an xxhash64 collision would silently delete
+    a genuinely unique line.
     """
     import re
 
@@ -911,8 +978,10 @@ def drop_repeated_lines(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep_pattern, -1)
         ).alias("_pos", "_line"),
     )
-    digest = F.xxhash64(F.trim(F.col("_line")))
-    exempt = F.length(F.trim(F.col("_line"))) < min_chars
+    digest = F.md5(F.trim(F.col("_line")))
+    exempt = (
+        F.length(F.regexp_replace("_line", r"[ \t\r\n\f\x0b]", "")) < min_chars
+    )
     keyed = lines.withColumn("_d", digest).withColumn("_ex", exempt)
     first = (
         keyed.where(~F.col("_ex"))

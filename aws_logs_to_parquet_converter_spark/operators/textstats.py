@@ -79,8 +79,16 @@ def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither word characters nor
+    whitespace.  Unicode classes, NOT \w: Java's \w is ASCII-only, so
+    a clean Cyrillic/Greek/accented document would count nearly every
+    letter as punctuation and quality_score would cap non-Latin text
+    regardless of actual quality (round-7 review finding; \p{L}\p{N}
+    matches the file's other rules)."""
     n = F.length(text)
-    stripped = F.length(F.regexp_replace(text, r"[^\w \t\r\n\f\x0b]", ""))
+    stripped = F.length(
+        F.regexp_replace(text, r"[^\p{L}\p{N}_ \t\r\n\f\x0b]", "")
+    )
     return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
 
 
@@ -112,11 +120,20 @@ def predict_lang(text: Column) -> Column:
     return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
 
 
+def normalized_text(text: Column) -> Column:
+    """THE content-normalization key (lowercased, whitespace runs
+    collapsed to single spaces, trimmed) — one definition shared by
+    ``fingerprint``, ``winnow_fingerprints``, and dedup's shingle/
+    fingerprint operators, so the documented "same key" parity between
+    the fingerprint report and the keep-set cannot drift."""
+    return F.trim(F.regexp_replace(F.lower(text), WS_PLUS, " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized whole-document md5 fingerprint — the exact-content
     key for near-exact dedup (case/whitespace variants collapse).  For
     substring-robust fingerprinting use ``winnow_fingerprints``."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(text), WS_PLUS, " ")))
+    return F.md5(normalized_text(text))
 
 
 def segment_repetition(
@@ -318,7 +335,7 @@ def winnow_fingerprints(
         raise ValueError(f"unsupported hash_fn: {hash_fn}")
     from pyspark.sql import Window
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_PLUS, " "))
+    norm = normalized_text(F.col(text_col))
     grams = (
         df.select(F.col(id_col).alias("_id"), norm.alias("_t"))
         .select(

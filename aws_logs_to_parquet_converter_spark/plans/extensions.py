@@ -380,7 +380,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                    THEN 1.0 ELSE 0.4 END) +
              (CASE WHEN {_DUCK_SW_RATIO} >= 0.05 THEN 1.0 ELSE 0.5 END) +
              (CASE WHEN length(text) > 0 AND
-                        (length(text) - length(regexp_replace(text, '[^\\w \\t\\r\\n\\f\\x0b]', '', 'g')))
+                        (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_ \\t\\r\\n\\f\\x0b]', '', 'g')))
                         / length(text) <= 0.2
                    THEN 1.0 ELSE 0.5 END)
            ) / 4.0, 4) AS quality
@@ -2003,15 +2003,17 @@ _BOILERPLATE_ORACLE = r"""
         SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS line
         FROM docs
     ), keyed AS (
-        SELECT doc_id, pos, line, trim(line) AS tl FROM lines
+        SELECT doc_id, pos, line, trim(line) AS tl,
+               regexp_replace(line, '[ \t\r\n\f\x0b]', '', 'g') AS ws
+        FROM lines
     ), ranked AS (
         SELECT doc_id, pos, line,
                row_number() OVER (PARTITION BY tl ORDER BY doc_id, pos) AS rn
-        FROM keyed WHERE length(tl) >= 1
+        FROM keyed WHERE length(ws) >= 1
     ), kept AS (
         SELECT doc_id, pos, line FROM ranked WHERE rn = 1
         UNION ALL
-        SELECT doc_id, pos, line FROM keyed WHERE length(tl) < 1
+        SELECT doc_id, pos, line FROM keyed WHERE length(ws) < 1
     ), rebuilt AS (
         SELECT doc_id,
                COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS t,

@@ -445,3 +445,68 @@ def test_fingerprint_keep_first_normalizes_and_keeps_nulls(spark):
     )
     kept = sorted(r.doc_id for r in fingerprint_keep_first(df, "doc_id", "text").collect())
     assert kept == [1, 4, 5, 6]
+
+
+def test_contentless_docs_never_pair_in_sketches(spark):
+    """The round-7 review's quadratic-clique classes: NULL/empty/
+    whitespace-only docs must produce NO minhash or simhash pairs
+    (their degenerate constant signatures used to put m such docs
+    into the same bucket in every band — an O(m^2) blowup of bogus
+    perfect matches), and exact/fingerprint duplicate REPORTS must
+    not collapse the NULL population into one group."""
+    rows = (
+        [(i, None) for i in range(5)]
+        + [(10 + i, "") for i in range(5)]
+        + [(20 + i, "   \t ") for i in range(3)]
+        + [(30, "a real document with words"), (31, "a real document with words")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh = dedup.minhash_near_duplicates(df, "doc_id", "text", num_hashes=16,
+                                       bands=4, threshold=0.1)
+    pairs = {(r.id_a, r.id_b) for r in mh.collect()}
+    assert pairs == {(30, 31)}, pairs
+
+    sh = dedup.simhash_near_duplicates(df, "doc_id", "text", bands=8, max_hamming=7)
+    spairs = {(r.id_a, r.id_b) for r in sh.collect()}
+    assert spairs == {(30, 31)}, spairs
+
+    # empty/whitespace-only texts ARE present identical content and
+    # legitimately group; the NULL rows (ids 0-4) must form NO group
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    grouped_ids = {i for g in groups for i in g.member_ids}
+    assert grouped_ids.isdisjoint(range(5)), groups
+    assert {tuple(g.member_ids) for g in groups} == {
+        (10, 11, 12, 13, 14), (20, 21, 22), (30, 31)
+    }
+    fgroups = dedup.fingerprint_duplicates(df, "doc_id", "text").collect()
+    assert all(g.canonical_id >= 10 for g in fgroups)  # no NULL-group
+
+
+def test_drop_repeated_lines_crlf_blanks_exempt(spark):
+    """CRLF corpora: a blank separator line survives as '\\r' after the
+    \\n split — it must be EXEMPT from corpus-level dedup (trim() only
+    strips spaces, so the old rule deleted every blank separator in
+    the corpus after the first and merged paragraphs)."""
+    a = "para one line.\r\n\r\npara two line.\r"
+    b = "other first para.\r\n\r\nother second para.\r"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           dedup.drop_repeated_lines(df, "doc_id", "text").collect()}
+    # both docs keep their blank separator (the '\r' line)
+    assert out[1] == a and out[2] == b
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iter must FAIL LOUDLY — the
+    partial labels would silently split one component into several and
+    dedup would keep extra 'canonical' duplicates."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+    # with enough iterations the same chain converges to one component
+    labels = dedup.connected_components(pairs, max_iter=40).collect()
+    assert {r.component for r in labels} == {0}
