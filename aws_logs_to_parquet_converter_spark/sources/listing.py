@@ -33,8 +33,18 @@ def _list_s3(root: str, prefix: str, client=None) -> list[str]:
     ``client`` is injectable so the pagination loop has executed test
     coverage without boto3 (tests drive it with a fake multi-page
     client); production passes None and gets a real boto3 client.
+
+    A root with a key-prefix component (``s3://bucket/some/prefix``)
+    splits into Bucket + leading key prefix — the old parse handed
+    boto3 the whole ``bucket/some/prefix`` string as the Bucket name
+    (invalid) and silently dropped the path segment from the listing
+    prefix (round-7 review finding; the local-filesystem branch always
+    accepted nested roots, so the two modes now agree).
     """
-    bucket = root.split("://", 1)[1].rstrip("/")
+    tail = root.split("://", 1)[1].strip("/")
+    bucket, _, key_root = tail.partition("/")
+    if key_root:
+        prefix = f"{key_root}/{prefix}"
     if client is None:  # pragma: no cover - boto3 absent in test container
         try:
             import boto3  # gated: not available in the test container

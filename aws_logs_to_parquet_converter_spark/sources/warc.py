@@ -209,7 +209,10 @@ def read_warc_records(
         cols.append(
             F.nullif(
                 # (?i): WARC/HTTP field names are case-insensitive
-                F.regexp_extract(header, rf"(?im)^{field}:\s*(.*?)\r?$", 1), F.lit("")
+                # [ \t]* not \s*: \s would cross the CRLF of an
+                # empty-valued header and capture the NEXT header line
+                # as this field's value (round-7 review finding)
+                F.regexp_extract(header, rf"(?im)^{field}:[ \t]*(.*?)\r?$", 1), F.lit("")
             ).alias(name)
         )
     raw_pay = F.when(
@@ -343,8 +346,17 @@ def warc_to_documents(
             F.col("content_type").startswith("application/http") & (blank > 0),
             F.col("payload").substr(blank + 4, F.length("payload")),
         ).otherwise(F.col("payload"))
+    # a record MISSING WARC-Record-ID must not hash NULL: Spark's hash
+    # functions return the constant seed for NULL, which would give
+    # every id-less record the SAME doc_id and downstream min-id dedup
+    # would silently collapse them (round-7 review finding); fall back
+    # to the payload's own identity
+    rid = F.coalesce(
+        F.col("warc_record_id"),
+        F.concat(F.lit("<no-record-id>:"), F.md5(F.coalesce("payload", F.lit("")))),
+    )
     return records.select(
-        F.xxhash64("warc_record_id").alias(id_col),
+        F.xxhash64(rid).alias(id_col),
         body.alias("text"),
         F.lit(None).cast("string").alias("lang"),
         F.col("target_uri").alias("source"),

@@ -41,7 +41,13 @@ def stream_documents(
     parsed = raw.select(
         "value",
         F.from_json("value", schema).alias("_s"),
-        F.try_parse_json("value").isNull().alias("_bad"),
+        # SAME probe as the batch reader (sources/jsonl.py): valid-but-
+        # non-object JSON lines (42, "x", [1,2], null) must dead-letter,
+        # not pass as all-NULL rows — try_parse_json accepts them
+        # (round-7 review finding; json_object_keys is NULL for both
+        # malformed AND non-object input, a plain row expression that
+        # works unchanged under streaming)
+        F.json_object_keys("value").isNull().alias("_bad"),
     )
     return parsed.select(
         "_s.*",
@@ -49,26 +55,39 @@ def stream_documents(
     )
 
 
-def scrub_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def scrub_stream(
+    docs: DataFrame, text_col: str = "text", replacement: str = "[PII]"
+) -> DataFrame:
     """PII-scrub a document stream: stateless column expressions, so
     the operator adds zero streaming state; clean rows only (dead
-    letters should be routed before scrubbing)."""
-    c = F.col(text_col)
-    others = [col for col in docs.columns if col not in (text_col, "_corrupt")]
-    return docs.where(F.col("_corrupt").isNull()).select(
-        *others,
-        scrub_pii(c).alias(text_col),
-        *pii_counts(c),
+    letters should be routed before scrubbing).  Delegates to the
+    batch ``scrub_corpus`` projection — ONE definition, and the
+    ``replacement`` knob the batch form exposes works here too."""
+    from aws_logs_to_parquet_converter_spark.operators.scrub import scrub_corpus
+
+    return scrub_corpus(
+        docs.where(F.col("_corrupt").isNull()).drop("_corrupt"),
+        text_col,
+        replacement,
     )
 
 
-def _content_digest(text_col: str) -> Column:
+def _content_digest(text_col: str, id_col: str = "doc_id") -> Column:
     """The stream's dedup state key.  ONE definition shared by the
     plain path and the rules path's valid branch — if these diverged,
     the same document would map to different state keys depending on
     whether rules were passed, and a checkpointed stream would stop
-    recognizing its own prior digests."""
-    return F.xxhash64(F.col(text_col))
+    recognizing its own prior digests.
+
+    NULL text gets a per-id sentinel, never a shared key: Spark's hash
+    functions return the SEED (a constant) for NULL input, so an
+    unsentineled xxhash64 would silently collapse every NULL-text
+    document into one state entry and drop the rest (round-7 review
+    finding — the batch _keep_first documents the same rule)."""
+    return F.when(
+        F.col(text_col).isNull(),
+        F.concat(F.lit("<null>"), F.col(id_col).cast("string")),
+    ).otherwise(F.xxhash64(F.col(text_col)).cast("string"))
 
 
 def dedup_stream(
@@ -178,11 +197,18 @@ def stream_corpus_ingest(
 
         tagged = scrubbed.withColumn("_violations", violations_array(rules))
         salted = F.when(
-            F.size("_violations") > 0, F.xxhash64(F.col("text"), F.lit(1))
-        ).otherwise(_content_digest("text"))
+            F.size("_violations") > 0,
+            # rejected rows: disjoint (salted) key space, same NULL
+            # sentinel (xxhash64(NULL, salt) is ALSO a constant — all
+            # NULL-text rejects would collapse to one audit row)
+            F.when(
+                F.col("text").isNull(),
+                F.concat(F.lit("<null-rej>"), F.col(id_col).cast("string")),
+            ).otherwise(F.concat(F.lit("rej:"), F.xxhash64(F.col("text"), F.lit(1)).cast("string"))),
+        ).otherwise(_content_digest("text", id_col))
         clean = dedup_stream(tagged, digest=salted)
     else:
-        clean = dedup_stream(scrubbed)
+        clean = dedup_stream(scrubbed, digest=_content_digest("text", id_col))
 
     if corpus_digests is not None:
         corpus_digests = corpus_digests.persist()
@@ -201,13 +227,19 @@ def stream_corpus_ingest(
         )
 
     def write_sink(batch_df: DataFrame, path: str, batch_id: int) -> None:
+        # caller persists frames whose lineage is expensive; the
+        # isEmpty probe on an already-persisted frame costs one
+        # cached-partition peek, not a plan re-execution
         if batch_df.isEmpty():
             return
         if exactly_once:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             (
                 batch_df.withColumn("_batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
+                # writer-scoped option, NOT spark.conf: a session-level
+                # set would leak dynamic-overwrite semantics into every
+                # later write in the session (round-7 review finding)
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
                 .parquet(path)
             )
@@ -228,14 +260,20 @@ def stream_corpus_ingest(
                 batch_df = against_corpus(
                     tagged_batch.where(F.size("_violations") == 0).drop("_violations")
                 )
+                batch_df = batch_df.persist()
                 write_sink(batch_df, dest, batch_id)
             finally:
                 tagged_batch.unpersist()
         else:
-            batch_df = against_corpus(batch_df)
+            batch_df = against_corpus(batch_df).persist()
             write_sink(batch_df, dest, batch_id)
-        if post_write_hook is not None:
-            post_write_hook(batch_df, batch_id)
+        try:
+            if post_write_hook is not None:
+                # hook runs BEFORE the final unpersist so inspecting
+                # batch_df re-reads cache, not the whole corpus plan
+                post_write_hook(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
 
     writer = clean.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -63,7 +63,21 @@ def stream_compact(
         # already guarantees each source file is processed once.  The
         # batch CLI keeps overwrite semantics because its unit of work
         # is a whole day.
-        compact(batch_df.fillna({"dt": "_dead_letter"}), dest, num_files=num_files, mode="append")
+        #
+        # Two distinct failure partitions (round-7 review finding): a
+        # line the grammar REJECTED carries error_line and goes to
+        # _dead_letter (repair jobs re-read raw lines from it); a line
+        # that PARSED but whose bracketed timestamp failed
+        # try_to_timestamp has all fields except dt — filing it with
+        # the dead letters would hand the repair job a row with no raw
+        # line to re-parse.
+        routed = batch_df.withColumn(
+            "dt",
+            F.when(F.col("dt").isNotNull(), F.col("dt"))
+            .when(F.col("error_line").isNotNull(), F.lit("_dead_letter"))
+            .otherwise(F.lit("_bad_timestamp")),
+        )
+        compact(routed, dest, num_files=num_files, mode="append")
 
     writer = parsed.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
     writer = writer.trigger(**(trigger or {"availableNow": True}))

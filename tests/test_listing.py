@@ -77,3 +77,31 @@ def test_missing_boto3_raises_not_implemented(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_boto3)
     with pytest.raises(NotImplementedError):
         listing._list_s3("s3://b", "p/")
+
+
+def test_s3_root_with_key_prefix_splits_bucket(tmp_path):
+    """s3://bucket/nested/prefix roots: Bucket is the bucket alone and
+    the nested path joins the listing prefix (the old parse handed
+    boto3 'bucket/nested/prefix' as the Bucket name and dropped the
+    path from the prefix)."""
+    from aws_logs_to_parquet_converter_spark.sources.listing import _list_s3
+
+    calls = []
+
+    class Fake:
+        def list_objects_v2(self, **kw):
+            calls.append(kw)
+            return {"Contents": [{"Key": f"{kw['Prefix']}x.log"}]}
+
+    keys = _list_s3("s3://logs/raw/region1", "server-logs/2024-01-01-", client=Fake())
+    assert calls[0]["Bucket"] == "logs"
+    assert calls[0]["Prefix"] == "raw/region1/server-logs/2024-01-01-"
+    # keys come back as full URIs on the BUCKET (key already carries
+    # the nested prefix)
+    assert keys == ["s3a://logs/raw/region1/server-logs/2024-01-01-x.log"]
+
+    # bucket-only root unchanged
+    calls.clear()
+    _list_s3("s3a://logs", "server-logs/2024-01-01-", client=Fake())
+    assert calls[0]["Bucket"] == "logs"
+    assert calls[0]["Prefix"] == "server-logs/2024-01-01-"

@@ -344,3 +344,47 @@ def test_fresh_stream_respects_existing_corpus(spark, tmp_path):
     q.awaitTermination(120)
     kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert kept == [11], f"known content re-admitted: {kept}"
+
+
+def test_stream_nonobject_json_and_null_text_sentinels(spark, tmp_path):
+    """Round-7 review classes: (a) valid-but-non-object JSON lines
+    (42, [1,2], "x") dead-letter in the STREAM exactly as in the batch
+    reader — the try_parse_json probe silently admitted them as
+    all-NULL 'clean' rows; (b) NULL-text documents each keep their own
+    per-id dedup state key — xxhash64(NULL) is the constant seed, so
+    the old key collapsed every NULL-text doc into one."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        json.dumps({"doc_id": 1, "text": "real one", "lang": "en",
+                    "source": "web", "n_chars": 8}),
+        "42",
+        "[1, 2]",
+        '"bare string"',
+        json.dumps({"doc_id": 2, "text": None, "lang": "en",
+                    "source": "web", "n_chars": 0}),
+        json.dumps({"doc_id": 3, "text": None, "lang": "en",
+                    "source": "web", "n_chars": 0}),
+    ]
+    (src / "a.jsonl").write_text("\n".join(lines))
+
+    q = corpus.stream_corpus_ingest(
+        spark, str(src / "*.jsonl"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # doc 1 plus BOTH NULL-text docs survive; the three non-object
+    # lines never become rows
+    assert ids == [1, 2, 3], ids
+
+    q2 = corpus.stream_quarantine(
+        spark, str(src / "*.jsonl"), str(tmp_path / "quar"),
+        str(tmp_path / "qckpt"), trigger={"availableNow": True},
+    )
+    q2.awaitTermination()
+    quarantined = {r.value for r in spark.read.text(str(tmp_path / "quar")).collect()}
+    assert {"42", "[1, 2]", '"bare string"'} <= quarantined

@@ -371,3 +371,28 @@ def test_warc_gzip_stitch_recovery(spark, tmp_path):
     assert got["<urn:g1>"].payload == "head piece" + sep + "tail piece"
     assert got["<urn:g1>"].payload_length_ok
     assert got["<urn:g2>"].payload == "plain"
+
+
+def test_warc_empty_header_value_and_missing_record_id(spark, tmp_path):
+    """An empty-valued header yields NULL — the old \\s* crossed the
+    CRLF and captured the NEXT header line as the value; records
+    missing WARC-Record-ID get DISTINCT payload-derived doc_ids, not
+    the shared xxhash64(NULL) constant."""
+    import aws_logs_to_parquet_converter_spark.sources.warc as w
+
+    rows = [
+        ({"WARC-Type": "response", "WARC-Target-URI": "",
+          "Content-Type": "text/plain"}, "body one"),
+        ({"WARC-Type": "response"}, "body two"),
+    ]
+    p = str(tmp_path / "h.warc")
+    w.write_warc(rows, p)
+    recs = w.read_warc_records(spark, p).collect()
+    by_payload = {r.payload: r for r in recs}
+    # empty Target-URI is NULL, NOT the next header's text
+    assert by_payload["body one"].target_uri is None
+    assert by_payload["body one"].content_type == "text/plain"
+
+    docs = w.warc_to_documents(w.read_warc_records(spark, p)).collect()
+    ids = {r.doc_id for r in docs}
+    assert len(ids) == 2  # distinct ids despite both lacking a record id
