@@ -192,11 +192,14 @@ def run_maintenance(args: argparse.Namespace) -> int:
         report = validation_report(
             df, {name: F.expr(e) for name, e in LOG_TABLE_RULES.items()}
         )
-        worst = 0.0
+        total_violations = 0
         for r in report.collect():
             print(f"{r.rule}: {r.n_violations}/{r.n_rows} ({r.violation_rate:.2%})")
-            worst = max(worst, r.violation_rate)
-        return 1 if worst > 0 else 0
+            # gate on the COUNT, not the rounded rate: 3 violations in
+            # 10M rows rounds to rate 0.0 and would exit 'healthy'
+            # (round-7 review finding)
+            total_violations += r.n_violations or 0
+        return 1 if total_violations > 0 else 0
     if args.dt:
         if args.dry_run:
             print(f"dt={args.dt}: dry run, nothing rewritten")
@@ -219,8 +222,17 @@ def run_maintenance(args: argparse.Namespace) -> int:
         if args.dry_run:
             continue
         try:
-            n = recompact_partition(spark, args.dest, f["dt"], num_files=args.num_output_files)
-            print(f"dt={f['dt']}: recompacted {n} row(s)")
+            # size-derived file count, capped by --num-output-files: a
+            # fixed count on a small partition leaves avg file size
+            # below --min-file-bytes and the next maintain pass would
+            # flag and fully rewrite it again, forever (round-7 review
+            # finding)
+            n_files = max(
+                1,
+                min(args.num_output_files, f["total_bytes"] // args.min_file_bytes),
+            )
+            n = recompact_partition(spark, args.dest, f["dt"], num_files=n_files)
+            print(f"dt={f['dt']}: recompacted {n} row(s) -> {n_files} file(s)")
         except Exception as e:  # same per-unit error policy as the daily loop
             failures += 1
             print(f"dt={f['dt']}: FAILED: {e}", file=sys.stderr)

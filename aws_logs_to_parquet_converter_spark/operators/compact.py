@@ -38,9 +38,12 @@ def compact(
     yields exactly N files (reference ``--num-output-files`` contract,
     compacter.py:337-342).
     """
-    spark = df.sparkSession
-    # Replace only the partitions present in df (idempotent day re-run).
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Replace only the partitions present in df (idempotent day
+    # re-run).  Writer-scoped option, NOT spark.conf.set: a session-
+    # level set would leak dynamic-overwrite semantics into every
+    # later write in the session — an unrelated full-table overwrite
+    # would then silently keep stale partitions (round-7 review
+    # finding; streaming/corpus.py uses the same scoped form).
     # Sort by (partition cols, sort keys): the dynamic-partition writer
     # requires a task-local sort on the partition columns; providing it
     # ourselves (prefixed) keeps rows time-ordered within each file —
@@ -50,6 +53,7 @@ def compact(
         df.repartition(num_files)
         .sortWithinPartitions(*local_sort)
         .write.option("compression", compression)
+        .option("partitionOverwriteMode", "dynamic")
         .mode(mode)
     )
     if partition_cols:
@@ -117,7 +121,10 @@ def find_fragmented_partitions(
             continue
         n = len(files)
         total = sum(f.getLen() for f in files)
-        if n > max_files or total / n < min_file_bytes:
+        # a single-file partition cannot be made less fragmented —
+        # flagging it for small average would re-flag (and re-rewrite)
+        # a genuinely small day on every maintain pass, forever
+        if n > max_files or (n > 1 and total / n < min_file_bytes):
             out.append(
                 {
                     "dt": name[len("dt="):],

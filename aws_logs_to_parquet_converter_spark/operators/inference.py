@@ -89,8 +89,19 @@ def batch_score(
                 try:
                     scores = model(chunk[text_col])
                 except Exception:
-                    scores = pd.Series([None] * len(chunk), index=chunk.index)
-                yield pd.DataFrame({id_col: chunk[id_col], "score": scores})
+                    scores = pd.Series([None] * len(chunk))
+                # build POSITIONALLY: the dict constructor aligns on
+                # pandas index, and a real model returning a fresh
+                # 0..n-1 index against chunk.iloc[256:]'s 256..511
+                # index would union to a doubled frame of NULLs
+                # (round-7 review finding; the stub preserved
+                # chunk.index so tests never hit it)
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].to_numpy(),
+                        "score": pd.Series(scores).to_numpy(dtype="object"),
+                    }
+                )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
@@ -108,5 +119,13 @@ def quality_filter_by_model(
     NULL scores (quarantined rows) are dropped — unscorable is unkept.
     """
     scores = batch_score(df, id_col, text_col, model_loader)
-    kept = scores.where(scores["score"] >= threshold).select(id_col, "score")
+    kept = (
+        scores.where(scores["score"] >= threshold)
+        .select(id_col, "score")
+        # duplicate ids (a pre-dedup corpus is the NORMAL input — the
+        # CLI runs dedup as a separate stage) must not multiply: k
+        # copies of an id would otherwise join k score rows and emit
+        # k*k output rows (round-7 review finding)
+        .dropDuplicates([id_col])
+    )
     return df.join(kept, on=id_col, how="inner")

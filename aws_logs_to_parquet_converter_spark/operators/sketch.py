@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aws_logs_to_parquet_converter_spark.operators.partitioning import fan_out
 
 
 def count_min_build(
@@ -31,7 +30,18 @@ def count_min_build(
     with exactly one row per NON-EMPTY counter (absent = 0).  Merge two
     sketches (same depth/width/seed) by unioning and summing cnt."""
     rows = df.select(F.col(key_col).alias("_k"))
-    hashed = fan_out(rows, "_k").select(
+    # round-robin fan-out, NOT hash-partitioning on the key: the skewed
+    # streams CMS targets have one value covering much of the input,
+    # and keying the repartition on it would serialize the heavy
+    # hitter onto one task; the downstream aggregate groups on
+    # (d, bucket), so key locality buys nothing (round-7 review
+    # finding).  Only applied to under-partitioned inputs — an
+    # already-parallel source keeps its partitioning (same contract as
+    # fan_out).
+    spark_defpar = rows.sparkSession.sparkContext.defaultParallelism
+    if rows.rdd.getNumPartitions() < spark_defpar:
+        rows = rows.repartition(spark_defpar)
+    hashed = rows.select(
         *[
             F.pmod(F.xxhash64("_k", F.lit(seed + d)), F.lit(width)).alias(f"_b{d}")
             for d in range(depth)

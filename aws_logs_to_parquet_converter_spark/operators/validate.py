@@ -38,7 +38,12 @@ def validation_report(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, cond in enumerate(rules.values()):
         aggs.append(
-            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(f"_v_{i}")
+            # coalesce: SUM over an EMPTY table is NULL, and the
+            # maintain CLI would print 'None/0' per rule
+            F.coalesce(
+                F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)),
+                F.lit(0),
+            ).alias(f"_v_{i}")
         )
     row = df.agg(*aggs)
     per_rule = [

@@ -102,7 +102,39 @@ def write_zordered(
         else:
             zcols.append(c)
     if isinstance(cols, dict):
-        ranges = {zc: cols[c] for c, zc in zip(names, zcols)}
+        import datetime as _dt
+
+        def _conv(c, zc, bound):
+            # explicit ranges for auto-converted date/timestamp columns
+            # must arrive in the COLUMN's natural units (date/datetime
+            # objects or ISO strings) and convert here — a caller
+            # passing epoch-seconds against the epoch-MICROS conversion
+            # would silently clamp every row to one Morton cell and
+            # kill the clustering with no error (round-7 review
+            # finding); raw numbers for converted columns are rejected.
+            if zc == c:
+                return bound  # numeric column: caller's number is the unit
+            if isinstance(bound, str):
+                bound = (
+                    _dt.date.fromisoformat(bound)
+                    if len(bound) == 10
+                    else _dt.datetime.fromisoformat(bound)
+                )
+            if isinstance(bound, _dt.datetime):
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=bound.tzinfo)
+                return (bound - epoch) / _dt.timedelta(microseconds=1)
+            if isinstance(bound, _dt.date):
+                return (bound - _dt.date(1970, 1, 1)).days
+            raise ValueError(
+                f"explicit range for converted column {c!r} must be a "
+                f"date/datetime/ISO string (got {type(bound).__name__}); "
+                "the column converts to epoch units internally"
+            )
+
+        ranges = {
+            zc: tuple(_conv(c, zc, b) for b in cols[c])
+            for c, zc in zip(names, zcols)
+        }
     else:
         aggs = [
             f(zc).alias(f"{zc}_{tag}")
@@ -125,6 +157,15 @@ def write_zordered(
             if hi <= lo:  # degenerate even after one ULP (shouldn't happen)
                 hi = lo + 1.0
             ranges[zc] = (lo, hi)
+    internal = ["_z"] + [zc for zc in zcols if zc.startswith("_zv_")]
+    clash = [c for c in internal if c in df.columns]
+    if clash:
+        # withColumn would silently REPLACE a real user column of the
+        # same name and the final drop would delete it from the output
+        raise ValueError(
+            f"input columns {clash} collide with z-order internals; "
+            "rename them before write_zordered"
+        )
     z = zorder_value(ranges, bits)
     (
         converted.withColumn("_z", z)
