@@ -110,3 +110,37 @@ def test_batch_score_composes_with_structured_streaming(spark, tmp_path):
     batch_df = spark.createDataFrame(docs, "doc_id long, text string")
     batch = {r.doc_id: r.score for r in inference.batch_score(batch_df).collect()}
     assert streamed == batch
+
+
+def test_batch_score_fresh_index_model_and_duplicate_ids(spark):
+    """A real model returning a FRESH-indexed Series (0..n-1, the
+    natural sklearn shape) must score positionally — the old dict
+    constructor aligned on the pandas index union and corrupted every
+    chunk after the first; duplicate ids must pass the filter once per
+    input row, not k*k times."""
+    import pandas as pd
+
+    from aws_logs_to_parquet_converter_spark.operators import inference
+
+    def fresh_index_loader():
+        def model(texts: pd.Series) -> pd.Series:
+            # fresh 0..n-1 index, ignoring the incoming chunk index
+            return pd.Series([float(len(t)) for t in texts.tolist()])
+        return model
+
+    rows = [(i, "x" * (i + 1)) for i in range(600)]  # > batch_rows=256
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = inference.batch_score(
+        df, model_loader=fresh_index_loader, batch_rows=256
+    ).collect()
+    assert len(scored) == 600
+    got = {r.doc_id: r.score for r in scored}
+    assert all(got[i] == float(i + 1) for i in range(600))  # no NULL/shifted rows
+
+    dup = spark.createDataFrame(
+        [(7, "a doc"), (7, "a doc"), (8, "bb")], "doc_id long, text string"
+    )
+    kept = inference.quality_filter_by_model(
+        dup, threshold=0.0, model_loader=fresh_index_loader
+    )
+    assert kept.count() == 3  # k duplicates -> k rows, never k*k
