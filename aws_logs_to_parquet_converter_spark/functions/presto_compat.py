@@ -56,7 +56,7 @@ _FORMAT_REPLACEMENTS = [
 
 # Bump when the shim set below changes: the registration guard keys on
 # it, so an upgraded library re-registers into an existing session.
-_SHIM_VERSION = "6"
+_SHIM_VERSION = "7"
 _SHIM_MARKER = "spark.spark_graft.prestoCompatVersion"
 
 
@@ -72,9 +72,34 @@ def register_presto_compat(spark: SparkSession) -> None:
     """
     if spark.conf.get(_SHIM_MARKER, None) == _SHIM_VERSION:
         return
+    # Register under the PARSER MODE the bodies were written for: with
+    # escapedStringLiterals already true (the natural setting for a
+    # Presto workload), the json_extract body's backslash literals
+    # would parse differently and the stored shim would mis-escape
+    # JSON forever after (round-7 review finding).
+    prev_esc = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    try:
+        _register_shims(spark)
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", prev_esc)
+    spark.conf.set(_SHIM_MARKER, _SHIM_VERSION)
+
+
+def _register_shims(spark: SparkSession) -> None:
     fmt_expr = "fmt"
     for presto_tok, jdk_tok in _FORMAT_REPLACEMENTS:
         fmt_expr = f"replace({fmt_expr}, '{presto_tok}', '{jdk_tok}')"
+    # AFTER %-token replacement (token outputs never contain T or Z),
+    # single-quote the common literal letters of ISO-ish formats: a
+    # bare pattern letter like the 'T' in '%Y-%m-%dT%H:%i:%s' is a
+    # JDK parse error ('Unknown pattern letter'), while MySQL treats
+    # it as a literal (round-7 review finding).
+    for lit in ("T", "Z"):
+        # SQL literal for the three characters <'T'>: quotes escape by
+        # doubling, so it is written '''T'''
+        quoted = "'''" + lit + "'''"
+        fmt_expr = f"replace({fmt_expr}, '{lit}', {quoted})"
     spark.sql(
         f"""
         CREATE OR REPLACE TEMPORARY FUNCTION date_parse(s STRING, fmt STRING)
@@ -189,6 +214,13 @@ def register_presto_compat(spark: SparkSession) -> None:
         END
         """
     )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION from_unixtime_presto(x DOUBLE)
+        RETURNS TIMESTAMP
+        RETURN timestamp_seconds(x)
+        """
+    )
     # split_part needs no shim: Spark's builtin is name- and
     # semantics-compatible (1-based index) with one documented
     # divergence — an out-of-range index yields '' in Spark vs NULL in
@@ -197,9 +229,16 @@ def register_presto_compat(spark: SparkSession) -> None:
     # builtins; Presto's array `contains` collides with Spark's string
     # builtin and cannot be shadowed — migrating queries use
     # array_contains (documented divergence).
-    spark.conf.set(_SHIM_MARKER, _SHIM_VERSION)
+# First arg: identifier, ONE-level call (parens, no nesting), or a
+# Presto string literal (quotes escape by DOUBLING, matching the
+# _STRING_LITERAL model below — the old \\-escape model skipped
+# 'it''s'-style literals); second arg: a literal.  Deeper nesting in
+# the first argument is not rewritten — wrap it in a projection
+# first (documented limit).
 _TWO_ARG_REGEXP_REPLACE = re.compile(
-    r"regexp_replace\(\s*([A-Za-z_][\w.]*|'(?:[^'\\]|\\.)*')\s*,\s*('(?:[^'\\]|\\.)*')\s*\)"
+    r"regexp_replace\(\s*"
+    r"([A-Za-z_][\w.]*(?:\((?:[^()']|'(?:[^']|'')*')*\))?|'(?:[^']|'')*')"
+    r"\s*,\s*('(?:[^']|'')*')\s*\)"
 )
 _QUOTED_IDENT = re.compile(r'"([^"]+)"')
 # date_diff('day', ...  ->  timestampdiff(DAY, ...   (head-only rewrite:
@@ -220,6 +259,14 @@ _NAME_REWRITES = [
     # Presto's unparameterized VARCHAR in CASTs: Spark requires a length
     # for VARCHAR(n), but Presto's bare VARCHAR is just its string type
     (re.compile(r"\bAS\s+VARCHAR\s*\)", re.IGNORECASE), "AS STRING)"),
+    # name-identical builtins with DIFFERENT semantics: Spark's
+    # date_format takes JDK patterns (Presto's takes MySQL '%' tokens;
+    # the shim's replace-chain passes JDK patterns through unchanged,
+    # so the rewrite is safe for either dialect) and Spark's
+    # from_unixtime returns a STRING (Presto's a timestamp) —
+    # route both to the shims (round-7 review finding)
+    (re.compile(r"\bdate_format\(", re.IGNORECASE), "date_format_presto("),
+    (re.compile(r"\bfrom_unixtime\(", re.IGNORECASE), "from_unixtime_presto("),
 ]
 
 

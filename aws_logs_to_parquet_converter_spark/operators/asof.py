@@ -66,6 +66,17 @@ def asof_join(
     lk = F.col(left_on) if isinstance(left_on, str) else left_on
     rk = F.col(right_on) if isinstance(right_on, str) else right_on
 
+    # JOIN equality semantics, not window-grouping semantics (round-7
+    # review finding): a NULL-key or NULL-ts right row can never be an
+    # as-of match (DuckDB/pandas agree — NULL never equals NULL, and a
+    # timeless snapshot is not "at or before" anything), yet
+    # Window.partitionBy groups NULL keys together and ascending order
+    # sorts NULL ts FIRST, so such rows would propagate their payload
+    # to every left row ahead of any real match.  Exclude them from
+    # the right side; left rows keep left-join semantics (they stay,
+    # matchless — a NULL-key/-ts left row simply can never match).
+    right = right.where(rk.isNotNull() & F.col(right_ts).isNotNull())
+
     match_type = StructType(
         [StructField("_rts", right.schema[right_ts].dataType)]
         + [StructField(f"{c}{suffix}", right.schema[c].dataType) for c in right_payload]
@@ -88,9 +99,13 @@ def asof_join(
         ).alias("_match"),
     )
 
+    # NULL-ts LEFT rows must sort before every (non-NULL) right row so
+    # they see no match: asc's default nulls-first already does that;
+    # desc defaults to nulls-LAST, which would hand a timeless left
+    # row the minimum-ts right payload — hence desc_nulls_first.
     order = [F.col("_ts").asc(), F.col("_tag").asc()]
     if direction == "forward":
-        order = [F.col("_ts").desc(), F.col("_tag").asc()]
+        order = [F.col("_ts").desc_nulls_first(), F.col("_tag").asc()]
     w = (
         Window.partitionBy("_k")
         .orderBy(*order)

@@ -12,7 +12,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType, StringType, TimestampType
+from pyspark.sql.types import (
+    DateType,
+    MapType,
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 _SEP = "|"
 
@@ -23,8 +30,21 @@ def profile(df: DataFrame) -> DataFrame:
     for f in df.schema.fields:
         c = F.col(f.name)
         aggs.append(F.sum(c.isNull().cast("long")).alias(f"{f.name}{_SEP}nulls"))
-        aggs.append(F.approx_count_distinct(c).alias(f"{f.name}{_SEP}approx_distinct"))
-        if isinstance(f.dataType, (NumericType, TimestampType)):
+        # map columns are not hashable for the HLL aggregate — one
+        # such column would fail analysis and kill the WHOLE one-pass
+        # profile (round-7 review finding); count distinct over the
+        # JSON rendering instead
+        distinct_src = (
+            F.to_json(c) if isinstance(f.dataType, MapType) else c
+        )
+        aggs.append(
+            F.approx_count_distinct(distinct_src).alias(
+                f"{f.name}{_SEP}approx_distinct"
+            )
+        )
+        if isinstance(
+            f.dataType, (NumericType, TimestampType, TimestampNTZType, DateType)
+        ):
             aggs.append(F.min(c).cast("string").alias(f"{f.name}{_SEP}min"))
             aggs.append(F.max(c).cast("string").alias(f"{f.name}{_SEP}max"))
         elif isinstance(f.dataType, StringType):
@@ -41,7 +61,8 @@ def profile(df: DataFrame) -> DataFrame:
             continue
         col_name, metric = k.rsplit(_SEP, 1)
         if metric == "nulls":
-            out.append((col_name, "null_count", str(v)))
+            # SUM over an empty table is NULL — report 0, not 'None'
+            out.append((col_name, "null_count", str(v if v is not None else 0)))
             out.append((col_name, "null_rate", f"{(v / n if n else 0.0):.6f}"))
         else:
             out.append((col_name, metric, None if v is None else str(v)))

@@ -71,7 +71,21 @@ def replicated_broadcast_join(
 ) -> DataFrame:
     """Salted fact-dim equi-join: fact rows get a deterministic salt,
     dim rows replicate across all salt values, join on (key, salt) —
-    each hot key spreads over ``salt_buckets`` shuffle partitions."""
+    each hot key spreads over ``salt_buckets`` shuffle partitions.
+
+    Only fact-preserving join types are legal: under right/full outer
+    an UNMATCHED dim row would surface once per salt replica
+    (``salt_buckets`` duplicate null-padded rows), silently diverging
+    from the plain join the docstring promises to match — rejected
+    loudly (round-7 review finding)."""
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross",
+    ):
+        raise ValueError(
+            f"replicated_broadcast_join: join type {how!r} is not "
+            "fact-preserving — replicated dim rows would duplicate in the "
+            "outer result; use a plain join (AQE skew-join handles outer)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
     f = fact.withColumn("_salt", salt)
     d = dim.withColumn(

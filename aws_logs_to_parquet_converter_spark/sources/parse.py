@@ -56,14 +56,22 @@ def _coerce(name: str, raw: Column) -> Column:
     if name in LONG_FIELDS:
         return raw.try_cast("long")
     if name == "request_time_raw":
-        # '[06/Feb/2019:00:00:38 +0000]' -> ts.  The reference drops the
-        # offset and keeps wall time (always +0000 => UTC;
-        # compacter.py:37-42); we parse the offset properly under a UTC
-        # session, which is value-identical and NULL-safe
+        # '[06/Feb/2019:00:00:38 +0000]' -> ts.  The reference drops
+        # the offset and keeps wall time (always +0000 => UTC;
+        # compacter.py:37-42).  Here the offset REALLY parses ('Z'
+        # token — the old form captured only up to the space and
+        # interpreted wall time in the session zone, which silently
+        # shifted instants on any non-UTC session despite a comment
+        # claiming otherwise; round-7 review finding), with a
+        # no-offset fallback for nonstandard producers.  NULL-safe
         # (try_to_timestamp instead of the reference's latent
         # None.isoformat() crash, SURVEY §1.3.5).
+        full = F.regexp_extract(raw, r"\[([^\]]+)\]", 1)
         inner = F.regexp_extract(raw, r"\[([^ \]]+)", 1)
-        return F.try_to_timestamp(inner, F.lit("dd/MMM/yyyy:HH:mm:ss"))
+        return F.coalesce(
+            F.try_to_timestamp(full, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
+            F.try_to_timestamp(inner, F.lit("dd/MMM/yyyy:HH:mm:ss")),
+        )
     return raw
 
 

@@ -79,3 +79,32 @@ def test_forward_with_tolerance_bounds(spark):
         direction="forward", tolerance_seconds=60,
     ).collect()
     assert miss[0].v_asof is None
+
+
+def test_asof_null_keys_and_null_timestamps_never_match(spark):
+    """JOIN equality semantics (round-7 review finding): NULL-key and
+    NULL-ts right rows are never matches; NULL-key/-ts left rows stay
+    in the output matchless — in BOTH directions (forward's descending
+    order used to hand a NULL-ts left row the minimum-ts payload)."""
+    from aws_logs_to_parquet_converter_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 50, 1), ("k", 50, 2), ("k", None, 3)],
+        "k string, ts long, lid int",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "null-key"), ("k", None, "null-ts"), ("k", 40, "real")],
+        "k string, ts long, payload string",
+    )
+    for direction, expect in (
+        ("backward", {1: None, 2: "real", 3: None}),
+        ("forward", {1: None, 2: None, 3: None}),  # no right ts >= 50
+    ):
+        got = {
+            r.lid: r.payload_asof
+            for r in asof_join(
+                left, right, "k", "k", "ts", "ts", ["payload"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == expect, (direction, got)

@@ -42,3 +42,22 @@ def test_all_garbage_preserved(spark):
     assert out.where(F.col("error_line").isNotNull()).count() == 50
     got = {r.error_line for r in out.collect()}
     assert got == set(lines)  # nothing dropped, nothing mangled
+
+
+def test_timestamp_offset_parses_under_non_utc_session(spark):
+    """The bracketed offset REALLY parses: under a non-UTC session the
+    stored instant is unchanged (the old form dropped '+0000' and read
+    wall time in the session zone, silently shifting every timestamp
+    by the zone offset — round-7 review finding)."""
+    from aws_logs_to_parquet_converter_spark.sources.parse import parse_lines
+    from aws_logs_to_parquet_converter_spark.testing import GOLDEN_LINE
+
+    df = spark.createDataFrame([(GOLDEN_LINE,)], "value string")
+    utc_val = parse_lines(df).select(F.unix_micros("request_time")).first()[0]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = parse_lines(df).select(F.unix_micros("request_time")).first()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert shifted == utc_val  # same instant regardless of session zone
