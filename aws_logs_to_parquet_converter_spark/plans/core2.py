@@ -299,7 +299,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS BIGINT) AS k_total,
+           CAST(SUM(TRY_CAST(NULLIF(regexp_extract(props, '"k":[ ]*(-?\\d+)', 1), '') AS INT)) AS BIGINT) AS k_total,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -450,8 +450,10 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
     FROM orders o
-    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
-                              WHERE o2.o_custkey = o.o_custkey)
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+          * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        > 2 * (SELECT CAST(SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     """,
 )
 def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,12 +461,18 @@ def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's average) — decorrelated by Catalyst into an aggregate +
     join rather than a per-row re-scan."""
     register_views(spark, sf_dir, ["orders"])
+    # exact-cents threshold (money contract): price > 2*avg spelled as
+    # cents*count > 2*sum_cents — integer arithmetic, so a price
+    # sitting exactly on the doubled average cannot flip with the
+    # engines' different double-accumulation orders
     return spark.sql(
         """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
         FROM orders o
-        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
-                                  WHERE o2.o_custkey = o.o_custkey)
+        WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+              * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+            > 2 * (SELECT SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT))
+                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )
 
@@ -539,12 +547,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast.  The argmax comparison happens on exact BIGINT e4
     revenue (money contract): integer equality, no fp ties."""
     register_views(spark, sf_dir, ["lineitem", "supplier"])
+    # the revenue expression interpolates money.SQL_REV_E4 — ONE
+    # definition with the decorator oracle, so a money-contract change
+    # cannot drift between the two sides
     return spark.sql(
-        """
+        f"""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   CAST(SUM(CAST(ROUND((l_extendedprice)*100) AS BIGINT)
-                            * (100 - CAST(ROUND((l_discount)*100) AS BIGINT))) AS BIGINT)
+                   CAST(SUM({SQL_REV_E4}) AS BIGINT)
                        AS rev_e4
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -578,8 +588,6 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership by timestamp distance, not row count; the sliding-window
     analytics shape (rate limiting, rolling quotas) that ROWS frames
     cannot express."""
-    from pyspark.sql import Window
-
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")

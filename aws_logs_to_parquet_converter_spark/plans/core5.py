@@ -26,9 +26,10 @@ from aws_logs_to_parquet_converter_spark.plans.registry import query, register_v
         SELECT DATE_TRUNC('month', o_orderdate) AS m, COUNT(*) AS n
         FROM orders GROUP BY 1
     )
-    SELECT month_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+    SELECT STRFTIME(month_start, '%Y-%m') AS month,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
     FROM spine LEFT JOIN per_month ON m = month_start
-    ORDER BY month_start
+    ORDER BY month
     """,
 )
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,9 +57,10 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DATE_TRUNC('month', o_orderdate) AS m, COUNT(*) AS n
             FROM orders GROUP BY 1
         )
-        SELECT month_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+        SELECT date_format(month_start, 'yyyy-MM') AS month,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
         FROM spine LEFT JOIN per_month ON m = month_start
-        ORDER BY month_start
+        ORDER BY month
         """
     )
 

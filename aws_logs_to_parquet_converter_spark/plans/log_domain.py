@@ -130,7 +130,7 @@ def q_days_apart(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s3_access_logs AS ({_LOG_VIEW_DUCKDB})
     SELECT operation,
-           CAST(http_status / 100 AS INT) AS status_class,
+           CAST(http_status // 100 AS INT) AS status_class,
            COUNT(*) AS n,
            CAST(SUM(bytes_sent) AS BIGINT) AS bytes
     FROM s3_access_logs
@@ -369,7 +369,7 @@ def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         >= 3600000000
@@ -377,7 +377,7 @@ def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sess AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING) AS session_id
         FROM gaps
     )
