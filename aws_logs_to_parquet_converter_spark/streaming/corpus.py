@@ -79,6 +79,13 @@ def _content_digest(text_col: str, id_col: str = "doc_id") -> Column:
     whether rules were passed, and a checkpointed stream would stop
     recognizing its own prior digests.
 
+    MIGRATION NOTE: the key changed from bigint to the sentineled
+    string form in round 7 — a checkpoint created before that treats
+    every in-flight document as new ONCE on upgrade (duplicates into
+    the corpus are then re-deduped by the next batch-side
+    dedup_against_corpus pass); start a fresh checkpoint when exact
+    continuity matters.
+
     NULL text gets a per-id sentinel, never a shared key: Spark's hash
     functions return the SEED (a constant) for NULL input, so an
     unsentineled xxhash64 would silently collapse every NULL-text
