@@ -248,6 +248,10 @@ def test_registry_wide_no_scale_killers(spark):
         "q_join_range",
         "q_length_band",  # one-row percentile-bounds broadcast
         "q_corpus_clean_pipeline",  # same bounds broadcast, first stage
+        # one-row global-average CROSS JOIN (the r7 exact-cents rewrite
+        # replaced the scalar subquery with an explicit one-row CTE —
+        # same sanctioned single-row broadcast class as q11's threshold)
+        "q_cte_composition",
     }
     failures = []
     for name, q in REGISTRY.items():
