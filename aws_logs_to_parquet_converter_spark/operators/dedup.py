@@ -617,17 +617,18 @@ def minhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # unrolled per-slot equality, NOT zip_with/filter: the estimate is
-    # evaluated PER CANDIDATE PAIR, exactly the hot-path class where
-    # PERF.md measured interpreted array HOFs ~5x slower than codegen
-    # expressions (num_hashes is a build-time literal, so the unroll
-    # is num_hashes fused comparisons inside wholestage codegen)
-    agree = F.lit(0)
-    for i in range(1, num_hashes + 1):
-        agree = agree + (
-            F.element_at("sig_a", i) == F.element_at("sig_b", i)
-        ).cast("int")
-    est = (agree / F.lit(num_hashes)).alias("est_jaccard")
+    # MEASURED EXCEPTION to the no-HOF rule: at k=64 the "obvious"
+    # codegen unroll (a 64-deep chain of element_at equality adds) ran
+    # 1.3-1.8x SLOWER than this single interpreted zip_with at sf1
+    # (47-66s vs 36s on 37M candidate pairs, A/B'd round 7 — the
+    # expression tree blows past codegen method limits and falls back
+    # to interpreted eval of 128 array accesses, worse than one fused
+    # HOF pass).  The PERF.md unroll win applies to the dim<=256 dot
+    # product's flat multiply-add, not to deep boolean chains.
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
     return pairs.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
 
 
