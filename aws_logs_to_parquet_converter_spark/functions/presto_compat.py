@@ -56,7 +56,7 @@ _FORMAT_REPLACEMENTS = [
 
 # Bump when the shim set below changes: the registration guard keys on
 # it, so an upgraded library re-registers into an existing session.
-_SHIM_VERSION = "7"
+_SHIM_VERSION = "8"
 _SHIM_MARKER = "spark.spark_graft.prestoCompatVersion"
 
 
@@ -100,6 +100,16 @@ def _register_shims(spark: SparkSession) -> None:
         # doubling, so it is written '''T'''
         quoted = "'''" + lit + "'''"
         fmt_expr = f"replace({fmt_expr}, '{lit}', {quoted})"
+    # The whole MySQL->JDK translation fires ONLY for formats that
+    # actually carry '%' tokens: a JDK-dialect pattern reaching the
+    # shim (the blanket date_format( -> date_format_presto( rewrite
+    # catches both dialects) must pass through VERBATIM — the T/Z
+    # quoting above would corrupt it (a quoted literal 'T' becomes
+    # ''T'', an escaped quote plus a bare pattern letter; the JDK
+    # zone-offset letter Z would silently emit as the literal letter)
+    # (round-7 advisor finding).  %-free MySQL formats are all-literal
+    # strings in both dialects, so the gate loses nothing.
+    fmt_expr = f"CASE WHEN contains(fmt, '%') THEN {fmt_expr} ELSE fmt END"
     spark.sql(
         f"""
         CREATE OR REPLACE TEMPORARY FUNCTION date_parse(s STRING, fmt STRING)
@@ -261,8 +271,11 @@ _NAME_REWRITES = [
     (re.compile(r"\bAS\s+VARCHAR\s*\)", re.IGNORECASE), "AS STRING)"),
     # name-identical builtins with DIFFERENT semantics: Spark's
     # date_format takes JDK patterns (Presto's takes MySQL '%' tokens;
-    # the shim's replace-chain passes JDK patterns through unchanged,
-    # so the rewrite is safe for either dialect) and Spark's
+    # the shim translates ONLY formats containing '%' tokens and
+    # passes everything else through verbatim — r7 advisor: the T/Z
+    # literal-quoting corrupted quoted-'T' / zone-letter-Z JDK
+    # patterns, so the claim is now enforced by a gate, not assumed)
+    # and Spark's
     # from_unixtime returns a STRING (Presto's a timestamp) —
     # route both to the shims (round-7 review finding)
     (re.compile(r"\bdate_format\(", re.IGNORECASE), "date_format_presto("),

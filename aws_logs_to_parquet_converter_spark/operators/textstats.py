@@ -79,7 +79,7 @@ def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are neither word characters nor
+    r"""Fraction of characters that are neither word characters nor
     whitespace.  Unicode classes, NOT \w: Java's \w is ASCII-only, so
     a clean Cyrillic/Greek/accented document would count nearly every
     letter as punctuation and quality_score would cap non-Latin text

@@ -18,98 +18,97 @@ import aws_logs_to_parquet_converter_spark.plans.log_domain  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 
 # The driver's correctness gate grades the FIRST 50 registry entries.
-# Round-7 window policy (see COVERAGE.md "Driver-graded evidence" for
+# Round-8 window policy (see COVERAGE.md "Driver-graded evidence" for
 # the per-query currency table):
 #   1. never driver-graded oracle-bearing entries outrank everything
-#      (the standing policy): the two r6 late additions the round-6
-#      verdict ordered in first (q_gopher_rules, q_bigram_lm) plus the
-#      four NEW r7 queries (q_c4_rules — the C4 cleanup battery;
-#      q_warc_extract — the WARC ingest chain under the oracle;
-#      q_stream_daily_events — the first graded streaming row;
-#      q_dedup_minhash_md5 — the LSH pipeline in its md5
-#      oracle-parity mode);
-#   2. queries whose BEHAVIOR changed this round re-enter the same
-#      round: the explicit-whitespace-class migration rewrote every
-#      tokenization oracle (round-6 advisor: Java \s includes U+000B,
-#      RE2's does not — Spark-side semantics unchanged, oracle-side
-#      changed), the Gopher symbol rule now tests '#' and '...'
-#      ratios separately, q_approx_percentiles' accuracy was raised
-#      to cover sf1 group sizes, and q_k_anonymize gained the 'auto'
-#      probe strategy — 22 previously-graded entries total;
-#   3. the remaining slots take the r4-stale rotation candidates the
-#      round-6 verdict listed, leaving only q_window_ntile and the two
-#      diagnostic probes (q_diag_bool_emit, q_diag_maxby_emit) waiting
-#      at r4 currency for r8 — no oracle-bearing entry is older
-#      than r4.
-# Rotated out (green at their latest grade and UNMODIFIED this
-# round): the r6-graded TPC-H slice (q01..q22), the r6 additions
-# (q_split_assign, q_bitwise_funcs, q_incremental_dedup[_bloom],
-# q_data_quality, q_semantic_dedup, q_corpus_diff,
-# q_corpus_clean_pipeline, q_stratified_sample, q_chunk_docs,
-# q_pii_scrub, q_string_agg, q_window_first_last), and the r5-green
-# events/function families.
+#      (standing policy): q_approx_top_k (added after the r7 window
+#      filled) and the NEW q_stream_read_after_write (the stream-stream
+#      interval join — second graded streaming-family row, round-7
+#      verdict item 5);
+#   2. queries whose code or ORACLE changed this round re-enter the
+#      same round: q_window_ntile (rewritten onto the two-pass
+#      range-partitioned global rank, operators/ranking.py — round-7
+#      verdict item 2), q_warc_extract (atomic fixture publish +
+#      oracle-mirrored doc_id cap), and the three shingle oracles that
+#      gained the engine-matching contentless-doc exclusion
+#      (q_ngram_jaccard, q_dedup_minhash_md5, q_dedup_keep_list — r7
+#      advisor), plus the FIVE queries whose oracles were rewritten in
+#      r7 but never re-graded (r7 advisor finding: q_session_window,
+#      q_json_extract, q_correlated_scalar, q_recursive_cte,
+#      q_log_status_breakdown — the rotation-policy violation this
+#      round repairs);
+#   3. the r4-currency stragglers: q_diag_bool_emit, q_diag_maxby_emit
+#      (q_window_ntile is already in via #2);
+#   4. the remaining slots backfill with the OLDEST green evidence:
+#      the entire r5 cohort (events-table family, the r01-era
+#      families, the function matrices' r5 members), then the four
+#      lowest-numbered r6 TPC-H entries.  After this round no
+#      oracle-bearing entry's latest grade is older than r6.
+# Rotated out (green at their latest r7 grade and UNMODIFIED this
+# round): the whitespace-migration cohort (q_token_count ...
+# q_approx_percentiles), the r7-graded function matrices and
+# join/window/agg families, q_c4_rules, q_gopher_rules, q_bigram_lm,
+# q_stream_daily_events.
 GRADED_WINDOW = 50
 
 _PRIORITY = [
-    # flagship (reference's days_apart_analysis.sql run verbatim)
+    # flagship (reference's days_apart_analysis.sql run verbatim; also
+    # exercises the r8 presto-shim format gate end-to-end)
     "q_days_apart",
     # (1) never driver-graded
-    "q_c4_rules",
-    "q_gopher_rules",
-    "q_bigram_lm",
+    "q_approx_top_k",
+    "q_stream_read_after_write",
+    # (2) code/oracle changed this round
+    "q_window_ntile",
     "q_warc_extract",
-    "q_stream_daily_events",
-    "q_dedup_minhash_md5",
-    # (2) behavior changed this round (whitespace-class oracle
-    # migration; Gopher per-symbol ratios; GK accuracy; k-anon auto)
-    "q_token_count",
-    "q_quality_filter",
-    "q_lang_id",
-    "q_text_stats",
-    "q_bpe_token_count",
-    "q_vocab_topk",
-    "q_tfidf_topterms",
-    "q_cms_vocab_counts",
-    "q_perplexity",
-    "q_html_extract",
-    "q_quality_score",
-    "q_top_bigram",
-    "q_pack_sequences",
-    "q_contamination",
-    "q_boilerplate_lines",
-    "q_winnow_fingerprints",
-    "q_winnow_pairs",
-    "q_dedup_fingerprint",
     "q_ngram_jaccard",
+    "q_dedup_minhash_md5",
     "q_dedup_keep_list",
-    "q_k_anonymize",
-    "q_approx_percentiles",
-    # (3) the r4-stale rotation candidates (round-6 verdict item 1)
-    "q_topk",
-    "q_set_ops",
-    "q_cte_composition",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_conditional",
-    "q_in_subquery",
-    "q_pivot",
-    "q_unpivot",
-    "q_percentiles",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_group_by_all",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
-    "q_window_rank",
-    "q_window_rolling",
-    # (q_window_ntile displaced by the late r7 addition q_c4_rules —
-    # never-graded outranks stale-but-green; its family keeps rank and
-    # rolling in-window, ntile waits at r4 currency with the two diag
-    # probes)
+    "q_session_window",
+    "q_json_extract",
+    "q_correlated_scalar",
+    "q_recursive_cte",
+    "q_log_status_breakdown",
+    # (3) r4-currency stragglers
+    "q_diag_bool_emit",
+    "q_diag_maxby_emit",
+    # (4) oldest-evidence backfill: the r5 cohort ...
+    "q_window_lag",
+    "q_window_range_frame",
+    "q_sessionize",
+    "q_asof_join",
+    "q_asof_forward_tolerance",
+    "q_sliding_window",
+    "q_hourly_traffic",
+    "q_url_funcs",
+    "q_diag_countif_emit",
+    "q_segment_repetition",
+    "q_mix_sources",
+    "q_embed_quantize",
+    "q_embed_normalize",
+    "q_dedup_exact",
+    "q_embed_topk",
+    "q_embed_neardup",
+    "q_lateral_topn",
+    "q_join_right",
+    "q_join_full",
+    "q_salted_agg",
+    "q_join_broadcast",
+    "q_mix_token_budget",
+    "q_length_band",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_regexp_funcs",
+    "q_explode_words",
+    "q_grouping_sets",
+    "q_union_by_name",
+    "q_bag_set_ops",
+    "q_values_dim",
+    # ... then the oldest r6 TPC-H entries
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_shipping_priority",
+    "q04_order_priority",
 ]
 
 

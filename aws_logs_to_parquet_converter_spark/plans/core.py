@@ -609,12 +609,30 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution windows: ntile quartiles + cumulative distribution."""
-    c = t(spark, sf_dir, "customer")
-    return c.select(
+    """Distribution windows: ntile quartiles + cumulative distribution.
+
+    Global distribution functions are order-global, but NOT single-task:
+    a naive ``Window.orderBy`` (no partition) funnels the whole table
+    through one task — the last unpartitioned window in the engine
+    until round 8.  This is now the two-pass range-partitioned global
+    rank (``operators/ranking.py``): one range exchange + per-partition
+    row_number + a bounded (numPartitions-row) offset collect, then
+    NTILE and CUME_DIST are pure arithmetic on the unique rank — still
+    hash-identical to the single-window SQL oracle."""
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        cume_dist_from_rank,
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # One DESC-keyed rank serves both: NTILE reads it directly;
+    # ascending CUME_DIST is (n - min peer rank + 1) / n on the same key.
+    ranked = global_row_number(c, [F.desc("c_acctbal"), F.col("c_custkey")])
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(Window.orderBy(F.desc("c_acctbal"), "c_custkey")).alias("wealth_quartile"),
-        F.cume_dist().over(Window.orderBy("c_acctbal")).alias("bal_cume"),
+        ntile_from_rank(F.col("_global_rn"), F.col("_global_n"), 4).alias("wealth_quartile"),
+        cume_dist_from_rank(ranked, ["c_acctbal"], descending_rank=True).alias("bal_cume"),
     )
 
 

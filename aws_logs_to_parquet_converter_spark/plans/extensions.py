@@ -88,8 +88,14 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_jaccard",
     oracle="""
     WITH docs AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
-        FROM documents
+        -- mirror the engine's contentless-doc exclusion (r7
+        -- exploded_shingles fix: NULL/empty normalized text emits no
+        -- shingles, so empty docs can never pair with each other via
+        -- the degenerate '' shingle)
+        SELECT doc_id, nt FROM (
+            SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
+            FROM documents
+        ) WHERE nt IS NOT NULL AND nt != ''
     ), sh AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
@@ -162,9 +168,13 @@ _MH_BANDMATCH = " OR ".join(f"a.bk{b} = b.bk{b}" for b in range(_MH_BANDS))
     "q_dedup_minhash_md5",
     oracle=f"""
     WITH n AS (
-        SELECT doc_id,
-               trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
-        FROM documents
+        -- contentless docs excluded, matching the engine's r7
+        -- exploded_shingles fix (no signatures for NULL/empty text)
+        SELECT doc_id, nt FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
+            FROM documents
+        ) WHERE nt IS NOT NULL AND nt != ''
     ), sh AS (
         SELECT doc_id, substring(nt, pos, {_MH_N}) AS g
         FROM (SELECT doc_id, nt,
@@ -740,8 +750,14 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_keep_list",
     oracle="""
     WITH RECURSIVE docs AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
-        FROM documents
+        -- contentless docs emit no shingles (engine's r7
+        -- exploded_shingles fix): excluded from the pair graph, they
+        -- still appear in the final keep list as their own component
+        -- via the LEFT JOIN below
+        SELECT doc_id, nt FROM (
+            SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
+            FROM documents
+        ) WHERE nt IS NOT NULL AND nt != ''
     ), sh AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
@@ -1327,6 +1343,12 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The WARC fixture build collects documents driver-side; cap it by a
+# DETERMINISTIC doc_id prefix (mirrored in the oracle) so the collect
+# stays bounded at every SF, not just the graded sf0.01 (r7 advisor).
+_WARC_FIXTURE_CAP = 5000
+
+
 @query(
     "q_warc_extract",
     oracle=f"""
@@ -1335,7 +1357,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                '{_HTML_PRE}' || coalesce(source, '')
                || '{_HTML_MID.replace("'", "''")}'
                || coalesce(text, '') || '{_HTML_POST}' AS html
-        FROM documents
+        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_WARC_FIXTURE_CAP})
     ), e AS (
         SELECT doc_id, html, {_duck_html_strip('html')} AS txt FROM h
     )
@@ -1364,7 +1386,12 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_logs_to_parquet_converter_spark.sources import warc as warcmod
 
     d = t(spark, sf_dir, "documents")
-    rows = d.select("doc_id", "source", "text").collect()
+    rows = (
+        d.select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .limit(_WARC_FIXTURE_CAP)  # bounded collect, oracle-mirrored
+        .collect()
+    )
     # ONE stable fixture dir per sf_dir, overwritten each invocation —
     # repeated grading/bench runs must not accumulate corpus-sized
     # copies under /tmp (round-7 review finding)
@@ -1390,8 +1417,21 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload,
             )
         )
+    # Atomic publish: concurrent runs over the same sf_dir (parity +
+    # bench, parallel graders) write identical bytes, but a plain
+    # overwrite could truncate the file under another process's
+    # mid-scan open.  Write to a unique temp name in the SAME dir and
+    # os.replace() onto the stable path — readers see either complete
+    # version, never a partial write (r7 advisor finding).
     path = os.path.join(tmp, "fixture.warc")
-    warcmod.write_warc(fixture, path)
+    fd, staging = tempfile.mkstemp(dir=tmp, suffix=".warc.tmp")
+    os.close(fd)
+    try:
+        warcmod.write_warc(fixture, staging)
+        os.replace(staging, path)
+    finally:
+        if os.path.exists(staging):
+            os.unlink(staging)
     rec = warcmod.read_warc_records(spark, path).where(F.col("payload_length_ok"))
     docs = warcmod.warc_to_documents(rec)
     return docs.select(

@@ -240,6 +240,80 @@ def q_stream_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_read_after_write",
+    oracle="""
+    SELECT CAST(w.user_id AS VARCHAR) AS key,
+           STRFTIME(w.ts, '%Y-%m-%d %H:%M:%S.%f') AS write_time,
+           STRFTIME(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS read_time,
+           CAST(ROUND(r.value * 100) AS BIGINT) AS bytes_sent
+    FROM events w JOIN events r
+      ON w.user_id = r.user_id
+     AND w.event_type = 'view' AND r.event_type = 'click'
+     AND r.ts >= w.ts AND r.ts <= w.ts + INTERVAL 2 HOUR
+    """,
+)
+def q_stream_read_after_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join under the driver's oracle gate:
+    ``streaming/ingest.stream_read_after_write`` — each write matched
+    to the reads of the same key within the horizon, the continuously-
+    maintained sibling of the flagship days-apart analysis (reference
+    days.sql:19-24 date arithmetic as a watermarked join; bounded
+    state on an unbounded stream is the property the reference's
+    re-run-the-day loop cannot express).
+
+    The events table replays as a BOUNDED stream (file source,
+    availableNow) mapped onto the parsed-log shape (view->PUT,
+    click->GET, user_id as the object key), through the PRODUCTION
+    join function, into a memory sink; the final table is graded
+    against the batch SQL interval join.  One file -> one micro-batch,
+    so the initial watermark drops nothing and the inner join's
+    emitted set equals the batch join exactly; watermark *eviction*
+    semantics (state bounded by watermark + interval) are covered by
+    tests/test_streaming.py's multi-batch replay."""
+    from aws_logs_to_parquet_converter_spark.streaming import ingest
+
+    path = f"{sf_dir}/events.parquet"
+    # same events timestamp seam as q_stream_daily_events / registry.t
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    parsed = src.withColumn("ts", F.col("ts").cast("timestamp")).select(
+        F.when(F.col("event_type") == "view", F.lit("REST.PUT.OBJECT"))
+        .when(F.col("event_type") == "click", F.lit("REST.GET.OBJECT"))
+        .otherwise(F.lit("REST.OTHER"))
+        .alias("operation"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").alias("request_time"),
+        F.round(F.col("value") * 100).cast("long").alias("bytes_sent"),
+    )
+    joined = ingest.stream_read_after_write(parsed, horizon="2 hours", watermark="4 hours")
+    sink = "q_stream_read_after_write_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        "key",
+        F.date_format("write_time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("write_time"),
+        F.date_format("read_time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("read_time"),
+        "bytes_sent",
+    )
+
+
+@query(
     "q_sessionize",
     oracle="""
     WITH gaps AS (

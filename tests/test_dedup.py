@@ -510,3 +510,42 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # with enough iterations the same chain converges to one component
     labels = dedup.connected_components(pairs, max_iter=40).collect()
     assert {r.component for r in labels} == {0}
+
+
+def test_contentless_docs_oracle_parity(spark, tmp_path):
+    """ADVICE r7: the DuckDB oracles of the shingle-graded queries
+    (q_ngram_jaccard, q_dedup_minhash_md5, q_dedup_keep_list) must
+    mirror the engine's contentless-doc exclusion.  Plant empty and
+    whitespace-only docs into a fixture corpus: before the oracle-side
+    guard, two such docs shared the degenerate '' shingle and the
+    oracle emitted a jaccard-1.0 pair the engine no longer produces."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_logs_to_parquet_converter_spark.testing import compare_query, duckdb_connection
+
+    src = "/root/testdata/sf0.001"
+    for f in os.listdir(src):
+        os.symlink(os.path.join(src, f), tmp_path / f)
+    base = pq.read_table(f"{src}/documents.parquet")
+    top = 1 + max(base.column("doc_id").to_pylist())
+    extra = pa.table(
+        {
+            "doc_id": pa.array([top, top + 1, top + 2, top + 3], pa.int64()),
+            "text": pa.array(["", "", "   \t ", None], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["planted"] * 4, pa.string()),
+            "n_chars": pa.array([0, 0, 5, 0], pa.int64()),
+        }
+    )
+    (tmp_path / "documents.parquet").unlink()
+    pq.write_table(
+        pa.concat_tables([base.cast(extra.schema), extra]), tmp_path / "documents.parquet"
+    )
+
+    con = duckdb_connection(str(tmp_path))
+    for name in ("q_ngram_jaccard", "q_dedup_minhash_md5", "q_dedup_keep_list"):
+        status, detail = compare_query(spark, con, name, str(tmp_path))
+        assert status == "ok", f"{name}: {detail}"

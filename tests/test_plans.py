@@ -219,12 +219,51 @@ def test_fan_out_spreads_single_partition_inputs(spark):
     assert fan_out(wide, "doc_id") is wide  # identity: no extra shuffle node
 
 
+def _unpartitioned_ordered_windows(plan: str) -> bool:
+    """True if the plan contains a WindowExec with an ORDER BY but no
+    PARTITION BY — the "Moving all data to a single partition" shape.
+
+    A Window node renders as ``Window [exprs], [partition], [order]``;
+    with no partition spec the middle group is omitted, leaving two
+    groups whose last contains sort directions.  (A partition-only
+    window also has two groups, but its last group carries no
+    ASC/DESC.)"""
+    import re
+
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        groups = line[idx + len("Window ") :].split("], [")
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+            return True
+    return False
+
+
+def test_unpartitioned_window_detector_sees_the_banned_shape(spark):
+    """The detector itself must recognize both polarities, or the sweep
+    below is vacuously green."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(10).select("id", (F.col("id") % 3).alias("g"))
+    bad = df.select(F.ntile(2).over(Window.orderBy("id")).alias("n"))
+    assert _unpartitioned_ordered_windows(explain_str(bad, "simple"))
+    ok = df.select(F.sum("id").over(Window.partitionBy("g").orderBy("id")).alias("s"))
+    assert not _unpartitioned_ordered_windows(explain_str(ok, "simple"))
+    part_only = df.select(F.min("id").over(Window.partitionBy("g")).alias("m"))
+    assert not _unpartitioned_ordered_windows(explain_str(part_only, "simple"))
+
+
 def test_registry_wide_no_scale_killers(spark):
     """Sweep EVERY registry query's physical plan for the node types
-    that do not survive 100 TB: row-at-a-time Python (BatchEvalPython)
-    and unbounded pair spaces (CartesianProduct) are banned outright;
-    Arrow seams and broadcast nested-loop joins are allowed only where
-    the design sanctions them.
+    that do not survive 100 TB: row-at-a-time Python (BatchEvalPython),
+    unbounded pair spaces (CartesianProduct), and single-task global
+    windows (unpartitioned ordered WindowExec — the r6 vocab-window bug
+    class, banned registry-wide since r8 with an empty allowlist; even
+    inherently order-global statistics go through the two-pass
+    range-partitioned rank in operators/ranking.py instead); Arrow
+    seams and broadcast nested-loop joins are allowed only where the
+    design sanctions them.
 
     BNLJ allowlist rationale — in each, the *broadcast* side is
     provably tiny so the loop is linear in the streamed side:
@@ -265,6 +304,8 @@ def test_registry_wide_no_scale_killers(spark):
         if any(m in plan for m in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")):
             if name not in ARROW_SEAMS:
                 failures.append(f"{name}: unsanctioned Python/Arrow seam")
+        if _unpartitioned_ordered_windows(plan):
+            failures.append(f"{name}: unpartitioned ordered window (single-task funnel)")
     assert not failures, "\n".join(failures)
 
 

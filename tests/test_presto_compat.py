@@ -103,6 +103,31 @@ def test_extended_date_format_tokens(spark):
     assert row.d == "Wed 3 PM"
 
 
+def test_date_format_jdk_patterns_pass_through_untranslated(spark):
+    """The blanket date_format( -> date_format_presto( rewrite catches
+    queries already written against Spark's JDK dialect too; the shim's
+    MySQL translation (incl. T/Z literal-quoting) must fire ONLY when
+    the format carries '%' tokens (r7 advisor: a quoted literal 'T'
+    became ''T'' — an escaped quote plus a bare pattern letter — and
+    the zone-offset letter Z silently emitted as the literal Z).
+
+    JDK patterns with EMBEDDED quoted literals ('yyyy-MM-dd''T''...)
+    remain out of scope: the legacy escapedStringLiterals parser mode
+    the Presto shim runs under does not apply quote-doubling, a
+    string-literal divergence upstream of the format shim."""
+    row = run_presto_sql(
+        spark,
+        """
+        SELECT date_format(TIMESTAMP '2019-02-06 15:04:05', 'yyyy-MM-dd') AS plain,
+               date_format(TIMESTAMP '2019-02-06 15:04:05', 'HH:mm Z') AS zoned,
+               date_format(TIMESTAMP '2019-02-06 15:04:05', '%Y-%m-%dT%H:%i:%s') AS mysql_iso
+        """,
+    ).collect()[0]
+    assert row.plain == "2019-02-06"
+    assert row.zoned == "15:04 +0000"  # JDK zone-offset letter, session pinned UTC
+    assert row.mysql_iso == "2019-02-06T15:04:05"
+
+
 def test_from_iso8601_timestamp(spark):
     rows = run_presto_sql(
         spark,
