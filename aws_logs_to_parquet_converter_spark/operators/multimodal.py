@@ -5,13 +5,15 @@ The Spark-side mechanics are real and tested — schema contract,
 Arrow-batched ``mapInPandas`` fan-out, batch-size control, partition
 sizing.  The codec step has two modes: ``decode_stub=True`` produces
 deterministic fake features (no codec library in this container), and
-``decode_stub=False`` runs REAL pure-Python decoders — ASCII PPM (P3)
-for images, PCM WAV for audio, uncompressed YUV4MPEG2 (.y4m) for video
-— so every non-stub branch has executed test coverage; payloads in any
-other format yield NULL features (quarantine semantics).  A production
-deploy swaps these decoders for Pillow/torchaudio/ffmpeg at the same
-seam; the only remaining gate is COMPRESSED codecs (mp4/webm/mp3/...),
-which have no stdlib decoder and quarantine until one is swapped in.
+``decode_stub=False`` runs REAL pure-Python decoders — ASCII PPM (P3),
+PNG, and baseline JPEG for images, PCM WAV for audio, uncompressed
+YUV4MPEG2 (.y4m) for video — so every non-stub branch has executed
+test coverage; payloads in any other format yield NULL features
+(quarantine semantics).  A production deploy swaps these decoders for
+Pillow/torchaudio/ffmpeg at the same seam; the remaining gates are
+progressive/arithmetic JPEG and COMPRESSED audio/video codecs
+(mp4/webm/mp3/...), which have no stdlib decoder and quarantine until
+one is swapped in.
 
 Scale notes: binary payloads dominate partition size, so the entry
 point re-splits by target bytes before the Python stage
@@ -123,8 +125,9 @@ def decode_png(data: "bytes | str") -> tuple[int, int, int, list[int]]:
     (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five
     scanline filters, chunk CRCs verified.  Adam7 interlace, 16-bit
     depth, and malformed streams raise ValueError so callers
-    quarantine (NULL feature) instead of crashing the task.  JPEG has
-    no honest stdlib decoder and stays gated."""
+    quarantine (NULL feature) instead of crashing the task.  Baseline
+    JPEG decodes via ``decode_jpeg`` below (r8); progressive stays
+    gated."""
     import struct
     import zlib
 
@@ -260,10 +263,515 @@ def _png_feature(payload: bytes) -> "list[float] | None":
     return _luma_histogram(w, h, maxval, vals)
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman): pure-stdlib
+# decode + fixture encoder — closing the largest remaining image
+# quarantine the way decode_png closed PNG (round-7 verdict item 7).
+# Progressive (SOF2) / arithmetic-coded / 12-bit streams raise
+# ValueError and keep quarantining.
+# --------------------------------------------------------------------------
+
+# zigzag position -> natural (row-major) index (T.81 Figure 5)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K quantization tables (natural order below; emitted zigzag)
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+# Annex K "typical" Huffman tables as (bits[1..16], values).  The
+# DECODER never relies on these — it builds tables from the file's own
+# DHT segments — so they only shape the encoder's output stream.
+_JPEG_HUFF = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12))),
+    ("ac", 0): (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+            0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+            0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+            0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+            0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+            0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+            0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+            0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+            0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+            0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+    ("ac", 1): (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+            0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+            0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+            0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+            0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+            0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+            0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+            0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+            0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+            0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+            0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _jpeg_dct_basis() -> list[list[float]]:
+    """Orthonormal 1-D DCT-II basis A[u][x]; forward F = A s A^T,
+    inverse s = A^T F A."""
+    import math
+
+    return [
+        [
+            (math.sqrt(0.125) if u == 0 else 0.5)
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict:
+    """(code_length, code) -> symbol, per T.81 Annex C code assignment."""
+    if sum(bits) != len(values):
+        raise ValueError("JPEG Huffman table bits/values mismatch")
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment (byte
+    stuffing already removed by the scan splitter)."""
+
+    def __init__(self, buf: bytes):
+        self.buf, self.pos, self.bit = buf, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("JPEG entropy data exhausted")
+        b = (self.buf[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: "bytes | str") -> tuple[int, int, int, list[int]]:
+    """Decode a BASELINE sequential JPEG with the stdlib only: marker
+    parse, per-file DHT Huffman tables, dequant, separable IDCT,
+    chroma upsampling, YCbCr->RGB.  Returns (width, height, 255, flat
+    [r,g,b,...]) — the shared image-decoder contract.  Supported:
+    SOF0/SOF1, 8-bit, 1 or 3 components, sampling factors up to 2x2
+    (4:4:4 / 4:2:2 / 4:2:0), restart markers.  Progressive (SOF2),
+    arithmetic coding, and malformed streams raise ValueError so
+    callers quarantine instead of crashing the task."""
+    if isinstance(data, str):
+        data = data.encode("latin-1")
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, qt, huff, frame, scan, restart = 2, {}, {}, None, None, 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                qt[tq] = list(seg[p + 1 : p + 65])  # zigzag order
+                p += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended seq.
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError(f"unsupported JPEG sampling {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[("dc" if tc == 0 else "ac", th)] = _huff_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15) for i in range(ns)]
+            pos += 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # split entropy-coded data into restart segments, unstuffing FF00
+    segments, cur = [], bytearray()
+    while pos < len(data):
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        elif nxt == 0xD9:
+            break
+        else:
+            raise ValueError(f"unexpected marker in JPEG scan: {nxt:#x}")
+    segments.append(bytes(cur))
+
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    basis = _jpeg_dct_basis()
+    planes = {}
+    for cid, hs, vs, _tq in comps:
+        planes[cid] = [[0] * (mcus_x * hs * 8) for _ in range(mcus_y * vs * 8)]
+    scan_tbl = {}
+    for cid, td, ta in scan:
+        if ("dc", td) not in huff or ("ac", ta) not in huff:
+            raise ValueError("JPEG scan references missing Huffman table")
+        scan_tbl[cid] = (huff[("dc", td)], huff[("ac", ta)])
+
+    mcu_index, seg_index = 0, 0
+    br = _JpegBits(segments[0])
+    pred = {cid: 0 for cid, *_ in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_index and mcu_index % restart == 0:
+                seg_index += 1
+                if seg_index >= len(segments):
+                    raise ValueError("JPEG restart segment missing")
+                br = _JpegBits(segments[seg_index])
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, hs, vs, tq in comps:
+                if tq not in qt:
+                    raise ValueError("JPEG frame references missing quant table")
+                qtab, (dct, act) = qt[tq], scan_tbl[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        t = br.read_symbol(dct)
+                        pred[cid] += _jpeg_extend(br.read_bits(t), t) if t else 0
+                        coeffs = [0.0] * 64
+                        coeffs[0] = pred[cid] * qtab[0]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_symbol(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coeffs[_JPEG_ZIGZAG[k]] = _jpeg_extend(br.read_bits(s), s) * qtab[k]
+                            k += 1
+                        # s = A^T F A (separable)
+                        tmp = [
+                            [sum(coeffs[8 * u + v] * basis[v][x] for v in range(8)) for x in range(8)]
+                            for u in range(8)
+                        ]
+                        plane = planes[cid]
+                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        for y in range(8):
+                            row = plane[y0 + y]
+                            for x in range(8):
+                                val = sum(basis[u][y] * tmp[u][x] for u in range(8))
+                                row[x0 + x] = min(255, max(0, int(round(val)) + 128))
+            mcu_index += 1
+
+    vals: list[int] = []
+    if len(comps) == 1:
+        plane = planes[comps[0][0]]
+        for y in range(h):
+            for x in range(w):
+                g = plane[y][x]
+                vals += [g, g, g]
+        return w, h, 255, vals
+    (yid, yh, yv, _), (bid, bh, bv, _), (rid, rh, rv, _) = comps
+    py, pb, pr = planes[yid], planes[bid], planes[rid]
+    for y in range(h):
+        for x in range(w):
+            Y = py[y * yv // vmax][x * yh // hmax]
+            Cb = pb[y * bv // vmax][x * bh // hmax] - 128
+            Cr = pr[y * rv // vmax][x * rh // hmax] - 128
+            vals.append(min(255, max(0, int(round(Y + 1.402 * Cr)))))
+            vals.append(min(255, max(0, int(round(Y - 0.344136 * Cb - 0.714136 * Cr)))))
+            vals.append(min(255, max(0, int(round(Y + 1.772 * Cb)))))
+    return w, h, 255, vals
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3) — before
+        a restart marker or the final EOI."""
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)
+
+    def marker(self, m: int) -> None:
+        """Emit a raw marker (aligned, NOT byte-stuffed)."""
+        self.align()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: "list[int]",
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal BASELINE JPEG encoder (Annex K tables, IJG quality
+    scaling; 4:4:4 by default, 4:2:0 with ``subsample=True``; optional
+    DRI/RST restart markers) — the fixture encoder the decoder's
+    property tests drive, sibling of ``encode_png``/``encode_y4m``.
+    Lossy by nature: tests assert tolerance, not identity."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be flat RGB of length 3*w*h")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qts = []
+    for base in (_JPEG_QT_LUMA, _JPEG_QT_CHROMA):
+        qts.append([min(255, max(1, (v * scale + 50) // 100)) for v in base])
+    basis = _jpeg_dct_basis()
+    enc_tbl = {}
+    for key, (bits, vals) in _JPEG_HUFF.items():
+        dec = _huff_decode_table(bits, vals)
+        enc_tbl[key] = {sym: (code, length) for (length, code), sym in dec.items()}
+
+    # RGB -> YCbCr planes; luma edge-padded to the MCU grid, chroma
+    # box-downsampled by 2 when subsampling
+    ly, lx = (2, 2) if subsample else (1, 1)
+    pw, ph = -(-width // (8 * lx)) * 8 * lx, -(-height // (8 * ly)) * 8 * ly
+    yp = [[0.0] * pw for _ in range(ph)]
+    cb = [[0.0] * pw for _ in range(ph)]
+    cr = [[0.0] * pw for _ in range(ph)]
+    for y in range(ph):
+        sy = min(y, height - 1)
+        for x in range(pw):
+            sx = min(x, width - 1)
+            i = 3 * (sy * width + sx)
+            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
+            yp[y][x] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cb[y][x] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            cr[y][x] = 0.5 * r - 0.418688 * g - 0.081312 * b
+    if subsample:
+        cb = [
+            [(cb[2 * y][2 * x] + cb[2 * y][2 * x + 1] + cb[2 * y + 1][2 * x] + cb[2 * y + 1][2 * x + 1]) / 4
+             for x in range(pw // 2)]
+            for y in range(ph // 2)
+        ]
+        cr = [
+            [(cr[2 * y][2 * x] + cr[2 * y][2 * x + 1] + cr[2 * y + 1][2 * x] + cr[2 * y + 1][2 * x + 1]) / 4
+             for x in range(pw // 2)]
+            for y in range(ph // 2)
+        ]
+
+    def magnitude(v: int) -> tuple[int, int]:
+        s = abs(v).bit_length()
+        return (s, v if v >= 0 else v + (1 << s) - 1)
+
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def emit_block(ci: int, plane: "list[list[float]]", by: int, bx: int) -> None:
+        qi = 0 if ci == 0 else 1
+        qtab = qts[qi]
+        block = [[plane[8 * by + y][8 * bx + x] for x in range(8)] for y in range(8)]
+        # F = A s A^T
+        tmp = [
+            [sum(basis[u][y] * block[y][x] for y in range(8)) for x in range(8)]
+            for u in range(8)
+        ]
+        fre = [
+            [sum(tmp[u][x] * basis[v][x] for x in range(8)) for v in range(8)]
+            for u in range(8)
+        ]
+        zz = [
+            int(round(fre[_JPEG_ZIGZAG[k] // 8][_JPEG_ZIGZAG[k] % 8] / qtab[k]))
+            for k in range(64)
+        ]
+        dc_tab, ac_tab = enc_tbl[("dc", qi)], enc_tbl[("ac", qi)]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        s, mbits = magnitude(diff)
+        code, length = dc_tab[s]
+        bw.write(code, length)
+        if s:
+            bw.write(mbits, s)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tab[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            s, mbits = magnitude(zz[k])
+            code, length = ac_tab[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(mbits, s)
+            run = 0
+        if run:
+            code, length = ac_tab[0x00]  # EOB
+            bw.write(code, length)
+
+    mcus_y, mcus_x = ph // (8 * ly), pw // (8 * lx)
+    mcu_index, rst = 0, 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred[0] = pred[1] = pred[2] = 0
+            for by in range(ly):
+                for bx in range(lx):
+                    emit_block(0, yp, my * ly + by, mx * lx + bx)
+            emit_block(1, cb, my, mx)
+            emit_block(2, cr, my, mx)
+            mcu_index += 1
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts):
+        out += seg(0xDB, bytes([tq]) + bytes(q[k] for k in range(64)))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([3])
+    for cid in (1, 2, 3):
+        samp = ((lx << 4) | ly) if cid == 1 else 0x11
+        sof += bytes([cid, samp, 0 if cid == 1 else 1])
+    out += seg(0xC0, sof)
+    for (kind, tid), (bits, vals) in _JPEG_HUFF.items():
+        tc = 0 if kind == "dc" else 1
+        out += seg(0xC4, bytes([(tc << 4) | tid] + bits + vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([3])
+    for cid in (1, 2, 3):
+        t = 0 if cid == 1 else 1
+        sos += bytes([cid, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_feature(payload: bytes) -> "list[float] | None":
+    """Real feature from a baseline JPEG payload (same luminance
+    histogram as P3/PNG); None quarantines undecodable streams."""
+    try:
+        w, h, maxval, vals = decode_jpeg(payload)
+    except (ValueError, UnicodeDecodeError, IndexError):
+        return None
+    return _luma_histogram(w, h, maxval, vals)
+
+
 def _image_feature(payload: bytes) -> "list[float] | None":
-    """Magic-byte dispatch between the two honest image decoders: PNG
-    (signature) or ASCII PPM; anything else — JPEG and friends —
-    quarantines as NULL."""
+    """Magic-byte dispatch between the three honest image decoders:
+    PNG (signature), baseline JPEG (SOI marker), or ASCII PPM;
+    anything else quarantines as NULL."""
     head = (
         payload.encode("latin-1")[:8]
         if isinstance(payload, str)
@@ -271,6 +779,8 @@ def _image_feature(payload: bytes) -> "list[float] | None":
     )
     if head == _PNG_SIG:
         return _png_feature(payload)
+    if head[:2] == b"\xff\xd8":
+        return _jpeg_feature(payload)
     return _ppm_feature(payload)
 
 

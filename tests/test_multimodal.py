@@ -448,7 +448,7 @@ def test_decode_png_all_filters_and_color_types():
 
 def test_malformed_png_quarantines_not_crashes(spark):
     """CRC corruption, Adam7 interlace, truncation, missing palette,
-    and JPEG magic all quarantine (NULL feature / ValueError), never a
+    and truncated-JPEG magic all quarantine (NULL feature / ValueError), never a
     task crash; a valid PNG row decodes REAL features next to a P3 row
     in the same pass (magic-byte dispatch)."""
     import pytest as _pytest
@@ -467,13 +467,13 @@ def test_malformed_png_quarantines_not_crashes(spark):
         ("png-ok", "image", good.decode("latin-1"), 2, 1, 0),
         ("png-badcrc", "image", bad_crc.decode("latin-1"), 2, 1, 0),
         ("png-interlaced", "image", interlaced.decode("latin-1"), 2, 1, 0),
-        ("jpeg-gated", "image", b"\xff\xd8\xff\xe0jpeg".decode("latin-1"), 0, 0, 0),
+        ("jpeg-truncated", "image", b"\xff\xd8\xff\xe0jpeg".decode("latin-1"), 0, 0, 0),
         ("ppm-ok", "image", _ppm(2, 1, [[(255, 255, 255), (0, 0, 0)]]), 2, 1, 0),
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     feats = {r.asset_id: r.feature
              for r in multimodal.extract_features(df, decode_stub=False).collect()}
-    for bad in ("png-badcrc", "png-interlaced", "jpeg-gated"):
+    for bad in ("png-badcrc", "png-interlaced", "jpeg-truncated"):
         assert feats[bad] is None, f"{bad} should quarantine"
     # the white/black 2x1 PNG and the identical P3 land the SAME feature
     assert feats["png-ok"] == feats["ppm-ok"]
@@ -539,3 +539,152 @@ def test_decode_png_property_filter_inversion():
         assert vals == exp
 
     run()
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (round-8: the largest remaining multimodal quarantine
+# closed the PNG way — pure-stdlib codec, property-tested roundtrip)
+# --------------------------------------------------------------------------
+
+
+def _smooth(w, h, phase=0):
+    import math
+
+    return [
+        min(255, max(0, int(128 + 100 * math.sin((x + ch * 5 + phase) / 7.0) * math.cos(y / 5.0))))
+        for y in range(h)
+        for x in range(w)
+        for ch in range(3)
+    ]
+
+
+def test_jpeg_flat_color_near_exact():
+    """A flat-color image is a DC-only stream: decode must recover the
+    color within quantization-of-DC rounding (analytic fixture)."""
+    w, h = 16, 16
+    px = [120, 60, 200] * (w * h)
+    got = multimodal.decode_jpeg(multimodal.encode_jpeg(w, h, px, quality=95))
+    assert got[:3] == (w, h, 255)
+    assert max(abs(a - b) for a, b in zip(px, got[3])) <= 3
+
+
+@pytest.mark.parametrize("subsample,restart", [(False, 0), (False, 2), (True, 0), (True, 3)])
+def test_jpeg_roundtrip_all_modes(subsample, restart):
+    """4:4:4 and 4:2:0, with and without restart markers, on
+    non-multiple-of-8 dimensions (padding + partial-MCU edges)."""
+    w, h = 33, 21
+    px = _smooth(w, h)
+    data = multimodal.encode_jpeg(
+        w, h, px, quality=92, subsample=subsample, restart_interval=restart
+    )
+    dw, dh, maxval, vals = multimodal.decode_jpeg(data)
+    assert (dw, dh, maxval) == (w, h, 255)
+    mean_err = sum(abs(a - b) for a, b in zip(px, vals)) / len(px)
+    assert mean_err < (4.0 if subsample else 2.5), mean_err
+
+
+def test_jpeg_property_q100_roundtrip_tight():
+    """Property: at quality 100 every quantizer is 1, so for ANY pixel
+    content the only loss is DCT/color-space float rounding — the
+    roundtrip must stay within +-4 per sample."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.data())
+    def run(data):
+        w = data.draw(st.integers(1, 17))
+        h = data.draw(st.integers(1, 17))
+        px = [data.draw(st.integers(0, 255)) for _ in range(3 * w * h)]
+        dw, dh, maxval, vals = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(w, h, px, quality=100)
+        )
+        assert (dw, dh, maxval) == (w, h, 255)
+        assert max(abs(a - b) for a, b in zip(px, vals)) <= 4
+
+    run()
+
+
+def test_jpeg_grayscale_single_component():
+    """The decoder's 1-component path: a hand-assembled grayscale
+    baseline stream (flat value) decodes to the replicated-gray RGB
+    contract."""
+    from aws_logs_to_parquet_converter_spark.operators.multimodal import (
+        _JPEG_HUFF,
+        _JpegBitWriter,
+        _huff_decode_table,
+    )
+
+    # 8x8 flat gray 180: one block, DC = round((180-128)*8 / q0), ACs 0
+    q0 = 16  # Annex K luma [0] at quality 50 scale=100 -> unchanged
+    dc = round((180 - 128) * 8 / q0)
+    enc = {
+        key: {sym: (code, ln) for (ln, code), sym in _huff_decode_table(*tbl).items()}
+        for key, tbl in _JPEG_HUFF.items()
+    }
+    bw = _JpegBitWriter()
+    s = dc.bit_length()
+    code, ln = enc[("dc", 0)][s]
+    bw.write(code, ln)
+    bw.write(dc, s)  # positive magnitude bits
+    code, ln = enc[("ac", 0)][0x00]  # EOB
+    bw.write(code, ln)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    from aws_logs_to_parquet_converter_spark.operators.multimodal import (
+        _JPEG_QT_LUMA,
+        _JPEG_ZIGZAG,
+    )
+
+    # DQT stores zigzag order: entry k = natural[zigzag[k]]
+    qz = bytes(_JPEG_QT_LUMA[_JPEG_ZIGZAG[k]] for k in range(64))
+    stream = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + qz)
+        + seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00] + _JPEG_HUFF[("dc", 0)][0] + _JPEG_HUFF[("dc", 0)][1]))
+        + seg(0xC4, bytes([0x10] + _JPEG_HUFF[("ac", 0)][0] + _JPEG_HUFF[("ac", 0)][1]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+    w, h, maxval, vals = multimodal.decode_jpeg(stream)
+    assert (w, h, maxval) == (8, 8, 255)
+    assert len(vals) == 8 * 8 * 3
+    assert all(abs(v - 180) <= 2 for v in vals), sorted(set(vals))
+    assert vals[0] == vals[1] == vals[2]  # replicated gray
+
+
+def test_jpeg_progressive_and_malformed_quarantine(spark):
+    """SOF2 (progressive) raises; truncated/garbage streams raise; and
+    through extract_features a REAL baseline JPEG row decodes the same
+    luminance histogram as the identical PNG row while the progressive
+    row quarantines as NULL."""
+    w, h = 4, 2
+    px = [255, 255, 255, 0, 0, 0] * 4
+    good = multimodal.encode_jpeg(w, h, px, quality=100)
+    # flip SOF0 -> SOF2 (progressive): find the FFC0 marker
+    i = good.index(b"\xff\xc0")
+    progressive = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    for bad in (progressive, good[:24], b"\xff\xd8\xffjunk"):
+        with pytest.raises(ValueError):
+            multimodal.decode_jpeg(bad)
+
+    png = multimodal.encode_png(w, h, px)
+    rows = [
+        ("jpeg-ok", "image", good.decode("latin-1"), w, h, 0),
+        ("jpeg-progressive", "image", progressive.decode("latin-1"), w, h, 0),
+        ("png-ok", "image", png.decode("latin-1"), w, h, 0),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {
+        r.asset_id: r.feature
+        for r in multimodal.extract_features(df, decode_stub=False).collect()
+    }
+    assert feats["jpeg-progressive"] is None
+    assert feats["jpeg-ok"] is not None
+    # white/black halves: the q100 jpeg and the lossless png agree on
+    # the histogram exactly (values within rounding of 0 and 255)
+    assert feats["jpeg-ok"] == feats["png-ok"]
