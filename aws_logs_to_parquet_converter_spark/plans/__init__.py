@@ -104,11 +104,14 @@ _PRIORITY = [
     "q_union_by_name",
     "q_bag_set_ops",
     "q_values_dim",
+    # NEW this round (enters the window at birth, not after it fills —
+    # the q_approx_top_k lesson): percent_rank/cume_dist on the
+    # ascending face of the two-pass global rank
+    "q_window_percent_rank",
     # ... then the oldest r6 TPC-H entries
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_shipping_priority",
-    "q04_order_priority",
 ]
 
 

@@ -636,6 +636,38 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           PERCENT_RANK() OVER (ORDER BY o_orderdate) AS date_pr,
+           CUME_DIST() OVER (ORDER BY o_orderdate) AS date_cd
+    FROM orders
+    """,
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global PERCENT_RANK/CUME_DIST with PEER GROUPS (every order
+    sharing a date is a peer) — the ascending-rank face of the same
+    two-pass range-partitioned global rank q_window_ntile uses
+    (operators/ranking.py): one range exchange, consecutive local ids,
+    bounded offset collect; both distribution functions are then peer-
+    extreme arithmetic under a hash-partitioned window on the order
+    date, never a single-task funnel."""
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        cume_dist_from_rank,
+        global_row_number,
+        percent_rank_from_rank,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ranked = global_row_number(o, [F.col("o_orderdate"), F.col("o_orderkey")])
+    return ranked.select(
+        "o_orderkey",
+        percent_rank_from_rank(ranked, ["o_orderdate"]).alias("date_pr"),
+        cume_dist_from_rank(ranked, ["o_orderdate"]).alias("date_cd"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / limits / set ops / CTE (SURVEY §2.6-2.8)
 # --------------------------------------------------------------------------

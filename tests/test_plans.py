@@ -119,13 +119,14 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-7 window
+    """The driver grades the first 50 registry entries.  Round-8 window
     policy (plans/__init__.py): never-driver-graded oracle entries
-    first (the r6 late pair + the three new r7 queries), then every
-    entry whose behavior changed this round (the whitespace-class
-    oracle migration, per-symbol Gopher ratios, GK accuracy, k-anon
-    auto probe), then the r4-stale rotation candidates — every
-    windowed entry hash-gradeable."""
+    first (q_approx_top_k, the new q_stream_read_after_write, the new
+    q_window_percent_rank), then every entry whose code or oracle
+    changed this round (the ntile reshape, the contentless-shingle
+    oracle guards, the five r7-advisor changed-oracle queries), then
+    the r4-currency stragglers, then the oldest (r5-cohort) evidence —
+    every windowed entry hash-gradeable."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
     names = list(REGISTRY)
@@ -135,15 +136,19 @@ def test_graded_window_covers_priority_surface():
         # flagship
         "q_days_apart",
         # never driver-graded before this round
-        "q_c4_rules", "q_gopher_rules", "q_bigram_lm", "q_warc_extract",
-        "q_stream_daily_events", "q_dedup_minhash_md5",
-        # behavior changed this round (sample of the 22 — the full
-        # list lives in _PRIORITY; these anchor the policy)
-        "q_token_count", "q_gopher_rules", "q_perplexity",
-        "q_k_anonymize", "q_approx_percentiles", "q_html_extract",
-        # r4-stale rotation candidates back under the gate
-        "q_topk", "q_join_left", "q_window_rank", "q_agg_cube",
-        "q_group_by_all", "q_unpivot",
+        "q_approx_top_k", "q_stream_read_after_write",
+        "q_window_percent_rank",
+        # code or oracle changed this round
+        "q_window_ntile", "q_warc_extract", "q_ngram_jaccard",
+        "q_dedup_minhash_md5", "q_dedup_keep_list",
+        # the r7-advisor changed-oracle queries (rotation-policy repair)
+        "q_session_window", "q_json_extract", "q_correlated_scalar",
+        "q_recursive_cte", "q_log_status_breakdown",
+        # r4-currency stragglers back under the gate
+        "q_diag_bool_emit", "q_diag_maxby_emit",
+        # oldest-evidence (r5 cohort) backfill anchors
+        "q_window_lag", "q_sessionize", "q_asof_join", "q_url_funcs",
+        "q_dedup_exact", "q_embed_topk", "q_salted_agg",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
