@@ -42,6 +42,36 @@ def main() -> None:
 
     register_presto_compat(spark)
     _t(spark, sf_dir, "events").count()  # events file-index + nanos reader path
+    # Warm the remaining table readers so per-query times are ORDER-
+    # INVARIANT: the registry rotation reorders the headline loop each
+    # round, and whichever query happens to run first against a table
+    # otherwise pays its one-time file-index + vectorized-decode +
+    # codegen-infra cost (measured r8: q_embed_topk 0.94s when 10th in
+    # the r7 order vs 1.38s when 4th after the rotation, identical
+    # plan).  A column-touching aggregate (not count(), which parquet
+    # serves from footer metadata) exercises the decode path once.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    _t(spark, sf_dir, "documents").select(F.sum(F.length("text"))).collect()
+    _t(spark, sf_dir, "embeddings").select(
+        F.avg(F.element_at("embedding", 1))
+    ).collect()
+    # ... and the shared OPERATOR infrastructure (WindowExec, broadcast
+    # join, noop sink, C2-compiled codegen entry points) with a tiny
+    # synthetic plan: these JIT costs are session-global, so whichever
+    # headline query ran them first absorbed ~0.4-1.0s that belongs to
+    # no query in particular.
+    from pyspark.sql import Window as _W
+
+    _tiny = spark.range(256).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    (
+        _tiny.join(F.broadcast(_tiny.where(F.col("id") < 3).select(F.col("id").alias("j"))), F.col("g") != F.col("j"))
+        .select("id", "g", F.row_number().over(_W.partitionBy("g").orderBy("id")).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .write.format("noop").mode("overwrite").save()
+    )
 
     results: dict[str, float] = {}
 
