@@ -108,10 +108,12 @@ _PRIORITY = [
     # the q_approx_top_k lesson): percent_rank/cume_dist on the
     # ascending face of the two-pass global rank
     "q_window_percent_rank",
+    # NEW this round: canonical-URL keep-first dedup (crawl frontier
+    # step) — analytic ground-truth oracle over synthesized messy URLs
+    "q_url_dedup",
     # ... then the oldest r6 TPC-H entries
     "q01_pricing_summary",
     "q02_filter_project",
-    "q03_shipping_priority",
 ]
 
 

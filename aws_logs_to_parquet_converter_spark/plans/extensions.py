@@ -84,6 +84,75 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Messy-on-purpose synthetic URLs over events: mixed scheme/host case,
+# explicit default port, unsorted + tracking query params, fragments —
+# every axis operators/urls.canonicalize_url normalizes.  The oracle
+# does NOT re-implement the canonicalizer: the synthesis makes the
+# canonical form knowable in closed form, so DuckDB states the ground
+# truth analytically and the hash compare pins the ENGINE's generic
+# regexp/array pipeline against it (a shared-algorithm bug cannot hide).
+_URL_DEDUP_ORACLE = """
+    WITH urls AS (
+        SELECT event_id,
+               (CASE WHEN event_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+               || '://'
+               || (CASE WHEN event_id % 4 < 2 THEN 'CDN' ELSE 'cdn' END)
+               || CAST(user_id % 3 AS VARCHAR) || '.Example.COM'
+               || (CASE WHEN event_id % 5 = 0 THEN ':443' ELSE '' END)
+               || '/assets/' || event_type
+               || (CASE event_id % 3
+                       WHEN 0 THEN '?b=2&a=1&utm_source=feed'
+                       WHEN 1 THEN '?a=1&b=2'
+                       ELSE '' END)
+               || (CASE WHEN event_id % 7 = 0 THEN '#section' ELSE '' END)
+               AS url,
+               'https://cdn' || CAST(user_id % 3 AS VARCHAR)
+               || '.example.com/assets/' || event_type
+               || (CASE WHEN event_id % 3 IN (0, 1) THEN '?a=1&b=2' ELSE '' END)
+               AS canon_url
+        FROM events
+    )
+    SELECT event_id, url, canon_url
+    FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY event_id) AS rn
+          FROM urls)
+    WHERE rn = 1
+"""
+
+
+@query("q_url_dedup", oracle=_URL_DEDUP_ORACLE)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL keep-first dedup (the crawl frontier/corpus step
+    that runs BEFORE any content dedup): scheme+host lowercasing,
+    default-port and fragment stripping, query-param sorting and
+    tracking-param removal collapse every synthesized variant onto one
+    canonical form; the lowest event_id per form survives via the
+    shared digest-grouped keep-first (operators/urls.py — the exchange
+    moves 16-byte md5 digests, never URL text)."""
+    from aws_logs_to_parquet_converter_spark.operators import urls as urlmod
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    url = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("event_id") % 4 < 2, F.lit("CDN")).otherwise(F.lit("cdn")),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/assets/"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("?b=2&a=1&utm_source=feed"))
+        .when(F.col("event_id") % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 7 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    with_urls = e.select("event_id", url.alias("url"))
+    kept = urlmod.url_keep_first(with_urls, "event_id", "url")
+    return urlmod.with_canonical_url(kept, "url").select(
+        "event_id", "url", "canon_url"
+    )
+
+
 @query(
     "q_ngram_jaccard",
     oracle="""

@@ -1,0 +1,84 @@
+"""URL canonicalization + keep-first URL dedup (operators/urls.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import urls
+
+
+def _canon(spark, raw: str | None):
+    return (
+        spark.createDataFrame([(raw,)], "u: string")
+        .select(urls.canonicalize_url(F.col("u")).alias("c"))
+        .first()["c"]
+    )
+
+
+CASES = [
+    # scheme + host case-fold
+    ("HTTPS://WWW.Example.COM/Path", "https://www.example.com/Path"),
+    # default ports dropped, non-default kept
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    # https:80 is NOT a default port (and vice versa)
+    ("https://example.com:80/a", "https://example.com:80/a"),
+    # empty path -> /
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com?b=2&a=1", "https://example.com/?a=1&b=2"),
+    # fragment dropped
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com/a?x=1#frag", "https://example.com/a?x=1"),
+    # query params sorted; tracking params stripped
+    ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+    (
+        "https://example.com/a?utm_source=x&b=2&utm_campaign=y&a=1",
+        "https://example.com/a?a=1&b=2",
+    ),
+    ("https://example.com/a?fbclid=zzz", "https://example.com/a"),
+    ("https://example.com/a?gclid=1&x=2", "https://example.com/a?x=2"),
+    # utm_* only strips as a PARAM name prefix, not a value substring
+    ("https://example.com/a?q=utm_source", "https://example.com/a?q=utm_source"),
+    # empty query -> dropped entirely
+    ("https://example.com/a?", "https://example.com/a"),
+    # path case preserved (paths are case-sensitive per RFC 3986)
+    ("https://example.com/CaseSensitive", "https://example.com/CaseSensitive"),
+    # percent-encoding untouched (documented out of scope)
+    ("https://example.com/a%2Fb", "https://example.com/a%2Fb"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_canonicalize(spark, raw, expected):
+    assert _canon(spark, raw) == expected
+
+
+@pytest.mark.parametrize("raw", [None, "not a url", "/relative/path", "://nohost"])
+def test_malformed_is_null(spark, raw):
+    assert _canon(spark, raw) is None
+
+
+def test_keep_first_collapses_equivalent_urls(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://A.com:80/x?b=2&a=1#f"),
+            (2, "http://a.com/x?a=1&b=2"),  # same canonical as 1
+            (3, "http://a.com/x?a=1&b=3"),  # different query value
+            (4, "garbage"),  # malformed: survives on its own sentinel
+            (5, None),  # NULL: survives
+            (6, "http://a.com/x?utm_source=s&a=1&b=2"),  # same canonical as 1
+        ],
+        "id: long, url: string",
+    )
+    kept = urls.url_keep_first(df, "id", "url")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_keep_first_plan_shuffles_digests_not_urls(spark):
+    """The dedup exchange must move the md5 digest, never URL text."""
+    df = spark.createDataFrame([(1, "http://a.com/x")], "id: long, url: string")
+    plan = (
+        urls.url_keep_first(df, "id", "url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "md5" in plan
