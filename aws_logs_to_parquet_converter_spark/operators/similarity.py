@@ -708,3 +708,182 @@ def query_ivf_index(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+
+
+# ----------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI) — the memory-compression ANN
+# path: an m-byte code replaces a 4*dim-byte float vector (32x at
+# dim=64/m=8), and query scoring reads ONLY codes + a broadcast
+# distance table, never raw corpus vectors.  At 100 TB of embeddings
+# that is the difference between an index that fits the cluster and one
+# that does not.
+# ----------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ks: int = 256,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Per-subspace k-means codebook, trained driver-side on the same
+    bounded deterministic sample discipline as
+    ``kmeans_cell_centroids`` (ordered by ``xxhash64(id, seed)``;
+    at 100 TB the driver still collects only ``sample_n`` vectors).
+
+    Vectors are L2-normalized first, so quantized L2 distance is
+    monotone with cosine (||a-b||^2 = 2 - 2cos for unit vectors) and
+    PQ results rank-compare directly against ``cosine_topk``.
+
+    Returns a numpy array of shape (m, ks, dim//m).  ``dim % m`` must
+    be 0 (pad upstream otherwise); ``ks`` caps at the sample size.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    ks_eff = min(ks, len(x))
+    book = np.empty((m, ks_eff, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = sub[:ks_eff].copy()
+        for _ in range(iters):
+            # squared-L2 assignment via the expansion trick (one BLAS
+            # matmul, no n*ks*dsub temp)
+            d2 = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2.0 * sub @ cents.T
+                + (cents * cents).sum(1)
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(ks_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        book[j] = cents
+    return book
+
+
+def _pq_encode_udf(codebook):
+    """Arrow-batched PQ encoder: normalize, then per subspace one BLAS
+    argmin-L2 against that subspace's centroids — zero shuffle, the
+    same map-side posture as ``_cell_udf``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, dsub = codebook.shape
+
+    def _codes(vs):
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(x), m), dtype="int32")
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            cents = codebook[j]
+            d2 = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2.0 * sub @ cents.T
+                + (cents * cents).sum(1)
+            )
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return pandas_udf(_codes, "array<int>")
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebook, out_col: str = "pq_codes"
+) -> DataFrame:
+    """``df`` plus the m-byte PQ code of ``vec_col`` (NULL vectors
+    carry no geometry and must be excluded upstream, as in IVF)."""
+    return df.withColumn(out_col, _pq_encode_udf(codebook)(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k via asymmetric distance computation (ADC):
+    the corpus is scored from its PQ codes alone.  Per query the
+    driver precomputes the (m, ks) table of squared distances from the
+    query's subvectors to every centroid (tiny: m*ks doubles), ships
+    it broadcast as one flattened array column, and the per-row score
+    is an m-term table lookup —
+    ``dist2 = sum_j table[j*ks + code_j]`` — evaluated JVM-side with
+    zip_with/aggregate over the code array.  No raw corpus vector is
+    read after encoding.
+
+    ``sim`` is the cosine implied by quantized L2 on unit vectors
+    (1 - dist2/2), rounded like every other similarity path, so PQ
+    results rank-compare against ``cosine_topk``.  Queries are the
+    small side by contract (same as ``cosine_topk``'s broadcast); they
+    are collected driver-side to build the tables.
+
+    Returns (query_id, neighbor_id, sim, rank).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    m, ks, dsub = codebook.shape
+    coded = pq_encode(
+        fan_out(
+            corpus.where(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+            ),
+            "neighbor_id",
+        ),
+        "_cv",
+        codebook,
+        out_col="_pq",
+    ).select("neighbor_id", "_pq")
+
+    q_rows = queries.where(F.col(vec_col).isNotNull()).select(id_col, vec_col).collect()
+    cent_sq = [(codebook[j] * codebook[j]).sum(1) for j in range(m)]
+    table_rows = []
+    for r in q_rows:
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        dt = np.empty((m, ks), dtype=np.float64)
+        for j in range(m):
+            sub = qv[j * dsub : (j + 1) * dsub]
+            dt[j] = (sub * sub).sum() - 2.0 * codebook[j] @ sub + cent_sq[j]
+        table_rows.append((r[0], [float(v) for v in dt.ravel()]))
+    q = spark.createDataFrame(table_rows, "query_id: long, _dt: array<double>")
+
+    lookups = F.zip_with(
+        F.col("_pq"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(F.col("_dt"), j * F.lit(ks) + c + F.lit(1)),
+    )
+    dist2 = F.aggregate(lookups, F.lit(0.0), lambda a, v: a + v)
+    scored = (
+        coded.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.lit(1.0) - dist2 / 2, 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)

@@ -370,6 +370,20 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("rank", "rnk")
 
 
+@query("q_embed_topk_pq")  # rows-only: approximate; recall tested in test_similarity.py
+def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized approximate top-5 (Jegou 2011): corpus
+    vectors compress to m=8 one-byte codes (32x at dim=64); scoring is
+    an m-term broadcast table lookup per pair — no raw corpus vector is
+    read after encoding.  The memory-bound ANN path: at 100 TB the PQ
+    index fits where the float corpus cannot."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    book = similarity.pq_train(emb, "vec_id", "embedding", m=8, ks=64)
+    res = similarity.pq_topk(emb, queries, book, id_col="vec_id", vec_col="embedding", k=5)
+    return res.withColumnRenamed("rank", "rnk")
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

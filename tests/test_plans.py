@@ -274,8 +274,9 @@ def test_registry_wide_no_scale_killers(spark):
     provably tiny so the loop is linear in the streamed side:
       q11_important_parts / q_tfidf_topterms: one-row scalar-subquery
         (global threshold / corpus doc count) crossed into the agg;
-      q_embed_topk / q_embed_topk_lsh: the bounded query set broadcast
-        against the streamed corpus (condition is non-equi by design);
+      q_embed_topk / q_embed_topk_lsh / q_embed_topk_pq: the bounded
+        query set (or its PQ distance tables) broadcast against the
+        streamed corpus/codes (condition is non-equi by design);
       q_join_range: interval containment vs a derived calendar dim.
     """
     ARROW_SEAMS = {
@@ -283,12 +284,14 @@ def test_registry_wide_no_scale_killers(spark):
         "q_media_features",
         "q_quality_score",
         "q_semantic_dedup_clustered",  # k-means cell assignment (map-side matmul)
+        "q_embed_topk_pq",  # PQ encoding (map-side per-subspace argmin matmul)
     }
     BNLJ_OK = {
         "q11_important_parts",
         "q_tfidf_topterms",
         "q_embed_topk",
         "q_embed_topk_lsh",
+        "q_embed_topk_pq",
         "q_join_range",
         "q_length_band",  # one-row percentile-bounds broadcast
         "q_corpus_clean_pipeline",  # same bounds broadcast, first stage

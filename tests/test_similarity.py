@@ -329,3 +329,83 @@ def test_ivf_excludes_null_embeddings_and_rejects_wide_planes(spark):
 
     with _pytest.raises(ValueError, match="n_planes"):
         sim.hyperplane_signatures("embedding", dim=2, n_planes=64)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (pq_train / pq_encode / pq_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_train_shape_and_divisibility(spark, vecs):
+    rows, df = vecs
+    book = similarity.pq_train(df, "vec_id", "embedding", m=4, ks=16)
+    assert book.shape == (4, 16, 2)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(df, "vec_id", "embedding", m=3)
+
+
+def test_pq_encode_codes_in_range(spark, vecs):
+    rows, df = vecs
+    book = similarity.pq_train(df, "vec_id", "embedding", m=4, ks=16)
+    coded = similarity.pq_encode(df, "embedding", book).collect()
+    assert len(coded) == len(rows)
+    for r in coded:
+        assert len(r.pq_codes) == 4
+        assert all(0 <= c < 16 for c in r.pq_codes)
+
+
+def test_pq_adc_matches_numpy_reconstruction(spark, vecs):
+    """The JVM zip_with table lookup must reproduce EXACTLY the
+    distance numpy computes from the same codes and tables — pins the
+    j*ks + code + 1 indexing (an off-by-one here silently scores every
+    pair against the wrong centroid)."""
+    import numpy as np
+
+    rows, df = vecs
+    data = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    book = similarity.pq_train(df, "vec_id", "embedding", m=4, ks=16)
+    m, ks, dsub = book.shape
+    codes = {
+        r.vec_id: list(r.pq_codes)
+        for r in similarity.pq_encode(df, "embedding", book).collect()
+    }
+    queries = df.where(F.col("vec_id") < 2)
+    got = similarity.pq_topk(df, queries, book, k=99).collect()
+    assert got, "no pq pairs returned"
+    for r in got:
+        qv = data[r.query_id] / max(np.linalg.norm(data[r.query_id]), 1e-12)
+        dist2 = 0.0
+        for j, c in enumerate(codes[r.neighbor_id]):
+            sub = qv[j * dsub : (j + 1) * dsub]
+            dist2 += float(((sub - book[j][c]) ** 2).sum())
+        assert abs(r.sim - round(1.0 - dist2 / 2, 4)) <= 1e-9, (
+            f"pair ({r.query_id},{r.neighbor_id}): {r.sim} vs analytic"
+        )
+
+
+def test_pq_recall_and_determinism(spark, vecs):
+    rows, df = vecs
+    queries = df.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(df, queries, k=5).collect()
+    }
+    book = similarity.pq_train(df, "vec_id", "embedding", m=4, ks=64)
+    got1 = similarity.pq_topk(df, queries, book, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ recall {recall:.2f} below floor"
+    # self-pairs never score; deterministic across runs
+    assert all(r.query_id != r.neighbor_id for r in got1)
+    got2 = similarity.pq_topk(df, queries, book, k=5).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))
+
+
+def test_pq_excludes_null_embeddings(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    book = similarity.pq_train(df, "vec_id", "embedding", m=2, ks=3)
+    got = similarity.pq_topk(df, df.where(F.col("vec_id") == 0), book, k=10).collect()
+    assert {r.neighbor_id for r in got} == {1, 3}
