@@ -111,9 +111,12 @@ _PRIORITY = [
     # NEW this round: canonical-URL keep-first dedup (crawl frontier
     # step) — analytic ground-truth oracle over synthesized messy URLs
     "q_url_dedup",
-    # ... then the oldest r6 TPC-H entries
+    # NEW this round: streaming exact dedup (third streaming-family
+    # row under the oracle; duplicates byte-identical by construction
+    # so the surviving set is deterministic)
+    "q_stream_dedup",
+    # ... then the oldest r6 TPC-H entry
     "q01_pricing_summary",
-    "q02_filter_project",
 ]
 
 

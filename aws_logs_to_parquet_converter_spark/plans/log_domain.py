@@ -314,6 +314,76 @@ def q_stream_read_after_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT
+           'req-' || CAST(event_id % 250 AS VARCHAR) AS request_id,
+           STRFTIME(TIMESTAMP '2024-01-01 00:00:00'
+                    + (event_id % 250) * INTERVAL 1 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS request_time,
+           (event_id % 250) * 7 AS bytes_sent
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the driver's oracle gate:
+    ``streaming/ingest.stream_dedup`` (dropDuplicatesWithinWatermark
+    on the natural request_id key — S3 logs are delivered best-effort
+    and can repeat objects/lines; state bounded by the watermark
+    horizon).
+
+    The events table replays as a BOUNDED stream with every mapped
+    column DERIVED from the dedup key (event_id % 250 — each key
+    repeats ~|events|/250 times), so all duplicates of a key are
+    byte-identical: whichever physical row the dedup operator keeps,
+    the surviving tuple is the same, making the result deterministic
+    and hash-gradeable — the final sink equals the batch
+    ``SELECT DISTINCT`` exactly.  Watermark *eviction* semantics
+    (duplicates beyond the horizon re-admitted, state dropped) are
+    covered by tests/test_streaming.py's multi-batch replay; this
+    entry is the driver-graded batch-parity evidence, the third
+    streaming-family row under the oracle."""
+    from aws_logs_to_parquet_converter_spark.streaming import ingest
+
+    path = f"{sf_dir}/events.parquet"
+    # same events timestamp seam as q_stream_daily_events / registry.t
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    key = F.col("event_id") % 250
+    parsed = src.select(
+        F.concat(F.lit("req-"), key.cast("string")).alias("request_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(mins=key)
+        ).alias("request_time"),
+        (key * 7).alias("bytes_sent"),
+    )
+    deduped = ingest.stream_dedup(parsed, key_cols=["request_id"], watermark="1 day")
+    sink = "q_stream_dedup_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        "request_id",
+        F.date_format("request_time", "yyyy-MM-dd HH:mm:ss").alias("request_time"),
+        "bytes_sent",
+    )
+
+
+@query(
     "q_sessionize",
     oracle="""
     WITH gaps AS (
