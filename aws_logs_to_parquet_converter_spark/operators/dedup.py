@@ -28,7 +28,7 @@ Python workers (PERF.md records the measurements behind this rule).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_logs_to_parquet_converter_spark.operators.textstats import WS_PLUS, normalized_text
@@ -1055,4 +1055,100 @@ def winnow_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def drop_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Corpus-level exact token-SPAN dedup (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better", the ExactSubstr step; C4's three-sentence-span
+    removal — Raffel et al. 2020 §2.2 — is the same shape at sentence
+    granularity): every n-token span that occurs more than once across
+    the corpus survives ONLY at its first occurrence (document id,
+    then position); all tokens covered by a later occurrence are
+    dropped and the remaining tokens reassemble in order.  The
+    memorization-prone repeated passage disappears corpus-wide while
+    its first sighting stays auditable — the span-level member of the
+    dedup family, between line-level (``drop_repeated_lines``) and
+    whole-document (``exact_keep_first``).
+
+    Where the paper builds a suffix array (single-machine, needs the
+    corpus in one address space), the Spark-native form explodes
+    sliding n-grams — an n-fold row blowup, but strictly linear and
+    shuffle-friendly: the gram exchange moves a 16-byte md5 + (id,
+    pos) per gram, never text (md5, not xxhash64 — this operator
+    DELETES content, so the module's destructive-drop digest rule
+    applies); the covered-position set is bounded by n * duplicate
+    occurrences.
+
+    Tokenization is the canonical whitespace split of LOWERCASED text
+    (``textstats.tokens``); the rebuilt text is that normalized token
+    stream joined by single spaces — span identity and output share
+    one normalization, and the DuckDB oracle reproduces both.  NULL
+    text passes through as NULL; a document whose every token was
+    covered survives as ''.
+
+    Plan shape: one per-document window (partitioned — lead(n-1) over
+    positions), one gram-digest aggregate, a digest join back, one
+    (id, pos) anti join, one per-document reassembly.  All keys
+    bounded; no pair space anywhere.
+    """
+    if n < 2:
+        raise ValueError(f"span length n must be >= 2, got {n}")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), WS_PLUS),
+                lambda tok: tok != "",
+            )
+        ).alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
+    grams = (
+        toks.select(
+            "_id",
+            "_pos",
+            F.concat_ws(" ", *parts).alias("_g"),
+            F.lead("_tok", n - 1).over(w).alias("_last"),
+        )
+        # a short tail window (lead NULL) is not an n-gram; concat_ws
+        # silently skips NULLs, so gate on the last lead explicitly
+        .where(F.col("_last").isNotNull())
+        .select("_id", "_pos", F.md5(F.col("_g")).alias("_d"))
+    )
+    first = grams.groupBy("_d").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))).alias("_f")
+    )
+    covered = (
+        grams.join(first, "_d")
+        .where((F.col("_f.i") != F.col("_id")) | (F.col("_f.p") != F.col("_pos")))
+        .select("_id", F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))).alias("_cpos"))
+        .distinct()
+    )
+    kept = toks.join(
+        covered,
+        (toks["_id"] == covered["_id"]) & (toks["_pos"] == covered["_cpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_joined")
+    )
+    return df.join(rebuilt, df[id_col] == rebuilt["_id"], "left").select(
+        *[df[c] for c in df.columns if c != text_col],
+        F.when(df[text_col].isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("_joined"), F.lit("")))
+        .alias(text_col),
     )

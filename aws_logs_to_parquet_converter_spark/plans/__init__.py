@@ -49,6 +49,11 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 # q_approx_percentiles), the r7-graded function matrices and
 # join/window/agg families, q_c4_rules, q_gopher_rules, q_bigram_lm,
 # q_stream_daily_events.
+# Round-8 BIRTHS (standing policy: a new oracle-bearing entry enters
+# the window the round it is added, displacing the lowest-priority
+# backfill): q_window_percent_rank, q_url_dedup, q_stream_dedup,
+# q_span_dedup — they displaced the four lowest-priority r6 TPC-H
+# backfill slots (q01-q04), which stay r6-current.
 GRADED_WINDOW = 50
 
 _PRIORITY = [
@@ -115,8 +120,9 @@ _PRIORITY = [
     # row under the oracle; duplicates byte-identical by construction
     # so the surviving set is deterministic)
     "q_stream_dedup",
-    # ... then the oldest r6 TPC-H entry
-    "q01_pricing_summary",
+    # NEW this round: exact token-span dedup (Lee 2021 ExactSubstr,
+    # n-gram-explode form) — cleaned text compared by md5
+    "q_span_dedup",
 ]
 
 

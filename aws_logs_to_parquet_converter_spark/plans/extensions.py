@@ -2180,6 +2180,71 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SPAN_N = 5
+_SPAN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, d.tl[CAST(u.p AS INT)] AS tok, u.p - 1 AS pos
+        FROM (SELECT doc_id, {_DUCK_TOKENS} AS tl
+              FROM documents WHERE text IS NOT NULL) d,
+             unnest(range(1, len(d.tl) + 1)) AS u(p)
+    ), grams AS (
+        SELECT doc_id, pos,
+               tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+                   || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w AS g,
+               LEAD(tok, 4) OVER w AS t_last
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), occ AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM grams WHERE t_last IS NOT NULL
+    ), covered AS (
+        SELECT DISTINCT doc_id, pos + v.off AS cpos
+        FROM occ, (VALUES (0), (1), (2), (3), (4)) v(off)
+        WHERE rn > 1
+    ), kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t
+        LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        WHERE c.doc_id IS NULL
+    ), rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept_tokens,
+               string_agg(tok, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(r.n_kept_tokens, 0) END AS n_kept_tokens,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE md5(COALESCE(r.txt, '')) END AS clean_md5
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query("q_span_dedup", oracle=_SPAN_ORACLE)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-span dedup (Lee et al. 2021 ExactSubstr, Spark-
+    native n-gram-explode form — operators/dedup.drop_repeated_spans)
+    hash-graded end to end at n=5 (_SPAN_N): every corpus-repeated
+    5-token span survives only at its first (doc, position)
+    occurrence; the oracle re-derives the identical sliding-gram
+    window, global first-occurrence rule, covered-position expansion,
+    and ordered reassembly, and the cleaned text compares by md5
+    digest."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = dedup.drop_repeated_spans(d, "doc_id", "text", n=_SPAN_N)
+    null_text = F.col("text").isNull()
+    return cleaned.select(
+        "doc_id",
+        F.when(null_text, F.lit(None).cast("bigint"))
+        .when(F.length("text") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.size(F.split("text", " ", -1)).cast("bigint"))
+        .alias("n_kept_tokens"),
+        F.when(null_text, F.lit(None).cast("string"))
+        .otherwise(F.md5("text"))
+        .alias("clean_md5"),
+    )
+
+
 _WINNOW_ORACLE = r"""
     WITH docs AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\r\n\f\x0b]+', ' ', 'g')) AS t

@@ -549,3 +549,61 @@ def test_contentless_docs_oracle_parity(spark, tmp_path):
     for name in ("q_ngram_jaccard", "q_dedup_minhash_md5", "q_dedup_keep_list"):
         status, detail = compare_query(spark, con, name, str(tmp_path))
         assert status == "ok", f"{name}: {detail}"
+
+
+# ---------------------------------------------------------------------------
+# drop_repeated_spans (exact token-span dedup, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def _span_clean(spark, rows, n=3):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.drop_repeated_spans(df, "doc_id", "text", n=n)
+    return {r.doc_id: r.text for r in out.collect()}
+
+
+def test_span_dedup_cross_doc_keep_first(spark):
+    got = _span_clean(
+        spark,
+        [(1, "a b c d e"), (2, "x a b c y")],
+    )
+    # "a b c" first occurs in doc 1 (lower id): doc 2's copy is removed
+    assert got[1] == "a b c d e"
+    assert got[2] == "x y"
+
+
+def test_span_dedup_same_doc_repeat(spark):
+    got = _span_clean(spark, [(1, "p q r s p q r")])
+    assert got[1] == "p q r s"
+
+
+def test_span_dedup_overlapping_occurrences(spark):
+    # "a a a a a" n=3: grams at 0,1,2 all identical; first is pos 0,
+    # dups at 1 and 2 cover positions 1..4 -> only token 0 survives
+    got = _span_clean(spark, [(1, "a a a a a")])
+    assert got[1] == "a"
+
+
+def test_span_dedup_edge_docs(spark):
+    got = _span_clean(
+        spark,
+        [(1, "a b"), (2, None), (3, "m n o"), (4, "m n o")],
+    )
+    assert got[1] == "a b"  # shorter than n: untouched
+    assert got[2] is None  # NULL passes through
+    assert got[3] == "m n o"  # first occurrence keeps its tokens
+    assert got[4] == ""  # fully covered later copy -> empty
+
+
+def test_span_dedup_normalizes_case_and_whitespace(spark):
+    got = _span_clean(spark, [(1, "A  B\tC"), (2, "a b c x")])
+    # identity and output share one normalization: doc 1 (lower id)
+    # keeps the span, doc 2's normalized copy is removed
+    assert got[1] == "a b c"
+    assert got[2] == "x"
+
+
+def test_span_dedup_rejects_short_n(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="span length"):
+        dedup.drop_repeated_spans(df, "doc_id", "text", n=1)
