@@ -1129,12 +1129,19 @@ def drop_repeated_spans(
     covered = (
         grams.join(first, "_d")
         .where((F.col("_f.i") != F.col("_id")) | (F.col("_f.p") != F.col("_pos")))
-        .select("_id", F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))).alias("_cpos"))
+        .select(
+            # distinct name on the covered side: toks and covered share
+            # lineage, and a same-name equality predicate makes Spark
+            # warn about (and have to dataset-id-disambiguate) an
+            # apparent self-comparison
+            F.col("_id").alias("_cid"),
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))).alias("_cpos"),
+        )
         .distinct()
     )
     kept = toks.join(
         covered,
-        (toks["_id"] == covered["_id"]) & (toks["_pos"] == covered["_cpos"]),
+        (toks["_id"] == covered["_cid"]) & (toks["_pos"] == covered["_cpos"]),
         "left_anti",
     )
     rebuilt = kept.groupBy("_id").agg(
