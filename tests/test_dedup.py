@@ -607,3 +607,14 @@ def test_span_dedup_rejects_short_n(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="span length"):
         dedup.drop_repeated_spans(df, "doc_id", "text", n=1)
+
+
+def test_span_dedup_persist_mode_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x a b c y"), (3, None)],
+        "doc_id long, text string",
+    )
+    fast = dedup.drop_repeated_spans(df, "doc_id", "text", n=3, persist=True)
+    slow = dedup.drop_repeated_spans(df, "doc_id", "text", n=3, persist=False)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    spark.catalog.clearCache()
