@@ -752,6 +752,8 @@ def pq_train(
         .limit(sample_n)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_train: corpus has no non-NULL vectors to sample")
     x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dim = x.shape[1]

@@ -21,9 +21,17 @@ Canonical form (the conservative, safe-everywhere subset of RFC 3986
   session decoration, not content identity);
 * empty query string dropped entirely (no trailing ``?``).
 
-Percent-encoding normalization and IDN/punycode are deliberately OUT
-of scope: both change bytes the origin server may treat as
-significant, so a conservative canonicalizer leaves them alone.
+* userinfo (``user:pass@``) stripped — credentials never contribute
+  to content identity and must not be retained by a training
+  pipeline.
+
+Percent-encoding normalization, IDN/punycode, and bracketed IPv6
+host literals are deliberately OUT of scope: the first two change
+bytes the origin server may treat as significant, so a conservative
+canonicalizer leaves them alone; IPv6 literals in crawl frontiers are
+vanishingly rare and pass through un-split (the ``:`` inside brackets
+reads as a port separator — acceptable for a dedup KEY, which only
+needs consistency, not parsing fidelity).
 
 Everything is built-in Catalyst expressions (regexp_extract / filter /
 array_sort / array_join) — no Python in the row path; the dedup
@@ -54,7 +62,13 @@ def canonicalize_url(url: Column) -> Column:
     dedup module's NULL-text rule)."""
     nofrag = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
-    hostport = F.regexp_extract(nofrag, _HOSTPORT_RE, 1)
+    # userinfo (user:pass@) is stripped, not canonicalized: credentials
+    # never contribute to content identity, and a training pipeline
+    # must not retain them — without this, `^([^:]*)` would also
+    # misread "user" as the host
+    hostport = F.regexp_replace(
+        F.regexp_extract(nofrag, _HOSTPORT_RE, 1), r"^.*@", ""
+    )
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     path = F.regexp_extract(nofrag, _PATH_RE, 1)

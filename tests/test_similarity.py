@@ -409,3 +409,9 @@ def test_pq_excludes_null_embeddings(spark):
     book = similarity.pq_train(df, "vec_id", "embedding", m=2, ks=3)
     got = similarity.pq_topk(df, df.where(F.col("vec_id") == 0), book, k=10).collect()
     assert {r.neighbor_id for r in got} == {1, 3}
+
+
+def test_pq_train_empty_corpus_raises(spark):
+    df = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-NULL vectors"):
+        similarity.pq_train(df, "vec_id", "embedding", m=2)
