@@ -864,6 +864,56 @@ def dedup_keep_list(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """``dedup_keep_list`` with QUALITY-AWARE canonical selection:
+    within each connected near-dup component keep the member with the
+    HIGHEST ``score_col`` (ties -> smallest id), not the smallest id.
+    The curation-pipeline refinement of keep-first — when a cluster
+    holds a clean original and a mangled scrape of it, min-id keeps
+    whichever crawled first; keep-best keeps the one worth training
+    on.  Composes any pair source with ``connected_components``, like
+    keep_list.
+
+    Returns (id, component, score, keep).  A NULL score ranks below
+    every real score (double -inf sentinel) but still wins a
+    singleton component.  Plan: the components loop, then ONE
+    max_by(struct) aggregate per component and a component-keyed join
+    back — no window, no extra shuffle beyond keep_list's.
+    """
+    comps = connected_components(pairs, id_a, id_b)
+    labeled = (
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("score"))
+        .join(comps, "node", "left")
+        .select(
+            "node",
+            "score",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
+    # composite rank (score, -node): max picks highest score, then
+    # smallest id — deterministic for equal scores
+    rank = F.struct(
+        F.coalesce(F.col("score"), F.lit(float("-inf"))).alias("s"),
+        (-F.col("node")).alias("negid"),
+    )
+    best = labeled.groupBy("component").agg(
+        F.max_by(F.col("node"), rank).alias("_best")
+    )
+    return labeled.join(best, "component").select(
+        F.col("node").alias(id_col),
+        "component",
+        "score",
+        (F.col("node") == F.col("_best")).alias("keep"),
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -108,7 +108,6 @@ _PRIORITY = [
     "q_grouping_sets",
     "q_union_by_name",
     "q_bag_set_ops",
-    "q_values_dim",
     # NEW this round (enters the window at birth, not after it fills —
     # the q_approx_top_k lesson): percent_rank/cume_dist on the
     # ascending face of the two-pass global rank
@@ -123,6 +122,10 @@ _PRIORITY = [
     # NEW this round: exact token-span dedup (Lee 2021 ExactSubstr,
     # n-gram-explode form) — cleaned text compared by md5
     "q_span_dedup",
+    # NEW this round: quality-aware canonical selection over near-dup
+    # components (displaces q_values_dim, the lowest-value r5 backfill
+    # slot — it stays r5-green and rotates back first in r9)
+    "q_dedup_keep_best",
 ]
 
 

@@ -885,6 +885,72 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_list(d, pairs.select("id_a", "id_b"), id_col="doc_id")
 
 
+_KEEP_BEST_ORACLE = """
+    WITH RECURSIVE docs AS (
+        -- contentless docs emit no shingles (engine's r7
+        -- exploded_shingles fix): excluded from the pair graph, they
+        -- still appear in the final keep list as their own component
+        -- via the LEFT JOIN below
+        SELECT doc_id, nt FROM (
+            SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
+            FROM documents
+        ) WHERE nt IS NOT NULL AND nt != ''
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(nt) - 4, 1)),
+                   i -> substring(nt, i, 5)))) AS s
+        FROM docs
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c / (sa.n + sb.n - c) >= 0.4
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           d.n_chars AS score,
+           d.doc_id = FIRST_VALUE(d.doc_id) OVER (
+               PARTITION BY COALESCE(c.component, d.doc_id)
+               ORDER BY COALESCE(CAST(d.n_chars AS DOUBLE),
+                                 CAST('-infinity' AS DOUBLE)) DESC,
+                        d.doc_id
+           ) AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """
+
+
+@query("q_dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/dedup.
+    dedup_keep_best): the same jaccard pair graph and connected
+    components as q_dedup_keep_list, but each component keeps its
+    HIGHEST-n_chars member (ties -> smallest id) — the curation
+    refinement that keeps the document worth training on, not
+    whichever crawled first.  Oracle: the keep_list recursive-CTE
+    closure plus a per-component FIRST_VALUE ranking."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=5, threshold=0.4)
+    return dedup.dedup_keep_best(
+        d, pairs.select("id_a", "id_b"), "n_chars", id_col="doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: scrubbing, sampling, packing, vocabulary,
 # contamination (round-2 widening; operators in scrub.py / sampling.py /

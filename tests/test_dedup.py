@@ -618,3 +618,46 @@ def test_span_dedup_persist_mode_invariant(spark):
     slow = dedup.drop_repeated_spans(df, "doc_id", "text", n=3, persist=False)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best (quality-aware canonical selection)
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_prefers_high_score_then_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, None), (5, None), (6, 1.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: (r.component, r.keep)
+        for r in dedup.dedup_keep_best(docs, pairs, "q").collect()
+    }
+    # component {1,2,3}: scores 5,9,9 -> tie between 2 and 3 -> min id 2
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[3] == (1, False)
+    # singleton with NULL score still keeps itself
+    assert got[4] == (4, True)
+    # NULL ranks below any real score
+    assert got[5] == (5, False)
+    assert got[6] == (5, True)
+
+
+def test_keep_best_exactly_one_keeper_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(10)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 8)], "id_a long, id_b long"
+    )
+    out = dedup.dedup_keep_best(docs, pairs, "q").collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r.keep)
+    for comp, keeps in by_comp.items():
+        assert sum(keeps) == 1, f"component {comp}: {keeps}"

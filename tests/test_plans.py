@@ -138,7 +138,7 @@ def test_graded_window_covers_priority_surface():
         # never driver-graded before this round
         "q_approx_top_k", "q_stream_read_after_write",
         "q_window_percent_rank", "q_url_dedup", "q_stream_dedup",
-        "q_span_dedup",
+        "q_span_dedup", "q_dedup_keep_best",
         # code or oracle changed this round
         "q_window_ntile", "q_warc_extract", "q_ngram_jaccard",
         "q_dedup_minhash_md5", "q_dedup_keep_list",
