@@ -472,6 +472,17 @@ def decode_jpeg(data: "bytes | str") -> tuple[int, int, int, list[int]]:
         pos += 2 + seglen
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
+    if frame[0] <= 0 or frame[1] <= 0:
+        # height 0 is legal in DNL-style streams but unsupported here;
+        # without this guard a zero dim escapes as ZeroDivisionError in
+        # the histogram (outside the quarantine contract) and huge
+        # header dims would allocate planes before any entropy data is
+        # validated
+        raise ValueError(f"unsupported JPEG dimensions {frame[0]}x{frame[1]}")
+    if frame[0] * frame[1] > 64_000_000:
+        raise ValueError(
+            f"JPEG dimensions {frame[0]}x{frame[1]} exceed the 64MP decode cap"
+        )
 
     # split entropy-coded data into restart segments, unstuffing FF00
     segments, cur = [], bytearray()
@@ -509,6 +520,16 @@ def decode_jpeg(data: "bytes | str") -> tuple[int, int, int, list[int]]:
         if ("dc", td) not in huff or ("ac", ta) not in huff:
             raise ValueError("JPEG scan references missing Huffman table")
         scan_tbl[cid] = (huff[("dc", td)], huff[("ac", ta)])
+    for cid, *_rest in comps:
+        # non-interleaved scans (one SOS per component) and corrupted
+        # SOS component ids both leave a frame component without scan
+        # tables; the dict lookup below would escape the quarantine as
+        # KeyError and crash the task instead of NULLing the feature
+        if cid not in scan_tbl:
+            raise ValueError(
+                f"JPEG scan does not cover frame component {cid} "
+                "(non-interleaved scans unsupported)"
+            )
 
     mcu_index, seg_index = 0, 0
     br = _JpegBits(segments[0])

@@ -134,9 +134,14 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     )
 
 
-def cume_dist_from_rank(df: DataFrame, value_cols: list[str], rank_col: str = RANK_COL,
+def cume_dist_from_rank(value_cols: list[str], rank_col: str = RANK_COL,
                         count_col: str = COUNT_COL, *, descending_rank: bool = False) -> Column:
     """``CUME_DIST() OVER (ORDER BY value_cols ASC)`` from a global rank.
+
+    Pure COLUMN FACTORY (like ``ntile_from_rank``): binds to whatever
+    DataFrame it is selected against — the old leading DataFrame
+    parameter was never used and only implied a binding that did not
+    exist (round-8 review; same fix hyperplane_signatures got in r5).
 
     cume_dist(x) = rows-with-key<=x / n.  With an ASCENDING rank that is
     the peer group's MAX rank / n; with a rank built DESCENDING on the
@@ -149,11 +154,12 @@ def cume_dist_from_rank(df: DataFrame, value_cols: list[str], rank_col: str = RA
     return F.max(rank_col).over(peers) / F.col(count_col)
 
 
-def percent_rank_from_rank(df: DataFrame, value_cols: list[str], rank_col: str = RANK_COL,
+def percent_rank_from_rank(value_cols: list[str], rank_col: str = RANK_COL,
                            count_col: str = COUNT_COL) -> Column:
     """``PERCENT_RANK() OVER (ORDER BY value_cols ASC)`` from an
     ASCENDING global rank: (min peer rank - 1) / (n - 1); 0.0 for a
-    single-row input (SQL convention)."""
+    single-row input (SQL convention).  Pure column factory — see
+    cume_dist_from_rank."""
     peers = Window.partitionBy(*value_cols)
     n1 = F.col(count_col) - 1
     return F.when(n1 <= 0, F.lit(0.0)).otherwise(

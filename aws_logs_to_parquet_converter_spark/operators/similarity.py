@@ -871,7 +871,21 @@ def pq_topk(
             sub = qv[j * dsub : (j + 1) * dsub]
             dt[j] = (sub * sub).sum() - 2.0 * codebook[j] @ sub + cent_sq[j]
         table_rows.append((r[0], [float(v) for v in dt.ravel()]))
-    q = spark.createDataFrame(table_rows, "query_id: long, _dt: array<double>")
+    # schema inferred from the queries frame: id_col is a parameter and
+    # may be any orderable type (string doc ids, ints, ...) — a
+    # hardcoded long broke every non-bigint corpus (round-8 review)
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    id_type = queries.schema[id_col].dataType
+    q = spark.createDataFrame(
+        table_rows,
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("_dt", ArrayType(DoubleType())),
+            ]
+        ),
+    )
 
     lookups = F.zip_with(
         F.col("_pq"),

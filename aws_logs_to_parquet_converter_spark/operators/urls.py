@@ -25,13 +25,13 @@ Canonical form (the conservative, safe-everywhere subset of RFC 3986
   to content identity and must not be retained by a training
   pipeline.
 
-Percent-encoding normalization, IDN/punycode, and bracketed IPv6
-host literals are deliberately OUT of scope: the first two change
-bytes the origin server may treat as significant, so a conservative
-canonicalizer leaves them alone; IPv6 literals in crawl frontiers are
-vanishingly rare and pass through un-split (the ``:`` inside brackets
-reads as a port separator — acceptable for a dedup KEY, which only
-needs consistency, not parsing fidelity).
+Percent-encoding normalization and IDN/punycode are deliberately OUT
+of scope: both change bytes the origin server may treat as
+significant, so a conservative canonicalizer leaves them alone.
+Malformed authorities (a ``:`` without a valid numeric port) and
+bracketed IPv6 literals take the NULL unknown-identity path — a
+dedup key must never ALIAS a malformed origin onto a clean one, and
+under the keep-first NULL sentinel every such row survives.
 
 Everything is built-in Catalyst expressions (regexp_extract / filter /
 array_sort / array_join) — no Python in the row path; the dedup
@@ -74,6 +74,15 @@ def canonicalize_url(url: Column) -> Column:
     path = F.regexp_extract(nofrag, _PATH_RE, 1)
     query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
 
+    # a ':' in the authority that is NOT a valid numeric-port suffix
+    # (malformed port like ':8080x', or a bracketed IPv6 literal) is
+    # unknown identity: aliasing 'http://a.com:8080x/p' onto
+    # 'http://a.com/p' would let url_keep_first DELETE a document from
+    # a genuinely different origin (round-8 review), so such URLs take
+    # the NULL path and every copy survives
+    bad_authority = (
+        hostport.contains(":") & ~hostport.rlike(r"^[^:\[\]]+:[0-9]+$")
+    ) | hostport.contains("[")
     default_port = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )
@@ -92,7 +101,9 @@ def canonicalize_url(url: Column) -> Column:
     canon = F.concat(
         scheme, F.lit("://"), host, port_part, path_part, query_part
     )
-    return F.when((scheme == "") | (host == ""), F.lit(None)).otherwise(canon)
+    return F.when(
+        (scheme == "") | (host == "") | bad_authority, F.lit(None)
+    ).otherwise(canon)
 
 
 def with_canonical_url(
@@ -102,10 +113,22 @@ def with_canonical_url(
     return df.withColumn(out_col, canonicalize_url(F.col(url_col)))
 
 
-def url_keep_first(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+def url_keep_first(
+    df: DataFrame, id_col: str, url_col: str, *, precanonicalized: bool = False
+) -> DataFrame:
     """Keep-first URL dedup: drop every row whose URL canonicalizes to
     the same form as a lower-id row.  Shares ``dedup._keep_first``
     (digest-grouped min-id + semi join — two 16-byte-digest exchanges,
     URL text never shuffles; a NULL/malformed URL keys on its own
-    id-derived sentinel so all such rows survive)."""
-    return _keep_first(df, id_col, F.md5(canonicalize_url(F.col(url_col))))
+    id-derived sentinel so all such rows survive).
+
+    ``precanonicalized=True`` declares ``url_col`` already holds the
+    canonical form (e.g. a ``with_canonical_url`` column) — callers
+    that also EMIT the canonical form avoid running the dozen-regexp
+    canonicalization twice per row (round-8 review)."""
+    key = (
+        F.col(url_col)
+        if precanonicalized
+        else canonicalize_url(F.col(url_col))
+    )
+    return _keep_first(df, id_col, F.md5(key))

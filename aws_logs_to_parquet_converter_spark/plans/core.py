@@ -632,7 +632,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "c_custkey",
         ntile_from_rank(F.col("_global_rn"), F.col("_global_n"), 4).alias("wealth_quartile"),
-        cume_dist_from_rank(ranked, ["c_acctbal"], descending_rank=True).alias("bal_cume"),
+        cume_dist_from_rank(["c_acctbal"], descending_rank=True).alias("bal_cume"),
     )
 
 
@@ -663,8 +663,8 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(o, [F.col("o_orderdate"), F.col("o_orderkey")])
     return ranked.select(
         "o_orderkey",
-        percent_rank_from_rank(ranked, ["o_orderdate"]).alias("date_pr"),
-        cume_dist_from_rank(ranked, ["o_orderdate"]).alias("date_cd"),
+        percent_rank_from_rank(["o_orderdate"]).alias("date_pr"),
+        cume_dist_from_rank(["o_orderdate"]).alias("date_cd"),
     )
 
 

@@ -146,11 +146,15 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(F.col("event_id") % 7 == 0, F.lit("#section")).otherwise(F.lit("")),
     )
-    with_urls = e.select("event_id", url.alias("url"))
-    kept = urlmod.url_keep_first(with_urls, "event_id", "url")
-    return urlmod.with_canonical_url(kept, "url").select(
-        "event_id", "url", "canon_url"
+    # canonicalize ONCE: the canon column is both the dedup key and an
+    # output column, so dedup on the materialized column instead of
+    # re-running the dozen-regexp pipeline inside url_keep_first
+    with_urls = urlmod.with_canonical_url(
+        e.select("event_id", url.alias("url")), "url"
     )
+    return urlmod.url_keep_first(
+        with_urls, "event_id", "canon_url", precanonicalized=True
+    ).select("event_id", "url", "canon_url")
 
 
 @query(

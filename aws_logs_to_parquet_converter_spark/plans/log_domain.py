@@ -167,6 +167,50 @@ def q_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
 
 
+def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded streaming replay of the events table, through the SAME
+    timestamp seam registry.t applies on the batch path (NANOS-as-long
+    / NTZ / instant; a bare cast would misread nanos as seconds — the
+    round-7 review finding).  Shared by every q_stream_* entry so the
+    seam lives in ONE place (round-8 review: it was copy-pasted three
+    times, and a seam change missed in one copy would silently diverge
+    a graded streaming query)."""
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a DIRECTORY: point it at sf_dir
+    # with a glob filter so only the events file replays
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ micros -> session-UTC instant, same normalization as t()
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _replay_to_memory_sink(
+    spark: SparkSession, df: DataFrame, sink: str, output_mode: str
+) -> DataFrame:
+    """Run a bounded availableNow replay into a memory sink and return
+    the final table (complete = final aggregate state; append = every
+    emitted row)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(sink)
+
+
 @query(
     "q_stream_daily_events",
     oracle="""
@@ -191,27 +235,8 @@ def q_stream_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-graded batch-parity evidence for the streaming surface.
     State is bounded by (watermark horizon x groups); the memory sink
     holds only the final (day, event_type) aggregate rows."""
-    path = f"{sf_dir}/events.parquet"
-    # mirror t()'s events timestamp seam exactly (registry.t handles
-    # NANOS-as-long / NTZ / instant); reading the schema through the
-    # same conf means a nanos-encoded fixture arrives as bigint here
-    # and gets the same div-1000 conversion — a bare cast would
-    # misread nanos as seconds (round-7 review finding)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    # the streaming file source wants a DIRECTORY: point it at sf_dir
-    # with a glob filter so only the events file replays
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
-        # NTZ micros -> session-UTC instant, same normalization t()
-        # applies on the batch path
-        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        _stream_events_source(spark, sf_dir)
         .withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
@@ -219,19 +244,9 @@ def q_stream_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    sink = "q_stream_daily_events_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(sink).select(
+    return _replay_to_memory_sink(
+        spark, agg, "q_stream_daily_events_sink", "complete"
+    ).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
         "event_type",
         "n_events",
@@ -272,18 +287,7 @@ def q_stream_read_after_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py's multi-batch replay."""
     from aws_logs_to_parquet_converter_spark.streaming import ingest
 
-    path = f"{sf_dir}/events.parquet"
-    # same events timestamp seam as q_stream_daily_events / registry.t
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    parsed = src.withColumn("ts", F.col("ts").cast("timestamp")).select(
+    parsed = _stream_events_source(spark, sf_dir).select(
         F.when(F.col("event_type") == "view", F.lit("REST.PUT.OBJECT"))
         .when(F.col("event_type") == "click", F.lit("REST.GET.OBJECT"))
         .otherwise(F.lit("REST.OTHER"))
@@ -293,19 +297,9 @@ def q_stream_read_after_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("bytes_sent"),
     )
     joined = ingest.stream_read_after_write(parsed, horizon="2 hours", watermark="4 hours")
-    sink = "q_stream_read_after_write_sink"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(sink).select(
+    return _replay_to_memory_sink(
+        spark, joined, "q_stream_read_after_write_sink", "append"
+    ).select(
         "key",
         F.date_format("write_time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("write_time"),
         F.date_format("read_time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("read_time"),
@@ -345,15 +339,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-family row under the oracle."""
     from aws_logs_to_parquet_converter_spark.streaming import ingest
 
-    path = f"{sf_dir}/events.parquet"
-    # same events timestamp seam as q_stream_daily_events / registry.t
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = _stream_events_source(spark, sf_dir)
     key = F.col("event_id") % 250
     parsed = src.select(
         F.concat(F.lit("req-"), key.cast("string")).alias("request_id"),
@@ -364,19 +350,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (key * 7).alias("bytes_sent"),
     )
     deduped = ingest.stream_dedup(parsed, key_cols=["request_id"], watermark="1 day")
-    sink = "q_stream_dedup_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(sink).select(
+    return _replay_to_memory_sink(
+        spark, deduped, "q_stream_dedup_sink", "append"
+    ).select(
         "request_id",
         F.date_format("request_time", "yyyy-MM-dd HH:mm:ss").alias("request_time"),
         "bytes_sent",

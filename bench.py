@@ -102,6 +102,11 @@ def main() -> None:
         df = q.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.perf_counter() - t0, 3)
+        # release any caches an operator persisted internally (bloom
+        # bitmap, semantic-dedup assignment, global-rank projection):
+        # no cross-query cache reuse exists by design, and without
+        # this a session accumulates every query's stale cache
+        spark.catalog.clearCache()
 
     total = round(sum(results.values()), 3)
     print(

@@ -688,3 +688,33 @@ def test_jpeg_progressive_and_malformed_quarantine(spark):
     # white/black halves: the q100 jpeg and the lossless png agree on
     # the histogram exactly (values within rounding of 0 and 255)
     assert feats["jpeg-ok"] == feats["png-ok"]
+
+
+def test_jpeg_quarantine_stays_valueerror_on_scan_and_dims():
+    """Round-8 review findings: a corrupted SOS component id (or a
+    non-interleaved scan) and zero/huge SOF dimensions must raise
+    ValueError (the quarantine contract _jpeg_feature catches), never
+    KeyError/ZeroDivisionError that would crash the Spark task."""
+    w, h = 4, 2
+    px = [255, 255, 255, 0, 0, 0] * 4
+    good = multimodal.encode_jpeg(w, h, px, quality=100)
+
+    # corrupt the first SOS component id (FFDA, len(2), ns(1), cid)
+    i = good.index(b"\xff\xda")
+    bad_sos = bytearray(good)
+    bad_sos[i + 5] = 0x7F
+    with pytest.raises(ValueError, match="scan does not cover"):
+        multimodal.decode_jpeg(bytes(bad_sos))
+
+    # zero out the SOF height (FFC0, len(2), prec(1), h(2), w(2))
+    j = good.index(b"\xff\xc0")
+    zero_h = bytearray(good)
+    zero_h[j + 5 : j + 7] = b"\x00\x00"
+    with pytest.raises(ValueError, match="dimensions"):
+        multimodal.decode_jpeg(bytes(zero_h))
+
+    # absurd header dims must be rejected before plane allocation
+    huge = bytearray(good)
+    huge[j + 5 : j + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="64MP"):
+        multimodal.decode_jpeg(bytes(huge))

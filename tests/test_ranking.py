@@ -58,8 +58,8 @@ def test_cume_dist_and_percent_rank_with_peers(spark):
     ranked = global_row_number(df, [F.col("v"), F.col("k")], num_partitions=5)
     got = ranked.select(
         "k",
-        cume_dist_from_rank(ranked, ["v"]).alias("cd"),
-        percent_rank_from_rank(ranked, ["v"]).alias("pr"),
+        cume_dist_from_rank(["v"]).alias("cd"),
+        percent_rank_from_rank(["v"]).alias("pr"),
     )
     truth = df.select(
         "k",
@@ -79,7 +79,7 @@ def test_descending_rank_cume_dist(spark):
     got = {
         r["k"]: r["cd"]
         for r in ranked.select(
-            "k", cume_dist_from_rank(ranked, ["v"], descending_rank=True).alias("cd")
+            "k", cume_dist_from_rank(["v"], descending_rank=True).alias("cd")
         ).collect()
     }
     want = {

@@ -415,3 +415,14 @@ def test_pq_train_empty_corpus_raises(spark):
     df = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no non-NULL vectors"):
         similarity.pq_train(df, "vec_id", "embedding", m=2)
+
+
+def test_pq_topk_string_ids(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    book = similarity.pq_train(df, "vec_id", "embedding", m=2, ks=3)
+    got = similarity.pq_topk(df, df.where(F.col("vec_id") == "a"), book, k=2).collect()
+    assert {r.neighbor_id for r in got} == {"b", "c"}
+    assert all(r.query_id == "a" for r in got)

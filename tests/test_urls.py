@@ -94,3 +94,27 @@ def test_keep_first_plan_shuffles_digests_not_urls(spark):
 )
 def test_canonicalize_strips_userinfo(spark, raw, expected):
     assert _canon(spark, raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        # malformed port must NOT alias onto the portless canonical form
+        "http://a.com:8080x/p",
+        "http://a.com:80 80/p",
+        # bracketed IPv6 literal: unknown identity, keep-all
+        "http://[::1]:8080/p",
+        "http://[2001:db8::1]/p",
+    ],
+)
+def test_malformed_authority_is_null(spark, raw):
+    assert _canon(spark, raw) is None
+
+
+def test_malformed_port_does_not_alias_clean_url(spark):
+    df = spark.createDataFrame(
+        [(1, "http://a.com/p"), (2, "http://a.com:8080x/p")],
+        "id: long, url: string",
+    )
+    kept = urls.url_keep_first(df, "id", "url")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 2]
