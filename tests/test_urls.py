@@ -118,3 +118,34 @@ def test_malformed_port_does_not_alias_clean_url(spark):
     )
     kept = urls.url_keep_first(df, "id", "url")
     assert sorted(r["id"] for r in kept.collect()) == [1, 2]
+
+
+def test_canonical_form_is_fixed_point(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form must survive its own normalization (a drift here means two
+    passes over the same frontier produce different dedup keys).
+    Seeded generative sweep over the messy-URL space: case variants,
+    ports, userinfo, tracking params, fragments, malformed ports."""
+    import random
+
+    rng = random.Random(8)
+    schemes = ["http", "HTTP", "https", "HtTpS"]
+    hosts = ["Example.COM", "a.b.c", "X9.net", "[::1]", "host"]
+    users = ["", "u@", "u:p@"]
+    ports = ["", ":80", ":443", ":8080", ":8080x"]
+    paths = ["", "/", "/A/b", "/x%2Fy"]
+    queries = ["", "?b=2&a=1", "?utm_source=s&z=1", "?a=1&a=0", "?q=utm_x"]
+    frags = ["", "#f", "#a b"]
+    raws = [
+        rng.choice(schemes) + "://" + rng.choice(users) + rng.choice(hosts)
+        + rng.choice(ports) + rng.choice(paths) + rng.choice(queries)
+        + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "u: string")
+    out = df.select(
+        urls.canonicalize_url(F.col("u")).alias("c1"),
+        urls.canonicalize_url(urls.canonicalize_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r.c1 == r.c2, f"not a fixed point: {r.c1!r} -> {r.c2!r}"
