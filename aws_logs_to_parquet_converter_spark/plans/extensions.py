@@ -374,6 +374,23 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("rank", "rnk")
 
 
+@query("q_embed_topk_ivfpq")  # rows-only: approximate; recall tested in test_similarity.py
+def q_embed_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ composed index (Jegou 2011 SV): IVF cells prune WHICH
+    rows score (hash equi join on the cell id — no nested loop), PQ
+    codes shrink WHAT scoring reads (m-term broadcast table lookup).
+    ~nprobe/n_cells of the corpus touched per query, none of it raw
+    vectors — the shape a 100 TB embedding index actually ships."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    book = similarity.pq_train(emb, "vec_id", "embedding", m=8, ks=64)
+    res = similarity.pq_topk_ivf(
+        emb, queries, book, id_col="vec_id", vec_col="embedding",
+        k=5, n_cells=16, nprobe=4,
+    )
+    return res.withColumnRenamed("rank", "rnk")
+
+
 @query("q_embed_topk_pq")  # rows-only: approximate; recall tested in test_similarity.py
 def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized approximate top-5 (Jegou 2011): corpus

@@ -286,6 +286,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_quality_score",
         "q_semantic_dedup_clustered",  # k-means cell assignment (map-side matmul)
         "q_embed_topk_pq",  # PQ encoding (map-side per-subspace argmin matmul)
+        "q_embed_topk_ivfpq",  # PQ encode + IVF cell assignment, both map-side Arrow
     }
     BNLJ_OK = {
         "q11_important_parts",

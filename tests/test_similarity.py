@@ -426,3 +426,35 @@ def test_pq_topk_string_ids(spark):
     got = similarity.pq_topk(df, df.where(F.col("vec_id") == "a"), book, k=2).collect()
     assert {r.neighbor_id for r in got} == {"b", "c"}
     assert all(r.query_id == "a" for r in got)
+
+
+def test_ivfpq_recall_and_cell_pruning(spark, vecs):
+    """IVFPQ: recall floor vs exact; probing every cell recovers plain
+    PQ exactly (cell pruning only removes candidates, never rescores);
+    no self-pairs."""
+    rows, df = vecs
+    queries = df.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(df, queries, k=5).collect()
+    }
+    book = similarity.pq_train(df, "vec_id", "embedding", m=4, ks=64)
+    got = similarity.pq_topk_ivf(
+        df, queries, book, k=5, n_cells=8, nprobe=4
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVFPQ recall {recall:.2f} below floor"
+    assert all(r.query_id != r.neighbor_id for r in got)
+    # full probe == plain PQ (cells stop pruning)
+    full = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in similarity.pq_topk_ivf(
+            df, queries, book, k=5, n_cells=8, nprobe=8
+        ).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in similarity.pq_topk(df, queries, book, k=5).collect()
+    }
+    assert full == plain
