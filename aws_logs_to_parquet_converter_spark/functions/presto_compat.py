@@ -107,8 +107,15 @@ def _register_shims(spark: SparkSession) -> None:
     # quoting above would corrupt it (a quoted literal 'T' becomes
     # ''T'', an escaped quote plus a bare pattern letter; the JDK
     # zone-offset letter Z would silently emit as the literal letter)
-    # (round-7 advisor finding).  %-free MySQL formats are all-literal
-    # strings in both dialects, so the gate loses nothing.
+    # (round-7 advisor finding).  KNOWN EDGE (accepted tradeoff,
+    # round-8 advisor): a %-free MySQL format that still contains bare
+    # pattern letters (e.g. a literal 'T' or 'Z' and nothing else) is
+    # all-literal in MySQL but reaches the JDK formatter verbatim here
+    # and throws/misformats — the pre-gate always-quote path handled
+    # it, at the cost of corrupting every real JDK-dialect pattern.
+    # %-free formats in the reference's query corpus are plain literal
+    # strings; test_presto_compat pins this edge so it is not
+    # re-reported as a new bug.
     fmt_expr = f"CASE WHEN contains(fmt, '%') THEN {fmt_expr} ELSE fmt END"
     spark.sql(
         f"""

@@ -64,6 +64,7 @@ def global_row_number(
     num_partitions: int | None = None,
     rank_col: str = RANK_COL,
     count_col: str = COUNT_COL,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Attach a 1-based GLOBAL row number under ``order_by`` plus the
     total row count, without ever moving the data to a single task.
@@ -72,10 +73,23 @@ def global_row_number(
     otherwise peer numbering is partition-placement-dependent.  Rows
     with equal range keys may be split across adjacent partitions by
     the range partitioner; with a total order that is exactly correct.
+    (The total order is also what makes the result stable under an
+    executor-loss RECOMPUTE: the persisted partitioning/id draw is
+    normally observed by both jobs, but if a cached partition is lost
+    the range boundaries are re-sampled — with a total order every draw
+    produces the same global numbering, so the recompute is benign.)
 
     Returns ``df`` plus two columns: ``rank_col`` (1..n, unique) and
     ``count_col`` (n on every row).  The intermediate is persisted
     (MEMORY_AND_DISK) to pin one boundary/id draw across the two jobs.
+    UNPERSIST CONTRACT: the cache stays referenced by the returned
+    plan's lineage; pass ``handles`` (a list the persisted DataFrame is
+    appended to) and call ``h.unpersist()`` on each entry once the
+    result is consumed — a long-lived session composing this operator
+    otherwise accumulates pinned executor memory per call.  (Harnesses
+    that run whole registry queries back-to-back instead clear between
+    queries; ``spark.catalog.clearCache()`` there is deliberate, not a
+    substitute for this per-call contract.)
     Per-partition row counts must stay under 2^33 (the id counter's
     per-partition span) — at that size you want more partitions anyway.
     """
@@ -93,6 +107,8 @@ def global_row_number(
                 F.monotonically_increasing_id().alias("_mid"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if handles is not None:
+        handles.append(local)
 
     # Pass 2: per-partition (count, first id) -> driver prefix sum
     # (bounded by the partition count, a config constant) -> broadcast

@@ -114,7 +114,15 @@ _URL_DEDUP_ORACLE = """
     )
     SELECT event_id, url, canon_url
     FROM (SELECT *,
-                 ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY event_id) AS rn
+                 -- mirror the engine's NULL-key sentinel (urls._keep_first
+                 -- keeps EVERY NULL-canon row — NULLs never alias each
+                 -- other); a plain PARTITION BY canon_url would pool all
+                 -- NULLs into one group and keep a single row, diverging
+                 -- if the fixture ever carries NULL user_id/event_type
+                 -- (round-8 advisor, latent)
+                 ROW_NUMBER() OVER (
+                     PARTITION BY COALESCE(canon_url, 'null-' || event_id)
+                     ORDER BY event_id) AS rn
           FROM urls)
     WHERE rn = 1
 """

@@ -661,3 +661,52 @@ def test_keep_best_exactly_one_keeper_per_component(spark):
         by_comp.setdefault(r.component, []).append(r.keep)
     for comp, keeps in by_comp.items():
         assert sum(keeps) == 1, f"component {comp}: {keeps}"
+
+
+def test_keep_best_string_ids(spark):
+    """The composite tie-break negates only the (numeric) score, so the
+    id column may be any orderable type (round-8 advisor: the old
+    ``-node`` form raised AnalysisException on string ids)."""
+    docs = spark.createDataFrame(
+        [("a", 5.0), ("b", 9.0), ("c", 9.0), ("z", 1.0)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    got = {
+        r.doc_id: (r.component, r.keep)
+        for r in dedup.dedup_keep_best(docs, pairs, "q").collect()
+    }
+    # scores 5,9,9 -> tie between b and c -> min id "b"
+    assert got["a"] == ("a", False)
+    assert got["b"] == ("a", True)
+    assert got["c"] == ("a", False)
+    assert got["z"] == ("z", True)
+
+
+def test_span_dedup_handles_targeted_unpersist(spark):
+    """Unpersist contract (round-8 verdict): the operator exposes its
+    persisted intermediates through ``handles`` so a composing pipeline
+    can release exactly them — an UNRELATED cache held by the caller
+    must survive the cleanup (clearCache would evict it)."""
+    other = spark.createDataFrame([(1, "unrelated")], "k long, v string").persist()
+    other.count()  # materialize the unrelated cache
+    try:
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x a b c y")], "doc_id long, text string"
+        )
+        handles: list = []
+        out = dedup.drop_repeated_spans(
+            df, "doc_id", "text", n=3, persist=True, handles=handles
+        )
+        out.collect()
+        assert len(handles) == 2  # toks + grams
+        assert all(h.storageLevel.useMemory for h in handles)
+        for h in handles:
+            h.unpersist()
+        assert all(not h.storageLevel.useMemory for h in handles)
+        # the unrelated cache is untouched by the targeted cleanup
+        assert other.storageLevel.useMemory
+    finally:
+        other.unpersist()

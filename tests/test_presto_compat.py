@@ -310,3 +310,18 @@ def test_literal_protection_property():
         assert "timestampdiff(DAY," in out
 
     check()
+
+
+def test_date_format_percent_free_bare_letter_edge(spark):
+    """Pin the KNOWN EDGE of the '%'-gate (round-8 advisor): a %-free
+    format containing bare reserved letters is all-literal in MySQL but
+    reaches Spark's JDK formatter verbatim (the gate cannot quote it
+    without corrupting real JDK patterns).  'Z' — a valid JDK pattern
+    letter — emits the zone offset, NOT the literal Z a MySQL caller
+    would expect; this is the accepted tradeoff, documented here so a
+    future round does not re-report it as a new bug."""
+    row = run_presto_sql(
+        spark,
+        "SELECT date_format(TIMESTAMP '2019-02-06 15:04:05', 'Z') AS z",
+    ).collect()[0]
+    assert row.z == "+0000"  # JDK semantics win for %-free formats

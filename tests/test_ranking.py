@@ -111,3 +111,19 @@ def test_no_single_task_window_in_plan(spark):
     # partition id — that shape must never come back
     assert "Exchange rangepartitioning" in plan
     assert "hashpartitioning(_pid" not in plan
+
+
+def test_global_row_number_handles_targeted_unpersist(spark):
+    """Unpersist contract (round-8 advisor): library callers get the
+    persisted intermediate back through ``handles`` and release it
+    without a session-wide clearCache."""
+    df = spark.createDataFrame([(i, i % 5) for i in range(50)], "k long, v long")
+    handles: list = []
+    ranked = global_row_number(
+        df, [F.col("v"), F.col("k")], num_partitions=4, handles=handles
+    )
+    assert ranked.count() == 50
+    assert len(handles) == 1
+    assert handles[0].storageLevel.useMemory
+    handles[0].unpersist()
+    assert not handles[0].storageLevel.useMemory
