@@ -730,6 +730,7 @@ def pq_train(
     sample_n: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ):
     """Per-subspace k-means codebook, trained driver-side on the same
     bounded deterministic sample discipline as
@@ -740,15 +741,30 @@ def pq_train(
     monotone with cosine (||a-b||^2 = 2 - 2cos for unit vectors) and
     PQ results rank-compare directly against ``cosine_topk``.
 
+    ``hash_fn="md5"`` orders the sample by ``md5(cast(id as string))``
+    instead — an ordering an external SQL engine reproduces verbatim
+    (DuckDB ``md5(id::VARCHAR)``), which with ``iters=0`` makes the
+    whole codebook SQL-derivable: zero k-means steps leave the
+    centroids EQUAL to the first ``ks`` sampled vectors' subspaces, so
+    an oracle can rebuild codebook, codes, and ADC tables from the
+    corpus alone (the q_dedup_minhash_md5 oracle-parity pattern;
+    production paths keep the cheaper 8-byte xxhash64 ordering).
+
     Returns a numpy array of shape (m, ks, dim//m).  ``dim % m`` must
     be 0 (pad upstream otherwise); ``ks`` caps at the sample size.
     """
     import numpy as np
 
+    if hash_fn == "md5":
+        order = F.md5(F.col(id_col).cast("string"))
+    elif hash_fn == "xxhash64":
+        order = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     rows = (
         corpus.where(F.col(vec_col).isNotNull())
         .select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy(order)
         .limit(sample_n)
         .collect()
     )

@@ -399,6 +399,113 @@ def q_embed_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("rank", "rnk")
 
 
+@query("q_embed_topk_ivf_full", oracle=_COSINE_ORACLE)
+def q_embed_topk_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF machinery under the driver's FULL oracle gate (round-8
+    verdict item 1b): at ``nprobe == n_cells`` every query probes every
+    cell, the cell equi-join enumerates each (query, neighbor) pair
+    exactly once (a corpus row lives in exactly one cell), and the
+    exact in-cell re-rank makes the result IDENTICAL to brute-force
+    ``cosine_topk`` — so the plain exact-cosine oracle grades the
+    entire IVF pipeline (driver-side bounded k-means training, Arrow
+    cell assignment, exploded probe list, candidate equi-join, re-rank)
+    end-to-end.  Recall at nprobe < n_cells stays covered by
+    test_similarity's floors; THIS entry pins the machinery's
+    correctness: any bug in assignment/probing/join would drop or
+    duplicate a candidate pair and break the hash match."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    res = similarity.cosine_topk_ivf(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5,
+        n_cells=16, nprobe=16,
+    )
+    return res.withColumnRenamed("rank", "rnk")
+
+
+# PQ exact-mode oracle (round-8 verdict item 1a, the q_dedup_minhash_md5
+# pattern for vectors): with hash_fn='md5' and iters=0 the codebook IS
+# the first ks md5-ordered normalized vectors' subspaces, so DuckDB
+# re-derives the ENTIRE pipeline — codebook build, per-subspace argmin
+# encoding, per-query ADC distance tables, the m-term table-lookup sum,
+# and the final ranking.  Constants mirror the Spark call: m=8 subspaces
+# of dsub=8 over dim=64, ks=16 codewords.  arg_min breaks distance ties
+# on the centroid index ([d2, c] lexicographic), matching numpy argmin's
+# first-index rule; the engine computes d2 via the BLAS expansion trick
+# while the oracle sums squared diffs directly — algebraically equal,
+# float-divergent only at ~1e-15, invisible under the shared ROUND(.,4).
+_PQ_EXACT_ORACLE = """
+    WITH norm AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / greatest(sqrt(list_aggregate(
+                            list_transform(embedding::DOUBLE[], y -> y * y),
+                            'sum')), 1e-12)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), book AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c
+        FROM norm
+        ORDER BY md5(CAST(vec_id AS VARCHAR))
+        LIMIT 16
+    ), cents AS (
+        SELECT b.c, t.j, list_slice(b.v, t.j * 8 + 1, t.j * 8 + 8) AS cent
+        FROM book b CROSS JOIN range(8) t(j)
+    ), enc AS (
+        -- per-(doc, subspace) argmin centroid; ROW_NUMBER's (d2, c)
+        -- ordering matches numpy argmin's first-index-on-ties rule
+        SELECT vec_id, j, c AS code FROM (
+            SELECT n.vec_id, c.j, c.c,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.j ORDER BY
+                       list_aggregate(list_transform(
+                           list_zip(list_slice(n.v, c.j * 8 + 1, c.j * 8 + 8), c.cent),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'),
+                       c.c) AS rn
+            FROM norm n CROSS JOIN cents c)
+        WHERE rn = 1
+    ), dt AS (
+        SELECT n.vec_id AS query_id, c.j, c.c,
+               list_aggregate(list_transform(
+                   list_zip(list_slice(n.v, c.j * 8 + 1, c.j * 8 + 8), c.cent),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d2
+        FROM norm n CROSS JOIN cents c
+        WHERE n.vec_id < 10
+    ), scored AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id,
+               ROUND(1.0 - SUM(d.d2) / 2, 4) AS sim
+        FROM enc e JOIN dt d ON d.j = e.j AND d.c = e.code
+        WHERE d.query_id != e.vec_id
+        GROUP BY d.query_id, e.vec_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("q_embed_topk_pq_exact", oracle=_PQ_EXACT_ORACLE)
+def q_embed_topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization under the driver's oracle gate: the
+    deterministic-codebook mode (``hash_fn='md5'``, ``iters=0``) fixes
+    the codebook to the first 16 md5-ordered normalized vectors, so
+    DuckDB re-derives codebook -> per-subspace argmin codes -> ADC
+    tables -> m-term lookup-sum -> ranking, and the hash compare pins
+    the WHOLE production scoring path (Arrow encode, broadcast table
+    join, zip_with lookup-sum — exactly what ``pq_topk`` runs with a
+    trained codebook; only the codebook constants differ)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    book = similarity.pq_train(
+        emb, "vec_id", "embedding", m=8, ks=16, sample_n=16, iters=0,
+        hash_fn="md5",
+    )
+    res = similarity.pq_topk(
+        emb, queries, book, id_col="vec_id", vec_col="embedding", k=5
+    )
+    return res.withColumnRenamed("rank", "rnk")
+
+
 @query("q_embed_topk_pq")  # rows-only: approximate; recall tested in test_similarity.py
 def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized approximate top-5 (Jegou 2011): corpus

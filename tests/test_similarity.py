@@ -458,3 +458,45 @@ def test_ivfpq_recall_and_cell_pruning(spark, vecs):
         for r in similarity.pq_topk(df, queries, book, k=5).collect()
     }
     assert full == plain
+
+
+def test_ivf_full_probe_equals_exact(spark, vecs):
+    """nprobe == n_cells makes IVF an exact index: every (query,
+    neighbor) pair is enumerated exactly once through the cell
+    equi-join, so the result is IDENTICAL to brute-force cosine_topk —
+    the identity the driver-graded q_embed_topk_ivf_full entry rests
+    on (round-8 verdict item 1b)."""
+    rows, df = vecs
+    queries = df.where(F.col("vec_id") < 5)
+    exact = sorted(map(tuple, similarity.cosine_topk(df, queries, k=4).collect()))
+    full = sorted(map(tuple, similarity.cosine_topk_ivf(
+        df, queries, k=4, n_cells=8, nprobe=8).collect()))
+    assert full == exact
+
+
+def test_pq_train_md5_mode_codebook_is_sql_derivable(spark, vecs):
+    """hash_fn='md5' + iters=0: the codebook equals the normalized
+    subspaces of the first ks md5(cast(id as string))-ordered vectors
+    — the closed form the q_embed_topk_pq_exact oracle rebuilds."""
+    import hashlib
+
+    import numpy as np
+
+    rows, df = vecs
+    ks, m = 4, 2
+    book = similarity.pq_train(
+        df, "vec_id", "embedding", m=m, ks=ks, sample_n=ks, iters=0,
+        hash_fn="md5",
+    )
+    order = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    x = np.asarray([r[1] for r in order[:ks]], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dsub = x.shape[1] // m
+    for j in range(m):
+        assert np.allclose(book[j], x[:, j * dsub : (j + 1) * dsub])
+
+
+def test_pq_train_rejects_unknown_hash_fn(spark, vecs):
+    _, df = vecs
+    with pytest.raises(ValueError, match="hash_fn"):
+        similarity.pq_train(df, "vec_id", "embedding", m=2, hash_fn="sha1")
