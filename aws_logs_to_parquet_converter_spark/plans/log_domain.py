@@ -360,6 +360,57 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_profile",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_bytes,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator seam (applyInPandasWithState,
+    SURVEY §2.11's last family member) under the driver's oracle gate
+    (round-8 verdict item 3): ``streaming/stateful.running_profiles``
+    — arbitrary per-key state evolved across micro-batches, the
+    pattern behind entity profiles and anomaly baselines — replayed
+    BOUNDED over the events table and graded against the batch GROUP
+    BY computing the same per-key profile.
+
+    Update-mode memory sink holds one refreshed profile row per key
+    per micro-batch that touched it; the FINAL state is extracted with
+    ``max_by(struct(...), n_events)`` — n_events strictly increases
+    with every update of a key, so the max-n_events row IS the last
+    emitted state, making the extraction robust even if the file
+    source splits the replay into several micro-batches.  Counts,
+    sums, and maxes are order-insensitive, so the final state equals
+    the batch aggregate exactly.  State-expiry (GroupStateTimeout) and
+    multi-batch evolution semantics are covered by
+    tests/test_streaming.py; this entry is the driver-graded
+    batch-parity evidence — the fourth streaming-family row under the
+    oracle."""
+    from aws_logs_to_parquet_converter_spark.streaming import stateful
+
+    src = _stream_events_source(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.round(F.col("value") * 100).cast("long").alias("bytes"),
+        F.col("value"),
+    )
+    profiles = stateful.running_profiles(src, key_col="key")
+    sink = _replay_to_memory_sink(spark, profiles, "q_stream_profile_sink", "update")
+    final = F.max_by(
+        F.struct("n_events", "total_bytes", "max_value"), F.col("n_events")
+    ).alias("_f")
+    return sink.groupBy("key").agg(final).select(
+        "key",
+        F.col("_f.n_events").alias("n_events"),
+        F.col("_f.total_bytes").alias("total_bytes"),
+        F.col("_f.max_value").alias("max_value"),
+    )
+
+
+@query(
     "q_sessionize",
     oracle="""
     WITH gaps AS (
