@@ -6,14 +6,14 @@ Arrow-batched ``mapInPandas`` fan-out, batch-size control, partition
 sizing.  The codec step has two modes: ``decode_stub=True`` produces
 deterministic fake features (no codec library in this container), and
 ``decode_stub=False`` runs REAL pure-Python decoders — ASCII PPM (P3),
-PNG, and baseline JPEG for images, PCM WAV for audio, uncompressed
-YUV4MPEG2 (.y4m) for video — so every non-stub branch has executed
-test coverage; payloads in any other format yield NULL features
-(quarantine semantics).  A production deploy swaps these decoders for
-Pillow/torchaudio/ffmpeg at the same seam; the remaining gates are
-progressive/arithmetic JPEG and COMPRESSED audio/video codecs
-(mp4/webm/mp3/...), which have no stdlib decoder and quarantine until
-one is swapped in.
+PNG, and baseline + progressive JPEG for images, PCM WAV for audio,
+uncompressed YUV4MPEG2 (.y4m) for video — so every non-stub branch has
+executed test coverage; payloads in any other format yield NULL
+features (quarantine semantics).  A production deploy swaps these
+decoders for Pillow/torchaudio/ffmpeg at the same seam; the remaining
+gates are arithmetic-coded/hierarchical JPEG and COMPRESSED
+audio/video codecs (mp4/webm/mp3/...), which have no stdlib decoder
+and quarantine until one is swapped in.
 
 Scale notes: binary payloads dominate partition size, so the entry
 point re-splits by target bytes before the Python stage
@@ -126,8 +126,7 @@ def decode_png(data: "bytes | str") -> tuple[int, int, int, list[int]]:
     scanline filters, chunk CRCs verified.  Adam7 interlace, 16-bit
     depth, and malformed streams raise ValueError so callers
     quarantine (NULL feature) instead of crashing the task.  Baseline
-    JPEG decodes via ``decode_jpeg`` below (r8); progressive stays
-    gated."""
+    and progressive JPEG decode via ``decode_jpeg`` below (r8/r9)."""
     import struct
     import zlib
 
@@ -264,11 +263,12 @@ def _png_feature(payload: bytes) -> "list[float] | None":
 
 
 # --------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman): pure-stdlib
-# decode + fixture encoder — closing the largest remaining image
-# quarantine the way decode_png closed PNG (round-7 verdict item 7).
-# Progressive (SOF2) / arithmetic-coded / 12-bit streams raise
-# ValueError and keep quarantining.
+# JPEG (ITU-T T.81, Huffman): pure-stdlib decode + fixture encoders —
+# baseline sequential (r8, closing the largest image quarantine the way
+# decode_png closed PNG) and progressive SOF2 (r9, Annex G spectral
+# selection + successive approximation; all four scan kinds, see
+# _decode_jpeg_progressive).  Arithmetic-coded / hierarchical /
+# lossless / 12-bit streams raise ValueError and keep quarantining.
 # --------------------------------------------------------------------------
 
 # zigzag position -> natural (row-major) index (T.81 Figure 5)
@@ -403,15 +403,85 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _jpeg_entropy_segments(data: bytes, pos: int):
+    """Split entropy-coded bytes at ``pos`` into restart segments
+    (FF00 unstuffed, RSTn boundaries).  Returns ``(next_pos, term,
+    segments)`` where ``term`` is the marker byte that ended the scan
+    (0xD9 at EOI/EOF) and ``next_pos`` points at its 0xFF."""
+    segments, cur = [], bytearray()
+    while pos < len(data):
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            segments.append(bytes(cur))
+            return pos, nxt, segments
+    segments.append(bytes(cur))
+    return len(data), 0xD9, segments
+
+
+def _jpeg_idct_into(plane, y0: int, x0: int, coeffs, basis) -> None:
+    """Separable inverse DCT of one natural-order coefficient block
+    into ``plane`` at (y0, x0), with the +128 level shift and clamp."""
+    tmp = [
+        [sum(coeffs[8 * u + v] * basis[v][x] for v in range(8)) for x in range(8)]
+        for u in range(8)
+    ]
+    for y in range(8):
+        row = plane[y0 + y]
+        for x in range(8):
+            val = sum(basis[u][y] * tmp[u][x] for u in range(8))
+            row[x0 + x] = min(255, max(0, int(round(val)) + 128))
+
+
+def _jpeg_planes_to_rgb(
+    w: int, h: int, comps, planes, hmax: int, vmax: int
+) -> tuple[int, int, int, list[int]]:
+    """Shared decoder tail: chroma upsampling + YCbCr->RGB (or
+    grayscale replication) onto the flat [r,g,b,...] contract."""
+    vals: list[int] = []
+    if len(comps) == 1:
+        plane = planes[comps[0][0]]
+        for y in range(h):
+            for x in range(w):
+                g = plane[y][x]
+                vals += [g, g, g]
+        return w, h, 255, vals
+    (yid, yh, yv, _), (bid, bh, bv, _), (rid, rh, rv, _) = comps
+    py, pb, pr = planes[yid], planes[bid], planes[rid]
+    for y in range(h):
+        for x in range(w):
+            Y = py[y * yv // vmax][x * yh // hmax]
+            Cb = pb[y * bv // vmax][x * bh // hmax] - 128
+            Cr = pr[y * rv // vmax][x * rh // hmax] - 128
+            vals.append(min(255, max(0, int(round(Y + 1.402 * Cr)))))
+            vals.append(min(255, max(0, int(round(Y - 0.344136 * Cb - 0.714136 * Cr)))))
+            vals.append(min(255, max(0, int(round(Y + 1.772 * Cb)))))
+    return w, h, 255, vals
+
+
 def decode_jpeg(data: "bytes | str") -> tuple[int, int, int, list[int]]:
-    """Decode a BASELINE sequential JPEG with the stdlib only: marker
-    parse, per-file DHT Huffman tables, dequant, separable IDCT,
-    chroma upsampling, YCbCr->RGB.  Returns (width, height, 255, flat
-    [r,g,b,...]) — the shared image-decoder contract.  Supported:
-    SOF0/SOF1, 8-bit, 1 or 3 components, sampling factors up to 2x2
-    (4:4:4 / 4:2:2 / 4:2:0), restart markers.  Progressive (SOF2),
-    arithmetic coding, and malformed streams raise ValueError so
-    callers quarantine instead of crashing the task."""
+    """Decode a BASELINE sequential or PROGRESSIVE JPEG with the
+    stdlib only: marker parse, per-file DHT Huffman tables, dequant,
+    separable IDCT, chroma upsampling, YCbCr->RGB.  Returns (width,
+    height, 255, flat [r,g,b,...]) — the shared image-decoder
+    contract.  Supported: SOF0/SOF1 baseline and SOF2 progressive
+    (spectral selection + successive approximation, all four scan
+    kinds — see ``_decode_jpeg_progressive``), 8-bit, 1 or 3
+    components, sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
+    restart markers.  Arithmetic coding, hierarchical/lossless frames,
+    and malformed streams raise ValueError so callers quarantine
+    instead of crashing the task."""
     if isinstance(data, str):
         data = data.encode("latin-1")
     if data[:2] != b"\xff\xd8":
@@ -451,8 +521,10 @@ def decode_jpeg(data: "bytes | str") -> tuple[int, int, int, list[int]]:
                     raise ValueError(f"unsupported JPEG sampling {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker == 0xC2:  # SOF2: progressive — dedicated decoder
+            return _decode_jpeg_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (arithmetic/hierarchical/lossless) unsupported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -485,26 +557,9 @@ def decode_jpeg(data: "bytes | str") -> tuple[int, int, int, list[int]]:
         )
 
     # split entropy-coded data into restart segments, unstuffing FF00
-    segments, cur = [], bytearray()
-    while pos < len(data):
-        b = data[pos]
-        if b != 0xFF:
-            cur.append(b)
-            pos += 1
-            continue
-        nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            pos += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            pos += 2
-        elif nxt == 0xD9:
-            break
-        else:
-            raise ValueError(f"unexpected marker in JPEG scan: {nxt:#x}")
-    segments.append(bytes(cur))
+    _, term, segments = _jpeg_entropy_segments(data, pos)
+    if term != 0xD9:  # baseline has ONE scan; any other marker is bogus
+        raise ValueError(f"unexpected marker in JPEG scan: {term:#x}")
 
     w, h, comps = frame
     hmax = max(c[1] for c in comps)
@@ -566,39 +621,310 @@ def decode_jpeg(data: "bytes | str") -> tuple[int, int, int, list[int]]:
                                 raise ValueError("JPEG AC index overflow")
                             coeffs[_JPEG_ZIGZAG[k]] = _jpeg_extend(br.read_bits(s), s) * qtab[k]
                             k += 1
-                        # s = A^T F A (separable)
-                        tmp = [
-                            [sum(coeffs[8 * u + v] * basis[v][x] for v in range(8)) for x in range(8)]
-                            for u in range(8)
-                        ]
-                        plane = planes[cid]
-                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
-                        for y in range(8):
-                            row = plane[y0 + y]
-                            for x in range(8):
-                                val = sum(basis[u][y] * tmp[u][x] for u in range(8))
-                                row[x0 + x] = min(255, max(0, int(round(val)) + 128))
+                        _jpeg_idct_into(
+                            planes[cid], (my * vs + by) * 8, (mx * hs + bx) * 8,
+                            coeffs, basis,
+                        )
             mcu_index += 1
 
-    vals: list[int] = []
-    if len(comps) == 1:
-        plane = planes[comps[0][0]]
-        for y in range(h):
-            for x in range(w):
-                g = plane[y][x]
-                vals += [g, g, g]
-        return w, h, 255, vals
-    (yid, yh, yv, _), (bid, bh, bv, _), (rid, rh, rv, _) = comps
-    py, pb, pr = planes[yid], planes[bid], planes[rid]
-    for y in range(h):
-        for x in range(w):
-            Y = py[y * yv // vmax][x * yh // hmax]
-            Cb = pb[y * bv // vmax][x * bh // hmax] - 128
-            Cr = pr[y * rv // vmax][x * rh // hmax] - 128
-            vals.append(min(255, max(0, int(round(Y + 1.402 * Cr)))))
-            vals.append(min(255, max(0, int(round(Y - 0.344136 * Cb - 0.714136 * Cr)))))
-            vals.append(min(255, max(0, int(round(Y + 1.772 * Cb)))))
-    return w, h, 255, vals
+    return _jpeg_planes_to_rgb(w, h, comps, planes, hmax, vmax)
+
+
+def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a PROGRESSIVE (SOF2) JPEG — ITU-T T.81 Annex G, Huffman
+    coding.  Coefficients accumulate across scans in zigzag order and
+    the IDCT runs once at EOI:
+
+      * DC first scans (Ss=Se=0, Ah=0): predictive diff coding of the
+        point-transformed DC, ``coef = pred << Al`` (two's-complement
+        semantics — refinement bits OR in, G.1.2.1);
+      * DC refinement (Ah>0): one raw bit per block, ``coef |= 1<<Al``;
+      * AC first scans (Ss>0, Ah=0, single component per T.81): run/size
+        coding of ``v/2^Al`` (sign-magnitude truncation) plus EOB runs
+        — ``EOBn`` covers the current block and the next ``2^r-1+bits``;
+      * AC refinement (Ah>0): newly-nonzero coefficients arrive as
+        (run over ZERO-history positions, magnitude 1, sign bit);
+        nonzero-history coefficients passed over en route — and every
+        remaining one in blocks inside an EOB run — carry one inline
+        correction bit that grows the magnitude by ``1<<Al`` toward
+        larger absolute value.
+
+    Interleaved scans (ns>1, DC only in practice) walk MCU order with
+    per-component sampling blocks; non-interleaved scans walk the
+    component's own ceil(cw/8) x ceil(ch/8) grid in raster order.
+    Restart intervals reset DC predictors and the EOB run.  DHT/DRI may
+    be redefined between scans (tables are looked up per scan).
+    Malformed streams raise ValueError for the quarantine contract.
+    """
+    pos, qt, huff, frame, restart = 2, {}, {}, None, 0
+    mcus_x = mcus_y = hmax = vmax = 0
+    coefs: dict = {}  # cid -> [by][bx] -> [64] zigzag-order ints
+    comp_blocks: dict = {}  # cid -> (non-interleaved bw, bh)
+    basis = _jpeg_dct_basis()
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                qt[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC2:  # SOF2
+            prec = seg[0]
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError(f"unsupported JPEG sampling {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            if w <= 0 or h <= 0:
+                raise ValueError(f"unsupported JPEG dimensions {w}x{h}")
+            if w * h > 64_000_000:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed the 64MP decode cap"
+                )
+            frame = (w, h, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for cid, hs, vs, _tq in comps:
+                coefs[cid] = [
+                    [[0] * 64 for _ in range(mcus_x * hs)]
+                    for _ in range(mcus_y * vs)
+                ]
+                cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+                comp_blocks[cid] = (-(-cw // 8), -(-ch // 8))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("conflicting frame marker in progressive JPEG")
+        elif marker == 0xC4:  # DHT (redefinable between scans)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[("dc" if tc == 0 else "ac", th)] = _huff_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI (redefinable between scans)
+            restart = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS: one of many scans
+            if frame is None:
+                raise ValueError("JPEG scan before SOF")
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            pos, term, segments = _jpeg_entropy_segments(data, pos + 2 + seglen)
+            _decode_progressive_scan(
+                frame, coefs, comp_blocks, huff, restart, segments,
+                scan, ss, se, ah, al, mcus_x, mcus_y,
+            )
+            continue  # pos already sits at the terminating marker
+        pos += 2 + seglen
+
+    if frame is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = frame
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError("JPEG frame references missing quant table")
+        qtab = qt[tq]
+        plane = [[0] * (mcus_x * hs * 8) for _ in range(mcus_y * vs * 8)]
+        grid = coefs[cid]
+        for by in range(len(grid)):
+            for bx in range(len(grid[0])):
+                blk = grid[by][bx]
+                coeffs = [0.0] * 64
+                for k in range(64):
+                    if blk[k]:
+                        coeffs[_JPEG_ZIGZAG[k]] = blk[k] * qtab[k]
+                _jpeg_idct_into(plane, by * 8, bx * 8, coeffs, basis)
+        planes[cid] = plane
+    return _jpeg_planes_to_rgb(w, h, comps, planes, hmax, vmax)
+
+
+def _decode_progressive_scan(
+    frame, coefs, comp_blocks, huff, restart, segments,
+    scan, ss, se, ah, al, mcus_x, mcus_y,
+) -> None:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    grids (see ``_decode_jpeg_progressive`` for the four scan kinds)."""
+    w, h, comps = frame
+    by_cid = {c[0]: c for c in comps}
+    for cid, _td, _ta in scan:
+        if cid not in by_cid:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG DC scan with nonzero Se")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if not 0 <= ss <= se <= 63:
+        raise ValueError("JPEG bad spectral selection")
+
+    state = {"seg": 0, "br": _JpegBits(segments[0]), "eobrun": 0}
+    pred = {c[0]: 0 for c in comps}
+
+    def next_restart_segment() -> None:
+        state["seg"] += 1
+        if state["seg"] >= len(segments):
+            raise ValueError("JPEG restart segment missing")
+        state["br"] = _JpegBits(segments[state["seg"]])
+        state["eobrun"] = 0
+        for k in pred:
+            pred[k] = 0
+
+    def dc_unit(cid: int, blk: list, dc_tbl) -> None:
+        br = state["br"]
+        if ah == 0:
+            t = br.read_symbol(dc_tbl)
+            diff = _jpeg_extend(br.read_bits(t), t) if t else 0
+            pred[cid] += diff
+            blk[0] = pred[cid] << al
+        elif br.read_bit():
+            blk[0] |= 1 << al
+
+    def ac_first_unit(blk: list, ac_tbl) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        br = state["br"]
+        k = ss
+        while k <= se:
+            rs = br.read_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            blk[k] = _jpeg_extend(br.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine_unit(blk: list, ac_tbl) -> None:
+        br = state["br"]
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = br.read_symbol(ac_tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.read_bits(r)
+                        break
+                    # ZRL: skip 16 zero-history positions below
+                else:
+                    if s != 1:
+                        raise ValueError("invalid JPEG refinement symbol")
+                    s = p1 if br.read_bit() else m1
+                # advance over r zero-history coefficients, correcting
+                # every nonzero-history coefficient passed en route
+                while k <= se:
+                    c = blk[k]
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    blk[k] = s
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                c = blk[k]
+                if c != 0 and br.read_bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def scan_tables(cid: int, td: int, ta: int):
+        dc_tbl = ac_tbl = None
+        if ss == 0 and ah == 0:
+            if ("dc", td) not in huff:
+                raise ValueError("JPEG scan references missing Huffman table")
+            dc_tbl = huff[("dc", td)]
+        if ss > 0:
+            if ("ac", ta) not in huff:
+                raise ValueError("JPEG scan references missing Huffman table")
+            ac_tbl = huff[("ac", ta)]
+        return dc_tbl, ac_tbl
+
+    unit_index = 0
+    if len(scan) > 1:  # interleaved (MCU order) — DC scans in practice
+        tbls = {cid: scan_tables(cid, td, ta) for cid, td, ta in scan}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and unit_index and unit_index % restart == 0:
+                    next_restart_segment()
+                for cid, _td, _ta in scan:
+                    _c, hs, vs, _q = by_cid[cid]
+                    dc_tbl, ac_tbl = tbls[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = coefs[cid][my * vs + by][mx * hs + bx]
+                            if ss == 0:
+                                dc_unit(cid, blk, dc_tbl)
+                            elif ah == 0:
+                                ac_first_unit(blk, ac_tbl)
+                            else:
+                                ac_refine_unit(blk, ac_tbl)
+                unit_index += 1
+    else:  # non-interleaved: the component's own block raster
+        cid, td, ta = scan[0]
+        dc_tbl, ac_tbl = scan_tables(cid, td, ta)
+        bw_, bh_ = comp_blocks[cid]
+        for by in range(bh_):
+            for bx in range(bw_):
+                if restart and unit_index and unit_index % restart == 0:
+                    next_restart_segment()
+                blk = coefs[cid][by][bx]
+                if ss == 0:
+                    dc_unit(cid, blk, dc_tbl)
+                elif ah == 0:
+                    ac_first_unit(blk, ac_tbl)
+                else:
+                    ac_refine_unit(blk, ac_tbl)
+                unit_index += 1
 
 
 class _JpegBitWriter:
@@ -632,35 +958,29 @@ class _JpegBitWriter:
         return bytes(self.out)
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    pixels: "list[int]",
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Minimal BASELINE JPEG encoder (Annex K tables, IJG quality
-    scaling; 4:4:4 by default, 4:2:0 with ``subsample=True``; optional
-    DRI/RST restart markers) — the fixture encoder the decoder's
-    property tests drive, sibling of ``encode_png``/``encode_y4m``.
-    Lossy by nature: tests assert tolerance, not identity."""
-    if len(pixels) != 3 * width * height:
-        raise ValueError("pixels must be flat RGB of length 3*w*h")
-    if not 1 <= quality <= 100:
-        raise ValueError("quality in 1..100")
+def _jpeg_quality_tables(quality: int) -> list[list[int]]:
+    """Annex K tables under IJG quality scaling (zigzag order)."""
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    qts = []
-    for base in (_JPEG_QT_LUMA, _JPEG_QT_CHROMA):
-        qts.append([min(255, max(1, (v * scale + 50) // 100)) for v in base])
-    basis = _jpeg_dct_basis()
+    return [
+        [min(255, max(1, (v * scale + 50) // 100)) for v in base]
+        for base in (_JPEG_QT_LUMA, _JPEG_QT_CHROMA)
+    ]
+
+
+def _jpeg_huff_enc_tables() -> dict:
+    """symbol -> (code, length) encoder view of the Annex K tables."""
     enc_tbl = {}
     for key, (bits, vals) in _JPEG_HUFF.items():
         dec = _huff_decode_table(bits, vals)
         enc_tbl[key] = {sym: (code, length) for (length, code), sym in dec.items()}
+    return enc_tbl
 
-    # RGB -> YCbCr planes; luma edge-padded to the MCU grid, chroma
-    # box-downsampled by 2 when subsampling
+
+def _jpeg_rgb_to_planes(width: int, height: int, pixels: "list[int]", subsample: bool):
+    """RGB -> level-shifted YCbCr planes; luma edge-padded to the MCU
+    grid, chroma box-downsampled by 2 when subsampling.  Returns
+    (yp, cb, cr, pw, ph, lx, ly) — shared by the baseline and
+    progressive encoders so both quantize IDENTICAL coefficients."""
     ly, lx = (2, 2) if subsample else (1, 1)
     pw, ph = -(-width // (8 * lx)) * 8 * lx, -(-height // (8 * ly)) * 8 * ly
     yp = [[0.0] * pw for _ in range(ph)]
@@ -686,31 +1006,61 @@ def encode_jpeg(
              for x in range(pw // 2)]
             for y in range(ph // 2)
         ]
+    return yp, cb, cr, pw, ph, lx, ly
 
-    def magnitude(v: int) -> tuple[int, int]:
-        s = abs(v).bit_length()
-        return (s, v if v >= 0 else v + (1 << s) - 1)
+
+def _jpeg_quant_zigzag(plane, by: int, bx: int, qtab, basis) -> list[int]:
+    """Forward DCT + quantization of one 8x8 block, zigzag order."""
+    block = [[plane[8 * by + y][8 * bx + x] for x in range(8)] for y in range(8)]
+    # F = A s A^T
+    tmp = [
+        [sum(basis[u][y] * block[y][x] for y in range(8)) for x in range(8)]
+        for u in range(8)
+    ]
+    fre = [
+        [sum(tmp[u][x] * basis[v][x] for x in range(8)) for v in range(8)]
+        for u in range(8)
+    ]
+    return [
+        int(round(fre[_JPEG_ZIGZAG[k] // 8][_JPEG_ZIGZAG[k] % 8] / qtab[k]))
+        for k in range(64)
+    ]
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    s = abs(v).bit_length()
+    return (s, v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: "list[int]",
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal BASELINE JPEG encoder (Annex K tables, IJG quality
+    scaling; 4:4:4 by default, 4:2:0 with ``subsample=True``; optional
+    DRI/RST restart markers) — the fixture encoder the decoder's
+    property tests drive, sibling of ``encode_png``/``encode_y4m``.
+    Lossy by nature: tests assert tolerance, not identity."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be flat RGB of length 3*w*h")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality in 1..100")
+    qts = _jpeg_quality_tables(quality)
+    basis = _jpeg_dct_basis()
+    enc_tbl = _jpeg_huff_enc_tables()
+    yp, cb, cr, pw, ph, lx, ly = _jpeg_rgb_to_planes(width, height, pixels, subsample)
+    magnitude = _jpeg_magnitude
 
     bw = _JpegBitWriter()
     pred = [0, 0, 0]
 
     def emit_block(ci: int, plane: "list[list[float]]", by: int, bx: int) -> None:
         qi = 0 if ci == 0 else 1
-        qtab = qts[qi]
-        block = [[plane[8 * by + y][8 * bx + x] for x in range(8)] for y in range(8)]
-        # F = A s A^T
-        tmp = [
-            [sum(basis[u][y] * block[y][x] for y in range(8)) for x in range(8)]
-            for u in range(8)
-        ]
-        fre = [
-            [sum(tmp[u][x] * basis[v][x] for x in range(8)) for v in range(8)]
-            for u in range(8)
-        ]
-        zz = [
-            int(round(fre[_JPEG_ZIGZAG[k] // 8][_JPEG_ZIGZAG[k] % 8] / qtab[k]))
-            for k in range(64)
-        ]
+        zz = _jpeg_quant_zigzag(plane, by, bx, qts[qi], basis)
         dc_tab, ac_tab = enc_tbl[("dc", qi)], enc_tbl[("ac", qi)]
         diff = zz[0] - pred[ci]
         pred[ci] = zz[0]
@@ -779,9 +1129,267 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: "list[int]",
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    al: int = 1,
+) -> bytes:
+    """Minimal PROGRESSIVE (SOF2) JPEG encoder — the fixture encoder
+    the progressive decoder's property tests drive.  Quantizes the
+    SAME coefficients as ``encode_jpeg`` (shared plane/DCT/quant
+    helpers), then emits them across the four Annex G scan kinds:
+
+      1. interleaved DC first scan at Al=``al`` (optionally under a
+         DRI restart interval), then DC refinement scans down to Al=0;
+      2. per component, AC first scans at Al=``al`` over two spectral
+         bands (1..5 and 6..63 — the split exercises EOB runs), then
+         the matching AC refinement scans down to Al=0 (DRI reset to 0
+         first: restart intervals redefine per scan).
+
+    Because the emitted coefficients are identical to the baseline
+    encoder's, decoding both streams must produce IDENTICAL RGB — the
+    property pinning the progressive scan coder against the
+    independent baseline path."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be flat RGB of length 3*w*h")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality in 1..100")
+    if not 1 <= al <= 13:
+        raise ValueError("al in 1..13")
+    qts = _jpeg_quality_tables(quality)
+    basis = _jpeg_dct_basis()
+    enc_tbl = _jpeg_huff_enc_tables()
+    yp, cb, cr, pw, ph, lx, ly = _jpeg_rgb_to_planes(width, height, pixels, subsample)
+    mcus_y, mcus_x = ph // (8 * ly), pw // (8 * lx)
+
+    # quantize every block once, up front (progressive = many passes
+    # over one coefficient set)
+    grids = []  # per comp: [by][bx] -> zz[64]
+    scan_dims = []  # per comp: NON-INTERLEAVED block grid (T.81 A.2.2)
+    for ci, plane in enumerate((yp, cb, cr)):
+        qi = 0 if ci == 0 else 1
+        bh, bwd = len(plane) // 8, len(plane[0]) // 8
+        grids.append(
+            [
+                [_jpeg_quant_zigzag(plane, by, bx, qts[qi], basis) for bx in range(bwd)]
+                for by in range(bh)
+            ]
+        )
+        # a non-interleaved scan covers ceil(cw/8) x ceil(ch/8) data
+        # units of the COMPONENT raster, NOT the MCU-padded grid (the
+        # padding blocks beyond it carry no AC scan data)
+        cw = width if ci == 0 else -(-width // lx)
+        ch = height if ci == 0 else -(-height // ly)
+        scan_dims.append((-(-cw // 8), -(-ch // 8)))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def sos_header(comps: "list[int]", ss: int, se: int, ah_: int, al_: int) -> bytes:
+        body = bytes([len(comps)])
+        for ci in comps:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        return seg(0xDA, body + bytes([ss, se, (ah_ << 4) | al_]))
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts):
+        out += seg(0xDB, bytes([tq]) + bytes(q[k] for k in range(64)))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([3])
+    for cid in (1, 2, 3):
+        samp = ((lx << 4) | ly) if cid == 1 else 0x11
+        sof += bytes([cid, samp, 0 if cid == 1 else 1])
+    out += seg(0xC2, sof)
+    for (kind, tid), (bits, vals) in _JPEG_HUFF.items():
+        tc = 0 if kind == "dc" else 1
+        out += seg(0xC4, bytes([(tc << 4) | tid] + bits + vals))
+
+    # ---- scan 1: interleaved DC first (Al=al), DRI-governed ----
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += sos_header([0, 1, 2], 0, 0, 0, al)
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+    mcu_index, rst = 0, 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            for ci, (gy, gx) in ((0, (ly, lx)), (1, (1, 1)), (2, (1, 1))):
+                dc_tab = enc_tbl[("dc", 0 if ci == 0 else 1)]
+                for by in range(gy):
+                    for bx in range(gx):
+                        v = grids[ci][my * gy + by][mx * gx + bx][0] >> al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s, mbits = _jpeg_magnitude(diff)
+                        code, length = dc_tab[s]
+                        bw.write(code, length)
+                        if s:
+                            bw.write(mbits, s)
+            mcu_index += 1
+    out += bw.flush()
+
+    # ---- DC refinement scans (Ah=a+1, Al=a), still interleaved ----
+    for a in range(al - 1, -1, -1):
+        out += sos_header([0, 1, 2], 0, 0, a + 1, a)
+        bw = _JpegBitWriter()
+        mcu_index, rst = 0, 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    bw.marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                for ci, (gy, gx) in ((0, (ly, lx)), (1, (1, 1)), (2, (1, 1))):
+                    for by in range(gy):
+                        for bx in range(gx):
+                            bw.write((grids[ci][my * gy + by][mx * gx + bx][0] >> a) & 1, 1)
+                mcu_index += 1
+        out += bw.flush()
+
+    # restart intervals are per-scan state; the AC scans below do not
+    # emit RSTn, so redefine DRI=0 for real-decoder parity
+    if restart_interval:
+        out += seg(0xDD, (0).to_bytes(2, "big"))
+
+    # Progressive AC scans need EOBn symbols (r<<4, r>=1), which the
+    # baseline Annex K AC tables do not carry — redefine both AC slots
+    # with a flat 9-bit canonical table over every symbol the scan
+    # coder can emit (EOB0..EOB14, ZRL, (r,s) for s=1..10).  DHT
+    # between scans is spec-legal and exercises the decoder's
+    # table-redefinition path; fixture compression is irrelevant.
+    ac_syms = (
+        [r << 4 for r in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_syms)  # all codes 9 bits long
+    for tid in (0, 1):
+        out += seg(0xC4, bytes([(1 << 4) | tid] + ac_bits + ac_syms))
+    prog_ac = {sym: (i, 9) for i, sym in enumerate(ac_syms)}
+
+    bands = [(1, 5), (6, 63)]
+
+    # ---- AC first scans (Al=al), non-interleaved, EOB-run coded ----
+    for ci in range(3):
+        ac_tab = prog_ac
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 0, al)
+            bw = _JpegBitWriter()
+            eobrun = 0
+
+            def emit_eobrun() -> None:
+                nonlocal eobrun
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    code, length = ac_tab[nbits << 4]
+                    bw.write(code, length)
+                    if nbits:
+                        bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                    eobrun = 0
+
+            sw, sh = scan_dims[ci]
+            for grow in grids[ci][:sh]:
+                for zz in grow[:sw]:
+                    r, wrote = 0, False
+                    for k in range(ss, se + 1):
+                        v = zz[k]
+                        tv = -((-v) >> al) if v < 0 else v >> al  # trunc toward 0
+                        if tv == 0:
+                            r += 1
+                            continue
+                        emit_eobrun()
+                        while r > 15:
+                            code, length = ac_tab[0xF0]  # ZRL
+                            bw.write(code, length)
+                            r -= 16
+                        s, mbits = _jpeg_magnitude(tv)
+                        code, length = ac_tab[(r << 4) | s]
+                        bw.write(code, length)
+                        bw.write(mbits, s)
+                        r, wrote = 0, True
+                    if r > 0 or not wrote:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            emit_eobrun()
+            emit_eobrun()
+            out += bw.flush()
+
+    # ---- AC refinement scans (Ah=a+1, Al=a), IJG correction-bit form ----
+    for a in range(al - 1, -1, -1):
+        for ci in range(3):
+            ac_tab = prog_ac
+            for ss, se in bands:
+                out += sos_header([ci], ss, se, a + 1, a)
+                bw = _JpegBitWriter()
+                eobrun, be_bits = 0, []
+
+                def emit_eobrun() -> None:
+                    nonlocal eobrun, be_bits
+                    if eobrun > 0:
+                        nbits = eobrun.bit_length() - 1
+                        code, length = ac_tab[nbits << 4]
+                        bw.write(code, length)
+                        if nbits:
+                            bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                        for b in be_bits:
+                            bw.write(b, 1)
+                        eobrun, be_bits = 0, []
+
+                sw, sh = scan_dims[ci]
+                for grow in grids[ci][:sh]:
+                    for zz in grow[:sw]:
+                        absv = [abs(zz[k]) >> a for k in range(ss, se + 1)]
+                        eob = 0  # band-relative index AFTER last newly-nonzero
+                        for i, t in enumerate(absv):
+                            if t == 1:
+                                eob = i + 1
+                        r, br_bits = 0, []
+                        for i, t in enumerate(absv):
+                            if t == 0:
+                                r += 1
+                                continue
+                            while r > 15 and i < eob:
+                                emit_eobrun()
+                                code, length = ac_tab[0xF0]  # ZRL
+                                bw.write(code, length)
+                                r -= 16
+                                for b in br_bits:
+                                    bw.write(b, 1)
+                                br_bits = []
+                            if t > 1:  # nonzero history: correction bit
+                                br_bits.append(t & 1)
+                                continue
+                            emit_eobrun()  # newly nonzero (magnitude 1)
+                            code, length = ac_tab[(r << 4) | 1]
+                            bw.write(code, length)
+                            bw.write(1 if zz[ss + i] >= 0 else 0, 1)
+                            for b in br_bits:
+                                bw.write(b, 1)
+                            r, br_bits = 0, []
+                        if r > 0 or br_bits:
+                            eobrun += 1
+                            be_bits += br_bits
+                            if eobrun == 0x7FFF:
+                                emit_eobrun()
+                emit_eobrun()
+                out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_feature(payload: bytes) -> "list[float] | None":
-    """Real feature from a baseline JPEG payload (same luminance
-    histogram as P3/PNG); None quarantines undecodable streams."""
+    """Real feature from a baseline or progressive JPEG payload (same
+    luminance histogram as P3/PNG); None quarantines undecodable
+    streams."""
     try:
         w, h, maxval, vals = decode_jpeg(payload)
     except (ValueError, UnicodeDecodeError, IndexError):
@@ -976,10 +1584,10 @@ def _wav_feature(payload: bytes) -> "list[float] | None":
 
 def _typed_feature(payload: bytes, media_type: "str | None") -> "list[float] | None":
     """Default non-stub decoder: dispatch on the media_type column —
-    PNG or P3/PPM for images (magic-byte dispatch), PCM WAV for audio,
-    YUV4MPEG2 for video; anything else (unknown type, compressed codec
-    without an honest stdlib decoder — JPEG stays gated) quarantines
-    as NULL."""
+    PNG, JPEG (baseline + progressive), or P3/PPM for images
+    (magic-byte dispatch), PCM WAV for audio, YUV4MPEG2 for video;
+    anything else (unknown type, compressed codec without an honest
+    stdlib decoder) quarantines as NULL."""
     if media_type == "image":
         return _image_feature(payload)
     if media_type == "audio":

@@ -657,25 +657,31 @@ def test_jpeg_grayscale_single_component():
     assert vals[0] == vals[1] == vals[2]  # replicated gray
 
 
-def test_jpeg_progressive_and_malformed_quarantine(spark):
-    """SOF2 (progressive) raises; truncated/garbage streams raise; and
-    through extract_features a REAL baseline JPEG row decodes the same
-    luminance histogram as the identical PNG row while the progressive
-    row quarantines as NULL."""
+def test_jpeg_malformed_quarantine(spark):
+    """A baseline stream doctored to claim SOF2 is MALFORMED
+    progressive (its single full-band scan is an illegal DC scan with
+    Se=63) and must quarantine, as must truncated/garbage streams;
+    through extract_features a REAL baseline JPEG row and a REAL
+    progressive row both decode the same luminance histogram as the
+    identical PNG row (round-9: the SOF2 quarantine is CLOSED — only
+    malformed streams remain NULL)."""
     w, h = 4, 2
     px = [255, 255, 255, 0, 0, 0] * 4
     good = multimodal.encode_jpeg(w, h, px, quality=100)
-    # flip SOF0 -> SOF2 (progressive): find the FFC0 marker
+    # flip SOF0 -> SOF2: now an invalid PROGRESSIVE stream (baseline's
+    # Ss=0/Se=63 scan is no legal progressive scan)
     i = good.index(b"\xff\xc0")
-    progressive = good[:i] + b"\xff\xc2" + good[i + 2 :]
-    for bad in (progressive, good[:24], b"\xff\xd8\xffjunk"):
+    doctored = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    for bad in (doctored, good[:24], b"\xff\xd8\xffjunk"):
         with pytest.raises(ValueError):
             multimodal.decode_jpeg(bad)
 
     png = multimodal.encode_png(w, h, px)
+    progressive = multimodal.encode_jpeg_progressive(w, h, px, quality=100)
     rows = [
         ("jpeg-ok", "image", good.decode("latin-1"), w, h, 0),
         ("jpeg-progressive", "image", progressive.decode("latin-1"), w, h, 0),
+        ("jpeg-doctored", "image", doctored.decode("latin-1"), w, h, 0),
         ("png-ok", "image", png.decode("latin-1"), w, h, 0),
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
@@ -683,11 +689,71 @@ def test_jpeg_progressive_and_malformed_quarantine(spark):
         r.asset_id: r.feature
         for r in multimodal.extract_features(df, decode_stub=False).collect()
     }
-    assert feats["jpeg-progressive"] is None
+    assert feats["jpeg-doctored"] is None
     assert feats["jpeg-ok"] is not None
     # white/black halves: the q100 jpeg and the lossless png agree on
     # the histogram exactly (values within rounding of 0 and 255)
     assert feats["jpeg-ok"] == feats["png-ok"]
+    # ... and the progressive stream carries the SAME coefficients, so
+    # its histogram matches the baseline's exactly
+    assert feats["jpeg-progressive"] == feats["jpeg-ok"]
+
+
+@pytest.mark.parametrize("subsample,restart,al", [
+    (False, 0, 1), (True, 0, 1), (True, 3, 1), (False, 0, 2),
+])
+def test_jpeg_progressive_equals_baseline(subsample, restart, al):
+    """The progressive encoder emits the SAME quantized coefficients
+    as the baseline encoder (shared plane/DCT/quant helpers), so both
+    decodes must be IDENTICAL — pinning the whole Annex G scan coder
+    (DC first/refine, AC first with EOB runs, AC refinement with
+    correction bits, per-scan DHT redefinition, DC restart intervals)
+    against the independently-tested baseline path."""
+    w, h = 21, 13
+    px = _smooth(w, h, phase=3)
+    base = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(w, h, px, quality=85, subsample=subsample)
+    )
+    prog = multimodal.decode_jpeg(
+        multimodal.encode_jpeg_progressive(
+            w, h, px, quality=85, subsample=subsample,
+            restart_interval=restart, al=al,
+        )
+    )
+    assert prog == base
+
+
+def test_jpeg_progressive_property_random_images():
+    """Deterministic pseudo-random sweep of sizes x modes: progressive
+    decode equals baseline decode on every pixel (the coefficients are
+    shared by construction, so any scan-coder bug breaks identity)."""
+    import random
+
+    rng = random.Random(29)
+    for trial in range(6):
+        w, h = rng.randrange(8, 40), rng.randrange(8, 40)
+        px = [rng.randrange(256) for _ in range(3 * w * h)]
+        sub = trial % 2 == 0
+        al = 1 + trial % 3
+        rst = 2 if trial % 3 == 0 else 0
+        q = (50, 85, 100)[trial % 3]
+        base = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(w, h, px, quality=q, subsample=sub)
+        )
+        prog = multimodal.decode_jpeg(
+            multimodal.encode_jpeg_progressive(
+                w, h, px, quality=q, subsample=sub, restart_interval=rst, al=al
+            )
+        )
+        assert prog == base, (w, h, sub, al, rst, q)
+
+
+def test_jpeg_progressive_truncated_quarantines():
+    px = _smooth(16, 16)
+    data = multimodal.encode_jpeg_progressive(16, 16, px, quality=90)
+    with pytest.raises(ValueError):
+        # cut inside the AC scans: a later scan's entropy data is gone
+        multimodal.decode_jpeg(data[: int(len(data) * 0.6)])
 
 
 def test_jpeg_quarantine_stays_valueerror_on_scan_and_dims():
