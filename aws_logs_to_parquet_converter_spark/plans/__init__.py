@@ -133,14 +133,18 @@ _PRIORITY = [
     "q_semantic_dedup",
     "q_string_agg",
     "q_window_first_last",
-    # (4) remaining slots: heads of the r7 whitespace-migration cohort
+    # (4) NEW this round, enters at birth: REAL BPE tokenization
+    # (train + production Arrow encode vs the oracle's replace-fold
+    # restatement — r8 verdict item 8); displaced the lowest-priority
+    # r7 backfill slot (q_bpe_token_count, which stays r7-green)
+    "q_bpe_encode",
+    # (5) remaining slots: heads of the r7 whitespace-migration cohort
     # (oldest r7 evidence; pinned explicitly so the window never falls
     # through to arbitrary registration order)
     "q_token_count",
     "q_quality_filter",
     "q_lang_id",
     "q_text_stats",
-    "q_bpe_token_count",
 ]
 
 

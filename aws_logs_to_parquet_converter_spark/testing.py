@@ -9,6 +9,7 @@ lines, so golden tests and the parse bench are reproducible.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 # The Spark+AI Summit 2019 slide p.21 golden line (public AWS example).
@@ -182,5 +183,10 @@ def duckdb_connection(sf_dir: str):
 
     con = duckdb.connect()
     for name in TABLES:
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+        path = f"{sf_dir}/{name}.parquet"
+        # driver fixtures are single files; locally-generated scale data
+        # (scripts/make_sf1.py) is a Spark DIRECTORY output — glob it
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
