@@ -93,6 +93,12 @@ _PRIORITY = [
     "q_url_dedup",
     "q_dedup_keep_best",
     "q_span_dedup",
+    # _stream_events_source gained the directory-layout branch (r9
+    # sf1-sweep finding) — shared by every streaming entry, so all
+    # three previously-graded rows re-enter per standing policy
+    "q_stream_dedup",
+    "q_stream_read_after_write",
+    "q_stream_daily_events",
     # (3) oldest-evidence backfill: q_values_dim (r5), then the full
     # r6 cohort
     "q_values_dim",
@@ -138,13 +144,11 @@ _PRIORITY = [
     # restatement — r8 verdict item 8); displaced the lowest-priority
     # r7 backfill slot (q_bpe_token_count, which stays r7-green)
     "q_bpe_encode",
-    # (5) remaining slots: heads of the r7 whitespace-migration cohort
-    # (oldest r7 evidence; pinned explicitly so the window never falls
-    # through to arbitrary registration order)
+    # (5) remaining slot: head of the r7 whitespace-migration cohort
+    # (three of the four planned r7 heads were displaced by the
+    # streaming-source re-entries above; the displaced ones stay
+    # r7-green and lead the r10 rotation)
     "q_token_count",
-    "q_quality_filter",
-    "q_lang_id",
-    "q_text_stats",
 ]
 
 

@@ -175,16 +175,27 @@ def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     seam lives in ONE place (round-8 review: it was copy-pasted three
     times, and a seam change missed in one copy would silently diverge
     a graded streaming query)."""
+    import os
+
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    # the streaming file source wants a DIRECTORY: point it at sf_dir
-    # with a glob filter so only the events file replays
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # locally-generated scale data (scripts/make_sf1.py) writes the
+        # table as a DIRECTORY of part files — stream that directory
+        # directly (a pathGlobFilter on the parent would filter leaf
+        # FILE names and match nothing, silently replaying zero rows —
+        # the r9 sf1-sweep finding)
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        # driver fixtures are single files; the streaming file source
+        # wants a DIRECTORY: point it at sf_dir with a glob filter so
+        # only the events file replays
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(src.dtypes).get("ts") == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # NTZ micros -> session-UTC instant, same normalization as t()

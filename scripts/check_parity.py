@@ -21,23 +21,45 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--skip", default="",
+        help="comma-separated names to exclude (e.g. oracles that are "
+        "super-linear by construction at big SFs — run those at a "
+        "smaller SF instead)",
+    )
+    ap.add_argument(
+        "--timeout", type=float, default=None,
+        help="per-query watchdog seconds: interrupt the DuckDB oracle "
+        "so one intractable oracle records a FAIL instead of hanging "
+        "the whole sweep",
+    )
     args = ap.parse_args()
 
     from aws_logs_to_parquet_converter_spark.plans import REGISTRY
     from aws_logs_to_parquet_converter_spark.session import get_spark
     from aws_logs_to_parquet_converter_spark.testing import compare_query, duckdb_connection
 
-    names = args.names or list(REGISTRY)
+    skip = set(args.skip.split(",")) - {""}
+    names = [n for n in (args.names or list(REGISTRY)) if n not in skip]
     spark = get_spark(app_name="parity", extra_conf={"spark.ui.enabled": "false"})
     con = duckdb_connection(args.sf)
 
     counts = {"ok": 0, "rows-only": 0, "fail": 0}
     for name in names:
         t0 = time.time()
+        timer = None
+        if args.timeout:
+            import threading
+
+            timer = threading.Timer(args.timeout, con.interrupt)
+            timer.start()
         try:
             status, detail = compare_query(spark, con, name, args.sf)
         except Exception as e:
             status, detail = "fail", f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            if timer is not None:
+                timer.cancel()
         counts[status] += 1
         label = {"ok": "ok   ", "rows-only": "rows ", "fail": "FAIL "}[status]
         print(f"{label} {name}: {detail} [{time.time()-t0:.1f}s]")

@@ -119,14 +119,13 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-8 window
-    policy (plans/__init__.py): never-driver-graded oracle entries
-    first (q_approx_top_k, the new q_stream_read_after_write, the new
-    q_window_percent_rank), then every entry whose code or oracle
-    changed this round (the ntile reshape, the contentless-shingle
-    oracle guards, the five r7-advisor changed-oracle queries), then
-    the r4-currency stragglers, then the oldest (r5-cohort) evidence —
-    every windowed entry hash-gradeable."""
+    """The driver grades the first 50 registry entries.  Round-9 window
+    policy (plans/__init__.py): round-9 births first (the ANN graded
+    twins, the stateful streaming seam, real BPE), then every entry
+    whose code or oracle changed this round (the r8-advisor fixes),
+    then the oldest evidence (q_values_dim at r5, the full r6 cohort,
+    heads of the r7 whitespace cohort) — every windowed entry
+    hash-gradeable."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
     names = list(REGISTRY)
@@ -135,21 +134,20 @@ def test_graded_window_covers_priority_surface():
     required = {
         # flagship
         "q_days_apart",
-        # never driver-graded before this round
-        "q_approx_top_k", "q_stream_read_after_write",
-        "q_window_percent_rank", "q_url_dedup", "q_stream_dedup",
-        "q_span_dedup", "q_dedup_keep_best",
-        # code or oracle changed this round
-        "q_window_ntile", "q_warc_extract", "q_ngram_jaccard",
-        "q_dedup_minhash_md5", "q_dedup_keep_list",
-        # the r7-advisor changed-oracle queries (rotation-policy repair)
-        "q_session_window", "q_json_extract", "q_correlated_scalar",
-        "q_recursive_cte", "q_log_status_breakdown",
-        # r4-currency stragglers back under the gate
-        "q_diag_bool_emit", "q_diag_maxby_emit",
-        # oldest-evidence (r5 cohort) backfill anchors
-        "q_window_lag", "q_sessionize", "q_asof_join", "q_url_funcs",
-        "q_dedup_exact", "q_embed_topk", "q_salted_agg",
+        # round-9 births (enter at birth per standing policy)
+        "q_embed_topk_ivf_full", "q_embed_topk_pq_exact",
+        "q_stream_profile", "q_bpe_encode",
+        # code or oracle changed this round (r8 advisor/verdict fixes +
+        # the streaming-source directory-layout branch)
+        "q_url_dedup", "q_dedup_keep_best", "q_span_dedup",
+        "q_stream_dedup", "q_stream_read_after_write",
+        "q_stream_daily_events",
+        # oldest-evidence backfill anchors: r5, the r6 cohort, r7 head
+        "q_values_dim", "q01_pricing_summary", "q22_idle_balances",
+        "q_agg_modern", "q_corpus_diff", "q_pii_scrub",
+        "q_incremental_dedup", "q_incremental_dedup_bloom",
+        "q_semantic_dedup", "q_string_agg", "q_window_first_last",
+        "q_token_count",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
@@ -282,11 +280,14 @@ def test_registry_wide_no_scale_killers(spark):
     """
     ARROW_SEAMS = {
         "q_embed_topk_ivf",
+        "q_embed_topk_ivf_full",  # same cell-assignment UDF, full probe
         "q_media_features",
         "q_quality_score",
         "q_semantic_dedup_clustered",  # k-means cell assignment (map-side matmul)
         "q_embed_topk_pq",  # PQ encoding (map-side per-subspace argmin matmul)
+        "q_embed_topk_pq_exact",  # same encoder, deterministic codebook
         "q_embed_topk_ivfpq",  # PQ encode + IVF cell assignment, both map-side Arrow
+        "q_bpe_encode",  # BPE apply (map-side merge loop, broadcast ranks)
     }
     BNLJ_OK = {
         "q11_important_parts",
@@ -294,6 +295,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk",
         "q_embed_topk_lsh",
         "q_embed_topk_pq",
+        "q_embed_topk_pq_exact",  # same broadcast distance-table non-equi join
         "q_join_range",
         "q_length_band",  # one-row percentile-bounds broadcast
         "q_corpus_clean_pipeline",  # same bounds broadcast, first stage
