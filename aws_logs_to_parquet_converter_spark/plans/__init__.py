@@ -22,26 +22,36 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 # the per-query currency table):
 #   1. NEW oracle-bearing entries enter at birth (standing policy):
 #      q_embed_topk_ivf_full + q_embed_topk_pq_exact (the ANN family's
-#      first driver-graded rows — round-8 verdict item 1) and
+#      first driver-graded rows — round-8 verdict item 1),
 #      q_stream_profile (applyInPandasWithState under the oracle —
-#      verdict item 3, fourth streaming-family row);
+#      verdict item 3, fourth streaming-family row), and q_bpe_encode
+#      (real BPE tokenization — verdict item 8);
 #   2. queries whose code or ORACLE changed this round re-enter:
 #      q_url_dedup (oracle gained the NULL-canon sentinel — r8
 #      advisor), q_dedup_keep_best (string-id-safe tie-break — r8
-#      advisor), q_span_dedup (handles-based unpersist contract — r8
-#      verdict item 5);
+#      advisor; oracle df-cap mirror — r9 sf1 sweep), q_span_dedup
+#      (handles-based unpersist contract — r8 verdict item 5), the
+#      three streaming rows (shared source gained the directory-layout
+#      branch — r9 sf1 sweep), q_dedup_keep_list (oracle df-cap
+#      mirror — r9 sf1 sweep), and q_text_stats (exact-integer
+#      single-division rounding — r9 sf1 sweep);
 #   3. oldest-evidence backfill: q_values_dim (r5, oldest anywhere),
-#      then the ENTIRE r6 cohort — the full TPC-H slice q01..q22,
+#      then the r6 cohort — the TPC-H slice (all but
+#      q06_forecast_revenue, displaced by the q_dedup_keep_list
+#      re-entry: q06 carries the strongest independent evidence of the
+#      cohort — bench headline, driver-timed every round, plus a
+#      pushdown plan assertion — and leads the r10 rotation),
 #      q_agg_modern, q_agg_stats, q_corpus_diff,
 #      q_corpus_clean_pipeline, q_pii_scrub, q_stratified_sample,
 #      q_chunk_docs, q_split_assign, q_bitwise_funcs,
 #      q_incremental_dedup, q_incremental_dedup_bloom, q_data_quality,
 #      q_semantic_dedup, q_string_agg, q_window_first_last.  After
-#      this round no oracle-bearing entry's latest grade is older
-#      than r7 (the round-8 verdict's stated rotation goal).
+#      this round the only oracle-bearing entries older than r7
+#      currency are q06_forecast_revenue (r6, see above) and the three
+#      r7 whitespace-cohort heads displaced by forced re-entries.
 # Rotated out (green at their latest r7/r8 grade and UNMODIFIED this
-# round): the entire r8 window except the flagship and the #2 cohort
-# above — r8 evidence is current for two more rounds.
+# round): the rest of the r8 window — r8 evidence is current for two
+# more rounds.
 # Round-8 window policy (kept for the audit trail):
 #   1. never driver-graded oracle-bearing entries outrank everything
 #      (standing policy): q_approx_top_k (added after the r7 window
@@ -99,6 +109,14 @@ _PRIORITY = [
     "q_stream_dedup",
     "q_stream_read_after_write",
     "q_stream_daily_events",
+    # the keep_list closure oracle gained the df-cap mirror the r9 sf1
+    # sweep showed it was missing (q_ngram_jaccard's oracle had it;
+    # this one diverged at sf0.1+) — oracle changed, so it re-enters;
+    # its slot comes from q06_forecast_revenue, the r6 entry with the
+    # strongest independent evidence (bench headline, driver-timed
+    # every round + pushdown plan assertion) — it stays r6-green and
+    # rotates first in r10
+    "q_dedup_keep_list",
     # (3) oldest-evidence backfill: q_values_dim (r5), then the full
     # r6 cohort
     "q_values_dim",
@@ -107,7 +125,6 @@ _PRIORITY = [
     "q03_shipping_priority",
     "q04_order_priority",
     "q05_local_supplier_volume",
-    "q06_forecast_revenue",
     "q07_nation_volume",
     "q08_market_share",
     "q09_product_profit",
@@ -144,11 +161,13 @@ _PRIORITY = [
     # restatement — r8 verdict item 8); displaced the lowest-priority
     # r7 backfill slot (q_bpe_token_count, which stays r7-green)
     "q_bpe_encode",
-    # (5) remaining slot: head of the r7 whitespace-migration cohort
-    # (three of the four planned r7 heads were displaced by the
-    # streaming-source re-entries above; the displaced ones stay
-    # r7-green and lead the r10 rotation)
-    "q_token_count",
+    # (5) q_text_stats re-enters (its averages were rewritten onto
+    # exact-integer single-division rounding after the r9 sf1 sweep
+    # caught a cross-engine ROUND(AVG(..)) half-boundary divergence);
+    # it displaced the final r7 backfill slot (q_token_count, which
+    # stays r7-green and leads the r10 rotation with
+    # q_quality_filter/q_lang_id)
+    "q_text_stats",
 ]
 
 

@@ -529,34 +529,52 @@ def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_stats",
     oracle=f"""
     WITH toks AS (
-        SELECT lang, source, n_chars, {_DUCK_TOKENS} AS tk FROM documents
+        SELECT lang, source, n_chars,
+               len({_DUCK_TOKENS}) AS nt,
+               length(regexp_replace(text, '[ \\t\\r\\n\\f\\x0b]+', '', 'g')) AS nwc
+        FROM documents
     )
     SELECT lang, source, COUNT(*) AS n_docs,
-           ROUND(AVG(n_chars), 2) AS avg_chars,
-           ROUND(AVG(len(tk)), 2) AS avg_tokens,
-           ROUND(AVG(list_aggregate(list_transform(tk, x -> length(x)), 'sum') / len(tk)), 4)
-               AS avg_token_len
+           ROUND(SUM(n_chars) * 100.0 / COUNT(n_chars)) / 100 AS avg_chars,
+           ROUND(SUM(nt) * 100.0 / COUNT(nt)) / 100 AS avg_tokens,
+           ROUND(SUM(nwc) * 10000.0 / NULLIF(SUM(nt), 0)) / 10000 AS avg_token_len
     FROM toks GROUP BY lang, source
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus statistics per (lang, source): doc/char/token counts."""
+    """Corpus statistics per (lang, source): doc/char/token counts.
+
+    Every average is ONE division of exact integer sums, rounded once
+    (``round(sum*10^k / n) / 10^k``): the r9 sf1 sweep caught
+    ``ROUND(AVG(n_chars), 2)`` diverging cross-engine when a group's
+    mean landed exactly on a half-cent — Spark's round works on the
+    double's shortest decimal representation ("320.525" -> .53) while
+    DuckDB rounds the binary value (320.52499999999997 -> .52).  With
+    integer-exact operands the scaled quotient is the SAME double on
+    both engines (one correctly-rounded IEEE division), and an exact
+    .5 is representable, where both engines round away from zero.
+    ``avg_token_len`` is token-weighted (total non-ws chars / total
+    tokens) for the same exactness."""
     d = t(spark, sf_dir, "documents")
     c = F.col("text")
+    nwc = F.length(F.regexp_replace(c, textstats.WS_CLASS, ""))
     return (
         d.select(
             "lang",
             "source",
             "n_chars",
             textstats.token_count(c).alias("_nt"),
-            textstats.mean_token_len(c).alias("_mtl"),
+            nwc.alias("_nwc"),
         )
         .groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg("_nt"), 2).alias("avg_tokens"),
-            F.round(F.avg("_mtl"), 4).alias("avg_token_len"),
+            (F.round(F.try_divide(F.sum("n_chars") * 100.0, F.count("n_chars"))) / 100)
+            .alias("avg_chars"),
+            (F.round(F.try_divide(F.sum("_nt") * 100.0, F.count("_nt"))) / 100)
+            .alias("avg_tokens"),
+            (F.round(F.try_divide(F.sum("_nwc") * 10000.0, F.sum("_nt"))) / 10000)
+            .alias("avg_token_len"),
         )
     )
 
@@ -985,9 +1003,19 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), cold AS (
+        -- mirror the operator's df cap (max_shingle_df=1000), exactly
+        -- as q_ngram_jaccard's oracle does: shingles hotter than the
+        -- cap leave the intersection INDEX (sizes stay uncapped).  The
+        -- r9 sf1 sweep caught this oracle missing the mirror — inert
+        -- at the driver's 500-doc fixture (max df < cap), it diverged
+        -- the pair graph and the components at sf0.1+
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000
+    ), idx AS (
+        SELECT doc_id, s FROM sh JOIN cold USING (s)
     ), common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ), pairs AS (
         SELECT id_a, id_b FROM common
@@ -1039,9 +1067,19 @@ _KEEP_BEST_ORACLE = """
         FROM docs
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), cold AS (
+        -- mirror the operator's df cap (max_shingle_df=1000), exactly
+        -- as q_ngram_jaccard's oracle does: shingles hotter than the
+        -- cap leave the intersection INDEX (sizes stay uncapped).  The
+        -- r9 sf1 sweep caught this oracle missing the mirror — inert
+        -- at the driver's 500-doc fixture (max df < cap), it diverged
+        -- the pair graph and the components at sf0.1+
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000
+    ), idx AS (
+        SELECT doc_id, s FROM sh JOIN cold USING (s)
     ), common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ), pairs AS (
         SELECT id_a, id_b FROM common

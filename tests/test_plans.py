@@ -141,13 +141,13 @@ def test_graded_window_covers_priority_surface():
         # the streaming-source directory-layout branch)
         "q_url_dedup", "q_dedup_keep_best", "q_span_dedup",
         "q_stream_dedup", "q_stream_read_after_write",
-        "q_stream_daily_events",
+        "q_stream_daily_events", "q_dedup_keep_list",
         # oldest-evidence backfill anchors: r5, the r6 cohort, r7 head
         "q_values_dim", "q01_pricing_summary", "q22_idle_balances",
         "q_agg_modern", "q_corpus_diff", "q_pii_scrub",
         "q_incremental_dedup", "q_incremental_dedup_bloom",
         "q_semantic_dedup", "q_string_agg", "q_window_first_last",
-        "q_token_count",
+        "q_text_stats",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
