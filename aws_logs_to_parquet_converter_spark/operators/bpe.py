@@ -223,3 +223,70 @@ def with_bpe_tokens(
     Arrow path) — feed ``F.size(out_col)`` to the token-budget
     operators for real-token accounting."""
     return df.withColumn(out_col, encode_tokens_udf(merges)(F.col(text_col)))
+
+
+#: id 0 is reserved for out-of-vocabulary symbols (chars never seen in
+#: training can appear at encode time; a shard must still be writable)
+UNK_ID = 0
+UNK = "<unk>"
+
+
+def bpe_vocab(merges: list[tuple[str, str]], alphabet: "set[str] | None" = None) -> dict[str, int]:
+    """The token-id table implied by a merge list: ``<unk>`` at 0, the
+    end-of-word marker, the (sorted) base alphabet, then one new symbol
+    per merge in rank order — a pure function of the merges plus the
+    training alphabet, so the same table reconstructs anywhere.
+
+    ``alphabet`` defaults to the characters appearing in the merge
+    rules themselves (sufficient when every trained character
+    participates in some merge; pass the corpus alphabet from training
+    for the exact table)."""
+    if alphabet is None:
+        alphabet = set()
+        for a, b in merges:
+            for part in (a, b):
+                if part != EOW:
+                    alphabet.update(part.replace(EOW, ""))
+    vocab: dict[str, int] = {UNK: UNK_ID, EOW: 1}
+    for ch in sorted(alphabet):
+        vocab.setdefault(ch, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def with_bpe_ids(
+    df: DataFrame,
+    tokens_col: str,
+    vocab: dict[str, int],
+    out_col: str = "input_ids",
+) -> DataFrame:
+    """Map a BPE token array column to an ``array<int>`` id column —
+    the shape a training-shard export actually carries.  The vocab
+    ships as a broadcast map expression (``map(...)[token]`` stays
+    JVM-side; unknown symbols take ``UNK_ID``), so id mapping adds no
+    Python stage and no shuffle."""
+    kv = []
+    for tok, i in vocab.items():
+        kv.append(F.lit(tok))
+        kv.append(F.lit(i))
+    m = F.create_map(*kv)
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(tokens_col).isNull(), F.lit(None).cast("array<int>")
+        ).otherwise(
+            F.transform(F.col(tokens_col), lambda t: F.coalesce(m[t], F.lit(UNK_ID)))
+        ),
+    )
+
+
+def decode_tokens(tokens: "list[str] | None") -> "str | None":
+    """Inverse of the encoder for in-vocabulary text: concatenate
+    symbols, turn each end-of-word marker into a space, trim — so
+    ``decode(encode(t)) == normalized(t)`` (lowercased, single-spaced)
+    whenever no ``<unk>`` was produced.  Driver-side helper (decoding
+    is a test/debug affordance; shards ship ids)."""
+    if tokens is None:
+        return None
+    return "".join(tokens).replace(EOW, " ").rstrip()

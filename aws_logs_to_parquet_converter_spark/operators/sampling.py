@@ -226,6 +226,89 @@ def mix_to_token_budget(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """TEMPERATURE-based source mixing (the multinomial
+    temperature-sampling mix of mT5 — Xue et al. 2021 §3.1, following
+    Devlin 2019's multilingual sampling; also the data-mixing shape in
+    LLaMA-style corpus reports): sample source ``s`` so its share of a
+    ``budget``-token corpus is
+
+        p_s = n_s^alpha / sum_t n_t^alpha,
+
+    i.e. ``alpha = 1`` keeps natural proportions, ``alpha -> 0``
+    approaches uniform-per-source — the standard lever for boosting
+    low-resource sources without hand-writing per-source targets
+    (``mix_to_token_budget`` is the explicit-targets sibling).
+
+    Fully in-plan like the other mixers: ONE per-source token
+    aggregate (k rows), a one-row powered-sum broadcast (the
+    sanctioned single-row cross-join class), rate = min(1,
+    budget * p_s / n_s) broadcast back, then the shared deterministic
+    md5-threshold filter — no driver collect, no second data pass,
+    and an oversubscribed source saturates at rate 1 (under-fill,
+    never invent data).
+
+    Cross-engine exactness: every step is a correctly-rounded IEEE
+    operation EXCEPT ``pow`` — which is why ``alpha = 0.5`` (the mT5
+    default region) evaluates via ``sqrt`` (correctly rounded in IEEE
+    754, so DuckDB and the JVM produce bit-identical doubles).  The
+    powered weights are then QUANTIZED to micro-units
+    (``round(w * 1e6)`` as BIGINT) before the denominator sum: a
+    double sum of irrational weights would be summation-ORDER
+    dependent in its last ulp, and neither engine pins aggregate
+    order — integer micro-weights make the denominator exact and
+    order-free, so a SQL oracle reproduces the exact sample.  Other
+    alphas go through ``pow`` and may differ from an oracle in the
+    last ulp on threshold-boundary rows — differential-test those
+    with a tolerance, or grade at alpha=0.5.
+    """
+    tok = F.col("_tok").cast("double")
+    powered = F.sqrt(tok) if alpha == 0.5 else F.pow(tok, F.lit(float(alpha)))
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_tok"))
+    totals = totals.select(
+        source_col, "_tok", F.round(powered * 1e6).cast("long").alias("_pwq")
+    )
+    denom = totals.agg(F.sum("_pwq").alias("_denom"))
+    rates = (
+        totals.join(F.broadcast(denom))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget))
+                * (F.col("_pwq").cast("double") / F.col("_denom").cast("double"))
+                / tok,
+            ).alias("_rate"),
+        )
+    )
+    thresh = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.lit(0xFFFFFFFF),
+                    F.floor(F.col("_rate") * F.lit(float(1 << 32))).cast("long"),
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+    unit = F.substring(_order_key(F.col(key_col), seed), 1, 8)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where((F.col("_rate") >= 1.0) | (unit < thresh))
+        .drop("_rate")
+    )
+
+
 def quantile_band_filter(
     df: DataFrame,
     value_col: str,

@@ -2083,6 +2083,56 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: born AFTER the round-9 graded window filled (50/50, three
+# forced re-entry waves) — per the q_approx_top_k precedent it is a
+# never-driver-graded oracle-bearing entry and OUTRANKS everything in
+# the r10 rotation.
+_TEMPERATURE_MIX_ORACLE = r"""
+    WITH totals AS (
+        SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok,
+               CAST(ROUND(sqrt(CAST(SUM(n_chars) AS DOUBLE)) * 1000000.0) AS BIGINT) AS pwq
+        FROM documents GROUP BY source
+    ), denom AS (
+        SELECT SUM(pwq) AS d FROM totals
+    ), rates AS (
+        SELECT source,
+               LEAST(1.0,
+                     60000.0 * (CAST(pwq AS DOUBLE) / CAST(d AS DOUBLE)) / tok) AS rate
+        FROM totals, denom
+    )
+    SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS toks_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE r.rate >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) <
+          lpad(lower(to_hex(CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
+@query("q_temperature_mix", oracle=_TEMPERATURE_MIX_ORACLE)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (operators/sampling.
+    temperature_mix — the mT5/multilingual-BERT (n_s/N)^alpha sampler
+    at alpha=0.5): per-source rates derive from the data itself (one
+    aggregate + a one-row quantized-powered-sum broadcast), boosting
+    low-token sources toward a 60k-char budget; the exact
+    deterministic md5 sample is reproduced by the oracle (sqrt is
+    correctly rounded in IEEE 754, and the powered weights are
+    quantized to integer micro-units so the denominator is
+    summation-order-free — see the operator docstring)."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    mixed = sampling.temperature_mix(
+        d, "source", "doc_id", "n_chars", budget=60_000, alpha=0.5, seed=42
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("toks_kept"))
+        .orderBy("source")
+    )
+
+
 _LENGTH_BAND_ORACLE = """
     WITH b AS (
         SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi

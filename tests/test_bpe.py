@@ -140,3 +140,49 @@ def test_bpe_train_min_pair_freq_stops(spark):
     df = spark.createDataFrame([("x y z",)], "text string")
     # every pair occurs once: below min_pair_freq=2, no merges learned
     assert bpe.bpe_train(df, "text", num_merges=5) == []
+
+
+def test_bpe_roundtrip_decode(spark):
+    """decode(encode(t)) == whitespace-normalized lowercase t for
+    in-vocabulary text — the reversibility the EOW marker buys."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = bpe.bpe_train(df, "text", num_merges=12)
+    enc = bpe.with_bpe_tokens(df, "text", merges).collect()
+    for r in enc:
+        if r.text is None:
+            assert r.bpe_tokens is None
+            continue
+        import re
+
+        norm = " ".join(w for w in re.split("[ \t\r\n\f\x0b]+", r.text.lower()) if w)
+        assert bpe.decode_tokens(r.bpe_tokens) == norm
+
+
+def test_bpe_ids_jvm_side_and_unknowns(spark):
+    """with_bpe_ids maps tokens to ids entirely JVM-side (no second
+    Python stage) and routes unknown symbols to UNK_ID."""
+    df = spark.createDataFrame([("the cat sat",), ("zq zq",)], "text string")
+    merges = [("t", "h"), ("th", "e"), ("e", "</w>")]
+    vocab = bpe.bpe_vocab(merges, alphabet=set("thecats"))
+    enc = bpe.with_bpe_tokens(df, "text", merges)
+    out = bpe.with_bpe_ids(enc, "bpe_tokens", vocab)
+    rows = {r.text: r.input_ids for r in out.collect()}
+    assert all(i >= 0 for i in rows["the cat sat"])
+    # 'z'/'q' never trained: every symbol of "zq zq" is unknown or EOW
+    assert bpe.UNK_ID in rows["zq zq"]
+    # the id stage adds no Python operator beyond the encode UDF itself
+    from tests.test_plans import explain_str
+
+    p = explain_str(out, "simple")
+    assert p.count("ArrowEvalPython") <= 1  # only the encoder crosses
+    assert "BatchEvalPython" not in p
+
+
+def test_bpe_vocab_deterministic_and_dense(spark):
+    merges = [("a", "b"), ("ab", "c")]
+    v1 = bpe.bpe_vocab(merges)
+    v2 = bpe.bpe_vocab(merges)
+    assert v1 == v2
+    ids = sorted(v1.values())
+    assert ids == list(range(len(ids)))  # dense, 0-based
+    assert v1[bpe.UNK] == bpe.UNK_ID

@@ -856,3 +856,45 @@ def test_c4_hardened_edges_crlf_badwords_null(spark):
         c4_badword_hit(F.col("text"), []).alias("hit")
     ).first()
     assert empty.hit is False
+
+
+def test_temperature_mix_boosts_low_resource_sources(spark):
+    """alpha=0.5 up-weights small sources relative to their natural
+    share (the mT5 temperature-sampling property), saturating at rate
+    1; alpha=1 recovers proportional allocation."""
+    rows = []
+    for s, n, tok in (("big", 900, 100), ("mid", 90, 100), ("small", 9, 100)):
+        rows += [(f"{s}-{i}", s, tok) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok long")
+
+    kept = sampling.temperature_mix(
+        df, "source", "doc_id", "n_tok", budget=30_000, alpha=0.5
+    )
+    got = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # small source saturates (its sqrt share of 30k exceeds its 900 toks)
+    assert got["small"] == 9
+    # big is downsampled well below natural share but keeps the most docs
+    assert got["big"] > got["mid"] > 9
+    # sampled fraction of big << its natural 90% share
+    assert got["big"] / 900 < 0.9
+    # boost direction: big's keep-rate is the lowest
+    assert got["big"] / 900 < got["mid"] / 90 <= 1.0
+
+    # alpha=1 => rates proportional to target budget share == natural
+    # share => every source gets ~budget/total rate (here: rate<1 for
+    # all, same rate value), i.e. expected counts track source sizes
+    kept1 = sampling.temperature_mix(
+        df, "source", "doc_id", "n_tok", budget=30_000, alpha=1.0
+    )
+    got1 = {r.source: r.n for r in kept1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got1["big"] > 2 * got1["mid"] > 2 * got1.get("small", 0)
+
+
+def test_temperature_mix_deterministic_and_partition_invariant(spark):
+    rows = [(f"d{i}", f"src{i % 4}", 50 + i % 7) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok long")
+    a = sorted(r.doc_id for r in sampling.temperature_mix(
+        df, "source", "doc_id", "n_tok", budget=8000).collect())
+    b = sorted(r.doc_id for r in sampling.temperature_mix(
+        df.repartition(13), "source", "doc_id", "n_tok", budget=8000).collect())
+    assert a == b and 0 < len(a) < 400
