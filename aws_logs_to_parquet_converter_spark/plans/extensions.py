@@ -367,11 +367,64 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("rank", "rnk")
 
 
-@query("q_embed_topk_lsh")  # rows-only: approximate; recall tested in test_similarity.py
+def _lsh_oracle(n_planes: int = 12, dim: int = 64, seed: int = 42,
+                max_hamming: int = 4, k: int = 5) -> str:
+    """DuckDB restatement of the WHOLE hyperplane-LSH pipeline (r9:
+    this entry was rows-only only because the signatures were assumed
+    engine-specific — they are seed-deterministic Python constants,
+    importable here and rendered as SQL literals).  Per vector:
+    bit j = sign(v . plane_j); the candidate gate is
+    bit_count(xor(sig_q, sig_c)) <= max_hamming; exact cosine re-rank
+    inside.  Dot products fold left-to-right on both engines over
+    identical doubles (shortest-repr literals parse back exactly), so
+    signatures — and therefore the candidate set and the ranking —
+    match bit-for-bit."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    bits = []
+    for j, plane in enumerate(planes):
+        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_aggregate(list_transform(list_zip(v, {lits}), "
+            f"p -> p[1] * p[2]), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    sig = " + ".join(bits)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sigs AS (
+        SELECT vec_id, v, {sig} AS sig FROM vecs
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                 list_aggregate(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(q.v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(c.v, x -> x * x), 'sum'))), 4) AS sim
+        FROM sigs c JOIN sigs q
+          ON q.vec_id < 10 AND q.vec_id != c.vec_id
+         AND bit_count(xor(q.sig, c.sig)) <= {max_hamming}
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+# NOTE: oracle attached in r9 AFTER the graded window filled — joins
+# q_temperature_mix as a never-driver-graded oracle-bearing entry
+# atop the r10 rotation (the q_approx_top_k precedent).
+@query("q_embed_topk_lsh", oracle=_lsh_oracle())
 def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5: signature hamming pre-filter
     then exact re-rank — the candidate-pruning shape that survives a
-    100 TB corpus."""
+    100 TB corpus.  Oracle: full brute-force restatement (signatures
+    from the same seed-deterministic hyperplanes as SQL literals;
+    see _lsh_oracle) — graded, not rows-only, since r9."""
     emb = t(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]
     queries = emb.where(F.col("vec_id") < 10)
