@@ -632,27 +632,46 @@ def minhash_near_duplicates(
     return pairs.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document, fully wholestage-codegen.
 
     Same shape as minhash_signatures (the measured-fast pattern):
-    explode tokens -> one xxhash64 per token -> 64 SUM aggregates of
+    explode tokens -> one hash per token -> per-bit SUM aggregates of
     +/-1 bit votes (``getbit`` with literal positions) -> sign ->
     packed bigint.  One shuffle on doc id with map-side partial sums.
     Empty documents get simhash 0 (all-negative votes).
+
+    ``hash_fn="md5"`` is the oracle-parity mode (the
+    q_dedup_minhash_md5 pattern): the token hash becomes the first 15
+    hex chars of md5 parsed as a 60-BIT integer — a value every SQL
+    engine re-derives verbatim (``CAST('0x'||substr(md5(t),1,15) AS
+    BIGINT)``), capped at 60 bits so the signed-BIGINT range is never
+    left on either engine.  Production keeps the cheaper 8-byte
+    xxhash64 and the full 64 bits.
     """
+    if hash_fn == "md5":
+        n_bits = 60
+        h = F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        n_bits = 64
+        h = F.xxhash64("_tok")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     tok = _fan_out(
         df.select(F.col(id_col).alias("_id"), _normalized(F.col(text_col)).alias("_nt")), "_id"
     ).select(
         "_id",
         F.explode(F.filter(F.split("_nt", " "), lambda x: x != "")).alias("_tok"),
-    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    ).select("_id", h.alias("_h"))
     votes = [
-        F.sum(F.getbit("_h", F.lit(i)).cast("long") * 2 - 1).alias(f"_v{i}") for i in range(64)
+        F.sum(F.getbit("_h", F.lit(i)).cast("long") * 2 - 1).alias(f"_v{i}")
+        for i in range(n_bits)
     ]
     agg = tok.groupBy("_id").agg(*votes)
     packed = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )

@@ -306,6 +306,49 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(d, "doc_id", "text")
 
 
+# NOTE: born after the r9 window filled — joins q_temperature_mix /
+# q_embed_topk_lsh atop the r10 rotation (q_approx_top_k precedent).
+_SIMHASH_MD5_ORACLE = r"""
+    WITH docs AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[ \t\r\n\f\x0b]+', ' ', 'g')) AS nt
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(nt, ' '), x -> x != '')) AS tok
+        FROM docs WHERE nt IS NOT NULL
+    ), hashes AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM toks
+    ), votes AS (
+        SELECT doc_id, t.i,
+               SUM(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashes CROSS JOIN range(60) t(i)
+        GROUP BY doc_id, t.i
+    ), sigs AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sigs s USING (doc_id)
+"""
+
+
+@query("q_simhash_md5", oracle=_SIMHASH_MD5_ORACLE)
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash under the driver's oracle gate — the oracle-parity twin
+    of q_simhash (the q_dedup_minhash_md5 pattern): token hash = the
+    first 15 hex chars of md5 as a 60-bit integer, so DuckDB re-derives
+    the ENTIRE sketch (per-bit +/-1 vote sums, sign, bit packing)
+    verbatim and any voting/packing bug in the production pipeline
+    breaks the hash.  Production q_simhash keeps xxhash64 (cheaper,
+    full 64 bits); only the token-hash column differs between the
+    two paths."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", hash_fn="md5")
+
+
 @query("q_simhash_neardup")  # rows-only: brute-force differential in test_dedup.py
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-duplicate pairs (exact for max_hamming <

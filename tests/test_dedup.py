@@ -710,3 +710,26 @@ def test_span_dedup_handles_targeted_unpersist(spark):
         assert other.storageLevel.useMemory
     finally:
         other.unpersist()
+
+
+def test_simhash_md5_mode_rejects_unknown_and_matches_reference(spark):
+    """hash_fn='md5' (the oracle-parity twin mode): 60-bit token hash
+    re-derived in pure Python must reproduce the packed signature."""
+    import hashlib
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        dedup.simhash(spark.range(1).selectExpr("id", "'x' t"), "id", "t", hash_fn="crc")
+
+    df = spark.createDataFrame(
+        [(1, "The  cat sat"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text", hash_fn="md5").collect()}
+
+    votes = [0] * 60
+    for tok in "the cat sat".split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for i in range(60):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    want = sum((1 << i) for i in range(60) if votes[i] > 0)
+    assert got[1] == want
+    assert got[2] == 0 and got[3] == 0

@@ -303,6 +303,9 @@ def test_registry_wide_no_scale_killers(spark):
         # replaced the scalar subquery with an explicit one-row CTE —
         # same sanctioned single-row broadcast class as q11's threshold)
         "q_cte_composition",
+        # one-row quantized-powered-sum denominator broadcast into the
+        # k-row source-rate table (same single-row class)
+        "q_temperature_mix",
     }
     failures = []
     for name, q in REGISTRY.items():
