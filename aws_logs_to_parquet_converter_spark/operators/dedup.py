@@ -944,6 +944,7 @@ def simhash_near_duplicates(
     text_col: str,
     bands: int = 4,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """All document pairs whose 64-bit SimHashes differ by at most
     ``max_hamming`` bits — EXACT by construction, not probabilistic:
@@ -976,7 +977,10 @@ def simhash_near_duplicates(
         _normalized(F.col(text_col)).isNotNull()
         & (_normalized(F.col(text_col)) != "")
     )
-    sigs = simhash(scorable, id_col, text_col).select(
+    # hash_fn='md5' -> 60-bit oracle-parity signatures (see simhash);
+    # banding still splits the full 64-bit layout, so pigeonhole
+    # exactness is untouched (the top band merely has 4 constant bits)
+    sigs = simhash(scorable, id_col, text_col, hash_fn=hash_fn).select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("_sig")
     )
     band_structs = F.array(

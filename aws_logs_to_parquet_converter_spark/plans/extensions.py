@@ -359,6 +359,56 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(d, "doc_id", "text", bands=8, max_hamming=7)
 
 
+# NOTE: born after the r9 window filled — r10 rotation leader with the
+# other never-graded oracle-bearing births (q_approx_top_k precedent).
+_SIMHASH_NEARDUP_MD5_ORACLE = r"""
+    WITH docs AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[ \t\r\n\f\x0b]+', ' ', 'g')) AS nt
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(nt, ' '), x -> x != '')) AS tok
+        FROM docs WHERE nt IS NOT NULL AND nt != ''
+    ), hashes AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM toks
+    ), votes AS (
+        SELECT doc_id, t.i,
+               SUM(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashes CROSS JOIN range(60) t(i)
+        GROUP BY doc_id, t.i
+    ), sigs AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+        FROM votes GROUP BY doc_id
+    )
+    -- brute-force ALL pairs: by pigeonhole (max_hamming < bands) the
+    -- engine's banded bucket join must find EXACTLY this set, so the
+    -- oracle grades the banding's exactness claim itself
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.sig, b.sig)) <= 7
+"""
+
+
+@query("q_simhash_neardup_md5", oracle=_SIMHASH_NEARDUP_MD5_ORACLE)
+def q_simhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup under the driver's oracle gate: md5-mode
+    signatures (SQL-derivable, see q_simhash_md5) through the SAME
+    production banded bucket join — while the oracle brute-forces the
+    full pair space.  By pigeonhole (max_hamming=7 < bands=8) the two
+    must agree EXACTLY, so this entry grades the banding machinery's
+    central exactness claim, not just the sketch."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_duplicates(
+        d, "doc_id", "text", bands=8, max_hamming=7, hash_fn="md5"
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search
 # --------------------------------------------------------------------------
@@ -613,6 +663,34 @@ def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     book = similarity.pq_train(emb, "vec_id", "embedding", m=8, ks=64)
     res = similarity.pq_topk(emb, queries, book, id_col="vec_id", vec_col="embedding", k=5)
+    return res.withColumnRenamed("rank", "rnk")
+
+
+# NOTE: born after the r9 window filled — r10 rotation leader with the
+# other never-graded oracle-bearing births (q_approx_top_k precedent).
+@query("q_embed_topk_ivfpq_full", oracle=_PQ_EXACT_ORACLE)
+def q_embed_topk_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVFPQ index under the driver's oracle gate: at
+    ``nprobe == n_cells`` every query probes every cell and each corpus
+    row lives in exactly one cell, so the cell equi-join enumerates
+    each (query, neighbor) pair exactly once and the ADC scoring is
+    IDENTICAL to plain ``pq_topk`` — with the md5/iters=0 deterministic
+    codebook the result therefore matches ``_PQ_EXACT_ORACLE`` by
+    identity, and the hash compare pins the IVFPQ machinery end-to-end
+    (cell training + Arrow assignment, per-query probed-cell fan-out,
+    candidate equi-join, broadcast distance-table lookup-sum): any bug
+    that drops, duplicates, or mis-scores a candidate breaks the match.
+    Pruned-probe recall stays covered by test_similarity's floors."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    book = similarity.pq_train(
+        emb, "vec_id", "embedding", m=8, ks=16, sample_n=16, iters=0,
+        hash_fn="md5",
+    )
+    res = similarity.pq_topk_ivf(
+        emb, queries, book, id_col="vec_id", vec_col="embedding",
+        k=5, n_cells=16, nprobe=16,
+    )
     return res.withColumnRenamed("rank", "rnk")
 
 

@@ -287,6 +287,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk_pq",  # PQ encoding (map-side per-subspace argmin matmul)
         "q_embed_topk_pq_exact",  # same encoder, deterministic codebook
         "q_embed_topk_ivfpq",  # PQ encode + IVF cell assignment, both map-side Arrow
+        "q_embed_topk_ivfpq_full",  # same two Arrow seams, full probe + md5 codebook
         "q_bpe_encode",  # BPE apply (map-side merge loop, broadcast ranks)
     }
     BNLJ_OK = {
