@@ -203,10 +203,18 @@ def kmeans_cell_centroids(
     sample_n: int = 2048,
     iters: int = 5,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ):
     """Spherical k-means centroids for IVF cell assignment, trained
     driver-side on a bounded deterministic sample (ordered by
     ``xxhash64(id, seed)`` — stable across runs and partitionings).
+
+    ``hash_fn="md5"`` orders the sample by ``md5(cast(id as string))``
+    instead, which with ``iters=0`` makes the centroid list EQUAL to
+    the first ``n_cells`` md5-ordered normalized vectors — an ordering
+    an external SQL engine reproduces verbatim, so cell assignment
+    becomes SQL-derivable (the ``pq_train`` oracle-parity pattern;
+    production paths keep the cheaper 8-byte xxhash64 ordering).
 
     The sample bound makes this scale-safe: at 100 TB the driver still
     collects only ``sample_n`` vectors; quality degrades gracefully
@@ -216,12 +224,18 @@ def kmeans_cell_centroids(
     """
     import numpy as np
 
+    if hash_fn == "md5":
+        order = F.md5(F.col(id_col).cast("string"))
+    elif hash_fn == "xxhash64":
+        order = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     rows = (
         # NULL embeddings would crash list(None) here and np.asarray in
         # the assignment UDF — they carry no geometry, exclude them
         corpus.where(F.col(vec_col).isNotNull())
         .select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy(order)
         .limit(sample_n)
         .collect()
     )
@@ -448,6 +462,8 @@ def semantic_dedup(
     dim: int | None = None,
     target_cell_size: int = 5000,
     persist_assignments: bool = True,
+    kmeans_iters: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with spherical k-means, then
@@ -500,7 +516,15 @@ def semantic_dedup(
     if n_cells <= 1:
         cell = F.lit(0)
     else:
-        cents = kmeans_cell_centroids(scorable, id_col, vec_col, n_cells, sample_n, seed=seed)
+        # kmeans_iters=0 + hash_fn='md5' is the oracle-parity mode:
+        # centroids degenerate to the first n_cells md5-ordered
+        # normalized vectors, making the cell assignment (and thus the
+        # whole clustered drop set) SQL-derivable — see
+        # q_semantic_dedup_cells_md5.  Production keeps iters=5/xxhash64.
+        cents = kmeans_cell_centroids(
+            scorable, id_col, vec_col, n_cells, sample_n,
+            iters=kmeans_iters, seed=seed, hash_fn=hash_fn,
+        )
         cell = F.element_at(_cell_udf(cents, 1)(F.col(vec_col)), 1)
     base = scorable.select(
         F.col(id_col).alias("_sid"),

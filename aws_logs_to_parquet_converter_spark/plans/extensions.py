@@ -1157,6 +1157,79 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id", "label")
 
 
+# Clustered-SemDeDup oracle-parity twin (the pq_train md5/iters=0
+# pattern applied to the cell index): centroids are the first 16
+# md5-ordered normalized vectors, cell = argmax-cosine with numpy
+# argmax's first-index tie rule (ROW_NUMBER ordered by dot DESC, c),
+# and the drop rule inside each cell is the SAME raw-vector cosine
+# expression the graded exact-mode oracle uses.  NOTE: born after the
+# r9 window filled — r10 rotation leader with the other never-graded
+# oracle-bearing births.
+_SEMANTIC_CELLS_MD5_ORACLE = """
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), norm AS (
+        SELECT vec_id,
+               list_transform(ev,
+                   x -> x / greatest(sqrt(list_aggregate(
+                            list_transform(ev, y -> y * y), 'sum')), 1e-12)) AS nv
+        FROM v
+    ), book AS (
+        SELECT nv AS cent,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c
+        FROM norm
+        ORDER BY md5(CAST(vec_id AS VARCHAR))
+        LIMIT 16
+    ), cells AS (
+        SELECT vec_id, c AS cell FROM (
+            SELECT n.vec_id, b.c,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                       list_aggregate(list_transform(
+                           list_zip(n.nv, b.cent), p -> p[1] * p[2]), 'sum') DESC,
+                       b.c) AS rn
+            FROM norm n CROSS JOIN book b)
+        WHERE rn = 1
+    ), drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM v a
+        JOIN cells ca ON ca.vec_id = a.vec_id
+        JOIN v b ON a.vec_id < b.vec_id
+        JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+        WHERE list_aggregate(list_transform(list_zip(a.ev, b.ev), x -> x[1] * x[2]), 'sum')
+              / (sqrt(list_aggregate(list_transform(a.ev, x -> x * x), 'sum'))
+                 * sqrt(list_aggregate(list_transform(b.ev, x -> x * x), 'sum'))) >= 0.4
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+@query("q_semantic_dedup_cells_md5", oracle=_SEMANTIC_CELLS_MD5_ORACLE)
+def q_semantic_dedup_cells_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered SemDeDup under the driver's oracle gate: with
+    ``kmeans_iters=0`` and ``hash_fn='md5'`` the 16 cell centroids ARE
+    the first 16 md5-ordered normalized vectors, so DuckDB re-derives
+    the ENTIRE clustered pipeline — centroid list, argmax-cosine cell
+    assignment, within-cell upper-triangular pruning, anti join — and
+    the hash compare pins the production machinery (bounded driver-side
+    training collect, Arrow matmul assignment, cell∘block pair
+    exchange, drop-set anti join) that the headline
+    q_semantic_dedup_clustered runs with trained centroids; only the
+    centroid constants differ.  Cross-cell recall loss is part of the
+    CONTRACT being graded: the oracle prunes within the same 16 cells,
+    so a row dropped/kept across a cell boundary on either side breaks
+    the match."""
+    emb = t(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    kept = similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        n_cells=16, sample_n=16, dim=dim,
+        kmeans_iters=0, hash_fn="md5",
+    )
+    return kept.select("vec_id", "label")
+
+
 @query(
     "q_dedup_keep_list",
     oracle="""

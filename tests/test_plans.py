@@ -284,6 +284,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_media_features",
         "q_quality_score",
         "q_semantic_dedup_clustered",  # k-means cell assignment (map-side matmul)
+        "q_semantic_dedup_cells_md5",  # same assignment UDF, md5/iters=0 codebook
         "q_embed_topk_pq",  # PQ encoding (map-side per-subspace argmin matmul)
         "q_embed_topk_pq_exact",  # same encoder, deterministic codebook
         "q_embed_topk_ivfpq",  # PQ encode + IVF cell assignment, both map-side Arrow
