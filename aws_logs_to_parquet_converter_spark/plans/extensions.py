@@ -1623,6 +1623,96 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle-parity twin for the multimodal seam (NOTE: born after the r9
+# window filled — r10 rotation leader with the other never-graded
+# births).  The custom decoder returns the UNNORMALIZED byte-histogram
+# fold — eight exact integers < 997 — so every graded value is
+# integer-exact (no float division, no ROUND, none of the
+# cross-engine half-boundary class the r9 sf1 sweep documented) and
+# the whole fold is SQL-derivable: latin-1 'replace' maps each CODE
+# POINT to one byte (codepoint itself <= 255, else '?' = 63), which
+# DuckDB restates as ord(substring(text, i, 1)) per character.
+_MEDIA_HIST_ORACLE = """
+    WITH chars AS (
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS asset_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               COALESCE(length(text), 0) AS n_bytes,
+               text
+        FROM documents
+    ), bytes AS (
+        SELECT asset_id,
+               unnest(list_transform(generate_series(1, length(text)),
+                   i -> {j: (i - 1) % 8,
+                         b: CASE WHEN ord(substring(text, i, 1)) > 255 THEN 63
+                                 ELSE ord(substring(text, i, 1)) END})) AS e
+        FROM chars WHERE length(text) > 0
+    ), acc AS (
+        SELECT asset_id,
+               SUM(CASE WHEN e.j = 0 THEN e.b ELSE 0 END) % 997 AS f0,
+               SUM(CASE WHEN e.j = 1 THEN e.b ELSE 0 END) % 997 AS f1,
+               SUM(CASE WHEN e.j = 2 THEN e.b ELSE 0 END) % 997 AS f2,
+               SUM(CASE WHEN e.j = 3 THEN e.b ELSE 0 END) % 997 AS f3,
+               SUM(CASE WHEN e.j = 4 THEN e.b ELSE 0 END) % 997 AS f4,
+               SUM(CASE WHEN e.j = 5 THEN e.b ELSE 0 END) % 997 AS f5,
+               SUM(CASE WHEN e.j = 6 THEN e.b ELSE 0 END) % 997 AS f6,
+               SUM(CASE WHEN e.j = 7 THEN e.b ELSE 0 END) % 997 AS f7
+        FROM bytes GROUP BY asset_id
+    )
+    SELECT c.asset_id, c.media_type, CAST(c.n_bytes AS BIGINT) AS n_bytes,
+           CAST(COALESCE(a.f0, 0) AS BIGINT) AS f0,
+           CAST(COALESCE(a.f1, 0) AS BIGINT) AS f1,
+           CAST(COALESCE(a.f2, 0) AS BIGINT) AS f2,
+           CAST(COALESCE(a.f3, 0) AS BIGINT) AS f3,
+           CAST(COALESCE(a.f4, 0) AS BIGINT) AS f4,
+           CAST(COALESCE(a.f5, 0) AS BIGINT) AS f5,
+           CAST(COALESCE(a.f6, 0) AS BIGINT) AS f6,
+           CAST(COALESCE(a.f7, 0) AS BIGINT) AS f7
+    FROM chars c LEFT JOIN acc a ON a.asset_id = c.asset_id
+"""
+
+
+@query("q_media_features_hist", oracle=_MEDIA_HIST_ORACLE)
+def q_media_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal mapInPandas seam under the driver's oracle gate:
+    the same media table as q_media_features through the PRODUCTION
+    ``extract_features`` (byte-budget partitioning, Arrow batching,
+    latin-1 payload conversion, custom-decoder dispatch), but with a
+    decoder that returns the UNNORMALIZED per-position-mod-8 byte sums
+    (mod 997) — eight exact integers per asset, graded per-row against
+    a DuckDB restatement of the fold.  Any row lost, reordered,
+    double-fed, or byte-corrupted by the Python crossing breaks the
+    hash match; the normalized stub rollup stays rows-only by
+    construction."""
+    from aws_logs_to_parquet_converter_spark.operators import multimodal
+
+    def _hist_decoder(payload: bytes) -> list[float]:
+        acc = [0] * multimodal.FEATURE_DIM
+        for i, b in enumerate(payload):
+            acc[i % multimodal.FEATURE_DIM] = (acc[i % multimodal.FEATURE_DIM] + b) % 997
+        return [float(a) for a in acc]
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.col("text").alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+    feats = multimodal.extract_features(media, decode_stub=False, decoder=_hist_decoder)
+    cols = [
+        F.element_at("feature", k + 1).cast("long").alias(f"f{k}")
+        for k in range(multimodal.FEATURE_DIM)
+    ]
+    return feats.select("asset_id", "media_type", "n_bytes", *cols)
+
+
 # --------------------------------------------------------------------------
 # Repetition / corpus-mixing wave (round 3)
 # --------------------------------------------------------------------------

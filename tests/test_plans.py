@@ -282,6 +282,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk_ivf",
         "q_embed_topk_ivf_full",  # same cell-assignment UDF, full probe
         "q_media_features",
+        "q_media_features_hist",  # same mapInPandas seam, integer-exact decoder
         "q_quality_score",
         "q_semantic_dedup_clustered",  # k-means cell assignment (map-side matmul)
         "q_semantic_dedup_cells_md5",  # same assignment UDF, md5/iters=0 codebook
