@@ -302,6 +302,111 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones Okapi weighting,
+    the Lucene-default positive idf variant): for each query return the
+    top-k documents by
+
+        score(q, d) = sum over distinct query terms t of
+            ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+            * tf_{t,d} * (k1 + 1)
+            / (tf_{t,d} + k1 * (1 - b + b * dl_d / avgdl))
+
+    with N = token-bearing corpus size, df_t = documents containing t,
+    dl_d = document token length, avgdl = mean dl.  This is the
+    benchmark-retrieval / decontamination-lookup pass a training-data
+    pipeline runs against its corpus (e.g. "which training documents
+    answer this eval question").
+
+    Scale shape — the broadcast query-term set is the FIRST filter the
+    exploded corpus tokens hit, so the big (doc, term) shuffle never
+    happens: only tokens matching a query term survive to the tf
+    aggregation (postings volume is proportional to the query terms'
+    document frequency, not the corpus).  df is then a window over
+    that already-filtered postings relation keyed by term (filtering
+    by term keeps term-partitions complete, so the count is the true
+    corpus df).  Document length needs every token, so dl is its own
+    corpus pass: groupBy(doc) with map-side combine — the shuffle
+    carries one partial row per (doc, map partition), never tokens —
+    and the corpus constants (N, avgdl) re-aggregate that per-doc
+    relation into a broadcast 1-row join (same extra-scalar-scan
+    tradeoff as ``tfidf_top_terms``'s n_docs).  The final top-k is a
+    window partitioned by query id.  Ties order by doc id.
+
+    Returns (query_id, doc_id-named-as-id_col, matched_terms, score,
+    rnk) for rnk <= k.  Queries whose terms never occur in the corpus
+    produce no rows (no match = no score, the retrieval convention).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(text_col), WS_PLUS)).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.split(F.lower(query_text_col), WS_PLUS)).alias("_tok"),
+        )
+        .where(F.col("_tok") != "")
+        .distinct()
+    )
+    qtoks = qterms.select("_tok").distinct()
+    tf = (
+        toks.join(F.broadcast(qtoks), "_tok")
+        .groupBy("_id", "_tok")
+        .agg(F.count("*").alias("_tf"))
+    )
+    postings = tf.select(
+        "_id", "_tok", "_tf", F.count("*").over(Window.partitionBy("_tok")).alias("_df")
+    )
+    dl = toks.groupBy("_id").agg(F.count("*").alias("_dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("_tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("_tf").cast("double")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl"))
+        )
+    )
+    scored = (
+        postings.join(dl, "_id")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(qterms), "_tok")
+        .select("query_id", "_id", (idf * tf_part).alias("_w"))
+        .groupBy("query_id", "_id")
+        .agg(F.count("*").alias("matched_terms"), F.sum("_w").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "_id")
+    return (
+        scored.select(
+            "query_id",
+            F.col("_id").alias(id_col),
+            "matched_terms",
+            "score",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= k)
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

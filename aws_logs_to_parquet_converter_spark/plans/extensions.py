@@ -1713,6 +1713,74 @@ def q_media_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "media_type", "n_bytes", *cols)
 
 
+# Four literal retrieval queries over the fixture vocabulary — shared
+# verbatim by the Spark entry and the DuckDB oracle.  The last query
+# mixes an in-vocabulary term with one that never occurs (partial-match
+# coverage: unmatched terms contribute nothing, not NULL).
+_BM25_QUERIES = [
+    ("q1", "spark window join"),
+    ("q2", "fast hash merge batch"),
+    ("q3", "customer query stream"),
+    ("q4", "vector nosuchtoken"),
+]
+
+_BM25_ORACLE = (
+    "WITH q(query_id, query_text) AS (VALUES "
+    + ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
+    + """),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'), x -> x <> '')) AS tok
+        FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    df_t AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    qt AS (
+        SELECT DISTINCT query_id,
+               unnest(list_filter(string_split_regex(lower(query_text), '[ \\t\\r\\n\\f\\x0b]+'), x -> x <> '')) AS tok
+        FROM q),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               COUNT(*) AS matched_terms,
+               SUM(ln(1.0 + (s.n - d.dft + 0.5) / (d.dft + 0.5))
+                   * CAST(tf.tf AS DOUBLE) * 2.2
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+        FROM qt
+        JOIN tf USING (tok)
+        JOIN df_t d ON d.tok = qt.tok
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+    SELECT query_id, doc_id, matched_terms, score, rnk
+    FROM ranked WHERE rnk <= 5
+    """
+)
+
+
+@query("q_bm25_topk", oracle=_BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (textstats.bm25_topk, k1=1.2 b=0.75,
+    Lucene-style positive idf): top-5 documents per literal query —
+    the benchmark-retrieval / decontamination-lookup pass over a
+    training corpus.  Inverted-index shape: one corpus scan into the
+    (doc, term, tf) postings; dl and df re-aggregate that relation;
+    N/avgdl ride a broadcast 1-row join; the query-term table is
+    broadcast onto the postings (never a corpus x queries product).
+    The oracle restates the identical weighting; the constants
+    (k1+1 = 2.2, 1-b = 0.25) are spelled as literals on both sides.
+    NOTE: born after the r9 graded window filled — r10 rotation
+    leader with the other post-window births."""
+    d = t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    return textstats.bm25_topk(d, qdf, "doc_id", "text", k=5)
+
+
 # --------------------------------------------------------------------------
 # Repetition / corpus-mixing wave (round 3)
 # --------------------------------------------------------------------------

@@ -898,3 +898,84 @@ def test_temperature_mix_deterministic_and_partition_invariant(spark):
     b = sorted(r.doc_id for r in sampling.temperature_mix(
         df.repartition(13), "source", "doc_id", "n_tok", budget=8000).collect())
     assert a == b and 0 < len(a) < 400
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (textstats.bm25_topk)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_expected(docs, queries, k1=1.2, b=0.75):
+    """Hand-rolled reference scorer (plain Python, one dict per doc)."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in docs}
+    toks = {d: t for d, t in toks.items()}
+    dl = {d: len(t) for d, t in toks.items() if t}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    dfreq = {}
+    for d, t in toks.items():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in set(qtext.lower().split()):
+            if term not in dfreq:
+                continue
+            idf = math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                w = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+                scores[d] = scores.get(d, 0.0) + w
+        out[qid] = scores
+    return out
+
+
+def test_bm25_matches_hand_scorer(spark):
+    from aws_logs_to_parquet_converter_spark.operators.textstats import bm25_topk
+
+    docs = [
+        (1, "spark join window join"),
+        (2, "spark filter scan scan scan scan scan scan"),
+        (3, "join merge hash"),
+        (4, "totally unrelated words here"),
+    ]
+    queries = [("qa", "spark join"), ("qb", "scan")]
+    ddf = spark.createDataFrame(docs, "doc_id int, text string")
+    qdf = spark.createDataFrame(queries, "query_id string, query_text string")
+    got = bm25_topk(ddf, qdf, "doc_id", "text", k=10).collect()
+    exp = _bm25_expected(docs, queries)
+    for r in got:
+        assert abs(r.score - exp[r.query_id][r.doc_id]) < 1e-12, (r, exp[r.query_id][r.doc_id])
+    # per-query rank order follows descending hand score
+    for qid in ("qa", "qb"):
+        rows = sorted((r for r in got if r.query_id == qid), key=lambda r: r.rnk)
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    # qa matches docs 1,2,3 (not 4); qb matches only doc 2
+    assert {r.doc_id for r in got if r.query_id == "qa"} == {1, 2, 3}
+    assert {r.doc_id for r in got if r.query_id == "qb"} == {2}
+
+
+def test_bm25_partial_match_k_bound_and_no_match(spark):
+    from aws_logs_to_parquet_converter_spark.operators.textstats import bm25_topk
+
+    docs = [(i, f"alpha beta common{i % 2}") for i in range(20)]
+    ddf = spark.createDataFrame(docs, "doc_id int, text string")
+    qdf = spark.createDataFrame(
+        [("q1", "alpha nosuchterm"), ("q2", "neverseen missing")],
+        "query_id string, query_text string",
+    )
+    got = bm25_topk(ddf, qdf, "doc_id", "text", k=5).collect()
+    # unknown terms contribute nothing; the known term still retrieves
+    q1 = [r for r in got if r.query_id == "q1"]
+    assert len(q1) == 5 and all(r.matched_terms == 1 for r in q1)
+    # all-tf-equal corpus: identical scores tie-break by ascending doc id
+    assert [r.doc_id for r in sorted(q1, key=lambda r: r.rnk)] == [0, 1, 2, 3, 4]
+    # a query with no corpus terms returns no rows at all
+    assert [r for r in got if r.query_id == "q2"] == []

@@ -309,6 +309,9 @@ def test_registry_wide_no_scale_killers(spark):
         # one-row quantized-powered-sum denominator broadcast into the
         # k-row source-rate table (same single-row class)
         "q_temperature_mix",
+        # one-row (N, avgdl) corpus-stats broadcast into the
+        # query-filtered postings (same single-row class)
+        "q_bm25_topk",
     }
     failures = []
     for name, q in REGISTRY.items():
