@@ -1041,3 +1041,49 @@ def pq_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N per-query rankings — the standard hybrid-retrieval combiner
+    (e.g. BM25 lexical + embedding-cosine semantic):
+
+        rrf(q, d) = sum over systems s ranking d for q of
+                    1 / (k_const + rank_s(q, d))
+
+    Each input frame must carry (query_col, id_col, rank_col); systems
+    that do not rank a document simply contribute nothing (union, not
+    outer join).  Fusion depends only on RANK POSITIONS, never on the
+    systems' incomparable raw scores — which is why it composes a
+    probabilistic lexical score with a cosine without calibration.
+
+    Scale shape: a by-name union of already-top-k'd inputs (each at
+    most |queries| * k rows, tiny regardless of corpus size), one
+    (query, doc) aggregation, one window partitioned by query.  With
+    <= 2 systems the double sum is a single commutative addition —
+    summation-order-free, so the fused score is oracle-exact.
+
+    Returns (query_col, id_col, n_systems, rrf_score, rnk) for
+    rnk <= k, ties broken by ascending document id.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    base = None
+    for r in rankings:
+        sel = r.select(query_col, id_col, rank_col)
+        base = sel if base is None else base.unionByName(sel)
+    fused = base.groupBy(query_col, id_col).agg(
+        F.count("*").alias("n_systems"),
+        F.sum(F.lit(1.0) / (F.lit(k_const) + F.col(rank_col))).alias("rrf_score"),
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_score"), id_col)
+    return fused.select("*", F.row_number().over(w).alias(rank_col)).where(
+        F.col(rank_col) <= k
+    )

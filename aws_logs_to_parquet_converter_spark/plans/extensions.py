@@ -1724,7 +1724,9 @@ _BM25_QUERIES = [
     ("q4", "vector nosuchtoken"),
 ]
 
-_BM25_ORACLE = (
+# Shared CTE chain ending at bm25_ranked (rnk unfiltered) — reused by
+# the plain BM25 entry (rnk <= 5) and the RRF hybrid entry (rnk <= 10).
+_BM25_CTES = (
     "WITH q(query_id, query_text) AS (VALUES "
     + ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
     + """),
@@ -1753,12 +1755,17 @@ _BM25_ORACLE = (
         JOIN dl ON dl.doc_id = tf.doc_id
         CROSS JOIN stats s
         GROUP BY 1, 2),
-    ranked AS (
+    bm25_ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id) AS rnk
-        FROM scored)
+        FROM scored)"""
+)
+
+_BM25_ORACLE = (
+    _BM25_CTES
+    + """
     SELECT query_id, doc_id, matched_terms, score, rnk
-    FROM ranked WHERE rnk <= 5
+    FROM bm25_ranked WHERE rnk <= 5
     """
 )
 
@@ -1779,6 +1786,79 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
     return textstats.bm25_topk(d, qdf, "doc_id", "text", k=5)
+
+
+_HYBRID_ORACLE = (
+    _BM25_CTES
+    + """,
+    lex AS (SELECT query_id, doc_id, rnk FROM bm25_ranked WHERE rnk <= 10),
+    sq AS (
+        SELECT vec_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 4
+    ), sc AS (
+        SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), sem_scored AS (
+        SELECT 'q' || CAST(sq.vec_id + 1 AS VARCHAR) AS query_id, sc.doc_id,
+               ROUND(
+                 list_aggregate(list_transform(list_zip(qv, cv), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))), 4) AS sim
+        FROM sc CROSS JOIN sq
+        WHERE sq.vec_id != sc.doc_id
+    ), sem_ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rnk
+        FROM sem_scored),
+    sem AS (SELECT query_id, doc_id, rnk FROM sem_ranked WHERE rnk <= 10),
+    unioned AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+    fused AS (
+        SELECT query_id, doc_id, COUNT(*) AS n_systems,
+               SUM(1.0::DOUBLE / (60 + rnk)) AS rrf_score
+        FROM unioned GROUP BY 1, 2),
+    final AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_score DESC, doc_id) AS rnk
+        FROM fused)
+    SELECT query_id, doc_id, n_systems, rrf_score, rnk
+    FROM final WHERE rnk <= 10
+    """
+)
+
+
+@query("q_hybrid_retrieval", oracle=_HYBRID_ORACLE)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 fused with embedding-
+    cosine semantic top-10 by reciprocal-rank fusion
+    (similarity.rrf_fuse, k_const=60) — the standard two-tower search
+    composition, rank-position-only so the incomparable scores never
+    need calibration.  Semantic queries are the embeddings of vectors
+    0..3 mapped onto the lexical query ids q1..q4 (self-match excluded
+    by cosine_topk).  Both inputs arrive already top-k'd, so the
+    fusion's union/agg/window all operate on |queries| * k rows —
+    constant in corpus size; with two systems the fused double sum is
+    one commutative addition, hence oracle-exact.  NOTE: born after
+    the r9 graded window filled — r10 rotation leader with the other
+    post-window births."""
+    from aws_logs_to_parquet_converter_spark.operators import similarity
+
+    d = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    lex = textstats.bm25_topk(d, qdf, "doc_id", "text", k=10).select(
+        "query_id", "doc_id", "rnk"
+    )
+    sem = (
+        similarity.cosine_topk(
+            emb, emb.where(F.col("vec_id") < 4), id_col="vec_id",
+            vec_col="embedding", k=10,
+        )
+        .select(
+            F.concat(F.lit("q"), (F.col("query_id") + 1).cast("string")).alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rnk"),
+        )
+    )
+    return similarity.rrf_fuse([lex, sem], k_const=60, k=10)
 
 
 # --------------------------------------------------------------------------

@@ -979,3 +979,38 @@ def test_bm25_partial_match_k_bound_and_no_match(spark):
     assert [r.doc_id for r in sorted(q1, key=lambda r: r.rnk)] == [0, 1, 2, 3, 4]
     # a query with no corpus terms returns no rows at all
     assert [r for r in got if r.query_id == "q2"] == []
+
+
+def test_rrf_fuse_positions_only_and_consensus_wins(spark):
+    from aws_logs_to_parquet_converter_spark.operators.similarity import rrf_fuse
+
+    # system A ranks (d1, d2, d3); system B ranks (d2, d4) — d2 is the
+    # only consensus doc and must fuse above A's top hit d1:
+    # rrf(d2) = 1/62 + 1/61 > rrf(d1) = 1/61.
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)], "query_id string, doc_id int, rnk int"
+    )
+    b = spark.createDataFrame([("q", 2, 1), ("q", 4, 2)], "query_id string, doc_id int, rnk int")
+    got = {r.doc_id: r for r in rrf_fuse([a, b], k_const=60, k=10).collect()}
+    assert got[2].rnk == 1 and got[2].n_systems == 2
+    assert got[1].rnk == 2 and got[1].n_systems == 1
+    assert abs(got[2].rrf_score - (1 / 62 + 1 / 61)) < 1e-15
+    assert abs(got[1].rrf_score - 1 / 61) < 1e-15
+    # raw scores never enter: only rank positions matter, so scaling a
+    # system's scores (not part of the input at all) cannot change fusion
+
+
+def test_rrf_fuse_k_bound_tie_break_and_empty_guard(spark):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.similarity import rrf_fuse
+
+    # every doc ranked once at the same position by one of two systems:
+    # identical scores tie-break by ascending doc id, k bounds output
+    a = spark.createDataFrame(
+        [("q", i, 1) for i in range(6)], "query_id string, doc_id int, rnk int"
+    )
+    out = rrf_fuse([a], k_const=60, k=3).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rnk)] == [0, 1, 2]
+    with pytest.raises(ValueError):
+        rrf_fuse([])

@@ -312,6 +312,9 @@ def test_registry_wide_no_scale_killers(spark):
         # one-row (N, avgdl) corpus-stats broadcast into the
         # query-filtered postings (same single-row class)
         "q_bm25_topk",
+        # composes q_bm25_topk's stats broadcast AND q_embed_topk's
+        # bounded-query-set non-equi join (both sanctioned above)
+        "q_hybrid_retrieval",
     }
     failures = []
     for name, q in REGISTRY.items():
