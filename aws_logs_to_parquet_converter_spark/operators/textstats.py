@@ -302,6 +302,74 @@ def tfidf_top_terms(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hashed linear text classifier — the fastText-style quality
+    filter (Joulin 2016 bag-of-features + the Weinberger 2009 hashing
+    trick): each token hashes into one of ``len(weights)`` buckets,
+    the document representation is the MEAN of its tokens' bucket
+    weights, and
+
+        prob = sigmoid(bias + sum(w[h(tok)]) / n_tokens)
+
+    This is the "train a small classifier on good-vs-junk text, score
+    the whole corpus" pass (CCNet / GPT-3 WebText quality filtering);
+    training happens offline — this operator applies a fixed weight
+    vector at corpus scale.
+
+    Scale shape: ZERO shuffles and zero Python — the token array, the
+    per-token bucket lookup (element_at on a literal weight array),
+    and the left-to-right fold (F.aggregate — an interpreted JVM
+    higher-order function, same seam as the cosine fold) are all
+    per-row expressions, so the pass is map-only at any corpus size.
+    The sequential fold also makes the sum order deterministic — the
+    same order a SQL engine's list fold uses, which is what lets the
+    md5 mode carry a DuckDB oracle.
+
+    ``hash_fn``: 'xxhash64' (engine default, fastest) or 'md5'
+    (first 8 hex digits as the bucket draw — reproducible in any SQL
+    engine, the oracle-parity mode; same twin convention as
+    ``winnow_fingerprints``).
+
+    Returns (id, n_tokens, prob, label) with prob rounded to 4 (the
+    cosine-entry convention) and label = unrounded prob >= threshold;
+    empty documents score sigmoid(bias).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unsupported hash_fn: {hash_fn}")
+    dim = len(weights)
+    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+
+    def bucket_weight(tok):
+        if hash_fn == "xxhash64":
+            idx = F.pmod(F.xxhash64(tok), F.lit(dim))
+        else:
+            idx = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+        return F.element_at(w_arr, (idx + 1).cast("int"))
+
+    toks = tokens(F.col(text_col))  # lowercases internally
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, tok: acc + bucket_weight(tok))
+    raw = F.lit(float(bias)) + F.when(
+        F.size(toks) > 0, total / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(prob, 4).alias("prob"),
+        (prob >= F.lit(float(threshold))).alias("label"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -1861,6 +1861,62 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fuse([lex, sem], k_const=60, k=10)
 
 
+def _classifier_weights(dim: int = 64, seed: int = 11) -> list[float]:
+    """Deterministic stand-in weight vector (offline training is out of
+    scope; the operator applies a fixed model).  repr() round-trips
+    doubles exactly, so the same literals reach both engines — the
+    LSH-planes precedent."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+
+
+def _classifier_oracle(dim: int = 64, seed: int = 11, bias: float = -0.1) -> str:
+    w = _classifier_weights(dim, seed)
+    w_lit = "[" + ", ".join(repr(x) for x in w) + "]"
+    wsum = (
+        "list_aggregate(list_transform(toks, t -> "
+        f"({w_lit})[CAST(('0x' || substring(md5(t), 1, 8))::BIGINT % {dim} AS INTEGER) + 1]"
+        "), 'sum')"
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'), x -> x <> '') AS toks
+        FROM documents
+    ), raw AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               {bias!r}::DOUBLE + CASE WHEN len(toks) > 0
+                   THEN {wsum} / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END AS r
+        FROM d
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(1.0::DOUBLE / (1.0::DOUBLE + exp(-r)), 4) AS prob,
+           (1.0::DOUBLE / (1.0::DOUBLE + exp(-r))) >= 0.5 AS label
+    FROM raw
+    """
+
+
+@query("q_quality_classifier", oracle=_classifier_oracle())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier
+    (textstats.hashed_linear_score, md5 oracle-parity mode): every
+    token hashes into one of 64 buckets of a fixed literal weight
+    vector; prob = sigmoid(bias + mean bucket weight).  Map-only —
+    zero shuffles, zero Python; the per-row fold is sequential on
+    both engines so even the double summation order matches.
+    Production callers use hash_fn='xxhash64' (same machinery, faster
+    draw) — differentially shape-tested in test_pipeline_ops.
+    NOTE: born after the r9 graded window filled — r10 rotation
+    leader with the other post-window births."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.hashed_linear_score(
+        d, "doc_id", "text", weights=_classifier_weights(), bias=-0.1, hash_fn="md5"
+    )
+
+
 # --------------------------------------------------------------------------
 # Repetition / corpus-mixing wave (round 3)
 # --------------------------------------------------------------------------

@@ -1014,3 +1014,73 @@ def test_rrf_fuse_k_bound_tie_break_and_empty_guard(spark):
     assert [r.doc_id for r in sorted(out, key=lambda r: r.rnk)] == [0, 1, 2]
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier (textstats.hashed_linear_score)
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_linear_score_matches_hand_scorer_md5(spark):
+    import hashlib
+    import math
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import hashed_linear_score
+
+    weights = [((i * 37) % 13 - 6) / 7.0 for i in range(16)]
+    bias = 0.2
+    docs = [
+        (1, "Spark JOIN window join"),
+        (2, "tiny"),
+        (3, ""),
+        (4, "   "),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: r
+        for r in hashed_linear_score(
+            df, "doc_id", "text", weights, bias=bias, hash_fn="md5"
+        ).collect()
+    }
+
+    def expected(text):
+        toks = text.lower().split()
+        raw = bias
+        if toks:
+            raw += sum(
+                weights[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % len(weights)]
+                for t in toks
+            ) / len(toks)
+        return len(toks), 1.0 / (1.0 + math.exp(-raw))
+
+    for doc_id, text in docs:
+        n, prob = expected(text)
+        assert got[doc_id].n_tokens == n
+        assert abs(got[doc_id].prob - round(prob, 4)) < 1e-9, (doc_id, got[doc_id].prob, prob)
+        assert got[doc_id].label == (prob >= 0.5)
+    # empty docs score sigmoid(bias) exactly
+    assert got[3].prob == got[4].prob == round(1.0 / (1.0 + math.exp(-bias)), 4)
+
+
+def test_hashed_linear_score_xxhash_mode_and_guards(spark):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} filler") for i in range(50)], "doc_id int, text string"
+    )
+    w = [0.5, -0.5, 0.25, -0.25]
+    a = hashed_linear_score(df, "doc_id", "text", w, hash_fn="xxhash64")
+    b = hashed_linear_score(df.repartition(7), "doc_id", "text", w, hash_fn="xxhash64")
+    # deterministic and partition-invariant
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # probabilities live in (0, 1); labels consistent with threshold
+    rows = a.collect()
+    assert all(0.0 < r.prob < 1.0 for r in rows)
+    assert all(r.label == (r.prob >= 0.5) for r in rows if abs(r.prob - 0.5) > 1e-3)
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, "doc_id", "text", w, hash_fn="sha1")
