@@ -1770,7 +1770,7 @@ _BM25_ORACLE = (
 )
 
 
-@query("q_bm25_topk", oracle=_BM25_ORACLE)
+@query("q_bm25_topk", headline=True, oracle=_BM25_ORACLE)
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (textstats.bm25_topk, k1=1.2 b=0.75,
     Lucene-style positive idf): top-5 documents per literal query —
