@@ -28,7 +28,7 @@ Python workers (PERF.md records the measurements behind this rule).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_logs_to_parquet_converter_spark.operators.textstats import WS_PLUS, normalized_text
@@ -524,6 +524,37 @@ def minhash_signatures_oph(
     return agg.select(F.col("_id").alias(id_col), F.array(*slots).alias("signature"))
 
 
+def _band_rows(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """LSH banding of a (id, signature) relation: one (_id, signature,
+    band, bucket) row per band — the ONE definition shared by the
+    in-memory self-join (``minhash_near_duplicates``) and the persisted
+    index (``save_minhash_index`` / probe), so build and probe can
+    never bucket differently.
+
+    Band structs are built python-side (literal slice offsets) —
+    explode of a plain array expression, no interpreted higher-order
+    function.  md5 mode: EXACT band key (hex concat) for engine
+    parity; default: fixed-width xxhash64 of the slice (cheaper
+    shuffle)."""
+    rows_per_band = num_hashes // bands
+
+    def _bucket(b: int):
+        sl = F.slice("signature", b * rows_per_band + 1, rows_per_band)
+        return F.array_join(sl, "|") if hash_fn == "md5" else F.xxhash64(sl)
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("_id"), "signature", F.explode(band_structs).alias("bb")
+    ).select("_id", "signature", "bb.band", "bb.bucket")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -582,23 +613,7 @@ def minhash_near_duplicates(
     if persist:
         sig = sig.persist()
 
-    # Band structs built python-side (literal slice offsets) — explode
-    # of a plain array expression, no interpreted higher-order function.
-    def _bucket(b: int):
-        sl = F.slice("signature", b * rows_per_band + 1, rows_per_band)
-        # md5 mode: EXACT band key (hex concat) for engine parity;
-        # default: fixed-width xxhash64 of the slice (cheaper shuffle)
-        return F.array_join(sl, "|") if hash_fn == "md5" else F.xxhash64(sl)
-
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col).alias("_id"), "signature", F.explode(band_structs).alias("bb")
-    ).select("_id", "signature", "bb.band", "bb.bucket")
+    banded = _band_rows(sig, id_col, num_hashes, bands, hash_fn)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -630,6 +645,152 @@ def minhash_near_duplicates(
         / F.lit(num_hashes)
     ).alias("est_jaccard")
     return pairs.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
+
+
+def save_minhash_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the MinHash-LSH state of a corpus: build once, probe
+    every future ingest batch — the NEAR-DUP analog of
+    ``content_digests``/``dedup_against_corpus`` (which cover exact
+    content only).  Re-running ``minhash_near_duplicates`` over
+    corpus+batch per day would re-shingle and re-shuffle 100 TB to
+    admit a few GB; this index makes the daily probe O(batch).
+
+    Layout:
+      ``{path}/bands``       (band, bucket, id) rows — the LSH buckets
+                             the probe equi-joins against (~bands rows
+                             x ~16 B/doc);
+      ``{path}/signatures``  (id, signature) — what the est-Jaccard
+                             verification reads (~8*num_hashes B/doc);
+                             corpus TEXT is never stored or re-read;
+      ``{path}/params``      one row pinning (num_hashes, bands,
+                             shingle_n, seed, hash_fn) — the probe
+                             reads its parameters FROM the index, so
+                             build and probe cannot disagree (the
+                             ``digest_bloom`` self-describing rule).
+
+    ``mode='append'`` admits a cleaned batch into the index (same
+    params enforced by the probe reading them back; appending with
+    different build params is the caller's corruption to avoid —
+    params rows are overwritten only by a full rebuild)."""
+    spark = corpus.sparkSession
+    sig = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn
+    )
+    # One signature computation feeds both writes: persist beats the
+    # double aggregation here (unlike the self-join case — writes are
+    # sequential jobs, never scheduled concurrently).
+    sig = sig.persist()
+    try:
+        _band_rows(sig, id_col, num_hashes, bands, hash_fn).select(
+            "band", "bucket", F.col("_id").alias("id")
+        ).write.mode(mode).parquet(f"{path}/bands")
+        sig.select(F.col(id_col).alias("id"), "signature").write.mode(mode).parquet(
+            f"{path}/signatures"
+        )
+        if mode == "overwrite":
+            spark.createDataFrame(
+                [(num_hashes, bands, shingle_n, seed, hash_fn)],
+                "num_hashes int, bands int, shingle_n int, seed long, hash_fn string",
+            ).write.mode("overwrite").parquet(f"{path}/params")
+    finally:
+        sig.unpersist()
+
+
+def _minhash_index_params(spark: SparkSession, path: str) -> dict:
+    row = spark.read.parquet(f"{path}/params").first()
+    return row.asDict()
+
+
+def minhash_corpus_candidates(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN an ingest batch and an indexed
+    corpus (``save_minhash_index``): batch signatures band with the
+    index's own parameters, the band rows equi-join the persisted
+    buckets, and only candidate pairs fetch corpus signatures for the
+    est-Jaccard verification — batch text shingles once, corpus text
+    never.  Returns (id_col, corpus_id, est_jaccard) with est >=
+    ``threshold`` (the same agreeing-minhash estimator as
+    ``minhash_near_duplicates``, so the pair set equals the batch x
+    corpus slice of a full re-dedup by construction — differentially
+    pinned in test_dedup).
+
+    Scale shape: the batch side is daily-sized, so both the bucket
+    equi-join and the signature fetch broadcast the batch under AQE;
+    the corpus-side reads stream the persisted index, never the
+    corpus."""
+    spark = batch.sparkSession
+    p = _minhash_index_params(spark, index_path)
+    sig = minhash_signatures(
+        batch,
+        id_col,
+        text_col,
+        p["num_hashes"],
+        p["shingle_n"],
+        p["seed"],
+        hash_fn=p["hash_fn"],
+    )
+    banded = _band_rows(sig, id_col, p["num_hashes"], p["bands"], p["hash_fn"]).select(
+        F.col("_id").alias("_bid"), "band", "bucket"
+    )
+    idx = spark.read.parquet(f"{index_path}/bands")
+    cands = (
+        banded.join(idx, ["band", "bucket"])
+        .select(F.col("_bid"), F.col("id").alias("corpus_id"))
+        .dropDuplicates(["_bid", "corpus_id"])
+    )
+    corpus_sig = spark.read.parquet(f"{index_path}/signatures").select(
+        F.col("id").alias("corpus_id"), F.col("signature").alias("sig_c")
+    )
+    batch_sig = sig.select(F.col(id_col).alias("_bid"), F.col("signature").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_b", "sig_c", lambda x, y: x == y), lambda v: v))
+        / F.lit(p["num_hashes"])
+    ).alias("est_jaccard")
+    return (
+        cands.join(batch_sig, "_bid")
+        .join(corpus_sig, "corpus_id")
+        .select(F.col("_bid").alias(id_col), "corpus_id", est)
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_against_corpus(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-DUP dedup: drop every batch row whose content
+    near-duplicates the indexed corpus (est Jaccard >= threshold) —
+    the daily-ingest gate ``dedup_against_corpus`` provides for exact
+    content, extended to near-duplicates.  Batch-internal near-dups
+    are a separate concern: compose with ``minhash_near_duplicates``
+    + ``dedup_keep_list`` on the survivors, then ``save_minhash_index
+    (mode='append')`` admits them to the index for the next day.
+
+    NULL text never matches (no shingles => no signature => no
+    candidate), mirroring the exact path's sentinel rule."""
+    dup_ids = minhash_corpus_candidates(
+        batch, id_col, text_col, index_path, threshold
+    ).select(id_col)
+    return batch.join(dup_ids, id_col, "left_anti")
 
 
 def simhash(

@@ -299,6 +299,88 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental MinHash index: the same md5-parity signature/banding
+# machinery, but split corpus-vs-batch through the PERSISTED index
+# (save_minhash_index -> parquet bands/signatures/params ->
+# minhash_corpus_candidates reads its parameters back from the
+# index).  The oracle never sees the index files — it re-derives both
+# sides' signatures from the documents table and brute-forces the
+# cross band match, so the grade proves the round trip through disk
+# (write, param read-back, bucket equi-join, signature fetch)
+# preserved every signature byte.
+_IMH_EQ = " + ".join(f"CASE WHEN b.m{i} = c.m{i} THEN 1 ELSE 0 END" for i in range(_MH_K))
+_IMH_BANDMATCH = " OR ".join(f"b.bk{x} = c.bk{x}" for x in range(_MH_BANDS))
+
+
+@query(
+    "q_incremental_minhash",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, nt FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
+            FROM documents
+        ) WHERE nt IS NOT NULL AND nt != ''
+    ), sh AS (
+        SELECT doc_id, substring(nt, pos, {_MH_N}) AS g
+        FROM (SELECT doc_id, nt,
+                     unnest(generate_series(1, greatest(length(nt) - {_MH_N - 1}, 1)))
+                         AS pos
+              FROM n)
+    ), m AS (
+        SELECT doc_id, {_MH_MINS} FROM sh GROUP BY doc_id
+    ), k AS (
+        SELECT *, {_MH_BKEYS} FROM m
+    )
+    SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id,
+           ROUND(({_IMH_EQ}) / {_MH_K}.0, 4) AS est_jaccard
+    FROM (SELECT * FROM k WHERE doc_id % 2 = 1) b
+    JOIN (SELECT * FROM k WHERE doc_id % 2 = 0) c ON ({_IMH_BANDMATCH})
+    WHERE ({_IMH_EQ}) / {_MH_K}.0 >= {_MH_T}
+    """,
+)
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-DUP dedup through the persisted MinHash index
+    (dedup.save_minhash_index / minhash_corpus_candidates, md5
+    oracle-parity mode): even doc_ids play the indexed corpus, odd
+    doc_ids the ingest batch.  The batch probes the on-disk band
+    buckets and fetches only candidate signatures — corpus text is
+    never re-shingled, the daily-ingest shape dedup_against_corpus
+    provides for exact content extended to near-duplicates.  The
+    index rebuilds into one stable per-sf dir per invocation
+    (Spark overwrite; the graded path runs queries serially).
+    Production uses hash_fn='xxhash64' via the same functions —
+    differentially pinned against a full re-dedup in test_dedup.
+    NOTE: born after the r9 graded window filled — r10 rotation
+    leader with the other post-window births."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "q_incr_minhash_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    dedup.save_minhash_index(
+        d.where(F.col("doc_id") % 2 == 0),
+        "doc_id",
+        "text",
+        path,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        shingle_n=_MH_N,
+        seed=42,
+        hash_fn="md5",
+    )
+    pairs = dedup.minhash_corpus_candidates(
+        d.where(F.col("doc_id") % 2 == 1), "doc_id", "text", path, threshold=_MH_T
+    )
+    return pairs.select(
+        "doc_id", "corpus_id", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 @query("q_simhash")  # rows-only: engine-specific hash; invariants tested in test_dedup.py
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash sketch per document (explode-free array fold)."""

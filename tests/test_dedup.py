@@ -733,3 +733,112 @@ def test_simhash_md5_mode_rejects_unknown_and_matches_reference(spark):
     want = sum((1 << i) for i in range(60) if votes[i] > 0)
     assert got[1] == want
     assert got[2] == 0 and got[3] == 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash index (save_minhash_index / minhash_corpus_candidates /
+# minhash_dedup_against_corpus)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_index_probe_equals_full_rededup_cross_slice(spark, tmp_path):
+    """The index probe must produce EXACTLY the corpus x batch slice of
+    a full corpus+batch minhash_near_duplicates run (same params) —
+    the incremental form never invents or loses a cross pair."""
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        minhash_corpus_candidates,
+        minhash_near_duplicates,
+        save_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and then naps in the warm sun all day"
+    corpus_rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely unrelated corpus content about spark shuffles and parquet files"),
+        (4, "another distinct corpus document mentioning broadcast joins and codegen"),
+    ]
+    batch_rows = [
+        (101, base),                                  # exact dup of 1
+        (102, base.replace("warm sun", "cold rain")), # near dup of 1/2
+        (103, "fresh novel text that matches nothing in the corpus whatsoever today"),
+    ]
+    kw = dict(num_hashes=64, bands=16, shingle_n=5, seed=42)
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(_mk_docs(spark, corpus_rows), "doc_id", "text", idx, **kw)
+    got = {
+        (r.doc_id, r.corpus_id): r.est_jaccard
+        for r in minhash_corpus_candidates(
+            _mk_docs(spark, batch_rows), "doc_id", "text", idx, threshold=0.3
+        ).collect()
+    }
+    full = minhash_near_duplicates(
+        _mk_docs(spark, corpus_rows + batch_rows), "doc_id", "text",
+        threshold=0.3, **kw
+    ).collect()
+    want = {
+        (r.id_b, r.id_a): r.est_jaccard
+        for r in full
+        if r.id_a <= 4 and r.id_b >= 101  # cross pairs only (id_a < id_b)
+    }
+    assert got == want and (101, 1) in got and got[(101, 1)] == 1.0
+
+
+def test_minhash_dedup_against_corpus_drops_dups_keeps_novel(spark, tmp_path):
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        minhash_dedup_against_corpus,
+        save_minhash_index,
+    )
+
+    corpus = _mk_docs(
+        spark,
+        [(1, "a shared paragraph of text that repeats across ingest days verbatim here")],
+    )
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(corpus, "doc_id", "text", idx)
+    batch = _mk_docs(
+        spark,
+        [
+            (201, "a shared paragraph of text that repeats across ingest days verbatim here"),
+            (202, "genuinely new material with its own vocabulary and no overlap at all"),
+            (203, None),  # NULL text: no shingles, never a candidate
+        ],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in minhash_dedup_against_corpus(batch, "doc_id", "text", idx).collect()
+    )
+    assert kept == [202, 203]
+
+
+def test_minhash_index_probe_reads_params_from_index_and_append(spark, tmp_path):
+    """Probe parameters come FROM the index (build/probe cannot
+    disagree), and mode='append' admits new docs to the index."""
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        minhash_corpus_candidates,
+        save_minhash_index,
+    )
+
+    text = "some document text with enough length to shingle into many five grams"
+    idx = str(tmp_path / "mhidx")
+    # non-default params at build time; probe takes no param args
+    save_minhash_index(
+        _mk_docs(spark, [(1, text)]), "doc_id", "text", idx,
+        num_hashes=32, bands=8, shingle_n=4, seed=7,
+    )
+    probe = _mk_docs(spark, [(301, text)])
+    got = minhash_corpus_candidates(probe, "doc_id", "text", idx, threshold=0.9).collect()
+    assert [(r.doc_id, r.corpus_id, r.est_jaccard) for r in got] == [(301, 1, 1.0)]
+    # append a second doc; it becomes findable without touching doc 1
+    extra = "an appended corpus document carrying its own distinct run of tokens"
+    save_minhash_index(
+        _mk_docs(spark, [(2, extra)]), "doc_id", "text", idx,
+        num_hashes=32, bands=8, shingle_n=4, seed=7, mode="append",
+    )
+    probe2 = _mk_docs(spark, [(302, extra)])
+    got2 = minhash_corpus_candidates(probe2, "doc_id", "text", idx, threshold=0.9).collect()
+    assert [(r.doc_id, r.corpus_id) for r in got2] == [(302, 2)]
