@@ -117,10 +117,16 @@ _PRIORITY = [
     # every round + pushdown plan assertion) — it stays r6-green and
     # rotates first in r10
     "q_dedup_keep_list",
+    # minhash_near_duplicates' banding block moved into the shared
+    # _band_rows helper (now also feeding the persisted index) — a
+    # behavior-neutral refactor, but CODE CHANGED, so the graded md5
+    # twin re-enters per standing policy; its slot comes from
+    # q01_pricing_summary (bench headline, driver-timed every round —
+    # the q06 displacement rationale; stays r6-green, leads r10)
+    "q_dedup_minhash_md5",
     # (3) oldest-evidence backfill: q_values_dim (r5), then the full
     # r6 cohort
     "q_values_dim",
-    "q01_pricing_summary",
     "q02_filter_project",
     "q03_shipping_priority",
     "q04_order_priority",
