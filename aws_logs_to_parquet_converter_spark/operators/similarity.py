@@ -900,6 +900,20 @@ def pq_topk(
         out_col="_pq",
     ).select("neighbor_id", "_pq")
 
+    q = _pq_query_tables(spark, queries, codebook, id_col, vec_col)
+    return _adc_topk(coded, q, m, ks, k)
+
+
+def _pq_query_tables(spark, queries: DataFrame, codebook, id_col: str, vec_col: str):
+    """Driver-side ADC distance tables for a (small by contract) query
+    set: per query the (m, ks) squared distances from its subvectors
+    to every centroid, flattened into one broadcastable array column
+    (query_id, _dt).  Shared by the in-memory ``pq_topk`` and the
+    persisted ``query_pq_index`` so the two paths cannot score
+    differently."""
+    import numpy as np
+
+    m, ks, dsub = codebook.shape
     q_rows = queries.where(F.col(vec_col).isNotNull()).select(id_col, vec_col).collect()
     cent_sq = [(codebook[j] * codebook[j]).sum(1) for j in range(m)]
     table_rows = []
@@ -917,7 +931,7 @@ def pq_topk(
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     id_type = queries.schema[id_col].dataType
-    q = spark.createDataFrame(
+    return spark.createDataFrame(
         table_rows,
         StructType(
             [
@@ -927,6 +941,11 @@ def pq_topk(
         ),
     )
 
+
+def _adc_topk(coded: DataFrame, q: DataFrame, m: int, ks: int, k: int) -> DataFrame:
+    """ADC scoring over (neighbor_id, _pq) codes vs broadcast
+    (query_id, _dt) distance tables: m-term table lookup-sum JVM-side,
+    cosine implied by quantized L2 on unit vectors, per-query top-k."""
     lookups = F.zip_with(
         F.col("_pq"),
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -943,6 +962,108 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+
+
+def save_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 256,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a PQ index: build once, query many — the amortized form
+    of ``pq_topk`` (whose in-query encode re-runs per call), and the
+    memory-bound sibling of ``save_ivf_index``.  At 100 TB this is the
+    index that fits where the float corpus cannot: ~m bytes/vector
+    (32x at dim=64/m=8), and queries never read a raw vector again.
+
+    Layout:
+      ``{path}/codebook``  m*ks rows (j, c, cent) — tiny;
+      ``{path}/codes``     (id, pq_codes) — the corpus as m one-byte
+                           codes, ONE zero-shuffle Arrow encode pass;
+      ``{path}/params``    one row pinning the build parameters (the
+                           self-describing ``save_minhash_index``
+                           rule).
+
+    ``mode='append'`` admits new vectors ENCODED WITH THE EXISTING
+    CODEBOOK (read back from the index — append can never retrain and
+    silently shift every stored code's meaning); codebook and params
+    are only written by a full rebuild."""
+    spark = corpus.sparkSession
+    if mode == "append":
+        book = _load_pq_codebook(spark, path)
+    else:
+        book = pq_train(
+            corpus, id_col, vec_col, m, ks, sample_n, iters, seed, hash_fn
+        )
+    mm, kk, dsub = book.shape
+    coded = pq_encode(
+        corpus.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+        ),
+        "_v",
+        book,
+        out_col="pq_codes",
+    ).select("id", "pq_codes")
+    coded.write.mode(mode).parquet(f"{path}/codes")
+    if mode != "append":
+        book_rows = [
+            (j, c, [float(x) for x in book[j][c]])
+            for j in range(mm)
+            for c in range(kk)
+        ]
+        spark.createDataFrame(
+            book_rows, "j int, c int, cent array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/codebook")
+        spark.createDataFrame(
+            [(mm, kk, dsub, sample_n, iters, seed, hash_fn)],
+            "m int, ks int, dsub int, sample_n int, iters int, seed long, hash_fn string",
+        ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def _load_pq_codebook(spark, path: str):
+    """Reconstruct the numpy (m, ks, dsub) codebook from the persisted
+    ``{path}/codebook`` relation — bounded driver-side collect
+    (m*ks*dsub doubles, a build-time constant)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/codebook").orderBy("j", "c").collect()
+    m = max(r.j for r in rows) + 1
+    ks = max(r.c for r in rows) + 1
+    dsub = len(rows[0].cent)
+    book = np.empty((m, ks, dsub), dtype=np.float64)
+    for r in rows:
+        book[r.j][r.c] = r.cent
+    return book
+
+
+def query_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index
+    (``save_pq_index``): load the tiny codebook driver-side, build the
+    per-query distance tables, and score the STORED codes — the corpus
+    is one parquet scan of ~m bytes/vector, no re-encode, no raw
+    vectors.  Identity with in-memory ``pq_topk`` over the same
+    codebook is pinned in test_similarity."""
+    book = _load_pq_codebook(spark, path)
+    m, ks, _ = book.shape
+    coded = spark.read.parquet(f"{path}/codes").select(
+        F.col("id").alias("neighbor_id"), F.col("pq_codes").alias("_pq")
+    )
+    q = _pq_query_tables(spark, queries, book, id_col, vec_col)
+    return _adc_topk(coded, q, m, ks, k)
 
 
 def pq_topk_ivf(

@@ -750,6 +750,40 @@ def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # NOTE: born after the r9 window filled — r10 rotation leader with the
 # other never-graded oracle-bearing births (q_approx_top_k precedent).
+@query("q_embed_topk_pq_persisted", oracle=_PQ_EXACT_ORACLE)
+def q_embed_topk_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED PQ index under the driver's oracle gate
+    (similarity.save_pq_index / query_pq_index, md5/iters=0
+    deterministic codebook): the index — codebook, codes, params —
+    round-trips through parquet and the query path scores the STORED
+    codes, so with the same codebook the result matches
+    ``_PQ_EXACT_ORACLE`` by identity and any byte lost in the
+    write/read (a code column truncated, a codebook row reordered, a
+    query table drifting from the stored centroids) breaks the hash.
+    Rebuilds into one stable per-sf dir per invocation (Spark
+    overwrite; the graded path runs queries serially).  Production
+    uses the trained xxhash64 codebook via the same functions —
+    in-memory identity pinned in test_similarity."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "q_pq_persisted_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    similarity.save_pq_index(
+        emb, path, id_col="vec_id", vec_col="embedding",
+        m=8, ks=16, sample_n=16, iters=0, hash_fn="md5",
+    )
+    res = similarity.query_pq_index(
+        spark, path, queries, id_col="vec_id", vec_col="embedding", k=5
+    )
+    return res.withColumnRenamed("rank", "rnk")
+
+
 @query("q_embed_topk_ivfpq_full", oracle=_PQ_EXACT_ORACLE)
 def q_embed_topk_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed IVFPQ index under the driver's oracle gate: at

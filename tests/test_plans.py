@@ -142,8 +142,12 @@ def test_graded_window_covers_priority_surface():
         "q_url_dedup", "q_dedup_keep_best", "q_span_dedup",
         "q_stream_dedup", "q_stream_read_after_write",
         "q_stream_daily_events", "q_dedup_keep_list",
+        # late r9 re-entry: the banding block moved into the shared
+        # _band_rows helper (code changed -> re-enters; displaced
+        # q01_pricing_summary, which stays bench-headline-covered)
+        "q_dedup_minhash_md5",
         # oldest-evidence backfill anchors: r5, the r6 cohort, r7 head
-        "q_values_dim", "q01_pricing_summary", "q22_idle_balances",
+        "q_values_dim", "q22_idle_balances",
         "q_agg_modern", "q_corpus_diff", "q_pii_scrub",
         "q_incremental_dedup", "q_incremental_dedup_bloom",
         "q_semantic_dedup", "q_string_agg", "q_window_first_last",
@@ -299,6 +303,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk_lsh",
         "q_embed_topk_pq",
         "q_embed_topk_pq_exact",  # same broadcast distance-table non-equi join
+        "q_embed_topk_pq_persisted",  # same ADC join over the PERSISTED codes
         "q_join_range",
         "q_length_band",  # one-row percentile-bounds broadcast
         "q_corpus_clean_pipeline",  # same bounds broadcast, first stage

@@ -500,3 +500,61 @@ def test_pq_train_rejects_unknown_hash_fn(spark, vecs):
     _, df = vecs
     with pytest.raises(ValueError, match="hash_fn"):
         similarity.pq_train(df, "vec_id", "embedding", m=2, hash_fn="sha1")
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index (save_pq_index / query_pq_index)
+# ---------------------------------------------------------------------------
+
+
+def _vec_df(spark, n, dim=16, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_query_pq_index_identical_to_in_memory_pq_topk(spark, tmp_path):
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        pq_topk,
+        pq_train,
+        query_pq_index,
+        save_pq_index,
+    )
+
+    corpus = _vec_df(spark, 80)
+    queries = corpus.where("vec_id < 5")
+    idx = str(tmp_path / "pqidx")
+    kw = dict(m=4, ks=8, sample_n=32, iters=3, seed=42)
+    save_pq_index(corpus, idx, **kw)
+    got = sorted(map(tuple, query_pq_index(spark, idx, queries, k=5).collect()))
+    book = pq_train(corpus, "vec_id", "embedding", **kw)
+    want = sorted(map(tuple, pq_topk(corpus, queries, book, k=5).collect()))
+    assert got == want and len(got) == 25
+
+
+def test_save_pq_index_append_uses_existing_codebook(spark, tmp_path):
+    """Appending must encode with the STORED codebook (never retrain):
+    the appended vectors become findable, and pre-existing neighbors'
+    codes/scores are untouched."""
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        query_pq_index,
+        save_pq_index,
+    )
+
+    corpus = _vec_df(spark, 60)
+    extra = _vec_df(spark, 80, seed=3).where("vec_id >= 60")  # disjoint ids, same draw
+    idx = str(tmp_path / "pqidx")
+    save_pq_index(corpus, idx, m=4, ks=8, sample_n=32, iters=3)
+    before = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in query_pq_index(spark, idx, corpus.where("vec_id < 3"), k=60).collect()
+    }
+    save_pq_index(extra, idx, mode="append")
+    after = query_pq_index(spark, idx, corpus.where("vec_id < 3"), k=200).collect()
+    after_map = {(r.query_id, r.neighbor_id): r.sim for r in after}
+    # every pre-append pair keeps its exact score; appended ids now present
+    for pair, sim in before.items():
+        assert after_map[pair] == sim
+    assert any(r.neighbor_id >= 60 for r in after)
