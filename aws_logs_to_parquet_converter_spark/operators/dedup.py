@@ -767,6 +767,35 @@ def minhash_corpus_candidates(
         .join(corpus_sig, "corpus_id")
         .select(F.col("_bid").alias(id_col), "corpus_id", est)
         .where(F.col("est_jaccard") >= threshold)
+        # tolerate duplicate index rows (a crash-replayed streaming
+        # append writes a doc's signature twice; its est is identical,
+        # so the pair — not the result — is what duplicates)
+        .dropDuplicates([id_col, "corpus_id"])
+    )
+
+
+def append_to_minhash_index(
+    batch: DataFrame, id_col: str, text_col: str, index_path: str
+) -> None:
+    """Admit a batch into an existing MinHash index using the INDEX'S
+    OWN stored parameters (``save_minhash_index(mode='append')`` takes
+    caller args and trusts them; this helper removes that footgun —
+    the streaming updater and any long-lived pipeline should append
+    through here so signatures can never be written under different
+    build parameters than the probe reads back)."""
+    spark = batch.sparkSession
+    p = _minhash_index_params(spark, index_path)
+    save_minhash_index(
+        batch,
+        id_col,
+        text_col,
+        index_path,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        shingle_n=p["shingle_n"],
+        seed=p["seed"],
+        hash_fn=p["hash_fn"],
+        mode="append",
     )
 
 

@@ -141,6 +141,9 @@ def stream_corpus_ingest(
     corpus_digests: "DataFrame | None" = None,
     corpus_bloom=None,
     id_col: str = "doc_id",
+    minhash_index: "str | None" = None,
+    minhash_threshold: float = 0.5,
+    minhash_update: bool = False,
 ) -> StreamingQuery:
     """End-to-end continuous corpus ingest: JSONL stream -> scrub
     (drops dead letters) -> digest-dedup -> parquet sink,
@@ -193,7 +196,24 @@ def stream_corpus_ingest(
     lineages are corpus-sized aggregations, and foreachBatch would
     otherwise re-execute them on every trigger; they stay cached for
     the stream's lifetime (unpersist after stopping the query if the
-    executors need the memory back)."""
+    executors need the memory back).
+
+    ``minhash_index`` extends the history gate from exact content to
+    NEAR-duplicates: each micro-batch probes the persisted MinHash-LSH
+    index (operators/dedup.save_minhash_index) and rows whose
+    estimated Jaccard vs any indexed document reaches
+    ``minhash_threshold`` are dropped before the sink — O(batch) per
+    trigger, the corpus is never re-shingled.  ``minhash_update=True``
+    closes the loop: each batch's ADMITTED rows append to the index
+    (through ``append_to_minhash_index``, so the index's own stored
+    parameters apply), making later batches dedup against earlier ones
+    across restarts.  The append runs after the sink write and before
+    the checkpoint commit, so a crash in that window replays the batch
+    and may append its signatures twice — the probe tolerates
+    duplicate index rows by construction (pair-level dropDuplicates),
+    so results are unaffected; the index carries dead rows until the
+    next rebuild, the same at-least-once posture as the default sink
+    mode."""
     docs = stream_documents(spark, source_glob, max_files_per_trigger=max_files_per_trigger)
     scrubbed = scrub_stream(docs)
     reject_path = rejected_dest or (dest + "_rejected")
@@ -223,15 +243,23 @@ def stream_corpus_ingest(
             corpus_bloom.bitmap.persist()
 
     def against_corpus(batch_df: DataFrame) -> DataFrame:
-        if corpus_digests is None:
-            return batch_df
-        from aws_logs_to_parquet_converter_spark.operators.dedup import (
-            dedup_against_corpus,
-        )
+        if corpus_digests is not None:
+            from aws_logs_to_parquet_converter_spark.operators.dedup import (
+                dedup_against_corpus,
+            )
 
-        return dedup_against_corpus(
-            batch_df, corpus_digests, id_col, "text", bloom=corpus_bloom
-        )
+            batch_df = dedup_against_corpus(
+                batch_df, corpus_digests, id_col, "text", bloom=corpus_bloom
+            )
+        if minhash_index is not None:
+            from aws_logs_to_parquet_converter_spark.operators.dedup import (
+                minhash_dedup_against_corpus,
+            )
+
+            batch_df = minhash_dedup_against_corpus(
+                batch_df, id_col, "text", minhash_index, minhash_threshold
+            )
+        return batch_df
 
     def write_sink(batch_df: DataFrame, path: str, batch_id: int) -> None:
         # caller persists frames whose lineage is expensive; the
@@ -275,6 +303,15 @@ def stream_corpus_ingest(
             batch_df = against_corpus(batch_df).persist()
             write_sink(batch_df, dest, batch_id)
         try:
+            if minhash_index is not None and minhash_update and not batch_df.isEmpty():
+                # admitted rows enter the index so LATER batches (and
+                # restarted streams) near-dedup against them; reads the
+                # persisted batch_df cache, stored index params apply
+                from aws_logs_to_parquet_converter_spark.operators.dedup import (
+                    append_to_minhash_index,
+                )
+
+                append_to_minhash_index(batch_df, id_col, "text", minhash_index)
             if post_write_hook is not None:
                 # hook runs BEFORE the final unpersist so inspecting
                 # batch_df re-reads cache, not the whole corpus plan

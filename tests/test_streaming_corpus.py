@@ -388,3 +388,71 @@ def test_stream_nonobject_json_and_null_text_sentinels(spark, tmp_path):
     q2.awaitTermination()
     quarantined = {r.value for r in spark.read.text(str(tmp_path / "quar")).collect()}
     assert {"42", "[1, 2]", '"bare string"'} <= quarantined
+
+
+def test_fresh_stream_near_dedups_against_minhash_index(spark, tmp_path):
+    """The NEAR-dup analog of the existing-corpus gate: a new stream
+    over a minhash-indexed corpus drops rows whose estimated Jaccard
+    vs the index reaches the threshold — paraphrases the exact digest
+    gate cannot see — and keeps novel content."""
+    from aws_logs_to_parquet_converter_spark.operators.dedup import save_minhash_index
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then naps in the warm "
+        "afternoon sun for hours"
+    )
+    existing = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(existing, "doc_id", "text", idx)
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a.jsonl", [
+        _doc(10, base.replace("lazy", "sleepy")),        # near-dup of indexed doc
+        _doc(11, "entirely different material with no shared phrasing whatsoever here"),
+    ])
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        minhash_index=idx, minhash_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [11], f"near-dup re-admitted or novel doc lost: {kept}"
+
+
+def test_stream_minhash_update_dedups_across_batches(spark, tmp_path):
+    """minhash_update=True: batch N's admitted rows enter the index, so
+    batch N+1's near-dups of them are dropped (maxFilesPerTrigger=1
+    forces file-per-batch ordering)."""
+    from aws_logs_to_parquet_converter_spark.operators.dedup import save_minhash_index
+
+    seed_text = "seed corpus document establishing the index before any stream runs"
+    existing = spark.createDataFrame([(1, seed_text)], "doc_id long, text string")
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(existing, "doc_id", "text", idx)
+    novel = (
+        "a brand new paragraph arriving in the first micro batch with plenty of "
+        "shingle material to sign"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a_first.jsonl", [_doc(10, novel)])
+    _jsonl(src / "b_second.jsonl", [
+        _doc(20, novel.replace("plenty", "loads")),       # near-dup of doc 10
+        _doc(21, "unrelated follow-up content that matches neither batch nor corpus"),
+    ])
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        minhash_index=idx, minhash_threshold=0.5, minhash_update=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [10, 21], f"cross-batch near-dup handling wrong: {kept}"
+    # the index now also answers batch queries: doc 10's signature is in it
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        minhash_corpus_candidates,
+    )
+    probe = spark.createDataFrame([(99, novel)], "doc_id long, text string")
+    hits = {r.corpus_id for r in minhash_corpus_candidates(
+        probe, "doc_id", "text", idx, threshold=0.5).collect()}
+    assert 10 in hits
