@@ -268,6 +268,16 @@ def build_corpus_parser() -> argparse.ArgumentParser:
                         "rules")
     p.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/phones/etc before export")
+    p.add_argument("--near-dedup-index", default="",
+                   help="path of a persisted MinHash-LSH index "
+                        "(dedup.save_minhash_index): drop documents "
+                        "near-duplicating the indexed corpus before export")
+    p.add_argument("--near-dedup-threshold", default=0.5, type=float,
+                   help="estimated-Jaccard cutoff for --near-dedup-index")
+    p.add_argument("--near-dedup-update", action="store_true",
+                   help="append the exported documents' signatures to "
+                        "--near-dedup-index (stored params apply), so the "
+                        "next export near-dedups against this one")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     return p
@@ -315,6 +325,14 @@ def run_corpus(args: argparse.Namespace) -> int:
         df = dedup_ops.exact_keep_first(df, args.id_col, args.text_col)
     elif args.dedup == "fingerprint":
         df = dedup_ops.fingerprint_keep_first(df, args.id_col, args.text_col)
+    if args.near_dedup_index:
+        # history gate: probe the persisted corpus index (O(batch) —
+        # the indexed corpus is never re-shingled), AFTER the in-batch
+        # dedup so only surviving docs pay the probe
+        df = dedup_ops.minhash_dedup_against_corpus(
+            df, args.id_col, args.text_col, args.near_dedup_index,
+            threshold=args.near_dedup_threshold,
+        )
     if args.scrub_pii:
         df = df.withColumn(args.text_col, scrub_pii(F.col(args.text_col)))
     manifest = write_training_shards(
@@ -328,6 +346,16 @@ def run_corpus(args: argparse.Namespace) -> int:
           f"{args.n_shards} shards at {args.dest}")
     for m in manifest:
         print(f"shard={m['shard']:04d}: {m['n_rows']} rows")
+    if args.near_dedup_index and args.near_dedup_update:
+        # admitted docs enter the index AFTER a successful export, so a
+        # failed run never poisons the next one's history gate; reads
+        # back the just-written shards (cheap, column-pruned) rather
+        # than re-running the whole filter lineage
+        exported = spark.read.parquet(args.dest).select(args.id_col, args.text_col)
+        dedup_ops.append_to_minhash_index(
+            exported, args.id_col, args.text_col, args.near_dedup_index
+        )
+        print(f"appended {n_out} documents to {args.near_dedup_index}")
     return 0
 
 

@@ -317,3 +317,48 @@ def test_cli_corpus_c4_gate_rewrites_and_filters(spark, tmp_path):
     out = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
     assert list(out) == [1]
     assert out[1] == "\n".join([line] * 3)  # noise line rewritten away
+
+
+def test_cli_corpus_near_dedup_index_gate_and_update(spark, tmp_path):
+    """--near-dedup-index drops documents near-duplicating the indexed
+    corpus; --near-dedup-update appends the exported docs so the NEXT
+    export near-dedups against this one (the daily-export loop)."""
+    from aws_logs_to_parquet_converter_spark import cli
+    from aws_logs_to_parquet_converter_spark.operators.dedup import save_minhash_index
+
+    base = (
+        "a long established corpus paragraph with plenty of distinctive shingle "
+        "content to fingerprint reliably"
+    )
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        "doc_id", "text", idx,
+    )
+    day1 = [
+        (10, base.replace("plenty", "loads")),  # near-dup of indexed doc 1
+        (11, "novel day-one material that shares no phrasing with the corpus at all today"),
+    ]
+    src1 = str(tmp_path / "day1")
+    spark.createDataFrame(day1, "doc_id long, text string").write.parquet(src1)
+    dest1 = str(tmp_path / "out1")
+    args = cli.build_corpus_parser().parse_args([
+        "--src", src1, "--dest", dest1, "--n-shards", "2", "--dedup", "none",
+        "--near-dedup-index", idx, "--near-dedup-update",
+    ])
+    assert cli.run_corpus(args) == 0
+    assert sorted(r.doc_id for r in spark.read.parquet(dest1).collect()) == [11]
+    # day 2: a near-dup of day 1's EXPORTED doc must now be dropped too
+    day2 = [
+        (20, "novel day-one material that shares no phrasing with the corpus at all now"),
+        (21, "day two brings its own genuinely fresh text with different words entirely"),
+    ]
+    src2 = str(tmp_path / "day2")
+    spark.createDataFrame(day2, "doc_id long, text string").write.parquet(src2)
+    dest2 = str(tmp_path / "out2")
+    args2 = cli.build_corpus_parser().parse_args([
+        "--src", src2, "--dest", dest2, "--n-shards", "2", "--dedup", "none",
+        "--near-dedup-index", idx,
+    ])
+    assert cli.run_corpus(args2) == 0
+    assert sorted(r.doc_id for r in spark.read.parquet(dest2).collect()) == [21]
