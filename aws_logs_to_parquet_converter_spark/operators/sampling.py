@@ -68,6 +68,66 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+    by: str | None = None,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement, exact size n
+    (Efraimidis & Spirakis 2006, IPL — the A-Res priority-key
+    algorithm): each row draws u = uniform(0,1) from the md5 of its
+    key and is ranked by priority -ln(u)/w (ascending == descending
+    u^(1/w), the paper's key, numerically stabler); the top n
+    priorities ARE a weighted sample without replacement — P(row in
+    sample) increases with its weight, exactly the "sample training
+    docs proportional to quality/length" pass corpus mixing needs when
+    per-SOURCE rates (mix_sources) are too coarse.
+
+    Deterministic in (key, seed) — same md5-threshold discipline as
+    every sampler in this module, so any SQL engine reproduces the
+    exact sample (u has 48 md5 bits: ('0x'||substring(md5, 1, 12)) in
+    DuckDB).  Rows with NULL or non-positive weight are excluded (no
+    priority is defined for them — the paper's w > 0 domain).
+
+    Scale shape: the priority is one per-row md5+arithmetic
+    projection.  ``by=None`` takes the global top-n via orderBy+limit
+    — a TakeOrderedAndProject (parallel per-partition top-n, merged on
+    the driver), NEVER a single-task window; with ``by`` set it is one
+    partitioned window per group, the ``stratified_sample`` shape.
+
+    ``key_col`` must be unique per row (ties on (priority, key) would
+    fall to partition order and break determinism — same contract as
+    ``stratified_sample``)."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    u = (
+        (
+            F.conv(F.substring(_order_key(F.col(key_col), seed), 1, 12), 16, 10).cast(
+                "double"
+            )
+            + F.lit(1.0)
+        )
+        / F.lit(float(16**12 + 1))
+    )
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    eligible = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    ).withColumn("_pri", pri)
+    if by is None:
+        out = eligible.orderBy("_pri", key_col).limit(n)
+    else:
+        w = Window.partitionBy(by).orderBy("_pri", key_col)
+        out = (
+            eligible.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+    return out.drop("_pri")
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

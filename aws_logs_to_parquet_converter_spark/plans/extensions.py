@@ -1580,6 +1580,42 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_weighted_sample",
+    oracle="""
+    SELECT source, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY
+                       -ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 12))::BIGINT + 1.0)
+                           / (281474976710657.0))
+                       / CAST(n_chars AS DOUBLE),
+                       doc_id) AS rn
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0)
+    WHERE rn <= 20
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res, sampling.weighted_sample): 20 documents per source, drawn
+    proportional to n_chars — the per-DOCUMENT form of corpus mixing
+    (mix_sources rates are per-source-uniform; this weights individual
+    rows).  u comes from 48 md5 bits of (doc_id, seed), priority is
+    -ln(u)/w, and both engines evaluate the identical literal
+    arithmetic, so the exact sample reproduces (16^12 + 1 =
+    281474976710657 spelled as a literal on both sides).  NOTE: born
+    after the r9 graded window filled — r10 rotation leader with the
+    other post-window births."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    return sampling.weighted_sample(
+        d, "doc_id", "n_chars", 20, seed=42, by="source"
+    ).select("source", "doc_id", "n_chars")
+
+
+@query(
     "q_pack_sequences",
     oracle=f"""
     WITH toks AS (

@@ -1084,3 +1084,52 @@ def test_hashed_linear_score_xxhash_mode_and_guards(spark):
         hashed_linear_score(df, "doc_id", "text", [])
     with pytest.raises(ValueError):
         hashed_linear_score(df, "doc_id", "text", w, hash_fn="sha1")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (sampling.weighted_sample)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_exact_size_deterministic_and_weight_biased(spark):
+    from aws_logs_to_parquet_converter_spark.operators.sampling import weighted_sample
+
+    # 20 heavy rows (w=50) among 180 light rows (w=1): across seeds,
+    # heavy rows must be selected far above their 10% population share
+    rows = [(i, 50.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    heavy_picks = total = 0
+    for seed in range(8):
+        got = weighted_sample(df, "k", "w", 20, seed=seed).collect()
+        assert len(got) == 20
+        heavy_picks += sum(1 for r in got if r.w == 50.0)
+        total += 20
+    # E[heavy share] >> 0.10; even a loose floor separates it cleanly
+    assert heavy_picks / total > 0.4, heavy_picks / total
+    # deterministic and partition-invariant
+    a = sorted(r.k for r in weighted_sample(df, "k", "w", 20, seed=3).collect())
+    b = sorted(r.k for r in weighted_sample(df.repartition(13), "k", "w", 20, seed=3).collect())
+    assert a == b
+
+
+def test_weighted_sample_per_group_guards_and_edge_weights(spark):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.sampling import weighted_sample
+
+    rows = (
+        [(i, "a", 1.0) for i in range(10)]
+        + [(100 + i, "b", 2.0) for i in range(3)]      # smaller than n
+        + [(200, "a", 0.0), (201, "a", -5.0), (202, "a", None)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "k long, g string, w double")
+    got = weighted_sample(df, "k", "w", 5, by="g").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append(r.k)
+    assert len(by_g["a"]) == 5 and sorted(by_g["b"]) == [100, 101, 102]
+    assert all(k < 200 for k in by_g["a"])  # non-positive/NULL weights never sampled
+    # n = 0 -> empty; negative n -> loud error
+    assert weighted_sample(df, "k", "w", 0).count() == 0
+    with pytest.raises(ValueError):
+        weighted_sample(df, "k", "w", -1)
