@@ -346,11 +346,13 @@ def run_corpus(args: argparse.Namespace) -> int:
           f"{args.n_shards} shards at {args.dest}")
     for m in manifest:
         print(f"shard={m['shard']:04d}: {m['n_rows']} rows")
-    if args.near_dedup_index and args.near_dedup_update:
+    if args.near_dedup_index and args.near_dedup_update and n_out > 0:
         # admitted docs enter the index AFTER a successful export, so a
         # failed run never poisons the next one's history gate; reads
         # back the just-written shards (cheap, column-pruned) rather
-        # than re-running the whole filter lineage
+        # than re-running the whole filter lineage.  A zero-doc export
+        # skips the append (nothing to admit, and an all-manifest dir
+        # has no parquet footer to read)
         exported = spark.read.parquet(args.dest).select(args.id_col, args.text_col)
         dedup_ops.append_to_minhash_index(
             exported, args.id_col, args.text_col, args.near_dedup_index

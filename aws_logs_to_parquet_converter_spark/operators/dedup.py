@@ -679,11 +679,28 @@ def save_minhash_index(
                              build and probe cannot disagree (the
                              ``digest_bloom`` self-describing rule).
 
-    ``mode='append'`` admits a cleaned batch into the index (same
-    params enforced by the probe reading them back; appending with
-    different build params is the caller's corruption to avoid —
-    params rows are overwritten only by a full rebuild)."""
+    ``mode='append'`` admits a cleaned batch into the index; the
+    caller's build parameters are CHECKED against the stored params
+    row and a mismatch raises — signatures written under different
+    parameters than the probe reads back would silently corrupt every
+    later candidate set (``append_to_minhash_index`` reads the stored
+    params for you)."""
     spark = corpus.sparkSession
+    if mode == "append":
+        stored = _minhash_index_params(spark, path)
+        given = {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "seed": seed,
+            "hash_fn": hash_fn,
+        }
+        if {k: stored[k] for k in given} != given:
+            raise ValueError(
+                f"append params {given} != index params "
+                f"{ {k: stored[k] for k in given} } at {path}; use "
+                "append_to_minhash_index() to adopt the stored ones"
+            )
     sig = minhash_signatures(
         corpus, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn
     )

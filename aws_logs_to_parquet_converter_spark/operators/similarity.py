@@ -1034,6 +1034,8 @@ def _load_pq_codebook(spark, path: str):
     import numpy as np
 
     rows = spark.read.parquet(f"{path}/codebook").orderBy("j", "c").collect()
+    if not rows:
+        raise ValueError(f"no PQ codebook at {path}/codebook — run save_pq_index first")
     m = max(r.j for r in rows) + 1
     ks = max(r.c for r in rows) + 1
     dsub = len(rows[0].cent)

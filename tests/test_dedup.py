@@ -842,3 +842,15 @@ def test_minhash_index_probe_reads_params_from_index_and_append(spark, tmp_path)
     probe2 = _mk_docs(spark, [(302, extra)])
     got2 = minhash_corpus_candidates(probe2, "doc_id", "text", idx, threshold=0.9).collect()
     assert [(r.doc_id, r.corpus_id) for r in got2] == [(302, 2)]
+
+
+def test_save_minhash_index_append_rejects_mismatched_params(spark, tmp_path):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.dedup import save_minhash_index
+
+    df = _mk_docs(spark, [(1, "some document text long enough to shingle cleanly")])
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(df, "doc_id", "text", idx, num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="append params"):
+        save_minhash_index(df, "doc_id", "text", idx, num_hashes=64, bands=16, mode="append")
