@@ -208,12 +208,16 @@ def stream_corpus_ingest(
     (through ``append_to_minhash_index``, so the index's own stored
     parameters apply), making later batches dedup against earlier ones
     across restarts.  The append runs after the sink write and before
-    the checkpoint commit, so a crash in that window replays the batch
-    and may append its signatures twice — the probe tolerates
-    duplicate index rows by construction (pair-level dropDuplicates),
-    so results are unaffected; the index carries dead rows until the
-    next rebuild, the same at-least-once posture as the default sink
-    mode."""
+    the checkpoint commit.  Crash-replay semantics (asserted in
+    test_streaming_corpus): a crash AFTER the append replays the batch
+    into its own first-attempt signatures — every row est-1.0-matches
+    itself and drops — so the replay writes nothing and appends
+    nothing: the update gate SELF-CONVERGES where plain append mode
+    duplicates.  A crash after the sink write but BEFORE the append
+    keeps the default at-least-once posture for that batch.  Should
+    duplicate index rows ever arise (e.g. concurrent writers), the
+    probe tolerates them by construction (pair-level
+    dropDuplicates)."""
     docs = stream_documents(spark, source_glob, max_files_per_trigger=max_files_per_trigger)
     scrubbed = scrub_stream(docs)
     reject_path = rejected_dest or (dest + "_rejected")

@@ -456,3 +456,61 @@ def test_stream_minhash_update_dedups_across_batches(spark, tmp_path):
     hits = {r.corpus_id for r in minhash_corpus_candidates(
         probe, "doc_id", "text", idx, threshold=0.5).collect()}
     assert 10 in hits
+
+
+def test_minhash_update_replay_self_converges(spark, tmp_path):
+    """A crash AFTER the index append but BEFORE the checkpoint commit
+    replays the batch INTO ITS OWN first-attempt signatures: every row
+    est-1.0-matches itself and drops, so the replay appends nothing to
+    the index AND writes nothing to the sink — the update gate
+    self-converges where plain append mode would duplicate."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        minhash_corpus_candidates,
+        save_minhash_index,
+    )
+
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(
+        spark.createDataFrame(
+            [(1, "seed corpus document establishing the index before the stream")],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", idx,
+    )
+    novel = "fresh streaming document with abundant shingle content to fingerprint"
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a.jsonl", [_doc(10, novel)])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def crash_post(batch_df, batch_id):
+        raise RuntimeError("injected crash after index append")
+
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", out, ckpt,
+        minhash_index=idx, minhash_update=True, post_write_hook=crash_post,
+    )
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("query should have died post-append")
+    except StreamingQueryException:
+        pass
+    q2 = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", out, ckpt,
+        minhash_index=idx, minhash_update=True,
+    )
+    q2.awaitTermination(120)
+    # the replayed batch matched its own first-attempt signatures and
+    # dropped: ONE signature row, ONE sink copy — converged, not
+    # duplicated (plain append mode duplicates here, see the
+    # crash_after_write test above)
+    sig_rows = spark.read.parquet(f"{idx}/signatures").where("id = 10").count()
+    assert sig_rows == 1, f"replay should self-converge, got {sig_rows} sig rows"
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [10], f"sink should hold exactly one copy: {ids}"
+    # and the index answers probes for the admitted doc
+    probe = spark.createDataFrame([(99, novel)], "doc_id long, text string")
+    pairs = minhash_corpus_candidates(probe, "doc_id", "text", idx, threshold=0.5).collect()
+    assert [(r.doc_id, r.corpus_id) for r in pairs] == [(99, 10)]
