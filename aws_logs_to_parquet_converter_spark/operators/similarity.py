@@ -1166,6 +1166,57 @@ def pq_topk_ivf(
     return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level train/eval contamination scan: every (corpus,
+    eval) pair whose cosine similarity reaches ``threshold`` — the
+    semantic complement of ``dedup.contamination_check`` (n-gram
+    overlap misses paraphrased benchmark leakage; near-identical
+    embeddings catch it).  Drop the flagged corpus ids before training
+    with a left_anti join on the result.
+
+    Scale shape: the eval set is small by contract (a benchmark) and
+    BROADCASTS with its norms precomputed; the corpus streams once
+    with its norm hoisted per-row — the ``cosine_topk`` posture minus
+    the window: a threshold scan needs no per-query ranking, so the
+    plan is scan -> broadcast join -> filter, nothing else.  Returns
+    (corpus_id, eval_id, sim) with sim rounded to 4 (the similarity-
+    family convention).  NULL embeddings on either side are excluded
+    (no geometry)."""
+    e = F.broadcast(
+        eval_set.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("eval_id"),
+            F.col(vec_col).alias("_ev"),
+            _norm(F.col(vec_col), None).alias("_ne"),
+        )
+    )
+    c = fan_out(
+        corpus.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("_cv"),
+            _norm(F.col(vec_col), None).alias("_nc"),
+        ),
+        "corpus_id",
+    )
+    sim = F.coalesce(
+        F.nanvl(
+            F.try_divide(_dot(F.col("_cv"), F.col("_ev"), None), F.col("_nc") * F.col("_ne")),
+            F.lit(0.0),
+        ),
+        F.lit(0.0),
+    )
+    return (
+        c.join(e)
+        .select("corpus_id", "eval_id", F.round(sim, 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     query_col: str = "query_id",

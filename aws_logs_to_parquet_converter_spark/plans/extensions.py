@@ -734,6 +734,43 @@ def q_embed_topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("rank", "rnk")
 
 
+# NOTE: born after the r9 window filled — r10 rotation leader with the
+# other post-window births.
+@query(
+    "q_semantic_contamination",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ev
+        FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+    ), c AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), scored AS (
+        SELECT corpus_id, eval_id,
+               ROUND(
+                 list_aggregate(list_transform(list_zip(cv, ev), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum'))), 4) AS sim
+        FROM c CROSS JOIN e
+    )
+    SELECT corpus_id, eval_id, sim FROM scored WHERE sim >= 0.8
+    """,
+)
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (similarity.semantic_contamination): every corpus vector whose
+    cosine vs any of the 5 'benchmark' vectors reaches 0.8 — the
+    paraphrase-leakage scan n-gram contamination (q_contamination)
+    cannot see.  Threshold scan, no ranking: broadcast eval set with
+    hoisted norms x streamed corpus, filter — self-pairs (the eval
+    vectors live in the corpus) surface at sim 1.0 by construction."""
+    emb = t(spark, sf_dir, "embeddings")
+    eval_set = emb.where(F.col("vec_id") < 5)
+    return similarity.semantic_contamination(
+        emb, eval_set, id_col="vec_id", vec_col="embedding", threshold=0.8
+    )
+
+
 @query("q_embed_topk_pq")  # rows-only: approximate; recall tested in test_similarity.py
 def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized approximate top-5 (Jegou 2011): corpus

@@ -304,6 +304,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk_pq",
         "q_embed_topk_pq_exact",  # same broadcast distance-table non-equi join
         "q_embed_topk_pq_persisted",  # same ADC join over the PERSISTED codes
+        "q_semantic_contamination",  # bounded eval-set broadcast x streamed corpus
         "q_join_range",
         "q_length_band",  # one-row percentile-bounds broadcast
         "q_corpus_clean_pipeline",  # same bounds broadcast, first stage

@@ -558,3 +558,31 @@ def test_save_pq_index_append_uses_existing_codebook(spark, tmp_path):
     for pair, sim in before.items():
         assert after_map[pair] == sim
     assert any(r.neighbor_id >= 60 for r in after)
+
+
+def test_semantic_contamination_catches_paraphrase_and_excludes_nulls(spark):
+    """Flags near-identical embeddings (the paraphrase-leakage case
+    n-gram overlap misses), ignores dissimilar ones, excludes NULLs."""
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    ev = [1.0] + [0.0] * 15
+    near = [0.99, 0.14] + [0.0] * 14          # cos ~0.990 vs ev
+    far = [0.0] * 15 + [1.0]                  # orthogonal
+    corpus = spark.createDataFrame(
+        [(100, near), (101, far), (102, None)],
+        "vec_id long, embedding array<double>",
+    )
+    eval_set = spark.createDataFrame(
+        [(1, ev), (2, None)], "vec_id long, embedding array<double>"
+    )
+    got = semantic_contamination(corpus, eval_set, threshold=0.95).collect()
+    assert [(r.corpus_id, r.eval_id) for r in got] == [(100, 1)]
+    assert got[0].sim >= 0.98
+    # decontamination compose: anti join removes exactly the flagged row
+    flagged = semantic_contamination(corpus, eval_set, threshold=0.95).select(
+        F.col("corpus_id").alias("vec_id")
+    )
+    kept = sorted(r.vec_id for r in corpus.join(flagged, "vec_id", "left_anti").collect())
+    assert kept == [101, 102]
