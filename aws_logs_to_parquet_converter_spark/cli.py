@@ -325,16 +325,19 @@ def run_corpus(args: argparse.Namespace) -> int:
         df = dedup_ops.exact_keep_first(df, args.id_col, args.text_col)
     elif args.dedup == "fingerprint":
         df = dedup_ops.fingerprint_keep_first(df, args.id_col, args.text_col)
+    if args.scrub_pii:
+        df = df.withColumn(args.text_col, scrub_pii(F.col(args.text_col)))
     if args.near_dedup_index:
         # history gate: probe the persisted corpus index (O(batch) —
         # the indexed corpus is never re-shingled), AFTER the in-batch
-        # dedup so only surviving docs pay the probe
+        # dedup so only surviving docs pay the probe, and AFTER the PII
+        # scrub so the probed text is the SAME text --near-dedup-update
+        # later appends (probing raw text against scrubbed signatures
+        # would leak re-delivered PII-dense duplicates past the gate)
         df = dedup_ops.minhash_dedup_against_corpus(
             df, args.id_col, args.text_col, args.near_dedup_index,
             threshold=args.near_dedup_threshold,
         )
-    if args.scrub_pii:
-        df = df.withColumn(args.text_col, scrub_pii(F.col(args.text_col)))
     manifest = write_training_shards(
         df, args.dest, n_shards=args.n_shards, key_col=args.id_col, seed=args.seed
     )

@@ -709,12 +709,16 @@ def save_minhash_index(
     # sequential jobs, never scheduled concurrently).
     sig = sig.persist()
     try:
-        _band_rows(sig, id_col, num_hashes, bands, hash_fn).select(
-            "band", "bucket", F.col("_id").alias("id")
-        ).write.mode(mode).parquet(f"{path}/bands")
+        # signatures BEFORE bands: a crash between the two writes then
+        # leaves an unbanded signature (merely unprobed until rewrite)
+        # instead of a band row whose verification join silently drops
+        # every future candidate pair for that document
         sig.select(F.col(id_col).alias("id"), "signature").write.mode(mode).parquet(
             f"{path}/signatures"
         )
+        _band_rows(sig, id_col, num_hashes, bands, hash_fn).select(
+            "band", "bucket", F.col("_id").alias("id")
+        ).write.mode(mode).parquet(f"{path}/bands")
         if mode == "overwrite":
             spark.createDataFrame(
                 [(num_hashes, bands, shingle_n, seed, hash_fn)],
@@ -726,6 +730,12 @@ def save_minhash_index(
 
 def _minhash_index_params(spark: SparkSession, path: str) -> dict:
     row = spark.read.parquet(f"{path}/params").first()
+    if row is None:
+        raise ValueError(
+            f"no MinHash index params at {path}/params — run save_minhash_index "
+            "(mode='overwrite') first; an empty params relation means an "
+            "interrupted build"
+        )
     return row.asDict()
 
 

@@ -1061,8 +1061,14 @@ def query_pq_index(
     codebook is pinned in test_similarity."""
     book = _load_pq_codebook(spark, path)
     m, ks, _ = book.shape
-    coded = spark.read.parquet(f"{path}/codes").select(
-        F.col("id").alias("neighbor_id"), F.col("pq_codes").alias("_pq")
+    coded = (
+        spark.read.parquet(f"{path}/codes")
+        .select(F.col("id").alias("neighbor_id"), F.col("pq_codes").alias("_pq"))
+        # tolerate duplicate code rows (an at-least-once caller
+        # retrying an append): a duplicated neighbor must not occupy
+        # two of the k slots — same posture as the minhash probe's
+        # pair-level dropDuplicates
+        .dropDuplicates(["neighbor_id"])
     )
     q = _pq_query_tables(spark, queries, book, id_col, vec_col)
     return _adc_topk(coded, q, m, ks, k)

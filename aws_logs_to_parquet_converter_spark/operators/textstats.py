@@ -362,9 +362,16 @@ def hashed_linear_score(
         F.size(toks) > 0, total / F.size(toks).cast("double")
     ).otherwise(F.lit(0.0))
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+    # NULL text: tokens() yields NULL and size(NULL) is -1 under
+    # Spark's default sizeOfNull — report NULL (matching SQL len(NULL)
+    # and the oracle), never -1; prob degrades to sigmoid(bias) via
+    # the size>0 guard above, same as an empty document
+    n_tokens = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.size(toks)
+    )
     return df.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(prob, 4).alias("prob"),
         (prob >= F.lit(float(threshold))).alias("label"),
     )

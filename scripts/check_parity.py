@@ -48,18 +48,26 @@ def main():
     for name in names:
         t0 = time.time()
         timer = None
+        # per-query CURSOR (shares the catalog views): the watchdog
+        # interrupts only this query's own cursor, so a timer firing in
+        # the gap after compare_query returns — or during the Spark
+        # half of the comparison — can never poison the NEXT query's
+        # oracle on a shared connection (a race the first --timeout
+        # implementation had)
+        qcon = con.cursor()
         if args.timeout:
             import threading
 
-            timer = threading.Timer(args.timeout, con.interrupt)
+            timer = threading.Timer(args.timeout, qcon.interrupt)
             timer.start()
         try:
-            status, detail = compare_query(spark, con, name, args.sf)
+            status, detail = compare_query(spark, qcon, name, args.sf)
         except Exception as e:
             status, detail = "fail", f"{type(e).__name__}: {str(e)[:300]}"
         finally:
             if timer is not None:
                 timer.cancel()
+            qcon.close()
         counts[status] += 1
         label = {"ok": "ok   ", "rows-only": "rows ", "fail": "FAIL "}[status]
         print(f"{label} {name}: {detail} [{time.time()-t0:.1f}s]")

@@ -1035,6 +1035,7 @@ def test_hashed_linear_score_matches_hand_scorer_md5(spark):
         (3, ""),
         (4, "   "),
         (5, "the quick brown fox jumps over the lazy dog"),
+        (6, None),  # NULL text: n_tokens NULL (never -1), prob = sigmoid(bias)
     ]
     df = spark.createDataFrame(docs, "doc_id int, text string")
     got = {
@@ -1045,7 +1046,7 @@ def test_hashed_linear_score_matches_hand_scorer_md5(spark):
     }
 
     def expected(text):
-        toks = text.lower().split()
+        toks = (text or "").lower().split()
         raw = bias
         if toks:
             raw += sum(
@@ -1056,11 +1057,11 @@ def test_hashed_linear_score_matches_hand_scorer_md5(spark):
 
     for doc_id, text in docs:
         n, prob = expected(text)
-        assert got[doc_id].n_tokens == n
+        assert got[doc_id].n_tokens == (None if text is None else n)
         assert abs(got[doc_id].prob - round(prob, 4)) < 1e-9, (doc_id, got[doc_id].prob, prob)
         assert got[doc_id].label == (prob >= 0.5)
-    # empty docs score sigmoid(bias) exactly
-    assert got[3].prob == got[4].prob == round(1.0 / (1.0 + math.exp(-bias)), 4)
+    # empty and NULL docs score sigmoid(bias) exactly
+    assert got[3].prob == got[4].prob == got[6].prob == round(1.0 / (1.0 + math.exp(-bias)), 4)
 
 
 def test_hashed_linear_score_xxhash_mode_and_guards(spark):

@@ -558,6 +558,13 @@ def test_save_pq_index_append_uses_existing_codebook(spark, tmp_path):
     for pair, sim in before.items():
         assert after_map[pair] == sim
     assert any(r.neighbor_id >= 60 for r in after)
+    # an at-least-once retry of the SAME append must not let the
+    # duplicated codes occupy extra top-k slots (query-side dedup)
+    save_pq_index(extra, idx, mode="append")
+    again = query_pq_index(spark, idx, corpus.where("vec_id < 3"), k=200).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.sim) for r in again) == sorted(
+        (r.query_id, r.neighbor_id, r.sim) for r in after
+    )
 
 
 def test_semantic_contamination_catches_paraphrase_and_excludes_nulls(spark):
