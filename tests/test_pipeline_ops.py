@@ -1134,3 +1134,38 @@ def test_weighted_sample_per_group_guards_and_edge_weights(spark):
     assert weighted_sample(df, "k", "w", 0).count() == 0
     with pytest.raises(ValueError):
         weighted_sample(df, "k", "w", -1)
+
+
+def test_bm25_property_matches_hand_scorer_on_random_corpora(spark):
+    """Property: for ANY small corpus/query set over a shared vocab,
+    bm25_topk's scores equal the pure-Python reference (1e-10) and its
+    per-query rank order equals sorting the reference's scores with
+    the doc-id tie-break."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import bm25_topk
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    doc_s = st.lists(st.sampled_from(vocab), min_size=1, max_size=12).map(" ".join)
+    corpus_s = st.lists(doc_s, min_size=1, max_size=6)
+    query_s = st.lists(st.sampled_from(vocab + ["missing"]), min_size=1, max_size=3).map(
+        " ".join
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=corpus_s, qtext=query_s)
+    def run(texts, qtext):
+        docs = list(enumerate(texts))
+        queries = [("q", qtext)]
+        ddf = spark.createDataFrame(docs, "doc_id int, text string")
+        qdf = spark.createDataFrame(queries, "query_id string, query_text string")
+        got = bm25_topk(ddf, qdf, "doc_id", "text", k=100).collect()
+        exp = _bm25_expected(docs, queries)["q"]
+        assert {r.doc_id for r in got} == set(exp)
+        for r in got:
+            assert abs(r.score - exp[r.doc_id]) < 1e-10
+        want_order = sorted(exp, key=lambda d: (-exp[d], d))
+        assert [r.doc_id for r in sorted(got, key=lambda r: r.rnk)] == want_order
+
+    run()
