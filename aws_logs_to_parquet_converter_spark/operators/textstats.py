@@ -302,6 +302,102 @@ def tfidf_top_terms(
     )
 
 
+def _bucket_index(tok, dim: int, hash_fn: str):
+    """Token -> weight-bucket index (0..dim-1), the ONE hashing-trick
+    definition shared by the trainer and the scorer so a model can
+    never be applied under a different feature map than it was trained
+    with."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(tok), F.lit(dim))
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+
+def train_hashed_linear(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    dim: int = 64,
+    lr: float = 0.5,
+    iters: int = 20,
+    hash_fn: str = "xxhash64",
+) -> tuple[list[float], float]:
+    """Distributed logistic-regression training for
+    ``hashed_linear_score`` — the "train a small classifier on
+    good-vs-junk text" half of the fastText-style quality filter
+    (Joulin 2016; this module's scorer applies the result at corpus
+    scale).  Full-batch gradient descent: per iteration, one
+    distributed pass computes the exact gradient —
+
+        per doc: p = sigmoid(b + sum(w[h(tok)]) / n_tokens), err = p-y
+        grad_w[j] = mean over docs of err * tf_j / n_tokens
+        grad_b    = mean err
+
+    — as ONE token-explode aggregation keyed by bucket (<= dim rows
+    collected per iteration, a model-size constant; the
+    ``pq_train``/``kmeans`` bounded-driver-state discipline), then the
+    driver updates the dim+1 parameters and rebuilds the literal
+    weight expression for the next pass.  Deterministic: full-batch
+    (no sampling), fixed iteration count, and the per-bucket gradient
+    sums are integer-weighted tf ratios whose summation order only
+    perturbs below float noise.
+
+    ``label_col`` must be 0/1 (or boolean).  Rows with NULL text train
+    on the bias alone (their p is sigmoid(b), their tokens contribute
+    nothing) — the same degradation the scorer applies.  Returns
+    (weights, bias) ready to pass to ``hashed_linear_score`` with the
+    SAME dim and hash_fn.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unsupported hash_fn: {hash_fn}")
+    if iters < 1 or dim < 1:
+        raise ValueError(f"iters and dim must be >= 1, got iters={iters} dim={dim}")
+    w = [0.0] * dim
+    b = 0.0
+    y = F.col(label_col).cast("double")
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    base = df.select(
+        y.alias("_y"), toks.alias("_toks"), n_toks.cast("double").alias("_n")
+    ).where(y.isNotNull())
+    base = base.persist()
+    try:
+        n_docs = base.count()
+        if n_docs == 0:
+            raise ValueError("train_hashed_linear: no labeled rows")
+        for _ in range(iters):
+            w_arr = F.array(*[F.lit(x) for x in w])
+            wsum = F.aggregate(
+                F.col("_toks"),
+                F.lit(0.0),
+                lambda acc, tok: acc
+                + F.element_at(w_arr, (_bucket_index(tok, dim, hash_fn) + 1).cast("int")),
+            )
+            raw = F.lit(b) + F.when(F.col("_n") > 0, wsum / F.col("_n")).otherwise(0.0)
+            err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)) - F.col("_y")).alias("_err")
+            staged = base.select("_toks", "_n", err)
+            # one pass, two aggregates: grad_b rides the same job as a
+            # grouping-sets-free global agg; grad_w is the exploded
+            # per-bucket sum (<= dim rows back to the driver)
+            gb = staged.agg(F.sum("_err").alias("s")).collect()[0].s
+            gw_rows = (
+                staged.where(F.col("_n") > 0)
+                .select(
+                    F.explode("_toks").alias("_tok"),
+                    (F.col("_err") / F.col("_n")).alias("_g"),
+                )
+                .select(_bucket_index(F.col("_tok"), dim, hash_fn).alias("_j"), "_g")
+                .groupBy("_j")
+                .agg(F.sum("_g").alias("g"))
+                .collect()
+            )
+            b -= lr * float(gb) / n_docs
+            for r in gw_rows:
+                w[int(r._j)] -= lr * float(r.g) / n_docs
+    finally:
+        base.unpersist()
+    return w, b
+
+
 def hashed_linear_score(
     df: DataFrame,
     id_col: str,
@@ -350,10 +446,7 @@ def hashed_linear_score(
     w_arr = F.array(*[F.lit(float(x)) for x in weights])
 
     def bucket_weight(tok):
-        if hash_fn == "xxhash64":
-            idx = F.pmod(F.xxhash64(tok), F.lit(dim))
-        else:
-            idx = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+        idx = _bucket_index(tok, dim, hash_fn)
         return F.element_at(w_arr, (idx + 1).cast("int"))
 
     toks = tokens(F.col(text_col))  # lowercases internally

@@ -2088,6 +2088,57 @@ def _classifier_oracle(dim: int = 64, seed: int = 11, bias: float = -0.1) -> str
     """
 
 
+# One full-batch gradient step from w=0, b=0 is CLOSED-FORM: p0 =
+# sigmoid(0) = 0.5 for every doc, so err = 0.5 - y and the update is a
+# single aggregation — which lets the driver hash-grade the trainer's
+# whole distributed gradient pass (fold, explode, bucket groupBy,
+# driver update) without restating the iteration loop in SQL.
+# NOTE: born after the r9 window filled — r10 rotation leader.
+_TRAIN_STEP_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y,
+               list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'), x -> x <> '') AS toks
+        FROM documents
+    ), errs AS (
+        SELECT doc_id, 0.5 - y AS err, toks,
+               CAST(len(toks) AS DOUBLE) AS n
+        FROM d
+    ), gb AS (
+        SELECT SUM(err) AS s, COUNT(*) AS nd FROM errs
+    ), gw AS (
+        SELECT CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 16 AS INTEGER) AS j,
+               SUM(err / n) AS g
+        FROM (SELECT err, n, unnest(toks) AS tok FROM errs WHERE COALESCE(n, 0) > 0)
+        GROUP BY 1
+    )
+    -- + 0.0 normalizes IEEE negative zero (-0.5 * 0.0 = -0.0) to the
+    -- engine's +0.0 (its update is 0.0 - x, never a sign-flipped product)
+    SELECT t.j, -0.5 * COALESCE(gw.g, 0.0) / (SELECT nd FROM gb) + 0.0 AS w
+    FROM range(16) t(j) LEFT JOIN gw ON gw.j = t.j
+    UNION ALL
+    SELECT -1 AS j, -0.5 * s / nd + 0.0 AS w FROM gb
+"""
+
+
+@query("q_classifier_train_step", oracle=_TRAIN_STEP_ORACLE)
+def q_classifier_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed classifier trainer's gradient pass under the
+    driver's oracle gate (textstats.train_hashed_linear, md5 feature
+    map, ONE iteration, lr=0.5, dim=16, labels = doc_id % 2): from
+    zero weights the step is closed-form (err = 0.5 - y), so DuckDB
+    re-derives the exact per-bucket gradient sums and the bias update
+    while the engine computes them through the production fold +
+    explode + bucket aggregation.  Rows: (j, w) for the 16 buckets
+    plus j = -1 for the bias."""
+    d = t(spark, sf_dir, "documents")
+    labeled = d.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    w, b = textstats.train_hashed_linear(
+        labeled, "text", "label", dim=16, lr=0.5, iters=1, hash_fn="md5"
+    )
+    rows = [(j, float(x)) for j, x in enumerate(w)] + [(-1, float(b))]
+    return spark.createDataFrame(rows, "j int, w double")
+
+
 @query("q_quality_classifier", oracle=_classifier_oracle())
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality classifier

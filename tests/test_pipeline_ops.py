@@ -1169,3 +1169,49 @@ def test_bm25_property_matches_hand_scorer_on_random_corpora(spark):
         assert [r.doc_id for r in sorted(got, key=lambda r: r.rnk)] == want_order
 
     run()
+
+
+def test_train_hashed_linear_separates_good_from_junk(spark):
+    """Train on clearly separable labeled text, score the SAME docs:
+    every good doc must outscore every junk doc, with the trained
+    model consumed through hashed_linear_score (shared feature map)."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        hashed_linear_score,
+        train_hashed_linear,
+    )
+
+    good_vocab = ["insightful", "thorough", "coherent", "sourced"]
+    junk_vocab = ["buy", "click", "winner", "pills"]
+    rows = []
+    for i in range(30):
+        rows.append((i, f"{good_vocab[i % 4]} {good_vocab[(i + 1) % 4]} article", 1))
+        rows.append((100 + i, f"{junk_vocab[i % 4]} {junk_vocab[(i + 2) % 4]} now", 0))
+    df = spark.createDataFrame(rows, "doc_id int, text string, label int")
+    w, b = train_hashed_linear(df, "text", "label", dim=32, lr=1.0, iters=30)
+    scored = {
+        r.doc_id: r.prob
+        for r in hashed_linear_score(df, "doc_id", "text", w, bias=b).collect()
+    }
+    good = [scored[i] for i in range(30)]
+    junk = [scored[100 + i] for i in range(30)]
+    assert min(good) > max(junk), (min(good), max(junk))
+    assert min(good) > 0.7 and max(junk) < 0.3
+
+
+def test_train_hashed_linear_deterministic_and_guards(spark):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        train_hashed_linear,
+    )
+
+    rows = [(i, f"tok{i % 5} filler words", i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, label int")
+    w1, b1 = train_hashed_linear(df, "text", "label", dim=16, iters=5)
+    w2, b2 = train_hashed_linear(df.repartition(7), "text", "label", dim=16, iters=5)
+    assert b1 == pytest.approx(b2, abs=1e-9)
+    assert all(a == pytest.approx(c, abs=1e-9) for a, c in zip(w1, w2))
+    with pytest.raises(ValueError):
+        train_hashed_linear(df.where("label IS NULL"), "text", "label")
+    with pytest.raises(ValueError):
+        train_hashed_linear(df, "text", "label", iters=0)
