@@ -2157,6 +2157,44 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: born after the r9 window filled — r10 rotation leader.
+@query(
+    "q_gini_udaf",
+    oracle="""
+    WITH v AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS x
+        FROM documents WHERE n_chars IS NOT NULL
+    ), c AS (
+        SELECT source, x,
+               SUM(x) OVER (PARTITION BY source ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(x) OVER (PARTITION BY source) AS tot,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM v
+    )
+    SELECT source,
+           ROUND((MAX(n) + 1 - 2 * SUM(cum / tot)) / MAX(n), 6) AS gini
+    FROM c GROUP BY source
+    """,
+)
+def q_gini_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-aggregate pandas UDAF seam (functions/udx.gini_udaf)
+    under the driver's oracle gate: per-source Gini coefficient of
+    document lengths — a whole-group Arrow crossing (the one §2.11
+    extension point no other graded entry exercises).  The oracle
+    re-derives the sorted-cumulative Gini identity with window
+    functions; ties in x contribute identical partial sums in any
+    order, so the cumsum is order-deterministic, and both engines
+    accumulate in the same sorted sequence (ROUND 6 absorbs the
+    numpy-pairwise vs sequential-sum last-ulp drift)."""
+    from aws_logs_to_parquet_converter_spark.functions.udx import gini_udaf
+
+    d = t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    return d.groupBy("source").agg(
+        F.round(gini_udaf(F.col("n_chars").cast("double")), 6).alias("gini")
+    )
+
+
 # --------------------------------------------------------------------------
 # Repetition / corpus-mixing wave (round 3)
 # --------------------------------------------------------------------------

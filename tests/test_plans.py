@@ -295,6 +295,9 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk_ivfpq",  # PQ encode + IVF cell assignment, both map-side Arrow
         "q_embed_topk_ivfpq_full",  # same two Arrow seams, full probe + md5 codebook
         "q_bpe_encode",  # BPE apply (map-side merge loop, broadcast ranks)
+        # the grouped-aggregate pandas UDAF extension point (§2.11):
+        # whole-group Arrow crossing, group sizes bounded by contract
+        "q_gini_udaf",
     }
     BNLJ_OK = {
         "q11_important_parts",
@@ -331,7 +334,15 @@ def test_registry_wide_no_scale_killers(spark):
             failures.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             failures.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
-        if any(m in plan for m in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")):
+        if any(
+            m in plan
+            for m in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "AggregateInPandas",  # grouped-agg pandas UDAF (r9: q_gini_udaf)
+            )
+        ):
             if name not in ARROW_SEAMS:
                 failures.append(f"{name}: unsanctioned Python/Arrow seam")
         if _unpartitioned_ordered_windows(plan):
