@@ -450,6 +450,7 @@ def write_training_shards(
     key_col: str = "doc_id",
     seed: int = 42,
     size_col: "str | None" = None,
+    format: str = "parquet",
 ) -> "list[dict]":
     """Export a corpus as training shards: deterministic pseudo-random
     GLOBAL order, fixed shard count, manifest returned (and written as
@@ -474,9 +475,17 @@ def write_training_shards(
     of the just-written columns, and stays correct even if the input
     lineage is non-deterministic).  A NULL key raises at write time
     (F.raise_error in-plan, zero extra pass): NULL has no hash, so it
-    has no shard."""
+    has no shard.
+
+    ``format``: 'parquet' (default — full type fidelity) or 'jsonl'
+    (one JSON object per line, the layout most training loaders
+    consume directly; same shard membership, same sorted order, same
+    manifest.  String/numeric/boolean/array columns round-trip; binary
+    and timestamp columns should stay in parquet)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if format not in ("parquet", "jsonl"):
+        raise ValueError(f"format must be 'parquet' or 'jsonl', got {format!r}")
     key = F.when(
         F.col(key_col).isNull(),
         F.raise_error(F.lit(f"write_training_shards: NULL {key_col} has no shard")),
@@ -489,21 +498,22 @@ def write_training_shards(
              / F.lit(float(0x1_0000_0000)) * n_shards).cast("int"),
         ),
     )
-    (
+    writer = (
         keyed.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "_ord")
         .drop("_ord")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(dest)
     )
+    writer.json(dest) if format == "jsonl" else writer.parquet(dest)
     spark = df.sparkSession
     # explicit schema: an EMPTY corpus (every gate dropped every doc)
     # writes only _SUCCESS, and schema inference would raise — the
     # manifest must instead report all-zero shards (round-6 advisor
     # finding).  The written layout's schema is the input minus the
     # order key (shard is a real column in it, partition-pruned back).
-    written = spark.read.schema(keyed.drop("_ord").schema).parquet(dest)
+    reader = spark.read.schema(keyed.drop("_ord").schema)
+    written = reader.json(dest) if format == "jsonl" else reader.parquet(dest)
     aggs = [F.count("*").alias("n_rows")]
     if size_col is not None:
         aggs.append(F.sum(size_col).alias("size"))

@@ -2880,6 +2880,75 @@ _MIX_BUDGET_ORACLE = r"""
 """
 
 
+# The end-to-end token-exact composition: REAL BPE token counts (the
+# production Arrow encoder over the frozen merge table) feed the
+# budget mixer — graded as ONE pipeline, so the "mixing can consume
+# real token counts" claim is driver-evidenced, not just composable.
+# NOTE: born after the r9 window filled — r10 rotation leader.
+_MIX_BPE_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(ws) AS w
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+') AS ws
+              FROM documents WHERE text IS NOT NULL)
+    ), seg AS (
+        SELECT doc_id, trim({_bpe_oracle_segment('w')}) AS s
+        FROM words WHERE w != ''
+    ), bpe_counts AS (
+        SELECT doc_id, CAST(SUM(len(string_split(s, ' '))) AS BIGINT) AS nb
+        FROM seg GROUP BY doc_id
+    ), docs AS (
+        SELECT d.doc_id, d.source, COALESCE(b.nb, 0) AS n_bpe
+        FROM documents d LEFT JOIN bpe_counts b USING (doc_id)
+    ), totals AS (
+        SELECT source, CAST(SUM(n_bpe) AS DOUBLE) AS tok FROM docs GROUP BY source
+    ), rates AS (
+        SELECT source,
+               LEAST(1.0,
+                     (CASE source WHEN 'src0' THEN 0.40
+                                  WHEN 'src1' THEN 0.15
+                                  ELSE 0.02 END) * 20000.0 / tok) AS rate
+        FROM totals
+    )
+    SELECT docs.source, COUNT(*) AS n_kept, CAST(SUM(n_bpe) AS BIGINT) AS bpe_kept
+    FROM docs JOIN rates r ON docs.source = r.source
+    WHERE r.rate >= 1.0
+       OR substring(md5(CAST(docs.doc_id AS VARCHAR) || '#42'), 1, 8) <
+          lpad(lower(to_hex(CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+    GROUP BY docs.source ORDER BY docs.source
+"""
+
+
+@query("q_mix_bpe_budget", oracle=_MIX_BPE_ORACLE)
+def q_mix_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-EXACT budget mixing, end to end: every document's real
+    BPE token count (operators/bpe.with_bpe_tokens, the production
+    Arrow encoder over the frozen merge table) feeds
+    sampling.mix_to_token_budget — the oracle re-derives the whole
+    chain (BPE fold per word -> per-doc counts -> per-source rates ->
+    md5-threshold sample), so a single mis-merged token anywhere
+    shifts a source's total, its rate, the kept set, and the hash."""
+    from aws_logs_to_parquet_converter_spark.operators import bpe, sampling
+
+    d = t(spark, sf_dir, "documents")
+    enc = bpe.with_bpe_tokens(d, "text", _BPE_MERGES).withColumn(
+        "n_bpe",
+        F.coalesce(
+            F.when(F.col("text").isNotNull(), F.size("bpe_tokens")), F.lit(0)
+        ).cast("long"),
+    )
+    mixed = sampling.mix_to_token_budget(
+        enc, "source", "doc_id", "n_bpe",
+        targets={"src0": 0.40, "src1": 0.15}, budget=20_000,
+        default_target=0.02, seed=42,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_bpe").alias("bpe_kept"))
+        .orderBy("source")
+    )
+
+
 @query("q_mix_token_budget", oracle=_MIX_BUDGET_ORACLE)
 def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-driven mixing (operators/sampling.mix_to_token_budget):

@@ -295,6 +295,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk_ivfpq",  # PQ encode + IVF cell assignment, both map-side Arrow
         "q_embed_topk_ivfpq_full",  # same two Arrow seams, full probe + md5 codebook
         "q_bpe_encode",  # BPE apply (map-side merge loop, broadcast ranks)
+        "q_mix_bpe_budget",  # same BPE Arrow encoder feeding the budget mixer
         # the grouped-aggregate pandas UDAF extension point (§2.11):
         # whole-group Arrow crossing, group sizes bounded by contract
         "q_gini_udaf",
