@@ -375,12 +375,19 @@ def train_hashed_linear(
             raw = F.lit(b) + F.when(F.col("_n") > 0, wsum / F.col("_n")).otherwise(0.0)
             err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)) - F.col("_y")).alias("_err")
             staged = base.select("_toks", "_n", err)
-            # one pass, two aggregates: grad_b rides the same job as a
-            # grouping-sets-free global agg; grad_w is the exploded
-            # per-bucket sum (<= dim rows back to the driver)
-            gb = staged.agg(F.sum("_err").alias("s")).collect()[0].s
+            # ONE job per iteration: grad_b rides the gradient pass as
+            # an Observation collected at the pre-filter point (filters
+            # cannot push through CollectMetrics, so it sees every
+            # labeled doc including token-less ones), while grad_w is
+            # the exploded per-bucket sum (<= dim rows to the driver).
+            # Two separate actions would re-evaluate the per-token
+            # sigmoid fold — the dominant cost — twice per iteration.
+            from pyspark.sql import Observation
+
+            obs = Observation()
             gw_rows = (
-                staged.where(F.col("_n") > 0)
+                staged.observe(obs, F.sum("_err").alias("s"))
+                .where(F.col("_n") > 0)
                 .select(
                     F.explode("_toks").alias("_tok"),
                     (F.col("_err") / F.col("_n")).alias("_g"),
@@ -390,7 +397,7 @@ def train_hashed_linear(
                 .agg(F.sum("_g").alias("g"))
                 .collect()
             )
-            b -= lr * float(gb) / n_docs
+            b -= lr * float(obs.get["s"]) / n_docs
             for r in gw_rows:
                 w[int(r._j)] -= lr * float(r.g) / n_docs
     finally:

@@ -2112,11 +2112,13 @@ _TRAIN_STEP_ORACLE = """
         GROUP BY 1
     )
     -- + 0.0 normalizes IEEE negative zero (-0.5 * 0.0 = -0.0) to the
-    -- engine's +0.0 (its update is 0.0 - x, never a sign-flipped product)
-    SELECT t.j, -0.5 * COALESCE(gw.g, 0.0) / (SELECT nd FROM gb) + 0.0 AS w
+    -- engine's +0.0 (its update is 0.0 - x, never a sign-flipped
+    -- product); ROUND 6 absorbs the cross-engine summation-order drift
+    -- of the per-bucket gradient sums (the float-oracle convention)
+    SELECT t.j, ROUND(-0.5 * COALESCE(gw.g, 0.0) / (SELECT nd FROM gb) + 0.0, 6) AS w
     FROM range(16) t(j) LEFT JOIN gw ON gw.j = t.j
     UNION ALL
-    SELECT -1 AS j, -0.5 * s / nd + 0.0 AS w FROM gb
+    SELECT -1 AS j, ROUND(-0.5 * s / nd + 0.0, 6) AS w FROM gb
 """
 
 
@@ -2136,7 +2138,9 @@ def q_classifier_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled, "text", "label", dim=16, lr=0.5, iters=1, hash_fn="md5"
     )
     rows = [(j, float(x)) for j, x in enumerate(w)] + [(-1, float(b))]
-    return spark.createDataFrame(rows, "j int, w double")
+    return spark.createDataFrame(rows, "j int, w double").select(
+        "j", F.round("w", 6).alias("w")
+    )
 
 
 @query("q_quality_classifier", oracle=_classifier_oracle())
@@ -2173,7 +2177,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
     )
     SELECT source,
-           ROUND((MAX(n) + 1 - 2 * SUM(cum / tot)) / MAX(n), 6) AS gini
+           -- all-zero groups: the UDAF's x.sum()==0 branch returns 0.0;
+           -- an unguarded cum/tot would NULL out here instead
+           CASE WHEN MAX(tot) = 0 THEN 0.0
+                ELSE ROUND((MAX(n) + 1 - 2 * SUM(cum / tot)) / MAX(n), 6)
+           END AS gini
     FROM c GROUP BY source
     """,
 )
