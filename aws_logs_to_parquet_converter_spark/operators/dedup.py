@@ -801,6 +801,98 @@ def minhash_corpus_candidates(
     )
 
 
+def validate_minhash_index(spark: SparkSession, path: str) -> dict:
+    """Health report for a persisted MinHash index — the index-side
+    sibling of the warehouse ``maintain --validate``:
+
+      * ``n_signatures`` / ``n_ids``: duplicate signature rows (a
+        crash-replayed append) show as n_signatures > n_ids — harmless
+        to probes (pair-level dropDuplicates) but dead weight;
+      * ``n_conflicting_ids``: ids carrying DIFFERENT signatures —
+        real corruption (e.g. an append under foreign params before
+        the r9 guard); probes resolve them arbitrarily, rebuild+
+        re-ingest is the fix;
+      * ``n_orphan_band_ids``: band rows whose id has no signature (a
+        pre-r9 crash between the two writes) — their candidates are
+        silently unverifiable;
+      * ``n_unbanded_ids``: signatures with no band rows (a crash
+        after the signatures write) — present but unprobeable until
+        ``rebuild_minhash_index``.
+    """
+    p = _minhash_index_params(spark, path)
+    sig = spark.read.parquet(f"{path}/signatures")
+    bands = spark.read.parquet(f"{path}/bands")
+    sig_stats = sig.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("id").alias("ids"),
+    ).first()
+    conflicting = (
+        sig.dropDuplicates()
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    band_ids = bands.select("id").distinct()
+    sig_ids = sig.select("id").distinct()
+    orphans = band_ids.join(sig_ids, "id", "left_anti").count()
+    unbanded = sig_ids.join(band_ids, "id", "left_anti").count()
+    return {
+        "params": p,
+        "n_signatures": int(sig_stats.rows),
+        "n_ids": int(sig_stats.ids),
+        "n_conflicting_ids": int(conflicting),
+        "n_band_rows": int(bands.count()),
+        "n_orphan_band_ids": int(orphans),
+        "n_unbanded_ids": int(unbanded),
+    }
+
+
+def rebuild_minhash_index(spark: SparkSession, src_path: str, dest_path: str) -> None:
+    """Compact a MinHash index into a fresh copy at ``dest_path`` FROM
+    ITS STORED SIGNATURES — duplicate rows from crash-replayed appends
+    drop, band rows regenerate (healing unbanded ids), and the corpus
+    TEXT is never touched (the whole point of the persisted index: at
+    100 TB a rebuild re-reads ~8*k B/doc of signatures, not the
+    corpus).  Writes to a NEW destination rather than in place, so
+    there is no crash window in which the live index is partial — the
+    caller swaps paths after the rebuild returns (or simply probes
+    ``dest_path`` from then on).
+
+    Conflicting signatures for one id (real corruption, see
+    ``validate_minhash_index``) raise rather than silently picking a
+    winner."""
+    if src_path == dest_path:
+        raise ValueError("rebuild_minhash_index writes a NEW index; dest == src")
+    p = _minhash_index_params(spark, src_path)
+    sig = spark.read.parquet(f"{src_path}/signatures").dropDuplicates()
+    sig = sig.persist()
+    try:
+        conflicts = (
+            sig.groupBy("id").agg(F.count("*").alias("n")).where(F.col("n") > 1).count()
+        )
+        if conflicts:
+            raise ValueError(
+                f"{conflicts} ids carry conflicting signatures in {src_path} — "
+                "corrupted index; rebuild from text with save_minhash_index"
+            )
+        sig.write.mode("overwrite").parquet(f"{dest_path}/signatures")
+        _band_rows(
+            sig.select(F.col("id").alias("_sid"), "signature"),
+            "_sid",
+            p["num_hashes"],
+            p["bands"],
+            p["hash_fn"],
+        ).select("band", "bucket", F.col("_id").alias("id")).write.mode(
+            "overwrite"
+        ).parquet(f"{dest_path}/bands")
+        spark.read.parquet(f"{src_path}/params").write.mode("overwrite").parquet(
+            f"{dest_path}/params"
+        )
+    finally:
+        sig.unpersist()
+
+
 def append_to_minhash_index(
     batch: DataFrame, id_col: str, text_col: str, index_path: str
 ) -> None:

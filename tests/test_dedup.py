@@ -854,3 +854,47 @@ def test_save_minhash_index_append_rejects_mismatched_params(spark, tmp_path):
     save_minhash_index(df, "doc_id", "text", idx, num_hashes=32, bands=8)
     with pytest.raises(ValueError, match="append params"):
         save_minhash_index(df, "doc_id", "text", idx, num_hashes=64, bands=16, mode="append")
+
+
+def test_minhash_index_validate_and_rebuild_compacts_replay_debris(spark, tmp_path):
+    """validate reports replay-duplicated signature rows; rebuild
+    writes a compacted copy FROM signatures (text never re-shingled)
+    whose probe results are identical."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        append_to_minhash_index,
+        minhash_corpus_candidates,
+        rebuild_minhash_index,
+        save_minhash_index,
+        validate_minhash_index,
+    )
+
+    docs = _mk_docs(spark, [
+        (1, "first corpus document with plenty of shingle content to work with"),
+        (2, "second corpus document carrying entirely different running text"),
+    ])
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(docs, "doc_id", "text", idx)
+    # simulate a crash-replayed append: the same batch lands twice
+    extra = _mk_docs(spark, [(3, "a third appended document with its own shingles")])
+    append_to_minhash_index(extra, "doc_id", "text", idx)
+    append_to_minhash_index(extra, "doc_id", "text", idx)
+    rep = validate_minhash_index(spark, idx)
+    assert rep["n_ids"] == 3 and rep["n_signatures"] == 4  # one dead row
+    assert rep["n_conflicting_ids"] == 0
+    assert rep["n_orphan_band_ids"] == 0 and rep["n_unbanded_ids"] == 0
+    # rebuild compacts; probe results identical
+    idx2 = str(tmp_path / "mhidx2")
+    rebuild_minhash_index(spark, idx, idx2)
+    rep2 = validate_minhash_index(spark, idx2)
+    assert rep2["n_signatures"] == rep2["n_ids"] == 3
+    assert rep2["params"] == rep["params"]
+    probe = _mk_docs(spark, [(99, "a third appended document with its own shingles")])
+    before = sorted(map(tuple, minhash_corpus_candidates(
+        probe, "doc_id", "text", idx, threshold=0.5).collect()))
+    after = sorted(map(tuple, minhash_corpus_candidates(
+        probe, "doc_id", "text", idx2, threshold=0.5).collect()))
+    assert before == after and any(c == 3 for _, c, _e in after)
+    with pytest.raises(ValueError, match="dest == src"):
+        rebuild_minhash_index(spark, idx, idx)
