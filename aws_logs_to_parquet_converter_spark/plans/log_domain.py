@@ -729,3 +729,65 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its names."""
     register_views(spark, sf_dir, ["events"])
     return run_presto_sql(spark, _URL_FUNCS_PRESTO)
+
+
+# NOTE: born after the r9 graded window filled — r10 rotation leader
+# with the other post-window births.
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_day
+    ), joined AS (
+        SELECT c.cohort_day, a.day - c.cohort_day AS day_offset, a.user_id
+        FROM activity a JOIN cohorts c USING (user_id)
+    )
+    SELECT CAST(j.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(j.day_offset AS BIGINT) AS day_offset,
+           COUNT(DISTINCT j.user_id) AS n_active,
+           CAST(MAX(s.cohort_size) AS BIGINT) AS cohort_size,
+           ROUND(COUNT(DISTINCT j.user_id) * 10000 / MAX(s.cohort_size)) / 10000.0
+               AS retention
+    FROM joined j JOIN sizes s ON s.cohort_day = j.cohort_day
+    GROUP BY j.cohort_day, j.day_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic product-analytics sibling of the
+    reference's days-apart recency report: users cohort by their
+    first-seen day; each later active day counts them at its offset,
+    and retention = active/cohort_size.  Scale shape: one distinct
+    (user, day) aggregation (map-side combined), one min-per-user
+    cohort aggregation of THAT relation (no second event scan), a join
+    back on user_id (user-cardinality, not event-cardinality), and the
+    final (cohort, offset) rollup — every shuffle keyed and bounded by
+    users x days, never raw events.  The retention ratio is one exact
+    integer division rounded once (the q_text_stats sf1 lesson: never
+    ROUND(AVG) a repeating double cross-engine)."""
+    e = t(spark, sf_dir, "events")
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    joined = activity.join(cohorts, "user_id").select(
+        "cohort_day", F.datediff("day", "cohort_day").alias("day_offset"), "user_id"
+    )
+    return (
+        joined.join(sizes, "cohort_day")
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.max("cohort_size").alias("cohort_size"),
+        )
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (F.round(F.col("n_active") * 10000 / F.col("cohort_size")) / 10000.0)
+            .alias("retention"),
+        )
+    )
