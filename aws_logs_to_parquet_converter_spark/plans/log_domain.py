@@ -791,3 +791,68 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention"),
         )
     )
+
+
+# NOTE: born after the r9 graded window filled — r10 rotation leader
+# with the other post-window births.
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2 AS step, 'click' AS event_type, COUNT(*) AS n_users FROM s2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS event_type, COUNT(*) AS n_users FROM s3
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential event funnel (view -> click -> purchase, each step
+    STRICTLY after the previous step's first completion) — the other
+    classic product-analytics pass over an event log, and genuinely
+    order-dependent: a user who purchased before ever clicking does
+    not convert at step 3.  Scale shape: one filtered min-aggregate
+    per step over the type-pruned scan (predicate reaches the parquet
+    reader), each joined back on user_id — per-step state is one
+    timestamp per surviving user, never a per-user event sort or a
+    window over raw events; k funnel steps cost k type-filtered
+    scans + k user-keyed joins, all bounded by user cardinality after
+    step 1."""
+    e = t(spark, sf_dir, "events")
+
+    def step(prev: DataFrame | None, etype: str, tcol: str) -> DataFrame:
+        src = e.where(F.col("event_type") == etype)
+        if prev is not None:
+            prev_t = prev.columns[-1]
+            src = src.join(prev, "user_id").where(F.col("ts") > F.col(prev_t))
+        return src.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = step(None, "view", "t1")
+    s2 = step(s1, "click", "t2")
+    s3 = step(s2, "purchase", "t3")
+    rows = []
+    for i, (name, df_step) in enumerate([("view", s1), ("click", s2), ("purchase", s3)], 1):
+        rows.append(
+            df_step.agg(
+                F.lit(i).alias("step"),
+                F.lit(name).alias("event_type"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
