@@ -1246,3 +1246,25 @@ def test_write_training_shards_jsonl_format(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_training_shards(df, str(tmp_path / "x"), format="csv")
+
+
+def test_weighted_sample_n1_matches_theoretical_distribution(spark):
+    """For n=1 the A-Res winner is item argmin -ln(u_i)/w_i, which is
+    distributed EXACTLY w_i / sum(w) (the algorithm's defining
+    property).  Empirical check over many seeds: the pick frequency of
+    a 6x-weighted item must straddle its 6/9 theoretical share, far
+    from the 1/3 a uniform sampler would give it."""
+    from aws_logs_to_parquet_converter_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 6.0), (2, 2.0), (3, 1.0)]  # shares 6/9, 2/9, 1/9
+    df = spark.createDataFrame(rows, "k long, w double")
+    picks = {1: 0, 2: 0, 3: 0}
+    n_seeds = 60
+    for seed in range(n_seeds):
+        (winner,) = weighted_sample(df, "k", "w", 1, seed=seed).collect()
+        picks[winner.k] += 1
+    share = picks[1] / n_seeds
+    # binomial(60, 2/3): sd ~ 0.06 — a +-0.18 band is ~3 sd, and
+    # cleanly excludes the uniform 1/3
+    assert 0.49 < share < 0.85, picks
+    assert picks[3] < picks[1], picks
