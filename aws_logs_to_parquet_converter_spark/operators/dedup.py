@@ -817,35 +817,49 @@ def validate_minhash_index(spark: SparkSession, path: str) -> dict:
         silently unverifiable;
       * ``n_unbanded_ids``: signatures with no band rows (a crash
         after the signatures write) — present but unprobeable until
-        ``rebuild_minhash_index``.
+        ``rebuild_minhash_index``;
+      * ``n_bad_length_ids``: signatures whose array length differs
+        from ``params.num_hashes`` — the foreign-params corruption
+        class for NEW ids (same-id conflicts are the other face);
+        their band slices degenerate, so probes involving them are
+        wrong until the rows are purged and re-ingested.
+
+    One scan of each relation: both inputs persist for the report's
+    aggregations and unpersist before returning.
     """
     p = _minhash_index_params(spark, path)
-    sig = spark.read.parquet(f"{path}/signatures")
-    bands = spark.read.parquet(f"{path}/bands")
-    sig_stats = sig.agg(
-        F.count("*").alias("rows"),
-        F.countDistinct("id").alias("ids"),
-    ).first()
-    conflicting = (
-        sig.dropDuplicates()
-        .groupBy("id")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > 1)
-        .count()
-    )
-    band_ids = bands.select("id").distinct()
-    sig_ids = sig.select("id").distinct()
-    orphans = band_ids.join(sig_ids, "id", "left_anti").count()
-    unbanded = sig_ids.join(band_ids, "id", "left_anti").count()
-    return {
-        "params": p,
-        "n_signatures": int(sig_stats.rows),
-        "n_ids": int(sig_stats.ids),
-        "n_conflicting_ids": int(conflicting),
-        "n_band_rows": int(bands.count()),
-        "n_orphan_band_ids": int(orphans),
-        "n_unbanded_ids": int(unbanded),
-    }
+    sig = spark.read.parquet(f"{path}/signatures").persist()
+    bands = spark.read.parquet(f"{path}/bands").persist()
+    try:
+        sig_stats = sig.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("id").alias("ids"),
+            F.count_if(F.size("signature") != p["num_hashes"]).alias("badlen"),
+        ).first()
+        conflicting = (
+            sig.dropDuplicates()
+            .groupBy("id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .count()
+        )
+        band_ids = bands.select("id").distinct()
+        sig_ids = sig.select("id").distinct()
+        orphans = band_ids.join(sig_ids, "id", "left_anti").count()
+        unbanded = sig_ids.join(band_ids, "id", "left_anti").count()
+        return {
+            "params": p,
+            "n_signatures": int(sig_stats.rows),
+            "n_ids": int(sig_stats.ids),
+            "n_conflicting_ids": int(conflicting),
+            "n_bad_length_ids": int(sig_stats.badlen),
+            "n_band_rows": int(bands.count()),
+            "n_orphan_band_ids": int(orphans),
+            "n_unbanded_ids": int(unbanded),
+        }
+    finally:
+        sig.unpersist()
+        bands.unpersist()
 
 
 def rebuild_minhash_index(spark: SparkSession, src_path: str, dest_path: str) -> None:
@@ -859,30 +873,39 @@ def rebuild_minhash_index(spark: SparkSession, src_path: str, dest_path: str) ->
     caller swaps paths after the rebuild returns (or simply probes
     ``dest_path`` from then on).
 
-    Conflicting signatures for one id (real corruption, see
-    ``validate_minhash_index``) raise rather than silently picking a
-    winner."""
-    if src_path == dest_path:
+    Conflicting signatures for one id and wrong-length signatures
+    (real corruption, see ``validate_minhash_index``) raise rather
+    than silently picking a winner or re-banding degenerate slices."""
+    import os
+
+    if os.path.normpath(os.path.abspath(src_path)) == os.path.normpath(
+        os.path.abspath(dest_path)
+    ):
         raise ValueError("rebuild_minhash_index writes a NEW index; dest == src")
     p = _minhash_index_params(spark, src_path)
     sig = spark.read.parquet(f"{src_path}/signatures").dropDuplicates()
     sig = sig.persist()
     try:
-        conflicts = (
-            sig.groupBy("id").agg(F.count("*").alias("n")).where(F.col("n") > 1).count()
-        )
-        if conflicts:
+        bad = sig.agg(
+            F.count_if(F.size("signature") != p["num_hashes"]).alias("badlen"),
+            (F.count("*") - F.countDistinct("id")).alias("conflicts"),
+        ).first()
+        if bad.conflicts:
             raise ValueError(
-                f"{conflicts} ids carry conflicting signatures in {src_path} — "
-                "corrupted index; rebuild from text with save_minhash_index"
+                f"{bad.conflicts} conflicting signature rows (beyond one per id) "
+                f"in {src_path} — corrupted index; rebuild from text with "
+                "save_minhash_index"
+            )
+        if bad.badlen:
+            raise ValueError(
+                f"{bad.badlen} signatures in {src_path} have length != "
+                f"num_hashes={p['num_hashes']} (a foreign-params append) — "
+                "re-banding them would produce degenerate buckets; rebuild "
+                "from text with save_minhash_index"
             )
         sig.write.mode("overwrite").parquet(f"{dest_path}/signatures")
         _band_rows(
-            sig.select(F.col("id").alias("_sid"), "signature"),
-            "_sid",
-            p["num_hashes"],
-            p["bands"],
-            p["hash_fn"],
+            sig, "id", p["num_hashes"], p["bands"], p["hash_fn"]
         ).select("band", "bucket", F.col("_id").alias("id")).write.mode(
             "overwrite"
         ).parquet(f"{dest_path}/bands")

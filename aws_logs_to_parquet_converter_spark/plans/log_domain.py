@@ -737,7 +737,10 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_retention_cohorts",
     oracle="""
     WITH activity AS (
+        -- anonymous rows have no identity to retain: a NULL user
+        -- would join into cohort_size but never into n_active
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE user_id IS NOT NULL
     ), cohorts AS (
         SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
     ), sizes AS (
@@ -769,7 +772,13 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division rounded once (the q_text_stats sf1 lesson: never
     ROUND(AVG) a repeating double cross-engine)."""
     e = t(spark, sf_dir, "events")
-    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # NULL user_id rows are excluded: groupBy would keep a NULL cohort
+    # member that counts in every denominator and never in a numerator
+    activity = (
+        e.where(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
     cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     sizes = cohorts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
     joined = activity.join(cohorts, "user_id").select(

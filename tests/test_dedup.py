@@ -898,3 +898,35 @@ def test_minhash_index_validate_and_rebuild_compacts_replay_debris(spark, tmp_pa
     assert before == after and any(c == 3 for _, c, _e in after)
     with pytest.raises(ValueError, match="dest == src"):
         rebuild_minhash_index(spark, idx, idx)
+
+
+def test_minhash_index_detects_and_refuses_wrong_length_signatures(spark, tmp_path):
+    """The foreign-params corruption class for NEW ids: validate
+    reports bad-length signatures, rebuild refuses to re-band them
+    (slices past the array end would collapse into one degenerate
+    bucket), and the normalized-path guard catches aliases of
+    dest == src."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        rebuild_minhash_index,
+        save_minhash_index,
+        validate_minhash_index,
+    )
+
+    docs = _mk_docs(spark, [(1, "a perfectly ordinary corpus document with text")])
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(docs, "doc_id", "text", idx, num_hashes=32, bands=8)
+    # simulate a pre-guard foreign-params append: a NEW id whose
+    # signature has the wrong length lands directly in the parquet
+    good = spark.read.parquet(f"{idx}/signatures").first()
+    spark.createDataFrame(
+        [(999, list(good.signature)[:16])], "id long, signature array<bigint>"
+    ).write.mode("append").parquet(f"{idx}/signatures")
+    rep = validate_minhash_index(spark, idx)
+    assert rep["n_bad_length_ids"] == 1 and rep["n_conflicting_ids"] == 0
+    with pytest.raises(ValueError, match="length != num_hashes"):
+        rebuild_minhash_index(spark, idx, str(tmp_path / "mhidx2"))
+    # path-alias guard: trailing slash / relative alias of src
+    with pytest.raises(ValueError, match="dest == src"):
+        rebuild_minhash_index(spark, idx, idx + "/")
