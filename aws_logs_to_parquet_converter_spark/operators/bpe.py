@@ -36,8 +36,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: canonical whitespace class, shared with textstats (WS_PLUS there)
-WS_PLUS = "[ \\t\\r\\n\\f\\x0b]+"
+# THE canonical whitespace class — imported, not copied, so BPE word
+# boundaries can never drift from the whitespace token counts the rest
+# of the pipeline uses (round-9 review; the same pattern is a valid
+# Java AND Python regex)
+from aws_logs_to_parquet_converter_spark.operators.textstats import WS_PLUS  # noqa: E402
 
 #: end-of-word marker (Sennrich §3.2) — makes tokenization reversible
 EOW = "</w>"
@@ -150,7 +153,7 @@ def encode_tokens_udf(merges: list[tuple[str, str]]):
     from pyspark.sql.functions import pandas_udf
 
     ranks = {p: i for i, p in enumerate(merges)}
-    ws = re.compile("[ \t\r\n\f\x0b]+")
+    ws = re.compile(WS_PLUS)
 
     # hint-free signature: `from __future__ import annotations`
     # stringifies hints, which the decorator's inference can't resolve
@@ -263,14 +266,16 @@ def with_bpe_ids(
 ) -> DataFrame:
     """Map a BPE token array column to an ``array<int>`` id column —
     the shape a training-shard export actually carries.  The vocab
-    ships as a broadcast map expression (``map(...)[token]`` stays
-    JVM-side; unknown symbols take ``UNK_ID``), so id mapping adds no
-    Python stage and no shuffle."""
-    kv = []
-    for tok, i in vocab.items():
-        kv.append(F.lit(tok))
-        kv.append(F.lit(i))
-    m = F.create_map(*kv)
+    ships as ONE map literal built from two array literals
+    (``map_from_arrays`` — 2 plan nodes total, where a ``create_map``
+    of per-entry literals is 2*|vocab| expression nodes and blows
+    analyzer/codegen limits at real vocabulary sizes); lookup stays
+    JVM-side, unknown symbols take ``UNK_ID``, no Python stage, no
+    shuffle."""
+    items = sorted(vocab.items())
+    m = F.map_from_arrays(
+        F.lit([k for k, _ in items]), F.lit([int(v) for _, v in items])
+    )
     return df.withColumn(
         out_col,
         F.when(

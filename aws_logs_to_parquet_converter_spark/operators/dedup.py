@@ -686,21 +686,36 @@ def save_minhash_index(
     later candidate set (``append_to_minhash_index`` reads the stored
     params for you)."""
     spark = corpus.sparkSession
-    if mode == "append":
+    given = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "seed": seed,
+        "hash_fn": hash_fn,
+    }
+    try:
         stored = _minhash_index_params(spark, path)
-        given = {
-            "num_hashes": num_hashes,
-            "bands": bands,
-            "shingle_n": shingle_n,
-            "seed": seed,
-            "hash_fn": hash_fn,
-        }
-        if {k: stored[k] for k in given} != given:
-            raise ValueError(
-                f"append params {given} != index params "
-                f"{ {k: stored[k] for k in given} } at {path}; use "
-                "append_to_minhash_index() to adopt the stored ones"
+    except Exception:
+        stored = None  # no existing index at this path
+    if stored is not None and {k: stored[k] for k in given} != given:
+        # BOTH modes: appending under foreign params corrupts future
+        # probes outright, and an in-place param-CHANGING rebuild has
+        # an undetectable crash window (params are written last, so a
+        # crash after the data writes leaves new signatures probed
+        # under the old stored params — lengths match, validate can't
+        # see it).  Param changes go to a fresh path.
+        raise ValueError(
+            f"params {given} != existing index params "
+            f"{ {k: stored[k] for k in given} } at {path}; "
+            + (
+                "use append_to_minhash_index() to adopt the stored ones"
+                if mode == "append"
+                else "build a param-changing index at a NEW path (the "
+                "rebuild_minhash_index dest rule)"
             )
+        )
+    if mode == "append" and stored is None:
+        raise ValueError(f"cannot append: no index params at {path}")
     sig = minhash_signatures(
         corpus, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn
     )
@@ -1234,10 +1249,16 @@ def dedup_keep_best(
 
     Returns (id, component, score, keep).  A NULL score ranks below
     every real score (double -inf sentinel) but still wins a
-    singleton component.  ``score_col`` must be numeric (it is negated
-    for the composite ordering); the id column may be ANY orderable
-    type — string doc ids work like the rest of the dedup family
-    (round-8 advisor: the old ``-node`` tie-break was numeric-only).
+    singleton component.  A NaN score ranks below EVERYTHING —
+    including NULL: negation maps NaN to NaN, which Spark's ordering
+    places greatest, so min_by never picks it over any alternative
+    (pinned in test_dedup; an undefined quality like a 0/0 ratio is
+    the member you least want to canonicalize, so losing to the
+    unknown-quality NULL is the intended order).  ``score_col`` must
+    be numeric (it is negated for the composite ordering); the id
+    column may be ANY orderable type — string doc ids work like the
+    rest of the dedup family (round-8 advisor: the old ``-node``
+    tie-break was numeric-only).
     Plan: the components loop, then ONE min_by(struct) aggregate per
     component and a component-keyed join back — no window, no extra
     shuffle beyond keep_list's.

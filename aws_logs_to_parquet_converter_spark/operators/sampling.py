@@ -320,21 +320,30 @@ def temperature_mix(
     operation EXCEPT ``pow`` — which is why ``alpha = 0.5`` (the mT5
     default region) evaluates via ``sqrt`` (correctly rounded in IEEE
     754, so DuckDB and the JVM produce bit-identical doubles).  The
-    powered weights are then QUANTIZED to micro-units
-    (``round(w * 1e6)`` as BIGINT) before the denominator sum: a
-    double sum of irrational weights would be summation-ORDER
-    dependent in its last ulp, and neither engine pins aggregate
-    order — integer micro-weights make the denominator exact and
-    order-free, so a SQL oracle reproduces the exact sample.  Other
-    alphas go through ``pow`` and may differ from an oracle in the
-    last ulp on threshold-boundary rows — differential-test those
-    with a tolerance, or grade at alpha=0.5.
+    powered weights are then QUANTIZED to integers before the
+    denominator sum: a double sum of irrational weights would be
+    summation-ORDER dependent in its last ulp, and neither engine
+    pins aggregate order — integers make the denominator exact and
+    order-free, so a SQL oracle reproduces the exact sample.  The
+    quantization is SCALE-INVARIANT — ``round(w / max(w) * 1e12)`` —
+    so the integers are bounded by 1e12 regardless of corpus size (an
+    absolute ``w * 1e6`` overflows BIGINT once a source's powered
+    weight passes ~9.2e12, i.e. alpha near 1 on a ~10T-token source —
+    exactly the documented 100 TB regime; the max itself rides the
+    same one-row broadcast class as the denominator).  Other alphas
+    go through ``pow`` and may differ from an oracle in the last ulp
+    on threshold-boundary rows — differential-test those with a
+    tolerance, or grade at alpha=0.5.
     """
     tok = F.col("_tok").cast("double")
     powered = F.sqrt(tok) if alpha == 0.5 else F.pow(tok, F.lit(float(alpha)))
     totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_tok"))
-    totals = totals.select(
-        source_col, "_tok", F.round(powered * 1e6).cast("long").alias("_pwq")
+    totals = totals.select(source_col, "_tok", powered.alias("_pw"))
+    scale = totals.agg(F.max("_pw").alias("_pwmax"))
+    totals = totals.join(F.broadcast(scale)).select(
+        source_col,
+        "_tok",
+        F.round(F.col("_pw") / F.col("_pwmax") * F.lit(1e12)).cast("long").alias("_pwq"),
     )
     denom = totals.agg(F.sum("_pwq").alias("_denom"))
     rates = (

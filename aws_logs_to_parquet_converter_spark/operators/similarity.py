@@ -983,26 +983,41 @@ def save_pq_index(
     index that fits where the float corpus cannot: ~m bytes/vector
     (32x at dim=64/m=8), and queries never read a raw vector again.
 
-    Layout:
-      ``{path}/codebook``  m*ks rows (j, c, cent) — tiny;
-      ``{path}/codes``     (id, pq_codes) — the corpus as m one-byte
-                           codes, ONE zero-shuffle Arrow encode pass;
-      ``{path}/params``    one row pinning the build parameters (the
-                           self-describing ``save_minhash_index``
-                           rule).
+    Layout (versioned-commit: the params row is the atomic pointer):
+      ``{path}/v-<ver>/codebook``  m*ks rows (j, c, cent) — tiny;
+      ``{path}/v-<ver>/codes``     (id, pq_codes) — the corpus as m
+                                   one-byte codes, ONE zero-shuffle
+                                   Arrow encode pass;
+      ``{path}/params``            one row pinning the build
+                                   parameters AND the live version —
+                                   written LAST, so a crash anywhere
+                                   mid-rebuild leaves readers on the
+                                   previous complete version instead
+                                   of mixing a new codebook with old
+                                   codes (or vice versa — code arrays
+                                   have the same length either way,
+                                   so no validator could ever catch
+                                   the mismatch after the fact).
+    Stale version dirs are pruned after the commit (single-writer
+    assumption, same as every persisted index here).
 
     ``mode='append'`` admits new vectors ENCODED WITH THE EXISTING
-    CODEBOOK (read back from the index — append can never retrain and
-    silently shift every stored code's meaning); codebook and params
-    are only written by a full rebuild."""
+    CODEBOOK (read back from the live version — append can never
+    retrain and silently shift every stored code's meaning); the
+    codebook, params, and version only change on a full rebuild."""
+    import uuid
+
     spark = corpus.sparkSession
     if mode == "append":
+        ver = _pq_index_version(spark, path)
         book = _load_pq_codebook(spark, path)
     else:
+        ver = uuid.uuid4().hex[:12]
         book = pq_train(
             corpus, id_col, vec_col, m, ks, sample_n, iters, seed, hash_fn
         )
     mm, kk, dsub = book.shape
+    vdir = f"{path}/v-{ver}"
     coded = pq_encode(
         corpus.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
@@ -1011,31 +1026,53 @@ def save_pq_index(
         book,
         out_col="pq_codes",
     ).select("id", "pq_codes")
-    coded.write.mode(mode).parquet(f"{path}/codes")
-    if mode != "append":
-        book_rows = [
-            (j, c, [float(x) for x in book[j][c]])
-            for j in range(mm)
-            for c in range(kk)
-        ]
-        spark.createDataFrame(
-            book_rows, "j int, c int, cent array<double>"
-        ).write.mode("overwrite").parquet(f"{path}/codebook")
-        spark.createDataFrame(
-            [(mm, kk, dsub, sample_n, iters, seed, hash_fn)],
-            "m int, ks int, dsub int, sample_n int, iters int, seed long, hash_fn string",
-        ).write.mode("overwrite").parquet(f"{path}/params")
+    if mode == "append":
+        coded.write.mode("append").parquet(f"{vdir}/codes")
+        return
+    book_rows = [
+        (j, c, [float(x) for x in book[j][c]])
+        for j in range(mm)
+        for c in range(kk)
+    ]
+    spark.createDataFrame(
+        book_rows, "j int, c int, cent array<double>"
+    ).write.mode("overwrite").parquet(f"{vdir}/codebook")
+    coded.write.mode("overwrite").parquet(f"{vdir}/codes")
+    # the COMMIT: params last flips readers onto the complete version
+    spark.createDataFrame(
+        [(ver, mm, kk, dsub, sample_n, iters, seed, hash_fn)],
+        "version string, m int, ks int, dsub int, sample_n int, iters int, "
+        "seed long, hash_fn string",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    # prune superseded versions (post-commit, best effort)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v-") and name != f"v-{ver}":
+            fs.delete(st.getPath(), True)
+
+
+def _pq_index_version(spark, path: str) -> str:
+    row = spark.read.parquet(f"{path}/params").first()
+    if row is None:
+        raise ValueError(f"no PQ index params at {path} — run save_pq_index first")
+    return row.version
 
 
 def _load_pq_codebook(spark, path: str):
-    """Reconstruct the numpy (m, ks, dsub) codebook from the persisted
-    ``{path}/codebook`` relation — bounded driver-side collect
-    (m*ks*dsub doubles, a build-time constant)."""
+    """Reconstruct the numpy (m, ks, dsub) codebook of the LIVE index
+    version (resolved through the params pointer) — bounded
+    driver-side collect (m*ks*dsub doubles, a build-time constant)."""
     import numpy as np
 
-    rows = spark.read.parquet(f"{path}/codebook").orderBy("j", "c").collect()
+    ver = _pq_index_version(spark, path)
+    rows = (
+        spark.read.parquet(f"{path}/v-{ver}/codebook").orderBy("j", "c").collect()
+    )
     if not rows:
-        raise ValueError(f"no PQ codebook at {path}/codebook — run save_pq_index first")
+        raise ValueError(f"no PQ codebook at {path}/v-{ver} — run save_pq_index first")
     m = max(r.j for r in rows) + 1
     ks = max(r.c for r in rows) + 1
     dsub = len(rows[0].cent)
@@ -1059,10 +1096,11 @@ def query_pq_index(
     is one parquet scan of ~m bytes/vector, no re-encode, no raw
     vectors.  Identity with in-memory ``pq_topk`` over the same
     codebook is pinned in test_similarity."""
+    ver = _pq_index_version(spark, path)
     book = _load_pq_codebook(spark, path)
     m, ks, _ = book.shape
     coded = (
-        spark.read.parquet(f"{path}/codes")
+        spark.read.parquet(f"{path}/v-{ver}/codes")
         .select(F.col("id").alias("neighbor_id"), F.col("pq_codes").alias("_pq"))
         # tolerate duplicate code rows (an at-least-once caller
         # retrying an append): a duplicated neighbor must not occupy

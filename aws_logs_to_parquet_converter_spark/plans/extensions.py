@@ -2984,10 +2984,18 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never-driver-graded oracle-bearing entry and OUTRANKS everything in
 # the r10 rotation.
 _TEMPERATURE_MIX_ORACLE = r"""
-    WITH totals AS (
+    WITH raw AS (
         SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok,
-               CAST(ROUND(sqrt(CAST(SUM(n_chars) AS DOUBLE)) * 1000000.0) AS BIGINT) AS pwq
+               sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS pw
         FROM documents GROUP BY source
+    ), scale AS (
+        SELECT MAX(pw) AS pwmax FROM raw
+    ), totals AS (
+        -- scale-invariant quantization (overflow-safe at any corpus
+        -- size; mirrors sampling.temperature_mix exactly)
+        SELECT source, tok,
+               CAST(ROUND(pw / pwmax * 1000000000000.0) AS BIGINT) AS pwq
+        FROM raw, scale
     ), denom AS (
         SELECT SUM(pwq) AS d FROM totals
     ), rates AS (

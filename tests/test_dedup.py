@@ -852,7 +852,7 @@ def test_save_minhash_index_append_rejects_mismatched_params(spark, tmp_path):
     df = _mk_docs(spark, [(1, "some document text long enough to shingle cleanly")])
     idx = str(tmp_path / "mhidx")
     save_minhash_index(df, "doc_id", "text", idx, num_hashes=32, bands=8)
-    with pytest.raises(ValueError, match="append params"):
+    with pytest.raises(ValueError, match="existing index params"):
         save_minhash_index(df, "doc_id", "text", idx, num_hashes=64, bands=16, mode="append")
 
 
@@ -930,3 +930,41 @@ def test_minhash_index_detects_and_refuses_wrong_length_signatures(spark, tmp_pa
     # path-alias guard: trailing slash / relative alias of src
     with pytest.raises(ValueError, match="dest == src"):
         rebuild_minhash_index(spark, idx, idx + "/")
+
+
+def test_save_minhash_index_overwrite_rejects_param_change_in_place(spark, tmp_path):
+    """An in-place param-CHANGING rebuild has an undetectable crash
+    window (params commit last); same-params refresh stays allowed,
+    param changes must go to a fresh path."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.dedup import save_minhash_index
+
+    df = _mk_docs(spark, [(1, "some corpus text long enough to shingle properly")])
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(df, "doc_id", "text", idx, num_hashes=32, bands=8)
+    # same-params refresh: fine
+    save_minhash_index(df, "doc_id", "text", idx, num_hashes=32, bands=8)
+    # param change in place: refused
+    with pytest.raises(ValueError, match="NEW path"):
+        save_minhash_index(df, "doc_id", "text", idx, num_hashes=32, bands=8, seed=7)
+
+
+def test_dedup_keep_best_nan_ranks_below_everything(spark):
+    """Pin the NaN-score order (round-9 review): NaN loses to every
+    real score AND to the NULL sentinel — an undefined quality is the
+    member you least want to canonicalize — while still winning its
+    own singleton component."""
+    from aws_logs_to_parquet_converter_spark.operators.dedup import dedup_keep_best
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [("a1", nan), ("a2", 0.1), ("b1", nan), ("b2", None), ("c1", nan)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2")], "id_a string, id_b string"
+    )
+    kept = {r.doc_id for r in dedup_keep_best(df, pairs, "q", id_col="doc_id").collect()
+            if r.keep}
+    assert kept == {"a2", "b2", "c1"}  # NaN loses to 0.1 AND to NULL; singleton survives

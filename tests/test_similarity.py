@@ -593,3 +593,34 @@ def test_semantic_contamination_catches_paraphrase_and_excludes_nulls(spark):
     )
     kept = sorted(r.vec_id for r in corpus.join(flagged, "vec_id", "left_anti").collect())
     assert kept == [101, 102]
+
+
+def test_pq_index_versioned_commit_ignores_uncommitted_rebuild(spark, tmp_path):
+    """The params row is the atomic pointer: data written under a NEW
+    version dir without the params commit (a crashed rebuild) is
+    invisible — readers stay on the previous complete version — and a
+    completed rebuild prunes the superseded dir."""
+    import os
+
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        query_pq_index,
+        save_pq_index,
+    )
+
+    corpus = _vec_df(spark, 40)
+    queries = corpus.where("vec_id < 3")
+    idx = str(tmp_path / "pqidx")
+    save_pq_index(corpus, idx, m=4, ks=8, sample_n=32, iters=2)
+    before = sorted(map(tuple, query_pq_index(spark, idx, queries, k=5).collect()))
+    # simulate a crashed rebuild: a new version dir with garbage codes,
+    # but NO params commit
+    spark.createDataFrame(
+        [(0, [0, 0, 0, 0])], "id long, pq_codes array<int>"
+    ).write.parquet(f"{idx}/v-deadbeefcafe/codes")
+    after = sorted(map(tuple, query_pq_index(spark, idx, queries, k=5).collect()))
+    assert after == before  # uncommitted version never read
+    # a completed rebuild commits a new pointer and prunes stale dirs
+    save_pq_index(corpus, idx, m=4, ks=8, sample_n=32, iters=2)
+    vdirs = [d for d in os.listdir(idx) if d.startswith("v-")]
+    assert len(vdirs) == 1 and vdirs[0] != "v-deadbeefcafe"
+    assert sorted(map(tuple, query_pq_index(spark, idx, queries, k=5).collect())) == before
