@@ -666,18 +666,28 @@ def save_minhash_index(
     corpus+batch per day would re-shingle and re-shuffle 100 TB to
     admit a few GB; this index makes the daily probe O(batch).
 
-    Layout:
-      ``{path}/bands``       (band, bucket, id) rows — the LSH buckets
-                             the probe equi-joins against (~bands rows
-                             x ~16 B/doc);
-      ``{path}/signatures``  (id, signature) — what the est-Jaccard
-                             verification reads (~8*num_hashes B/doc);
-                             corpus TEXT is never stored or re-read;
+    Layout (versioned-commit, the ``save_pq_index`` pattern):
+      ``{path}/v-<ver>/bands``       (band, bucket, id) rows — the LSH
+                             buckets the probe equi-joins against
+                             (~bands rows x ~16 B/doc);
+      ``{path}/v-<ver>/signatures``  (id, signature) — what the
+                             est-Jaccard verification reads
+                             (~8*num_hashes B/doc); corpus TEXT is
+                             never stored or re-read;
       ``{path}/params``      one row pinning (num_hashes, bands,
-                             shingle_n, seed, hash_fn) — the probe
-                             reads its parameters FROM the index, so
-                             build and probe cannot disagree (the
-                             ``digest_bloom`` self-describing rule).
+                             shingle_n, seed, hash_fn) AND the live
+                             version — the probe reads its parameters
+                             FROM the index, so build and probe cannot
+                             disagree (the ``digest_bloom``
+                             self-describing rule), and the params row
+                             is written LAST so a crash mid-refresh
+                             leaves readers on the previous complete
+                             version (an in-place overwrite could pair
+                             NEW signatures with OLD band rows — an
+                             undetectable corruption, since ids,
+                             counts, and lengths all still match).
+    Pre-versioning flat-layout indexes remain readable/appendable; a
+    refresh migrates them.
 
     ``mode='append'`` admits a cleaned batch into the index; the
     caller's build parameters are CHECKED against the stored params
@@ -724,23 +734,74 @@ def save_minhash_index(
     # sequential jobs, never scheduled concurrently).
     sig = sig.persist()
     try:
-        # signatures BEFORE bands: a crash between the two writes then
-        # leaves an unbanded signature (merely unprobed until rewrite)
-        # instead of a band row whose verification join silently drops
-        # every future candidate pair for that document
-        sig.select(F.col(id_col).alias("id"), "signature").write.mode(mode).parquet(
-            f"{path}/signatures"
-        )
-        _band_rows(sig, id_col, num_hashes, bands, hash_fn).select(
-            "band", "bucket", F.col("_id").alias("id")
-        ).write.mode(mode).parquet(f"{path}/bands")
-        if mode == "overwrite":
+        if mode == "append":
+            vdir = _minhash_vdir(path, stored)
+            # signatures BEFORE bands: a crash between the two appends
+            # then leaves an unbanded signature (merely unprobed until
+            # rebuild) instead of a band row whose verification join
+            # silently drops every future candidate pair for that
+            # document — both appends are ADDITIVE within the live
+            # version, so this is the worst case
+            sig.select(F.col(id_col).alias("id"), "signature").write.mode(
+                "append"
+            ).parquet(f"{vdir}/signatures")
+            _band_rows(sig, id_col, num_hashes, bands, hash_fn).select(
+                "band", "bucket", F.col("_id").alias("id")
+            ).write.mode("append").parquet(f"{vdir}/bands")
+        else:
+            # versioned commit (the save_pq_index pattern — r9 advisor):
+            # a fresh build or same-params REFRESH writes into a new
+            # v-<ver> dir and flips the params pointer LAST, so a crash
+            # anywhere mid-refresh leaves readers on the previous
+            # complete version.  In-place overwrite had an undetectable
+            # crash window: NEW signatures paired with OLD band rows —
+            # ids, counts, and lengths all match, so probes band on
+            # stale buckets and validate cannot see it.
+            import uuid
+
+            ver = uuid.uuid4().hex[:12]
+            vdir = f"{path}/v-{ver}"
+            sig.select(F.col(id_col).alias("id"), "signature").write.mode(
+                "overwrite"
+            ).parquet(f"{vdir}/signatures")
+            _band_rows(sig, id_col, num_hashes, bands, hash_fn).select(
+                "band", "bucket", F.col("_id").alias("id")
+            ).write.mode("overwrite").parquet(f"{vdir}/bands")
+            # the COMMIT: params last flips readers onto the new version
             spark.createDataFrame(
-                [(num_hashes, bands, shingle_n, seed, hash_fn)],
-                "num_hashes int, bands int, shingle_n int, seed long, hash_fn string",
+                [(num_hashes, bands, shingle_n, seed, hash_fn, ver)],
+                "num_hashes int, bands int, shingle_n int, seed long, "
+                "hash_fn string, version string",
             ).write.mode("overwrite").parquet(f"{path}/params")
+            _prune_stale_versions(spark, path, ver)
     finally:
         sig.unpersist()
+
+
+def _minhash_vdir(path: str, params: dict) -> str:
+    """Live data dir of a MinHash index: ``{path}/v-<version>`` under
+    the versioned-commit layout; ``path`` itself for indexes persisted
+    before versioning (params row without a ``version`` field) — those
+    stay readable and appendable, and their next overwrite-refresh
+    migrates them."""
+    ver = params.get("version")
+    return f"{path}/v-{ver}" if ver else path
+
+
+def _prune_stale_versions(spark: SparkSession, path: str, live_ver: str) -> None:
+    """Drop superseded ``v-*`` dirs after a committed refresh
+    (post-commit best effort; single-writer assumption, same as
+    save_pq_index)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        stale_v = name.startswith("v-") and name != f"v-{live_ver}"
+        # flat-layout leftovers after a legacy index's migrating refresh
+        stale_flat = name in ("signatures", "bands")
+        if stale_v or stale_flat:
+            fs.delete(st.getPath(), True)
 
 
 def _minhash_index_params(spark: SparkSession, path: str) -> dict:
@@ -787,16 +848,17 @@ def minhash_corpus_candidates(
         p["seed"],
         hash_fn=p["hash_fn"],
     )
+    vdir = _minhash_vdir(index_path, p)
     banded = _band_rows(sig, id_col, p["num_hashes"], p["bands"], p["hash_fn"]).select(
         F.col("_id").alias("_bid"), "band", "bucket"
     )
-    idx = spark.read.parquet(f"{index_path}/bands")
+    idx = spark.read.parquet(f"{vdir}/bands")
     cands = (
         banded.join(idx, ["band", "bucket"])
         .select(F.col("_bid"), F.col("id").alias("corpus_id"))
         .dropDuplicates(["_bid", "corpus_id"])
     )
-    corpus_sig = spark.read.parquet(f"{index_path}/signatures").select(
+    corpus_sig = spark.read.parquet(f"{vdir}/signatures").select(
         F.col("id").alias("corpus_id"), F.col("signature").alias("sig_c")
     )
     batch_sig = sig.select(F.col(id_col).alias("_bid"), F.col("signature").alias("sig_b"))
@@ -843,8 +905,9 @@ def validate_minhash_index(spark: SparkSession, path: str) -> dict:
     aggregations and unpersist before returning.
     """
     p = _minhash_index_params(spark, path)
-    sig = spark.read.parquet(f"{path}/signatures").persist()
-    bands = spark.read.parquet(f"{path}/bands").persist()
+    vdir = _minhash_vdir(path, p)
+    sig = spark.read.parquet(f"{vdir}/signatures").persist()
+    bands = spark.read.parquet(f"{vdir}/bands").persist()
     try:
         sig_stats = sig.agg(
             F.count("*").alias("rows"),
@@ -898,7 +961,7 @@ def rebuild_minhash_index(spark: SparkSession, src_path: str, dest_path: str) ->
     ):
         raise ValueError("rebuild_minhash_index writes a NEW index; dest == src")
     p = _minhash_index_params(spark, src_path)
-    sig = spark.read.parquet(f"{src_path}/signatures").dropDuplicates()
+    sig = spark.read.parquet(f"{_minhash_vdir(src_path, p)}/signatures").dropDuplicates()
     sig = sig.persist()
     try:
         bad = sig.agg(
@@ -918,15 +981,24 @@ def rebuild_minhash_index(spark: SparkSession, src_path: str, dest_path: str) ->
                 "re-banding them would produce degenerate buckets; rebuild "
                 "from text with save_minhash_index"
             )
-        sig.write.mode("overwrite").parquet(f"{dest_path}/signatures")
+        # same versioned commit as save_minhash_index: data dirs first,
+        # the params pointer last (a crash mid-rebuild leaves dest_path
+        # paramless => unreadable, never half-built-but-live)
+        import uuid
+
+        ver = uuid.uuid4().hex[:12]
+        vdir = f"{dest_path}/v-{ver}"
+        sig.write.mode("overwrite").parquet(f"{vdir}/signatures")
         _band_rows(
             sig, "id", p["num_hashes"], p["bands"], p["hash_fn"]
         ).select("band", "bucket", F.col("_id").alias("id")).write.mode(
             "overwrite"
-        ).parquet(f"{dest_path}/bands")
-        spark.read.parquet(f"{src_path}/params").write.mode("overwrite").parquet(
-            f"{dest_path}/params"
-        )
+        ).parquet(f"{vdir}/bands")
+        spark.createDataFrame(
+            [(p["num_hashes"], p["bands"], p["shingle_n"], p["seed"], p["hash_fn"], ver)],
+            "num_hashes int, bands int, shingle_n int, seed long, "
+            "hash_fn string, version string",
+        ).write.mode("overwrite").parquet(f"{dest_path}/params")
     finally:
         sig.unpersist()
 

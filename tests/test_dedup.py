@@ -889,7 +889,9 @@ def test_minhash_index_validate_and_rebuild_compacts_replay_debris(spark, tmp_pa
     rebuild_minhash_index(spark, idx, idx2)
     rep2 = validate_minhash_index(spark, idx2)
     assert rep2["n_signatures"] == rep2["n_ids"] == 3
-    assert rep2["params"] == rep["params"]
+    # build params carry over verbatim; only the commit version differs
+    strip = lambda p: {k: v for k, v in p.items() if k != "version"}  # noqa: E731
+    assert strip(rep2["params"]) == strip(rep["params"])
     probe = _mk_docs(spark, [(99, "a third appended document with its own shingles")])
     before = sorted(map(tuple, minhash_corpus_candidates(
         probe, "doc_id", "text", idx, threshold=0.5).collect()))
@@ -919,10 +921,16 @@ def test_minhash_index_detects_and_refuses_wrong_length_signatures(spark, tmp_pa
     save_minhash_index(docs, "doc_id", "text", idx, num_hashes=32, bands=8)
     # simulate a pre-guard foreign-params append: a NEW id whose
     # signature has the wrong length lands directly in the parquet
-    good = spark.read.parquet(f"{idx}/signatures").first()
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        _minhash_index_params,
+        _minhash_vdir,
+    )
+
+    vdir = _minhash_vdir(idx, _minhash_index_params(spark, idx))
+    good = spark.read.parquet(f"{vdir}/signatures").first()
     spark.createDataFrame(
         [(999, list(good.signature)[:16])], "id long, signature array<bigint>"
-    ).write.mode("append").parquet(f"{idx}/signatures")
+    ).write.mode("append").parquet(f"{vdir}/signatures")
     rep = validate_minhash_index(spark, idx)
     assert rep["n_bad_length_ids"] == 1 and rep["n_conflicting_ids"] == 0
     with pytest.raises(ValueError, match="length != num_hashes"):
@@ -968,3 +976,54 @@ def test_dedup_keep_best_nan_ranks_below_everything(spark):
     kept = {r.doc_id for r in dedup_keep_best(df, pairs, "q", id_col="doc_id").collect()
             if r.keep}
     assert kept == {"a2", "b2", "c1"}  # NaN loses to 0.1 AND to NULL; singleton survives
+
+
+def test_minhash_index_refresh_is_versioned_commit(spark, tmp_path):
+    """A same-params overwrite REFRESH must be crash-atomic (r9
+    advisor): (a) a crashed refresh — new data dir written, params
+    pointer NOT flipped — leaves probes on the previous complete
+    version; (b) a committed refresh flips probes onto the new text
+    and prunes the superseded version dir."""
+    import os
+
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        _minhash_index_params,
+        _minhash_vdir,
+        minhash_corpus_candidates,
+        save_minhash_index,
+        validate_minhash_index,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog and naps in the warm afternoon sun"
+    b = "completely different content about distributed query engines and columnar io paths"
+    idx = str(tmp_path / "mhidx")
+    save_minhash_index(_mk_docs(spark, [(1, a)]), "doc_id", "text", idx, num_hashes=32, bands=8)
+    p1 = _minhash_index_params(spark, idx)
+    v1 = _minhash_vdir(idx, p1)
+    assert "/v-" in v1  # versioned layout from birth
+
+    # (a) simulate a refresh that crashed BEFORE the params flip: a
+    # stray complete-looking v-dir exists, but the pointer still names
+    # v1 — probes and validate must keep reading v1 only
+    stray = f"{idx}/v-deadbeef0000"
+    spark.read.parquet(f"{v1}/signatures").write.parquet(f"{stray}/signatures")
+    spark.read.parquet(f"{v1}/bands").write.parquet(f"{stray}/bands")
+    assert _minhash_vdir(idx, _minhash_index_params(spark, idx)) == v1
+    probe = _mk_docs(spark, [(9, a)])
+    assert minhash_corpus_candidates(probe, "doc_id", "text", idx, 0.5).count() == 1
+    assert validate_minhash_index(spark, idx)["n_ids"] == 1
+
+    # (b) committed refresh: same id, CHANGED text — bands and
+    # signatures must both come from the new version (the in-place
+    # overwrite hazard was new signatures probing old buckets)
+    save_minhash_index(_mk_docs(spark, [(1, b)]), "doc_id", "text", idx, num_hashes=32, bands=8)
+    p2 = _minhash_index_params(spark, idx)
+    v2 = _minhash_vdir(idx, p2)
+    assert v2 != v1
+    assert minhash_corpus_candidates(probe, "doc_id", "text", idx, 0.5).count() == 0
+    probe_b = _mk_docs(spark, [(9, b)])
+    got = minhash_corpus_candidates(probe_b, "doc_id", "text", idx, 0.5).collect()
+    assert [(r.doc_id, r.corpus_id) for r in got] == [(9, 1)]
+    # superseded dirs (old version AND the crash debris) pruned
+    left = {d for d in os.listdir(idx) if d.startswith("v-")}
+    assert left == {os.path.basename(v2)}
