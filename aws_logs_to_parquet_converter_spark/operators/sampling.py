@@ -114,7 +114,13 @@ def weighted_sample(
     )
     pri = -F.log(u) / F.col(weight_col).cast("double")
     eligible = df.where(
-        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0)
+        # Spark compares NaN GREATER than everything, so NaN > 0 passes
+        # — but no priority is defined for NaN weight (outside the
+        # paper's w > 0 domain); in a group smaller than n such a row
+        # would enter the sample (r9 advisor)
+        & ~F.isnan(F.col(weight_col).cast("double"))
     ).withColumn("_pri", pri)
     if by is None:
         out = eligible.orderBy("_pri", key_col).limit(n)

@@ -1018,14 +1018,23 @@ def save_pq_index(
         )
     mm, kk, dsub = book.shape
     vdir = f"{path}/v-{ver}"
-    coded = pq_encode(
-        corpus.where(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
-        ),
-        "_v",
-        book,
-        out_col="pq_codes",
-    ).select("id", "pq_codes")
+    rows = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    )
+    if mode == "append":
+        # vectors of the wrong dimension would encode into VALID-LOOKING
+        # m-byte codes (each subvector just truncates/misreads), so the
+        # corruption is undetectable after the fact — check length
+        # against the stored codebook BEFORE encoding (r9 advisor)
+        n_bad = rows.where(F.size("_v") != mm * dsub).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} vectors have dim != codebook dim {mm * dsub} "
+                f"(m={mm} x dsub={dsub}) at {path} — wrong-dimension vectors "
+                "encode into plausible codes; fix the batch or rebuild the "
+                "index at the new dimension"
+            )
+    coded = pq_encode(rows, "_v", book, out_col="pq_codes").select("id", "pq_codes")
     if mode == "append":
         coded.write.mode("append").parquet(f"{vdir}/codes")
         return
@@ -1110,6 +1119,50 @@ def query_pq_index(
     )
     q = _pq_query_tables(spark, queries, book, id_col, vec_col)
     return _adc_topk(coded, q, m, ks, k)
+
+
+def validate_pq_index(spark, path: str) -> dict:
+    """Health report for a persisted PQ index — the PQ sibling of
+    ``validate_minhash_index`` (r9 advisor: append-time debris had no
+    surfacing path):
+
+      * ``n_codes`` / ``n_ids``: duplicate code rows (an at-least-once
+        caller retrying an append) show as n_codes > n_ids — harmless
+        to queries (neighbor-level dropDuplicates) but dead weight;
+      * ``n_conflicting_ids``: ids carrying DIFFERENT code arrays —
+        real corruption (the same id re-appended with changed
+        vectors); queries resolve them arbitrarily, so purge +
+        re-append is the fix;
+      * ``n_bad_length_ids``: code arrays whose length differs from
+        the codebook's ``m`` — a foreign-codebook append.
+
+    One scan of the codes relation (persisted for the aggregations)."""
+    ver = _pq_index_version(spark, path)
+    m = int(spark.read.parquet(f"{path}/params").first().m)
+    codes = spark.read.parquet(f"{path}/v-{ver}/codes").persist()
+    try:
+        stats = codes.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("id").alias("ids"),
+            F.count_if(F.size("pq_codes") != m).alias("badlen"),
+        ).first()
+        conflicting = (
+            codes.dropDuplicates()
+            .groupBy("id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .count()
+        )
+        return {
+            "version": ver,
+            "m": m,
+            "n_codes": int(stats.rows),
+            "n_ids": int(stats.ids),
+            "n_conflicting_ids": int(conflicting),
+            "n_bad_length_ids": int(stats.badlen),
+        }
+    finally:
+        codes.unpersist()
 
 
 def pq_topk_ivf(

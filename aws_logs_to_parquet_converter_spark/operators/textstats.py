@@ -365,7 +365,12 @@ def train_hashed_linear(
         if n_docs == 0:
             raise ValueError("train_hashed_linear: no labeled rows")
         for _ in range(iters):
-            w_arr = F.array(*[F.lit(x) for x in w])
+            # ONE literal array node (the with_bpe_ids pattern), not dim
+            # per-element F.lit nodes — per-element literals are the
+            # expression-tree blowup class that breaks analyzer/codegen
+            # limits past a few hundred dims, and the trainer rebuilds
+            # this every iteration (r9 advisor)
+            w_arr = F.lit([float(x) for x in w])
             wsum = F.aggregate(
                 F.col("_toks"),
                 F.lit(0.0),
@@ -450,7 +455,9 @@ def hashed_linear_score(
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"unsupported hash_fn: {hash_fn}")
     dim = len(weights)
-    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    # single literal array node, not dim per-element F.lit nodes (the
+    # with_bpe_ids pattern; see train_hashed_linear)
+    w_arr = F.lit([float(x) for x in weights])
 
     def bucket_weight(tok):
         idx = _bucket_index(tok, dim, hash_fn)

@@ -2452,11 +2452,22 @@ def _bpe_oracle_segment(word_expr: str) -> str:
     symbols (occurrences of a merge pattern can never overlap, so
     literal replace is EXACTLY symbol-space BPE — see the operator
     docstring for why a space-delimited form is wrong), one literal
-    replace per merge in rank order, then unwrap to space-joined."""
-    s = f"regexp_replace({word_expr}, '(.)', '(\\1)', 'g') || '(</w>)'"
+    replace per merge in rank order, then unwrap to space-joined.
+
+    Words CONTAINING '(' or ')' would corrupt the wrap itself (the
+    production encoder handles them natively, so the grade used to
+    depend silently on the fixture staying paren-free — r9 advisor):
+    parens are remapped to the control sentinels chr(1)/chr(2) before
+    wrapping and restored after unwrapping.  Sound because no merge
+    symbol contains a paren (asserted below) and document text never
+    carries raw \\x01/\\x02 control bytes."""
+    assert not any("(" in a + b or ")" in a + b for a, b in _BPE_MERGES)
+    inner = f"replace(replace({word_expr}, '(', chr(1)), ')', chr(2))"
+    s = f"regexp_replace({inner}, '(.)', '(\\1)', 'g') || '(</w>)'"
     for a, b in _BPE_MERGES:
         s = f"replace({s}, '({a})({b})', '({a}{b})')"
-    return f"regexp_replace(replace({s}, ')(', ' '), '^\\(|\\)$', '', 'g')"
+    out = f"regexp_replace(replace({s}, ')(', ' '), '^\\(|\\)$', '', 'g')"
+    return f"replace(replace({out}, chr(1), '('), chr(2), ')')"
 
 
 @query(

@@ -186,3 +186,39 @@ def test_bpe_vocab_deterministic_and_dense(spark):
     ids = sorted(v1.values())
     assert ids == list(range(len(ids)))  # dense, 0-based
     assert v1[bpe.UNK] == bpe.UNK_ID
+
+
+def test_bpe_oracle_fold_handles_paren_words(spark):
+    """The DuckDB oracle restates the encoder as a paren-wrapped replace
+    fold; a word containing '(' or ')' used to corrupt the wrap while
+    the production encoder handled it fine (r9 advisor) — the sentinel
+    remap must make both paths agree on paren-bearing text."""
+    import duckdb
+
+    from aws_logs_to_parquet_converter_spark.plans.extensions import (
+        _BPE_MERGES,
+        _bpe_oracle_segment,
+    )
+
+    texts = ["a(b window c)d", "(lower)", "scan(column)", "()", "er(er)er"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r.doc_id: r.bpe_text
+        for r in bpe.with_bpe_tokens(df, "text", _BPE_MERGES)
+        .select("doc_id", F.array_join("bpe_tokens", " ").alias("bpe_text"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for i, txt in enumerate(texts):
+        rows = con.execute(
+            f"""
+            SELECT string_agg(s, ' ' ORDER BY i) FROM (
+              SELECT trim({_bpe_oracle_segment('w')}) AS s, i FROM (
+                SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+                FROM (SELECT string_split_regex(lower(?), '[ \\t\\r\\n\\f\\x0b]+') AS ws)
+              ) WHERE w != ''
+            )
+            """,
+            [txt],
+        ).fetchone()
+        assert rows[0] == got[i], f"doc {i} ({txt!r}): oracle {rows[0]!r} != spark {got[i]!r}"

@@ -1268,3 +1268,17 @@ def test_weighted_sample_n1_matches_theoretical_distribution(spark):
     # cleanly excludes the uniform 1/3
     assert 0.49 < share < 0.85, picks
     assert picks[3] < picks[1], picks
+
+
+def test_weighted_sample_nan_weight_excluded(spark):
+    """Spark orders NaN greater than any number, so `w > 0` alone would
+    admit NaN-weight rows — and in a group smaller than n the NaN row
+    entered the sample (r9 advisor); NaN is outside the A-Res w > 0
+    domain and must never be sampled."""
+    from aws_logs_to_parquet_converter_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0)], "k long, w double"
+    )
+    got = sorted(r.k for r in weighted_sample(df, "k", "w", 10).collect())
+    assert got == [1, 3]

@@ -624,3 +624,39 @@ def test_pq_index_versioned_commit_ignores_uncommitted_rebuild(spark, tmp_path):
     vdirs = [d for d in os.listdir(idx) if d.startswith("v-")]
     assert len(vdirs) == 1 and vdirs[0] != "v-deadbeefcafe"
     assert sorted(map(tuple, query_pq_index(spark, idx, queries, k=5).collect())) == before
+
+
+def test_save_pq_index_append_rejects_wrong_dim_and_validate_reports_conflicts(
+    spark, tmp_path
+):
+    """Wrong-dimension vectors encode into plausible m-byte codes (each
+    subvector just misreads), so the append must refuse them BEFORE
+    encoding; and validate_pq_index must surface replay debris and
+    same-id-different-codes conflicts the way validate_minhash_index
+    does (r9 advisor)."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        save_pq_index,
+        validate_pq_index,
+    )
+
+    corpus = _vec_df(spark, 40)
+    idx = str(tmp_path / "pqidx")
+    save_pq_index(corpus, idx, m=4, ks=8, sample_n=32, iters=2)
+    rep = validate_pq_index(spark, idx)
+    assert rep["n_codes"] == rep["n_ids"] == 40
+    assert rep["n_conflicting_ids"] == 0 and rep["n_bad_length_ids"] == 0
+
+    wrong = _vec_df(spark, 5, dim=12).withColumn("vec_id", F.col("vec_id") + 100)
+    with pytest.raises(ValueError, match="dim != codebook dim 16"):
+        save_pq_index(wrong, idx, mode="append")
+
+    # same id, different vector content => conflicting codes on re-append
+    shifted = _vec_df(spark, 3, seed=99).select(
+        "vec_id", F.transform("embedding", lambda x: x * 2).alias("embedding")
+    )
+    save_pq_index(shifted, idx, mode="append")
+    rep2 = validate_pq_index(spark, idx)
+    assert rep2["n_codes"] == 43
+    assert rep2["n_conflicting_ids"] >= 1
