@@ -320,6 +320,8 @@ def train_hashed_linear(
     lr: float = 0.5,
     iters: int = 20,
     hash_fn: str = "xxhash64",
+    init_weights: "list[float] | None" = None,
+    init_bias: float = 0.0,
 ) -> tuple[list[float], float]:
     """Distributed logistic-regression training for
     ``hashed_linear_score`` — the "train a small classifier on
@@ -351,8 +353,15 @@ def train_hashed_linear(
         raise ValueError(f"unsupported hash_fn: {hash_fn}")
     if iters < 1 or dim < 1:
         raise ValueError(f"iters and dim must be >= 1, got iters={iters} dim={dim}")
-    w = [0.0] * dim
-    b = 0.0
+    # warm start (continued training / checkpoint-restart): iterating
+    # N times from zero equals N one-iteration calls chained through
+    # init_* — pinned in test_pipeline_ops
+    if init_weights is not None and len(init_weights) != dim:
+        raise ValueError(
+            f"init_weights has dim {len(init_weights)}, expected {dim}"
+        )
+    w = [float(x) for x in init_weights] if init_weights is not None else [0.0] * dim
+    b = float(init_bias)
     y = F.col(label_col).cast("double")
     toks = tokens(F.col(text_col))
     n_toks = F.size(toks)

@@ -2161,6 +2161,109 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full train-THEN-score chain (round-9 verdict item 5): two gradient
+# iterations with the parameter vector ROUND(9)-pinned between them —
+# the cross-engine convention that makes the chain graded rather than
+# flaky: each engine's per-bucket gradient SUM carries ~1e-16
+# summation-order drift, so both re-quantize onto the same decimal
+# grid before the next iteration consumes the weights, and every
+# downstream per-doc fold then runs from bit-identical literals (the
+# q_mix_bpe_budget composition pattern: one oracle for the chain).
+_TS_BUCKET = "CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 16 AS INTEGER)"
+_TRAIN_SCORE_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, text, CAST(doc_id % 2 AS DOUBLE) AS y,
+               list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), e1 AS (
+        SELECT doc_id, y, toks, 0.5 - y AS err,
+               CAST(len(toks) AS DOUBLE) AS n
+        FROM d
+    ), gb1 AS (SELECT SUM(err) AS s, COUNT(*) AS nd FROM e1),
+    gw1 AS (
+        SELECT {_TS_BUCKET} AS j, SUM(err / n) AS g
+        FROM (SELECT err, n, unnest(toks) AS tok FROM e1 WHERE COALESCE(n, 0) > 0)
+        GROUP BY 1
+    ), w1 AS (
+        SELECT t.j,
+               ROUND(-0.5 * COALESCE(gw1.g, 0.0) / (SELECT nd FROM gb1) + 0.0, 9) AS w
+        FROM range(16) t(j) LEFT JOIN gw1 ON gw1.j = t.j
+    ), b1 AS (SELECT ROUND(-0.5 * s / nd + 0.0, 9) AS b FROM gb1),
+    w1l AS (SELECT list(w ORDER BY j) AS wl FROM w1),
+    -- iteration 2: per-doc raw under (w1, b1) via the SAME sequential
+    -- list fold the engine uses (bit-exact given identical literals)
+    e2 AS (
+        SELECT e1.doc_id, e1.toks, e1.n,
+               1.0 / (1.0 + exp(-(
+                   (SELECT b FROM b1) + CASE WHEN COALESCE(e1.n, 0) > 0 THEN
+                       list_aggregate(list_transform(e1.toks,
+                           tok -> w1l.wl[{_TS_BUCKET} + 1]), 'sum') / e1.n
+                   ELSE 0.0 END
+               ))) - e1.y AS err
+        FROM e1, w1l
+    ), gb2 AS (SELECT SUM(err) AS s FROM e2),
+    gw2 AS (
+        SELECT {_TS_BUCKET} AS j, SUM(err / n) AS g
+        FROM (SELECT err, n, unnest(toks) AS tok FROM e2 WHERE COALESCE(n, 0) > 0)
+        GROUP BY 1
+    ), w2 AS (
+        SELECT w1.j,
+               ROUND(w1.w - 0.5 * COALESCE(gw2.g, 0.0) / (SELECT nd FROM gb1) + 0.0, 9)
+                   AS w
+        FROM w1 LEFT JOIN gw2 ON gw2.j = w1.j
+    ), b2 AS (
+        SELECT ROUND((SELECT b FROM b1)
+                     - 0.5 * (SELECT s FROM gb2) / (SELECT nd FROM gb1) + 0.0, 9) AS b
+    ), w2l AS (SELECT list(w ORDER BY j) AS wl FROM w2),
+    scored AS (
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE CAST(len(d.toks) AS BIGINT) END AS n_tokens,
+               1.0 / (1.0 + exp(-(
+                   (SELECT b FROM b2) + CASE WHEN COALESCE(len(d.toks), 0) > 0 THEN
+                       list_aggregate(list_transform(d.toks,
+                           tok -> w2l.wl[{_TS_BUCKET} + 1]), 'sum')
+                       / CAST(len(d.toks) AS DOUBLE)
+                   ELSE 0.0 END
+               ))) AS p
+        FROM d, w2l
+    )
+    SELECT doc_id, n_tokens, ROUND(p, 4) AS prob, p >= 0.5 AS label
+    FROM scored
+"""
+
+
+@query("q_classifier_train_score", oracle=_TRAIN_SCORE_ORACLE)
+def q_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-classifier seam END-TO-END under one hash grade
+    (round-9 verdict item 5): train_hashed_linear for TWO full-batch
+    gradient iterations (md5 feature map, dim=16, lr=0.5, labels =
+    doc_id % 2, chained through init_weights/init_bias with the
+    parameter vector rounded to 9 places between iterations — see
+    _TRAIN_SCORE_ORACLE for why that pin is what makes a multi-
+    iteration chain gradable), then hashed_linear_score applies the
+    trained model to the whole corpus.  The oracle re-derives
+    iteration 1 closed-form (err = 0.5 - y from zero weights),
+    iteration 2 from iteration 1's rounded output, and the final
+    scores — so the grade covers the gradient pass, the warm-start
+    path, AND the scorer under weights neither engine saw as
+    literals in advance."""
+    d = t(spark, sf_dir, "documents")
+    labeled = d.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    kw = dict(dim=16, lr=0.5, iters=1, hash_fn="md5")
+    pin = lambda xs: [round(x, 9) + 0.0 for x in xs]  # noqa: E731
+    w, b = textstats.train_hashed_linear(labeled, "text", "label", **kw)
+    w, b = pin(w), round(b, 9) + 0.0
+    w, b = textstats.train_hashed_linear(
+        labeled, "text", "label", init_weights=w, init_bias=b, **kw
+    )
+    w, b = pin(w), round(b, 9) + 0.0
+    return textstats.hashed_linear_score(
+        d, "doc_id", "text", weights=w, bias=b, threshold=0.5, hash_fn="md5"
+    )
+
+
 # NOTE: born after the r9 window filled — r10 rotation leader.
 @query(
     "q_gini_udaf",

@@ -1282,3 +1282,28 @@ def test_weighted_sample_nan_weight_excluded(spark):
     )
     got = sorted(r.k for r in weighted_sample(df, "k", "w", 10).collect())
     assert got == [1, 3]
+
+
+def test_train_hashed_linear_warm_start_equals_continuous(spark):
+    """N iterations from zero must equal N one-iteration calls chained
+    through init_weights/init_bias (the checkpoint-restart contract the
+    q_classifier_train_score chain builds on)."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        train_hashed_linear,
+    )
+
+    rows = [(i, f"doc number {i} with shared tokens alpha beta {'gamma ' * (i % 4)}", i % 2)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    kw = dict(dim=16, lr=0.5, hash_fn="md5")
+    w3, b3 = train_hashed_linear(df, "text", "label", iters=3, **kw)
+    w, b = [0.0] * 16, 0.0
+    for _ in range(3):
+        w, b = train_hashed_linear(
+            df, "text", "label", iters=1, init_weights=w, init_bias=b, **kw
+        )
+    assert w == w3 and b == b3
+    with pytest.raises(ValueError, match="init_weights has dim"):
+        train_hashed_linear(df, "text", "label", iters=1, init_weights=[0.0] * 5, **kw)
