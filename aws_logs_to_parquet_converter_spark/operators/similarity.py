@@ -287,11 +287,18 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     sample_n: int = 2048,
     seed: int = 42,
+    iters: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus
     vectors are binned to their nearest spherical-k-means centroid
     map-side; each query probes its ``nprobe`` nearest cells and is
     re-ranked exactly against only those cells' vectors.
+
+    ``iters``/``hash_fn`` pass through to ``kmeans_cell_centroids``;
+    ``hash_fn='md5'`` with ``iters=0`` is the oracle-parity mode whose
+    centroids an external SQL engine re-derives verbatim (see that
+    function's docstring) — production keeps the defaults.
 
     The complementary scale path to ``cosine_topk_lsh``: data-adapted
     cells give better candidate quality on clustered corpora, at the
@@ -302,7 +309,10 @@ def cosine_topk_ivf(
     the exact re-rank.  Returns (query_id, neighbor_id, sim, rank) —
     a subset of the exact result, recall grows with nprobe.
     """
-    cents = kmeans_cell_centroids(corpus, id_col, vec_col, n_cells, sample_n, seed=seed)
+    cents = kmeans_cell_centroids(
+        corpus, id_col, vec_col, n_cells, sample_n, iters=iters, seed=seed,
+        hash_fn=hash_fn,
+    )
     # NULL embeddings can't be assigned or scored: exclude them from
     # the candidate path (semantic_dedup applies the same rule)
     corpus = corpus.where(F.col(vec_col).isNotNull())

@@ -610,6 +610,85 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("rank", "rnk")
 
 
+# Partial-probe IVF under the oracle gate (round-9 verdict item 8):
+# unlike q_embed_topk_ivf_full (nprobe == n_cells, graded against plain
+# brute force), THIS grades the actual candidate-PRUNING path at
+# nprobe < n_cells.  In md5/iters=0 mode the centroids are the first
+# n_cells md5-ordered normalized vectors (the _PQ_EXACT_ORACLE book
+# rule), so DuckDB re-derives the whole pipeline: normalization, cell
+# assignment (argmax cosine, first-index tie-break = ORDER BY s DESC,
+# c), each query's nprobe probe cells, the pruned candidate join, and
+# the exact in-cell re-rank.  Engine-side dots are BLAS, oracle-side
+# sequential folds — divergence ~1e-15, far below any cell margin and
+# invisible under the shared ROUND(., 4).
+_IVF_PROBED_ORACLE = """
+    WITH norm AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / greatest(sqrt(list_aggregate(
+                            list_transform(embedding::DOUBLE[], y -> y * y),
+                            'sum')), 1e-12)) AS nv
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), cells AS (
+        SELECT nv AS cent,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c
+        FROM norm
+        ORDER BY md5(CAST(vec_id AS VARCHAR))
+        LIMIT 16
+    ), sims AS (
+        SELECT n.vec_id, cl.c,
+               list_aggregate(list_transform(list_zip(n.nv, cl.cent),
+                                             x -> x[1] * x[2]), 'sum') AS s
+        FROM norm n CROSS JOIN cells cl
+    ), assign AS (
+        SELECT vec_id, c AS cell FROM (
+            SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+            FROM sims) WHERE rn = 1
+    ), probe AS (
+        SELECT vec_id, c AS cell FROM (
+            SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+            FROM sims WHERE vec_id < 10) WHERE rn <= 4
+    ), scored AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROUND(
+                 list_aggregate(list_transform(list_zip(q.v, nc.v), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(q.v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(nc.v, x -> x * x), 'sum'))), 4)
+                   AS sim
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        JOIN norm q ON q.vec_id = p.vec_id
+        JOIN norm nc ON nc.vec_id = a.vec_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("q_embed_topk_ivf_probed", oracle=_IVF_PROBED_ORACLE)
+def q_embed_topk_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at nprobe < n_cells — the candidate-pruning path itself —
+    under the driver's oracle gate: md5/iters=0 deterministic-centroid
+    mode makes assignment and probing SQL-derivable, so the oracle
+    checks WHICH neighbors each query was allowed to see, not just
+    their scores (see _IVF_PROBED_ORACLE).  Production recall at the
+    xxhash64/iterated-k-means defaults stays covered by
+    test_similarity's floors and the rows-only q_embed_topk_ivf."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    res = similarity.cosine_topk_ivf(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5,
+        n_cells=16, nprobe=4, iters=0, hash_fn="md5",
+    )
+    return res.withColumnRenamed("rank", "rnk")
+
+
 @query("q_embed_topk_ivfpq")  # rows-only: approximate; recall tested in test_similarity.py
 def q_embed_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ composed index (Jegou 2011 SV): IVF cells prune WHICH
@@ -1900,6 +1979,85 @@ def q_media_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(multimodal.FEATURE_DIM)
     ]
     return feats.select("asset_id", "media_type", "n_bytes", *cols)
+
+
+# REAL-decoder dispatch under the oracle gate (round-9 verdict item
+# 8b): q_media_features_hist grades the Arrow crossing with a custom
+# byte-fold decoder; THIS entry grades the production media_type ->
+# magic-byte -> decode_ppm_p3 -> luma-histogram path on golden P3
+# images synthesized per document from doc_id alone.  Every graded
+# number is float-EXACT: pixel samples are small-integer modular
+# arithmetic both engines compute identically; the luminance
+# (299r+587g+114b)/255000 and the *8 bin scaling are each ONE IEEE
+# double op on identical operands (no summation-order freedom, no
+# rounding); and the 8-pixel histogram normalizes to exact eighths.
+_MEDIA_P3_ORACLE = """
+    WITH px AS (
+        SELECT doc_id, i,
+               (doc_id * 7 + (i * 3 + 0) * 13) % 256 AS r,
+               (doc_id * 7 + (i * 3 + 1) * 13) % 256 AS g,
+               (doc_id * 7 + (i * 3 + 2) * 13) % 256 AS b
+        FROM documents, range(8) t(i)
+    ), bins AS (
+        SELECT doc_id,
+               LEAST(CAST(FLOOR(((299 * r + 587 * g + 114 * b) / 255000.0) * 8)
+                          AS INTEGER), 7) AS bin,
+               len(CAST(r AS VARCHAR)) + len(CAST(g AS VARCHAR))
+                   + len(CAST(b AS VARCHAR)) AS digits
+        FROM px
+    ), hist AS (
+        SELECT doc_id,
+               -- 11 header chars ('P3\\n4 2\\n255\\n') + 23 separators
+               CAST(34 + SUM(digits) AS BIGINT) AS n_bytes,
+               COALESCE(SUM(CASE WHEN bin = 0 THEN 1 END), 0) / 8.0 AS f0,
+               COALESCE(SUM(CASE WHEN bin = 1 THEN 1 END), 0) / 8.0 AS f1,
+               COALESCE(SUM(CASE WHEN bin = 2 THEN 1 END), 0) / 8.0 AS f2,
+               COALESCE(SUM(CASE WHEN bin = 3 THEN 1 END), 0) / 8.0 AS f3,
+               COALESCE(SUM(CASE WHEN bin = 4 THEN 1 END), 0) / 8.0 AS f4,
+               COALESCE(SUM(CASE WHEN bin = 5 THEN 1 END), 0) / 8.0 AS f5,
+               COALESCE(SUM(CASE WHEN bin = 6 THEN 1 END), 0) / 8.0 AS f6,
+               COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0) / 8.0 AS f7
+        FROM bins GROUP BY doc_id
+    )
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS asset_id,
+           n_bytes, f0, f1, f2, f3, f4, f5, f6, f7
+    FROM hist
+"""
+
+
+@query("q_media_p3_decode", oracle=_MEDIA_P3_ORACLE)
+def q_media_p3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION image-decode dispatch under the driver's oracle
+    gate (media_type='image' -> _typed_feature -> magic-byte dispatch
+    -> decode_ppm_p3 -> ITU-R 601 luminance histogram): one golden
+    4x2 ASCII-PPM image per document, pixel samples derived from
+    doc_id by modular arithmetic the oracle re-runs in SQL — the
+    payload string itself is built with JVM expressions, so the whole
+    difference between engines is the decoder under test.  See
+    _MEDIA_P3_ORACLE for the float-exactness argument; any header
+    mis-parse, comment/whitespace mishandling, sample mis-read, or
+    histogram binning bug shifts a count and breaks the hash."""
+    from aws_logs_to_parquet_converter_spark.operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(23)),
+        lambda i: F.pmod(F.col("doc_id") * 7 + i * 13, F.lit(256)).cast("string"),
+    )
+    media = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.lit("P3\n4 2\n255\n"), F.array_join(samples, " ")).alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = multimodal.extract_features(media, decode_stub=False)
+    cols = [
+        F.element_at("feature", k + 1).alias(f"f{k}")
+        for k in range(multimodal.FEATURE_DIM)
+    ]
+    return feats.select("asset_id", "n_bytes", *cols)
 
 
 # Four literal retrieval queries over the fixture vocabulary — shared

@@ -285,8 +285,10 @@ def test_registry_wide_no_scale_killers(spark):
     ARROW_SEAMS = {
         "q_embed_topk_ivf",
         "q_embed_topk_ivf_full",  # same cell-assignment UDF, full probe
+        "q_embed_topk_ivf_probed",  # same UDF, md5/iters=0 codebook, partial probe
         "q_media_features",
         "q_media_features_hist",  # same mapInPandas seam, integer-exact decoder
+        "q_media_p3_decode",  # same seam through the REAL P3 decoder dispatch
         "q_quality_score",
         "q_semantic_dedup_clustered",  # k-means cell assignment (map-side matmul)
         "q_semantic_dedup_cells_md5",  # same assignment UDF, md5/iters=0 codebook
