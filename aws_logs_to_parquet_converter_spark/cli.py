@@ -278,6 +278,27 @@ def build_corpus_parser() -> argparse.ArgumentParser:
                    help="append the exported documents' signatures to "
                         "--near-dedup-index (stored params apply), so the "
                         "next export near-dedups against this one")
+    p.add_argument("--ann-index", default="",
+                   help="path of a persisted PQ index "
+                        "(similarity.save_pq_index): without --ann-build, "
+                        "drop documents whose embedding has an indexed "
+                        "neighbor with sim >= --ann-threshold (the semantic "
+                        "history gate; index once, probe daily)")
+    p.add_argument("--ann-build", action="store_true",
+                   help="BUILD/refresh the PQ index at --ann-index from the "
+                        "exported documents' embeddings instead of probing")
+    p.add_argument("--ann-update", action="store_true",
+                   help="after a probing export, append the survivors' "
+                        "embeddings to --ann-index (encoded with the stored "
+                        "codebook), so the next export gates against this one")
+    p.add_argument("--ann-threshold", default=0.9, type=float,
+                   help="ADC-cosine cutoff for the --ann-index gate")
+    p.add_argument("--ann-m", default=8, type=int,
+                   help="PQ subspaces for --ann-build (embedding dim must "
+                        "divide evenly)")
+    p.add_argument("--ann-ks", default=256, type=int,
+                   help="PQ codewords per subspace for --ann-build")
+    p.add_argument("--embedding-col", default="embedding")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     return p
@@ -338,6 +359,31 @@ def run_corpus(args: argparse.Namespace) -> int:
             df, args.id_col, args.text_col, args.near_dedup_index,
             threshold=args.near_dedup_threshold,
         )
+    if args.ann_index and not args.ann_build:
+        # semantic history gate, the embedding-space sibling of
+        # --near-dedup-index: ADC top-1 against the persisted PQ codes
+        # (similarity.query_pq_index — the corpus is m bytes/vector on
+        # disk, never raw floats), drop docs whose nearest indexed
+        # neighbor clears the threshold.  Probe cost is O(batch x
+        # index-codes scan), the "index once, probe daily" shape.
+        from aws_logs_to_parquet_converter_spark.operators.similarity import (
+            query_pq_index,
+        )
+
+        hits = query_pq_index(
+            spark,
+            args.ann_index,
+            df.where(F.col(args.embedding_col).isNotNull()),
+            id_col=args.id_col,
+            vec_col=args.embedding_col,
+            k=1,
+        )
+        dup_ids = (
+            hits.where(F.col("sim") >= args.ann_threshold)
+            .select(F.col("query_id").alias(args.id_col))
+            .distinct()
+        )
+        df = df.join(dup_ids, args.id_col, "left_anti")
     manifest = write_training_shards(
         df, args.dest, n_shards=args.n_shards, key_col=args.id_col, seed=args.seed
     )
@@ -361,6 +407,28 @@ def run_corpus(args: argparse.Namespace) -> int:
             exported, args.id_col, args.text_col, args.near_dedup_index
         )
         print(f"appended {n_out} documents to {args.near_dedup_index}")
+    if args.ann_index and n_out > 0 and (args.ann_build or args.ann_update):
+        # same post-export ordering as the MinHash update: the index
+        # only ever reflects successfully shipped documents, so a
+        # failed run never poisons the next one's gate
+        from aws_logs_to_parquet_converter_spark.operators.similarity import (
+            save_pq_index,
+        )
+
+        exported = spark.read.parquet(args.dest).select(
+            args.id_col, args.embedding_col
+        )
+        save_pq_index(
+            exported,
+            args.ann_index,
+            id_col=args.id_col,
+            vec_col=args.embedding_col,
+            m=args.ann_m,
+            ks=args.ann_ks,
+            mode="overwrite" if args.ann_build else "append",
+        )
+        verb = "built PQ index from" if args.ann_build else "appended"
+        print(f"{verb} {n_out} documents at {args.ann_index}")
     return 0
 
 

@@ -362,3 +362,71 @@ def test_cli_corpus_near_dedup_index_gate_and_update(spark, tmp_path):
     ])
     assert cli.run_corpus(args2) == 0
     assert sorted(r.doc_id for r in spark.read.parquet(dest2).collect()) == [21]
+
+
+def test_cli_corpus_ann_index_build_probe_update(spark, tmp_path, capsys):
+    """The 100 TB 'index once, probe daily' loop in one command (r9
+    verdict item 6): --ann-build persists a PQ index from the first
+    export's embeddings; the next export probes it and drops documents
+    whose embedding near-matches the indexed corpus; --ann-update then
+    appends the survivors so a third export gates against them too."""
+    from aws_logs_to_parquet_converter_spark import cli
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        validate_pq_index,
+    )
+
+    def one_hot(j, dim=16):
+        return [1.0 if i == j else 0.0 for i in range(dim)]
+
+    rows1 = [(i, f"corpus document number {i} body", one_hot(i)) for i in range(8)]
+    schema = "doc_id long, text string, embedding array<double>"
+    src1 = str(tmp_path / "docs1")
+    spark.createDataFrame(rows1, schema).write.parquet(src1)
+    idx = str(tmp_path / "pqidx")
+    dest1 = str(tmp_path / "shards1")
+    args = cli.build_corpus_parser().parse_args(
+        ["--src", src1, "--dest", dest1, "--n-shards", "2", "--dedup", "none",
+         "--ann-index", idx, "--ann-build", "--ann-m", "4", "--ann-ks", "8"]
+    )
+    assert cli.run_corpus(args) == 0
+    assert "built PQ index from 8 documents" in capsys.readouterr().out
+    assert validate_pq_index(spark, idx)["n_ids"] == 8
+
+    # day 2: doc 100 re-ships doc 3's embedding (semantic dup of the
+    # indexed corpus -> gated out); doc 101 is genuinely new BUT lies
+    # inside the trained codebook's span (a mix of two indexed
+    # directions) — outside the span PQ reconstruction degenerates and
+    # no threshold could later recognize it, which is codebook-drift
+    # physics, not a gate bug
+    import math
+
+    v_new = [0.0] * 16
+    v_new[1] = v_new[5] = 1.0 / math.sqrt(2.0)
+    rows2 = [(100, "reshipped content", one_hot(3)),
+             (101, "fresh content", v_new)]
+    src2 = str(tmp_path / "docs2")
+    spark.createDataFrame(rows2, schema).write.parquet(src2)
+    dest2 = str(tmp_path / "shards2")
+    args = cli.build_corpus_parser().parse_args(
+        ["--src", src2, "--dest", dest2, "--n-shards", "2", "--dedup", "none",
+         "--ann-index", idx, "--ann-threshold", "0.8", "--ann-update"]
+    )
+    assert cli.run_corpus(args) == 0
+    assert [r.doc_id for r in spark.read.parquet(dest2).collect()] == [101]
+    assert validate_pq_index(spark, idx)["n_ids"] == 9  # survivor appended
+
+    # day 3: doc 101's embedding re-ships -> now gated by the APPENDED
+    # history, proving the update fed the gate
+    rows3 = [(200, "third day duplicate", v_new)]
+    src3 = str(tmp_path / "docs3")
+    spark.createDataFrame(rows3, schema).write.parquet(src3)
+    dest3 = str(tmp_path / "shards3")
+    args = cli.build_corpus_parser().parse_args(
+        ["--src", src3, "--dest", dest3, "--n-shards", "2", "--dedup", "none",
+         "--ann-index", idx, "--ann-threshold", "0.8"]
+    )
+    assert cli.run_corpus(args) == 0
+    import json
+
+    with open(f"{dest3}/_manifest.json") as fh:
+        assert sum(m["n_rows"] for m in json.load(fh)) == 0
