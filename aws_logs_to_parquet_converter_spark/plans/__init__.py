@@ -18,8 +18,33 @@ import aws_logs_to_parquet_converter_spark.plans.log_domain  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 
 # The driver's correctness gate grades the FIRST 50 registry entries.
-# Round-9 window policy (see COVERAGE.md "Driver-graded evidence" for
+# Round-10 window policy (see COVERAGE.md "Driver-graded evidence" for
 # the per-query currency table):
+#   1. ALL 23 never-driver-graded oracle-bearing entries (the r9
+#      verdict's 19 post-window births + q_stream_profile, the r9
+#      window's one red, regraded after the max_value rounding fix +
+#      this round's three births: q_classifier_train_score,
+#      q_embed_topk_ivf_probed, q_media_p3_decode);
+#   2. code/oracle changed this round: q_bpe_encode (oracle fold
+#      gained the paren-sentinel remap — r9 advisor; q_mix_bpe_budget
+#      shares the fold and is already in via #1) and
+#      q_embed_topk_ivf_full (cosine_topk_ivf gained the iters/hash_fn
+#      passthrough feeding the probed twin — behavior-neutral at its
+#      call site, but code changed, standing policy).  The other
+#      r10 code changes all land on entries already in via #1
+#      (q_weighted_sample NaN guard, q_quality_classifier /
+#      q_classifier_train_step literal-array weights,
+#      q_incremental_minhash versioned-commit layout);
+#   3. oldest-evidence backfill: q01_pricing_summary and
+#      q06_forecast_revenue (the last r6 rows, bench-headlined every
+#      round), then the first 22 of the 43-strong r7 cohort in
+#      registry-name order (q_agg_cube .. q_join_semi); the remaining
+#      21 r7 entries (q_k_anonymize .. q_winnow_pairs) stay r7-green
+#      and MUST lead the r11 rotation.
+# Rotated out (green at their latest r8/r9 grade and UNMODIFIED this
+# round): the r9 window's TPC-H slice and dedup/stream cohort (all
+# r9-green), and the r8 cohort — both inside two-round currency.
+# Round-9 window policy (kept for the audit trail):
 #   1. NEW oracle-bearing entries enter at birth (standing policy):
 #      q_embed_topk_ivf_full + q_embed_topk_pq_exact (the ANN family's
 #      first driver-graded rows — round-8 verdict item 1),
@@ -92,89 +117,65 @@ GRADED_WINDOW = 50
 _PRIORITY = [
     # flagship (reference's days_apart_analysis.sql run verbatim)
     "q_days_apart",
-    # (1) NEW this round, enter at birth: the ANN family's first
-    # driver-graded rows (IVF at nprobe==n_cells is exact by identity;
-    # PQ in deterministic-codebook mode is SQL-derivable end-to-end)
-    # and the stateful applyInPandasWithState seam
-    "q_embed_topk_ivf_full",
-    "q_embed_topk_pq_exact",
+    # (1) never driver-graded oracle-bearing entries — the r9 verdict's
+    # rotation order: the retrieval family first, then the
+    # product-analytics pair, the sampling/composition entries, the
+    # index/ANN family, the md5 twins, the regraded stateful seam, and
+    # this round's three births
+    "q_bm25_topk",
+    "q_hybrid_retrieval",
+    "q_quality_classifier",
+    "q_classifier_train_step",
+    "q_gini_udaf",
+    "q_mix_bpe_budget",
+    "q_retention_cohorts",
+    "q_event_funnel",
+    "q_weighted_sample",
+    "q_temperature_mix",
+    "q_incremental_minhash",
+    "q_media_features_hist",
+    "q_semantic_contamination",
+    "q_embed_topk_pq_persisted",
+    "q_embed_topk_ivfpq_full",
+    "q_embed_topk_lsh",
+    "q_semantic_dedup_cells_md5",
+    "q_simhash_md5",
+    "q_simhash_neardup_md5",
     "q_stream_profile",
+    "q_classifier_train_score",
+    "q_embed_topk_ivf_probed",
+    "q_media_p3_decode",
     # (2) code/oracle changed this round
-    "q_url_dedup",
-    "q_dedup_keep_best",
-    "q_span_dedup",
-    # _stream_events_source gained the directory-layout branch (r9
-    # sf1-sweep finding) — shared by every streaming entry, so all
-    # three previously-graded rows re-enter per standing policy
-    "q_stream_dedup",
-    "q_stream_read_after_write",
-    "q_stream_daily_events",
-    # the keep_list closure oracle gained the df-cap mirror the r9 sf1
-    # sweep showed it was missing (q_ngram_jaccard's oracle had it;
-    # this one diverged at sf0.1+) — oracle changed, so it re-enters;
-    # its slot comes from q06_forecast_revenue, the r6 entry with the
-    # strongest independent evidence (bench headline, driver-timed
-    # every round + pushdown plan assertion) — it stays r6-green and
-    # rotates first in r10
-    "q_dedup_keep_list",
-    # minhash_near_duplicates' banding block moved into the shared
-    # _band_rows helper (now also feeding the persisted index) — a
-    # behavior-neutral refactor, but CODE CHANGED, so the graded md5
-    # twin re-enters per standing policy; its slot comes from
-    # q01_pricing_summary (bench headline, driver-timed every round —
-    # the q06 displacement rationale; stays r6-green, leads r10)
-    "q_dedup_minhash_md5",
-    # (3) oldest-evidence backfill: q_values_dim (r5), then the full
-    # r6 cohort
-    "q_values_dim",
-    "q02_filter_project",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_count_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_promotable_suppliers",
-    "q21_sole_blame_suppliers",
-    "q22_idle_balances",
-    "q_agg_modern",
-    "q_agg_stats",
-    "q_corpus_diff",
-    "q_corpus_clean_pipeline",
-    "q_pii_scrub",
-    "q_stratified_sample",
-    "q_chunk_docs",
-    "q_split_assign",
-    "q_bitwise_funcs",
-    "q_incremental_dedup",
-    "q_incremental_dedup_bloom",
-    "q_data_quality",
-    "q_semantic_dedup",
-    "q_string_agg",
-    "q_window_first_last",
-    # (4) NEW this round, enters at birth: REAL BPE tokenization
-    # (train + production Arrow encode vs the oracle's replace-fold
-    # restatement — r8 verdict item 8); displaced the lowest-priority
-    # r7 backfill slot (q_bpe_token_count, which stays r7-green)
     "q_bpe_encode",
-    # (5) q_text_stats re-enters (its averages were rewritten onto
-    # exact-integer single-division rounding after the r9 sf1 sweep
-    # caught a cross-engine ROUND(AVG(..)) half-boundary divergence);
-    # it displaced the final r7 backfill slot (q_token_count, which
-    # stays r7-green and leads the r10 rotation with
-    # q_quality_filter/q_lang_id)
-    "q_text_stats",
+    "q_embed_topk_ivf_full",
+    # (3) oldest-evidence backfill: the r6 pair, then r7 cohort head
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_approx_percentiles",
+    "q_bigram_lm",
+    "q_boilerplate_lines",
+    "q_bpe_token_count",
+    "q_c4_rules",
+    "q_cms_vocab_counts",
+    "q_conditional",
+    "q_contamination",
+    "q_cte_composition",
+    "q_date_funcs",
+    "q_dedup_fingerprint",
+    "q_gopher_rules",
+    "q_group_by_all",
+    "q_html_extract",
+    "q_in_subquery",
+    "q_join_anti",
+    "q_join_left",
+    "q_join_range",
+    "q_join_semi",
 ]
+
+# (The r9 window list lives in git history and COVERAGE.md's audit trail.)
 
 
 def _reorder() -> None:
