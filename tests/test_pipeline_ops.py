@@ -1304,6 +1304,12 @@ def test_train_hashed_linear_warm_start_equals_continuous(spark):
         w, b = train_hashed_linear(
             df, "text", "label", iters=1, init_weights=w, init_bias=b, **kw
         )
-    assert w == w3 and b == b3
+    # tolerance, not exact equality: the per-bucket gradient SUMs merge
+    # partials in task-scheduling order, so independent runs drift at
+    # the last ulp (~1e-17) even on identical data — the same
+    # cross-run freedom q_classifier_train_score's ROUND(9) pin
+    # absorbs (exact equality here flaked under full-suite load)
+    assert b == pytest.approx(b3, abs=1e-12)
+    assert all(x == pytest.approx(y, abs=1e-12) for x, y in zip(w, w3))
     with pytest.raises(ValueError, match="init_weights has dim"):
         train_hashed_linear(df, "text", "label", iters=1, init_weights=[0.0] * 5, **kw)

@@ -119,12 +119,12 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-9 window
-    policy (plans/__init__.py): round-9 births first (the ANN graded
-    twins, the stateful streaming seam, real BPE), then every entry
-    whose code or oracle changed this round (the r8-advisor fixes),
-    then the oldest evidence (q_values_dim at r5, the full r6 cohort,
-    heads of the r7 whitespace cohort) — every windowed entry
+    """The driver grades the first 50 registry entries.  Round-10
+    window policy (plans/__init__.py): every never-driver-graded
+    oracle-bearing entry first (the 19 r9 post-window births, the
+    regraded stateful seam, the three r10 births), then the
+    code/oracle-changed pair, then oldest-evidence backfill (the last
+    r6 rows + the r7 cohort head) — every windowed entry
     hash-gradeable."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
@@ -134,24 +134,24 @@ def test_graded_window_covers_priority_surface():
     required = {
         # flagship
         "q_days_apart",
-        # round-9 births (enter at birth per standing policy)
-        "q_embed_topk_ivf_full", "q_embed_topk_pq_exact",
-        "q_stream_profile", "q_bpe_encode",
-        # code or oracle changed this round (r8 advisor/verdict fixes +
-        # the streaming-source directory-layout branch)
-        "q_url_dedup", "q_dedup_keep_best", "q_span_dedup",
-        "q_stream_dedup", "q_stream_read_after_write",
-        "q_stream_daily_events", "q_dedup_keep_list",
-        # late r9 re-entry: the banding block moved into the shared
-        # _band_rows helper (code changed -> re-enters; displaced
-        # q01_pricing_summary, which stays bench-headline-covered)
-        "q_dedup_minhash_md5",
-        # oldest-evidence backfill anchors: r5, the r6 cohort, r7 head
-        "q_values_dim", "q22_idle_balances",
-        "q_agg_modern", "q_corpus_diff", "q_pii_scrub",
-        "q_incremental_dedup", "q_incremental_dedup_bloom",
-        "q_semantic_dedup", "q_string_agg", "q_window_first_last",
-        "q_text_stats",
+        # the never-driver-graded cohort (r9 verdict item 2 + r10 births)
+        "q_bm25_topk", "q_hybrid_retrieval", "q_quality_classifier",
+        "q_classifier_train_step", "q_gini_udaf", "q_mix_bpe_budget",
+        "q_retention_cohorts", "q_event_funnel", "q_weighted_sample",
+        "q_temperature_mix", "q_incremental_minhash",
+        "q_media_features_hist", "q_semantic_contamination",
+        "q_embed_topk_pq_persisted", "q_embed_topk_ivfpq_full",
+        "q_embed_topk_lsh", "q_semantic_dedup_cells_md5",
+        "q_simhash_md5", "q_simhash_neardup_md5",
+        "q_stream_profile",  # the r9 red, regraded after the rounding fix
+        "q_classifier_train_score", "q_embed_topk_ivf_probed",
+        "q_media_p3_decode",
+        # code/oracle changed this round (paren-sentinel oracle fold;
+        # cosine_topk_ivf passthrough)
+        "q_bpe_encode", "q_embed_topk_ivf_full",
+        # oldest-evidence backfill anchors: the last r6 rows + r7 head
+        "q01_pricing_summary", "q06_forecast_revenue",
+        "q_agg_cube", "q_join_semi",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
