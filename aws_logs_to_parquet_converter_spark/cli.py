@@ -370,6 +370,10 @@ def run_corpus(args: argparse.Namespace) -> int:
             query_pq_index,
         )
 
+        # exclude_self=False: a re-delivered document carrying the SAME
+        # id as its indexed copy must match that copy and be gated —
+        # the symmetric self-exclusion would invisibly excuse exactly
+        # the most common duplicate class (r10 review finding)
         hits = query_pq_index(
             spark,
             args.ann_index,
@@ -377,6 +381,7 @@ def run_corpus(args: argparse.Namespace) -> int:
             id_col=args.id_col,
             vec_col=args.embedding_col,
             k=1,
+            exclude_self=False,
         )
         dup_ids = (
             hits.where(F.col("sim") >= args.ann_threshold)

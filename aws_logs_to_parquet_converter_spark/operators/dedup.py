@@ -789,19 +789,17 @@ def _minhash_vdir(path: str, params: dict) -> str:
 
 
 def _prune_stale_versions(spark: SparkSession, path: str, live_ver: str) -> None:
-    """Drop superseded ``v-*`` dirs after a committed refresh
-    (post-commit best effort; single-writer assumption, same as
-    save_pq_index)."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        stale_v = name.startswith("v-") and name != f"v-{live_ver}"
-        # flat-layout leftovers after a legacy index's migrating refresh
-        stale_flat = name in ("signatures", "bands")
-        if stale_v or stale_flat:
-            fs.delete(st.getPath(), True)
+    """Drop superseded ``v-*`` dirs (and flat-layout leftovers from a
+    legacy index's migrating refresh) after a committed refresh — see
+    ``operators/versioned.py`` for the shared implementation and the
+    single-writer / concurrent-reader contract."""
+    from aws_logs_to_parquet_converter_spark.operators.versioned import (
+        prune_stale_versions,
+    )
+
+    prune_stale_versions(
+        spark, path, live_ver, extra_stale=("signatures", "bands")
+    )
 
 
 def _minhash_index_params(spark: SparkSession, path: str) -> dict:
@@ -999,6 +997,10 @@ def rebuild_minhash_index(spark: SparkSession, src_path: str, dest_path: str) ->
             "num_hashes int, bands int, shingle_n int, seed long, "
             "hash_fn string, version string",
         ).write.mode("overwrite").parquet(f"{dest_path}/params")
+        # a dest that previously held an index (a re-run rebuild)
+        # would otherwise accumulate orphan v-* dirs forever (r10
+        # review) — same post-commit prune as save_minhash_index
+        _prune_stale_versions(spark, dest_path, ver)
     finally:
         sig.unpersist()
 

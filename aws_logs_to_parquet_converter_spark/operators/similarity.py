@@ -952,18 +952,30 @@ def _pq_query_tables(spark, queries: DataFrame, codebook, id_col: str, vec_col: 
     )
 
 
-def _adc_topk(coded: DataFrame, q: DataFrame, m: int, ks: int, k: int) -> DataFrame:
+def _adc_topk(
+    coded: DataFrame, q: DataFrame, m: int, ks: int, k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
     """ADC scoring over (neighbor_id, _pq) codes vs broadcast
     (query_id, _dt) distance tables: m-term table lookup-sum JVM-side,
-    cosine implied by quantized L2 on unit vectors, per-query top-k."""
+    cosine implied by quantized L2 on unit vectors, per-query top-k.
+
+    ``exclude_self`` drops pairs whose query and neighbor ids are
+    EQUAL — right for the symmetric corpus-queries-itself shape, wrong
+    for a history gate probing an index that may already hold the same
+    id (a re-delivered document must match its own indexed copy, not
+    be invisibly excused — the r10 review's CLI gate bypass)."""
     lookups = F.zip_with(
         F.col("_pq"),
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda c, j: F.element_at(F.col("_dt"), j * F.lit(ks) + c + F.lit(1)),
     )
     dist2 = F.aggregate(lookups, F.lit(0.0), lambda a, v: a + v)
+    cond = (
+        F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        coded.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        coded.join(F.broadcast(q), cond)
         .select(
             "query_id",
             "neighbor_id",
@@ -1035,7 +1047,10 @@ def save_pq_index(
         # vectors of the wrong dimension would encode into VALID-LOOKING
         # m-byte codes (each subvector just truncates/misreads), so the
         # corruption is undetectable after the fact — check length
-        # against the stored codebook BEFORE encoding (r9 advisor)
+        # against the stored codebook BEFORE encoding (r9 advisor).
+        # This is a second evaluation of the corpus lineage, but
+        # column-pruned to the vector column; an append fed by an
+        # expensive non-parquet lineage should persist() before calling
         n_bad = rows.where(F.size("_v") != mm * dsub).count()
         if n_bad:
             raise ValueError(
@@ -1063,14 +1078,13 @@ def save_pq_index(
         "version string, m int, ks int, dsub int, sample_n int, iters int, "
         "seed long, hash_fn string",
     ).write.mode("overwrite").parquet(f"{path}/params")
-    # prune superseded versions (post-commit, best effort)
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith("v-") and name != f"v-{ver}":
-            fs.delete(st.getPath(), True)
+    # prune superseded versions (post-commit, best effort; see
+    # operators/versioned.py for the single-writer/reader contract)
+    from aws_logs_to_parquet_converter_spark.operators.versioned import (
+        prune_stale_versions,
+    )
+
+    prune_stale_versions(spark, path, ver)
 
 
 def _pq_index_version(spark, path: str) -> str:
@@ -1108,6 +1122,7 @@ def query_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC top-k against a persisted PQ index
     (``save_pq_index``): load the tiny codebook driver-side, build the
@@ -1128,7 +1143,7 @@ def query_pq_index(
         .dropDuplicates(["neighbor_id"])
     )
     q = _pq_query_tables(spark, queries, book, id_col, vec_col)
-    return _adc_topk(coded, q, m, ks, k)
+    return _adc_topk(coded, q, m, ks, k, exclude_self=exclude_self)
 
 
 def validate_pq_index(spark, path: str) -> dict:

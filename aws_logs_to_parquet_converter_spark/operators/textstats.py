@@ -374,12 +374,15 @@ def train_hashed_linear(
         if n_docs == 0:
             raise ValueError("train_hashed_linear: no labeled rows")
         for _ in range(iters):
-            # ONE literal array node (the with_bpe_ids pattern), not dim
-            # per-element F.lit nodes — per-element literals are the
-            # expression-tree blowup class that breaks analyzer/codegen
-            # limits past a few hundred dims, and the trainer rebuilds
-            # this every iteration (r9 advisor)
-            w_arr = F.lit([float(x) for x in w])
+            # ONE literal array node: numpy literals take the direct
+            # single-Literal path, while F.lit(list)/F.array build dim
+            # per-element nodes the ANALYZER must walk before constant
+            # folding collapses them (r9 advisor; the r10 review caught
+            # that lit(list) alone is per-element in classic PySpark) —
+            # and the trainer rebuilds this every iteration
+            import numpy as _np
+
+            w_arr = F.lit(_np.asarray(w, dtype="float64"))
             wsum = F.aggregate(
                 F.col("_toks"),
                 F.lit(0.0),
@@ -464,9 +467,11 @@ def hashed_linear_score(
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"unsupported hash_fn: {hash_fn}")
     dim = len(weights)
-    # single literal array node, not dim per-element F.lit nodes (the
-    # with_bpe_ids pattern; see train_hashed_linear)
-    w_arr = F.lit([float(x) for x in weights])
+    # single literal array node via the numpy direct path (see
+    # train_hashed_linear's note; lit(list) is per-element pre-folding)
+    import numpy as np
+
+    w_arr = F.lit(np.asarray([float(x) for x in weights], dtype="float64"))
 
     def bucket_weight(tok):
         idx = _bucket_index(tok, dim, hash_fn)

@@ -2407,16 +2407,31 @@ def q_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores — so the grade covers the gradient pass, the warm-start
     path, AND the scorer under weights neither engine saw as
     literals in advance."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     d = t(spark, sf_dir, "documents")
     labeled = d.withColumn("label", (F.col("doc_id") % 2).cast("int"))
     kw = dict(dim=16, lr=0.5, iters=1, hash_fn="md5")
-    pin = lambda xs: [round(x, 9) + 0.0 for x in xs]  # noqa: E731
+
+    def pin1(x: float) -> float:
+        # HALF-AWAY-FROM-ZERO on the exact binary value — the same
+        # semantics as Spark's F.round and DuckDB's ROUND.  Python's
+        # built-in round() is banker's (half-even), which would pin a
+        # gradient landing exactly on a representable 9th-decimal half
+        # boundary to a DIFFERENT weight than the oracle (r10 review;
+        # the q_text_stats half-boundary class).  Decimal(x) is the
+        # double's exact expansion, matching Java BigDecimal(double).
+        return float(
+            Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        ) + 0.0
+
+    pin = lambda xs: [pin1(x) for x in xs]  # noqa: E731
     w, b = textstats.train_hashed_linear(labeled, "text", "label", **kw)
-    w, b = pin(w), round(b, 9) + 0.0
+    w, b = pin(w), pin1(b)
     w, b = textstats.train_hashed_linear(
         labeled, "text", "label", init_weights=w, init_bias=b, **kw
     )
-    w, b = pin(w), round(b, 9) + 0.0
+    w, b = pin(w), pin1(b)
     return textstats.hashed_linear_score(
         d, "doc_id", "text", weights=w, bias=b, threshold=0.5, hash_fn="md5"
     )

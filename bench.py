@@ -87,7 +87,13 @@ def main() -> None:
     # loop measures steady-state engine throughput — the quantity that
     # exists at 100 TB, where per-plan setup amortizes to zero — and
     # is order-invariant across rotations.
-    _warm_sf = "/root/testdata/sf0.001"
+    # toy dir: explicit override, else the sf0.001 sibling of the
+    # bench dir's layout, else the default fixture path
+    _warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR") or os.path.join(
+        os.path.dirname(sf_dir.rstrip("/")), "sf0.001"
+    )
+    if not os.path.isdir(_warm_sf):
+        _warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(_warm_sf):
         for _name, _q in REGISTRY.items():
             if not _q.headline:
@@ -99,6 +105,16 @@ def main() -> None:
             except Exception:
                 pass  # a warmup miss only costs that query its warm read
             spark.catalog.clearCache()
+    else:
+        # loud, not silent: without the pre-warm the timed loop reverts
+        # to order-DEPENDENT cold-plan readings, and the regression
+        # guard would compare them against warm-methodology baselines
+        print(
+            f"bench: WARNING no toy warm dir at {_warm_sf} "
+            "(set SPARK_GRAFT_WARM_SF_DIR); per-query times will include "
+            "order-dependent first-execution plan costs",
+            file=sys.stderr,
+        )
 
     results: dict[str, float] = {}
 

@@ -403,6 +403,9 @@ def test_cli_corpus_ann_index_build_probe_update(spark, tmp_path, capsys):
     v_new = [0.0] * 16
     v_new[1] = v_new[5] = 1.0 / math.sqrt(2.0)
     rows2 = [(100, "reshipped content", one_hot(3)),
+             # SAME id as its indexed copy: the gate must not let the
+             # symmetric self-exclusion excuse it (r10 review finding)
+             (3, "same id reshipped", one_hot(3)),
              (101, "fresh content", v_new)]
     src2 = str(tmp_path / "docs2")
     spark.createDataFrame(rows2, schema).write.parquet(src2)
