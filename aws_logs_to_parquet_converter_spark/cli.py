@@ -147,9 +147,10 @@ def build_maintenance_parser() -> argparse.ArgumentParser:
     daily; this finds and repairs the small-file drift streaming
     appends and late-data re-runs leave behind)."""
     p = argparse.ArgumentParser(prog="compact-s3-access-logs maintain")
-    p.add_argument("--dest", required=True,
+    p.add_argument("--dest", default="",
                    help="compacted table root (the CLI's "
-                        "<destination-log-bucket>/<prefix>/<source-bucket>)")
+                        "<destination-log-bucket>/<prefix>/<source-bucket>); "
+                        "required unless --validate-index")
     p.add_argument("--aws-config", default="",
                    help="same credentials file as the ingest command")
     p.add_argument("--max-files", default=10, type=int,
@@ -165,6 +166,13 @@ def build_maintenance_parser() -> argparse.ArgumentParser:
     p.add_argument("--validate", action="store_true",
                    help="print a data-quality report for the table instead "
                         "of compacting (status domain, byte sanity, dt format)")
+    p.add_argument("--validate-index", default="",
+                   help="health-check a persisted index instead of the "
+                        "warehouse: auto-detects MinHash (dedup."
+                        "validate_minhash_index) vs PQ (similarity."
+                        "validate_pq_index) from the stored params, prints "
+                        "the report, exits nonzero on real corruption "
+                        "(conflicting ids, bad lengths, orphan band rows)")
     return p
 
 
@@ -183,6 +191,44 @@ def run_maintenance(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="s3_server_side_log_maintenance")
     if args.aws_config:
         apply_s3a_conf(spark, aws_config_to_s3a(args.aws_config))
+    if args.validate_index:
+        # index health, CLI-reachable for BOTH persisted index kinds —
+        # the operational sibling of --validate for the warehouse; kind
+        # sniffed from the self-describing params row
+        cols = set(spark.read.parquet(f"{args.validate_index}/params").columns)
+        if "num_hashes" in cols:
+            from aws_logs_to_parquet_converter_spark.operators.dedup import (
+                validate_minhash_index,
+            )
+
+            rep = validate_minhash_index(spark, args.validate_index)
+            corrupt = (
+                rep["n_conflicting_ids"]
+                + rep["n_bad_length_ids"]
+                + rep["n_orphan_band_ids"]
+            )
+        elif "ks" in cols:
+            from aws_logs_to_parquet_converter_spark.operators.similarity import (
+                validate_pq_index,
+            )
+
+            rep = validate_pq_index(spark, args.validate_index)
+            corrupt = rep["n_conflicting_ids"] + rep["n_bad_length_ids"]
+        else:
+            print(f"unrecognized index params at {args.validate_index}: "
+                  f"{sorted(cols)}", file=sys.stderr)
+            return 2
+        for key, val in rep.items():
+            print(f"{key}: {val}")
+        if corrupt:
+            print(f"INDEX CORRUPT: {corrupt} bad row group(s) — rebuild and "
+                  "re-ingest the affected ids", file=sys.stderr)
+            return 1
+        return 0
+    if not args.dest:
+        print("maintain: --dest is required unless --validate-index",
+              file=sys.stderr)
+        return 2
     if args.validate:
         from aws_logs_to_parquet_converter_spark.operators.validate import (
             validation_report,

@@ -144,6 +144,11 @@ def stream_corpus_ingest(
     minhash_index: "str | None" = None,
     minhash_threshold: float = 0.5,
     minhash_update: bool = False,
+    schema: "T.StructType | None" = None,
+    pq_index: "str | None" = None,
+    pq_threshold: float = 0.9,
+    pq_update: bool = False,
+    embedding_col: str = "embedding",
 ) -> StreamingQuery:
     """End-to-end continuous corpus ingest: JSONL stream -> scrub
     (drops dead letters) -> digest-dedup -> parquet sink,
@@ -217,8 +222,32 @@ def stream_corpus_ingest(
     keeps the default at-least-once posture for that batch.  Should
     duplicate index rows ever arise (e.g. concurrent writers), the
     probe tolerates them by construction (pair-level
-    dropDuplicates)."""
-    docs = stream_documents(spark, source_glob, max_files_per_trigger=max_files_per_trigger)
+    dropDuplicates).
+
+    ``pq_index`` is the EMBEDDING-space sibling of ``minhash_index``
+    (the CLI's ``--ann-index`` gate, in-stream): each micro-batch's
+    rows with a non-NULL ``embedding_col`` probe the persisted PQ
+    index (operators/similarity.save_pq_index) with
+    ``exclude_self=False`` — a re-delivered id must match its own
+    indexed copy — and rows whose nearest ADC-cosine neighbor reaches
+    ``pq_threshold`` drop before the sink; NULL-embedding rows pass
+    (no geometry to gate on).  ``pq_update=True`` appends admitted
+    rows' embeddings (encoded with the STORED codebook) after the sink
+    write.  Crash-replay: a replayed batch probes its own
+    first-attempt codes and drops when sim(v, code(v)) >=
+    pq_threshold — which holds for in-distribution vectors at sane
+    m/ks but is NOT an identity like the MinHash est-1.0 self-match
+    (quantization error subtracts from the self-sim); if a vector
+    quantizes badly the replay re-appends duplicate codes, which the
+    probe tolerates (neighbor-level dropDuplicates) and
+    validate_pq_index reports as debris.  Ship ``schema`` including
+    the embedding column (array<double>) — the default document
+    schema carries none."""
+    docs = stream_documents(
+        spark, source_glob,
+        schema=schema if schema is not None else DOCUMENT_SCHEMA,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     scrubbed = scrub_stream(docs)
     reject_path = rejected_dest or (dest + "_rejected")
     if rules:
@@ -263,6 +292,23 @@ def stream_corpus_ingest(
             batch_df = minhash_dedup_against_corpus(
                 batch_df, id_col, "text", minhash_index, minhash_threshold
             )
+        if pq_index is not None:
+            from aws_logs_to_parquet_converter_spark.operators.similarity import (
+                query_pq_index,
+            )
+
+            hits = query_pq_index(
+                spark, pq_index,
+                batch_df.where(F.col(embedding_col).isNotNull()),
+                id_col=id_col, vec_col=embedding_col, k=1,
+                exclude_self=False,
+            )
+            dup_ids = (
+                hits.where(F.col("sim") >= pq_threshold)
+                .select(F.col("query_id").alias(id_col))
+                .distinct()
+            )
+            batch_df = batch_df.join(dup_ids, id_col, "left_anti")
         return batch_df
 
     def write_sink(batch_df: DataFrame, path: str, batch_id: int) -> None:
@@ -316,6 +362,19 @@ def stream_corpus_ingest(
                 )
 
                 append_to_minhash_index(batch_df, id_col, "text", minhash_index)
+            if pq_index is not None and pq_update and not batch_df.isEmpty():
+                from aws_logs_to_parquet_converter_spark.operators.similarity import (
+                    save_pq_index,
+                )
+
+                admitted = batch_df.select(id_col, embedding_col).where(
+                    F.col(embedding_col).isNotNull()
+                )
+                if not admitted.isEmpty():
+                    save_pq_index(
+                        admitted, pq_index, id_col=id_col,
+                        vec_col=embedding_col, mode="append",
+                    )
             if post_write_hook is not None:
                 # hook runs BEFORE the final unpersist so inspecting
                 # batch_df re-reads cache, not the whole corpus plan

@@ -433,3 +433,47 @@ def test_cli_corpus_ann_index_build_probe_update(spark, tmp_path, capsys):
 
     with open(f"{dest3}/_manifest.json") as fh:
         assert sum(m["n_rows"] for m in json.load(fh)) == 0
+
+
+def test_cli_maintain_validate_index_both_kinds(spark, tmp_path, capsys):
+    """maintain --validate-index health-checks EITHER persisted index
+    kind (sniffed from the self-describing params row), exits 0 on a
+    healthy index and nonzero once real corruption appears."""
+    from aws_logs_to_parquet_converter_spark import cli
+    from aws_logs_to_parquet_converter_spark.operators.dedup import (
+        _minhash_index_params,
+        _minhash_vdir,
+        save_minhash_index,
+    )
+    from aws_logs_to_parquet_converter_spark.operators.similarity import save_pq_index
+
+    docs = spark.createDataFrame(
+        [(1, "a perfectly ordinary document with words")], "doc_id long, text string"
+    )
+    mh = str(tmp_path / "mhidx")
+    save_minhash_index(docs, "doc_id", "text", mh, num_hashes=32, bands=8)
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(16)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    pq = str(tmp_path / "pqidx")
+    save_pq_index(vecs, pq, m=4, ks=8, sample_n=32, iters=2)
+
+    for idx, kind_key in ((mh, "n_band_rows"), (pq, "n_codes")):
+        args = cli.build_maintenance_parser().parse_args(["--validate-index", idx])
+        assert cli.run_maintenance(args) == 0
+        assert kind_key in capsys.readouterr().out
+
+    # inject minhash corruption (a wrong-length signature) -> exit 1
+    vdir = _minhash_vdir(mh, _minhash_index_params(spark, mh))
+    good = spark.read.parquet(f"{vdir}/signatures").first()
+    spark.createDataFrame(
+        [(999, list(good.signature)[:5])], "id long, signature array<bigint>"
+    ).write.mode("append").parquet(f"{vdir}/signatures")
+    args = cli.build_maintenance_parser().parse_args(["--validate-index", mh])
+    assert cli.run_maintenance(args) == 1
+    assert "INDEX CORRUPT" in capsys.readouterr().err
+
+    # --dest still required for the warehouse paths
+    args = cli.build_maintenance_parser().parse_args(["--dry-run"])
+    assert cli.run_maintenance(args) == 2

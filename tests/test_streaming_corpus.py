@@ -520,3 +520,70 @@ def test_minhash_update_replay_self_converges(spark, tmp_path):
     probe = spark.createDataFrame([(99, novel)], "doc_id long, text string")
     pairs = minhash_corpus_candidates(probe, "doc_id", "text", idx, threshold=0.5).collect()
     assert [(r.doc_id, r.corpus_id) for r in pairs] == [(99, 10)]
+
+
+def test_stream_pq_gate_and_update_semantic_dedup(spark, tmp_path):
+    """pq_index= is the embedding-space sibling of minhash_index=: a
+    stream over a PQ-indexed corpus drops rows whose embedding
+    ADC-matches the index (including a SAME-id re-delivery — the gate
+    probes with exclude_self=False), keeps novel vectors and
+    NULL-embedding rows, and with pq_update=True batch N's admitted
+    embeddings gate batch N+1 (maxFilesPerTrigger file-per-batch
+    ordering)."""
+    from pyspark.sql import types as T
+
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        save_pq_index,
+        validate_pq_index,
+    )
+
+    def one_hot(j, dim=16):
+        return [1.0 if i == j else 0.0 for i in range(dim)]
+
+    emb_schema = T.StructType(
+        list(corpus.DOCUMENT_SCHEMA)
+        + [T.StructField("embedding", T.ArrayType(T.DoubleType()))]
+    )
+    seed = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(16)]) for i in range(8)],
+        "doc_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "pqidx")
+    save_pq_index(seed, idx, id_col="doc_id", vec_col="embedding", m=4, ks=8,
+                  sample_n=32, iters=2)
+
+    def edoc(i, text, emb):
+        d = _doc(i, text)
+        d["embedding"] = emb
+        return d
+
+    import math
+
+    mix = [0.0] * 16
+    mix[1] = mix[5] = 1.0 / math.sqrt(2.0)  # inside the trained span
+    src = tmp_path / "in"
+    src.mkdir()
+    _jsonl(src / "a_first.jsonl", [
+        edoc(100, "reshipped embedding under a new id", one_hot(3)),
+        edoc(3, "reshipped embedding under the SAME id", one_hot(3)),
+        edoc(101, "genuinely new material one", mix),
+        edoc(102, "no geometry to gate on", None),
+    ])
+    _jsonl(src / "b_second.jsonl", [
+        edoc(200, "semantic dup of the batch-one admission", mix),
+        edoc(201, "genuinely new material two", one_hot(7 - 1)),
+    ])
+    q = corpus.stream_corpus_ingest(
+        spark, str(src) + "/*.jsonl", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        schema=emb_schema, max_files_per_trigger=1,
+        pq_index=idx, pq_threshold=0.8, pq_update=True,
+    )
+    q.awaitTermination(180)
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    # 100 (new id, indexed vector) and 3 (SAME id as its indexed copy)
+    # gated by the seed index; 101 novel -> admitted; 102 NULL-embedding
+    # passes; 200 gated by 101's pq_update append from batch one; 201
+    # carries one_hot(6), which the seed index holds -> gated
+    assert kept == [101, 102], f"unexpected admissions: {kept}"
+    rep = validate_pq_index(spark, idx)
+    assert rep["n_ids"] == 9  # 8 seeded + admitted doc 101 (102 had no vector)
