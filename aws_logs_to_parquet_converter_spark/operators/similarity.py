@@ -339,6 +339,125 @@ def cosine_topk_ivf(
     return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
 
 
+def prototypicality_scores(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_n: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cluster-distance data-pruning scores (Sorscher 2022, "Beyond
+    neural scaling laws": the self-supervised prototype metric — a
+    document's training value correlates with how (a)typical it is of
+    its embedding cluster).  Each vector is assigned to its nearest
+    spherical-k-means cell map-side; ``proto_sim`` is its cosine to
+    the cell centroid and ``rnk`` its rank within the cell (most
+    prototypical first).  Callers keep the prototypical head in the
+    small-data regime or the atypical tail in the large-data regime —
+    this operator only scores, the sampling/filters compose downstream
+    (``weighted_sample``, ``stratified_sample`` on ``cell``).
+
+    Rank is computed over the ROUNDED sim (ties at 4 decimals break on
+    id): two vectors whose sims differ only at float-noise level would
+    otherwise rank nondeterministically across runs and engines.
+
+    Scale shape: bounded driver-side centroid training, zero-shuffle
+    Arrow assignment, a broadcast |cells|-row centroid join, ONE
+    window partitioned by cell — no corpus-vs-corpus pair space
+    anywhere, so the pass is linear at any corpus size.
+    ``hash_fn='md5'`` + ``iters=0`` is the oracle-parity mode (see
+    ``kmeans_cell_centroids``)."""
+    spark = corpus.sparkSession
+    cents = kmeans_cell_centroids(
+        corpus, id_col, vec_col, n_cells, sample_n, iters=iters, seed=seed,
+        hash_fn=hash_fn,
+    )
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    assigned = fan_out(corpus, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.element_at(_cell_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    cent_df = spark.createDataFrame(
+        [(j, [float(x) for x in cents[j]]) for j in range(len(cents))],
+        "cell int, _cent array<double>",
+    )
+    scored = assigned.join(F.broadcast(cent_df), "cell").select(
+        "_id",
+        "cell",
+        F.round(cosine(F.col("_v"), F.col("_cent"), None), 4).alias("proto_sim"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("proto_sim"), "_id")
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "cell",
+        "proto_sim",
+        F.row_number().over(w).alias("rnk"),
+    )
+
+
+def hard_negative_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lo: float = 0.15,
+    hi: float = 0.35,
+    unroll_dim: "int | None" = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the top-``k`` corpus vectors whose cosine lands in
+    ``[lo, hi)`` — similar enough to be informative negatives, capped
+    BELOW the near-duplicate band where a "negative" is likely an
+    unlabeled positive (set ``hi`` under the corpus's semantic-dedup
+    threshold).  The band applies to the ROUNDED sim (same
+    determinism rationale as ``prototypicality_scores``) and prunes
+    BEFORE the ranking window, so the window only sorts band
+    survivors.  Same scale shape as ``cosine_topk``: broadcast
+    queries, one corpus stream, hoisted per-side norms, partitioned
+    window.  Returns (query_id, neighbor_id, sim, rnk), rnk <= k."""
+    dim = unroll_dim
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col), dim).alias("_nq"),
+    )
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            _norm(F.col(vec_col), dim).alias("_nc"),
+        ),
+        "neighbor_id",
+    )
+    sim = F.round(
+        F.coalesce(
+            F.nanvl(
+                F.try_divide(
+                    _dot(F.col("_qv"), F.col("_cv"), dim),
+                    F.col("_nq") * F.col("_nc"),
+                ),
+                F.lit(0.0),
+            ),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .where((F.col("sim") >= lo) & (F.col("sim") < hi))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rnk")).where(
+        F.col("rnk") <= k
+    )
+
+
 def blocked_all_pairs(
     df: DataFrame,
     id_col: str,

@@ -145,6 +145,12 @@ _PRIORITY = [
     "q_classifier_train_score",
     "q_embed_topk_ivf_probed",
     "q_media_p3_decode",
+    # late r10 births (standing policy: enter at birth, displacing the
+    # three lowest-priority r7 backfills — q_join_left/q_join_range/
+    # q_join_semi stay r7-green and join the 21-strong r11 head)
+    "q_prototypicality",
+    "q_hard_negatives",
+    "q_tokenizer_fertility",
     # (2) code/oracle changed this round
     "q_bpe_encode",
     "q_embed_topk_ivf_full",
@@ -170,9 +176,6 @@ _PRIORITY = [
     "q_html_extract",
     "q_in_subquery",
     "q_join_anti",
-    "q_join_left",
-    "q_join_range",
-    "q_join_semi",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

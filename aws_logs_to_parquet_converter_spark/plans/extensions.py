@@ -621,8 +621,10 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exact in-cell re-rank.  Engine-side dots are BLAS, oracle-side
 # sequential folds — divergence ~1e-15, far below any cell margin and
 # invisible under the shared ROUND(., 4).
-_IVF_PROBED_ORACLE = """
-    WITH norm AS (
+# norm / md5-deterministic cells / per-(vector, cell) dots / argmax
+# assignment — shared by every md5/iters=0 IVF-machinery oracle
+# (q_embed_topk_ivf_probed, q_prototypicality)
+_IVF_MD5_CTES = """norm AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
                list_transform(embedding::DOUBLE[],
                    x -> x / greatest(sqrt(list_aggregate(
@@ -646,7 +648,10 @@ _IVF_PROBED_ORACLE = """
             SELECT vec_id, c,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
             FROM sims) WHERE rn = 1
-    ), probe AS (
+    )"""
+
+_IVF_PROBED_ORACLE = f"""
+    WITH {_IVF_MD5_CTES}, probe AS (
         SELECT vec_id, c AS cell FROM (
             SELECT vec_id, c,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
@@ -687,6 +692,93 @@ def q_embed_topk_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16, nprobe=4, iters=0, hash_fn="md5",
     )
     return res.withColumnRenamed("rank", "rnk")
+
+
+# Cluster-distance data pruning (Sorscher 2022) under the oracle gate:
+# same md5/iters=0 deterministic-centroid machinery as the probed IVF
+# twin, but the graded value is each vector's cosine to its own cell
+# centroid plus its within-cell rank — the score a DataComp-style
+# pruning pass keeps/drops on.  Rank is over the ROUNDED sim (ties
+# break on id), so float-noise sims cannot reorder across engines.
+_PROTO_ORACLE = f"""
+    WITH {_IVF_MD5_CTES}, scored AS (
+        SELECT a.vec_id, a.cell,
+               ROUND(
+                 list_aggregate(list_transform(list_zip(n.v, cl.cent),
+                                               x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(n.v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(cl.cent, x -> x * x),
+                                          'sum'))), 4) AS proto_sim
+        FROM assign a
+        JOIN norm n USING (vec_id)
+        JOIN cells cl ON cl.c = a.cell
+    )
+    SELECT vec_id, cell, proto_sim,
+           ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY proto_sim DESC, vec_id) AS rnk
+    FROM scored
+"""
+
+
+@query("q_prototypicality", oracle=_PROTO_ORACLE)
+def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance pruning scores
+    (similarity.prototypicality_scores, Sorscher 2022 "Beyond neural
+    scaling laws") in md5/iters=0 oracle mode: every embedding's cell
+    assignment, cosine to its own centroid, and within-cell rank —
+    hash-graded per row, so any assignment, scoring, or ranking bug
+    anywhere in the corpus breaks the grade.  Production runs the
+    xxhash64/iterated-k-means defaults (same code path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.prototypicality_scores(
+        emb, id_col="vec_id", vec_col="embedding", n_cells=16,
+        iters=0, hash_fn="md5",
+    )
+
+
+# Hard-negative mining under the oracle gate: the full brute-force
+# restatement with the band filter applied to the rounded sim BEFORE
+# ranking (the [0.15, 0.35) band sits inside the fixture's observed
+# top-k sim distribution: median 0.21, p99 0.39).
+_HARDNEG_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(
+                 list_aggregate(list_transform(list_zip(qv, cv), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))), 4) AS sim
+        FROM c CROSS JOIN q
+        WHERE query_id != neighbor_id
+    ), banded AS (
+        SELECT * FROM scored WHERE sim >= 0.15 AND sim < 0.35
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM banded
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("q_hard_negatives", oracle=_HARDNEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (similarity.hard_negative_pairs): per query the top-5 corpus
+    vectors with cosine in [0.15, 0.35) — informative negatives below
+    the near-duplicate band.  Same broadcast-queries/one-corpus-pass
+    shape as q_embed_topk; the band prunes before the ranking
+    window."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.hard_negative_pairs(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=5, lo=0.15, hi=0.35,
+    )
 
 
 @query("q_embed_topk_ivfpq")  # rows-only: approximate; recall tested in test_similarity.py
@@ -2797,6 +2889,67 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("text").isNull(), F.lit(None).cast("string")
         ).otherwise(F.array_join("bpe_tokens", " ")).alias("bpe_text"),
+    )
+
+
+# Per-language tokenizer fertility (BPE tokens per whitespace word) —
+# THE metric that drives tokenizer/vocab choices for multilingual
+# corpora: fertility >> 1 for a language means its documents burn
+# token budget disproportionately.  Real-encoder counts (the same
+# paren-safe fold q_bpe_encode grades), composed into a per-language
+# rollup with the exact-ratio rounding done once at the end.
+_FERTILITY_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'),
+                           x -> x <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), perword AS (
+        SELECT doc_id,
+               len(string_split(trim({{seg}}), ' ')) AS n_bpe
+        FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+    ), perdoc AS (
+        SELECT d.doc_id, any_value(d.lang) AS lang,
+               len(any_value(d.ws)) AS n_words,
+               COALESCE(SUM(p.n_bpe), 0) AS n_bpe
+        FROM d LEFT JOIN perword p USING (doc_id)
+        GROUP BY d.doc_id
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           ROUND(SUM(n_bpe) / CAST(SUM(n_words) AS DOUBLE), 4) AS fertility
+    FROM perdoc WHERE n_words > 0 GROUP BY lang
+"""
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=_FERTILITY_ORACLE.format(seg=_bpe_oracle_segment("w")),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility through the PRODUCTION BPE
+    encoder (operators/bpe.with_bpe_tokens over the frozen trained
+    merge table): tokens-per-word by language, the multilingual
+    corpus-budget diagnostic.  Word counts and BPE counts both come
+    from whole-corpus passes; empty-word documents are excluded from
+    the ratio on both engines (no words => fertility undefined)."""
+    from aws_logs_to_parquet_converter_spark.operators import bpe
+
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    enc = bpe.with_bpe_tokens(d, "text", _BPE_MERGES)
+    per_doc = enc.select(
+        "lang",
+        F.size(textstats.tokens(F.col("text"))).alias("n_words"),
+        F.size("bpe_tokens").alias("n_bpe"),
+    ).where(F.col("n_words") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe") / F.sum("n_words").cast("double"), 4
+        ).alias("fertility"),
     )
 
 

@@ -145,13 +145,14 @@ def test_graded_window_covers_priority_surface():
         "q_simhash_md5", "q_simhash_neardup_md5",
         "q_stream_profile",  # the r9 red, regraded after the rounding fix
         "q_classifier_train_score", "q_embed_topk_ivf_probed",
-        "q_media_p3_decode",
+        "q_media_p3_decode", "q_prototypicality", "q_hard_negatives",
+        "q_tokenizer_fertility",
         # code/oracle changed this round (paren-sentinel oracle fold;
         # cosine_topk_ivf passthrough)
         "q_bpe_encode", "q_embed_topk_ivf_full",
         # oldest-evidence backfill anchors: the last r6 rows + r7 head
         "q01_pricing_summary", "q06_forecast_revenue",
-        "q_agg_cube", "q_join_semi",
+        "q_agg_cube", "q_join_anti",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
@@ -286,6 +287,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk_ivf",
         "q_embed_topk_ivf_full",  # same cell-assignment UDF, full probe
         "q_embed_topk_ivf_probed",  # same UDF, md5/iters=0 codebook, partial probe
+        "q_prototypicality",  # same cell-assignment UDF, scoring use
         "q_media_features",
         "q_media_features_hist",  # same mapInPandas seam, integer-exact decoder
         "q_media_p3_decode",  # same seam through the REAL P3 decoder dispatch
@@ -298,6 +300,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q_embed_topk_ivfpq_full",  # same two Arrow seams, full probe + md5 codebook
         "q_bpe_encode",  # BPE apply (map-side merge loop, broadcast ranks)
         "q_mix_bpe_budget",  # same BPE Arrow encoder feeding the budget mixer
+        "q_tokenizer_fertility",  # same BPE Arrow encoder, per-lang rollup
         # the grouped-aggregate pandas UDAF extension point (§2.11):
         # whole-group Arrow crossing, group sizes bounded by contract
         "q_gini_udaf",
@@ -306,6 +309,7 @@ def test_registry_wide_no_scale_killers(spark):
         "q11_important_parts",
         "q_tfidf_topterms",
         "q_embed_topk",
+        "q_hard_negatives",  # same broadcast non-equi scoring join as q_embed_topk
         "q_embed_topk_lsh",
         "q_embed_topk_pq",
         "q_embed_topk_pq_exact",  # same broadcast distance-table non-equi join

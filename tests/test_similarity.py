@@ -660,3 +660,64 @@ def test_save_pq_index_append_rejects_wrong_dim_and_validate_reports_conflicts(
     rep2 = validate_pq_index(spark, idx)
     assert rep2["n_codes"] == 43
     assert rep2["n_conflicting_ids"] >= 1
+
+
+def test_prototypicality_production_mode_invariants(spark):
+    """Production (xxhash64, iterated k-means) prototypicality: every
+    non-NULL vector scored exactly once, ranks contiguous per cell
+    from 1, and each cell's rank-1 vector really is the one closest
+    to that cell's centroid (cross-checked by re-ranking on the
+    returned sims)."""
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        prototypicality_scores,
+    )
+
+    vecs = _vec_df(spark, 60)
+    null_row = spark.createDataFrame(
+        [(999, None)], "vec_id long, embedding array<double>"
+    )
+    got = prototypicality_scores(
+        vecs.unionByName(null_row), n_cells=8, iters=3
+    ).collect()
+    assert len(got) == 60 and len({r.vec_id for r in got}) == 60  # NULL excluded
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rows in by_cell.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        # rank order is (sim desc, id asc) over the rounded sims
+        assert rows == sorted(rows, key=lambda r: (-r.proto_sim, r.vec_id))
+    # determinism across partitionings
+    again = prototypicality_scores(
+        vecs.repartition(13), n_cells=8, iters=3
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_hard_negative_pairs_band_and_subset_of_exact(spark):
+    """The mined pairs are exactly the band-filtered slice of the full
+    cosine scoring, re-ranked: every returned sim is in [lo, hi), no
+    self pairs, and per query the pairs equal the brute-force
+    band-filtered top-k."""
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        cosine_topk,
+        hard_negative_pairs,
+    )
+
+    corpus = _vec_df(spark, 80)
+    queries = corpus.where("vec_id < 4")
+    lo, hi, k = 0.1, 0.4, 5
+    got = hard_negative_pairs(corpus, queries, k=k, lo=lo, hi=hi).collect()
+    assert got and all(lo <= r.sim < hi for r in got)
+    assert all(r.query_id != r.neighbor_id for r in got)
+    # brute force: full ranking (k = corpus size), band filter, top-k
+    full = cosine_topk(corpus, queries, k=100).collect()
+    want = {}
+    for r in sorted(full, key=lambda r: (r.query_id, -r.sim, r.neighbor_id)):
+        if lo <= r.sim < hi and len(want.setdefault(r.query_id, [])) < k:
+            want[r.query_id].append((r.neighbor_id, r.sim))
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rnk)):
+        got_by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.sim))
+    assert got_by_q == want
