@@ -172,6 +172,60 @@ def chunk_documents(
     )
 
 
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Token-budget chunking — the unit downstream tokenizers and
+    sequence packers actually consume (``chunk_documents`` is the
+    character-window sibling): whitespace tokens of the lowercased
+    text grouped into windows of ``chunk_tokens`` with ``overlap``
+    tokens shared between neighbors; chunk text re-joins with single
+    spaces (the token stream is the chunk's identity, not the original
+    spacing).  Token-less documents (empty/NULL text) emit nothing —
+    there is no token window to cut.
+
+    Pure codegen row expansion: explode(sequence) over an all-integer
+    chunk count ((n - overlap + step - 1) div step — no float
+    rounding ambiguity for an external engine to diverge on) + slice +
+    array_join; fan-out is ~n/step rows per doc, zero shuffle.
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    from aws_logs_to_parquet_converter_spark.operators.textstats import tokens
+
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.floor((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step))
+    ).cast("int")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_nc"))
+        .where(F.col("_n") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx"),
+            F.col("_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(
+                F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_tokens)
+            ).alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def mix_sources(
     df: DataFrame,
     source_col: str,

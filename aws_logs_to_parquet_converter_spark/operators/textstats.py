@@ -813,6 +813,32 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"[ \t\r\n\f\x0b]+", " "))
 
 
+def html_links(html: Column) -> Column:
+    """Outlink extraction from HTML markup — the other half of a crawl
+    pipeline's page processing (``html_to_text`` takes the content,
+    this takes the link graph: PageRank-ish signals, frontier
+    expansion, spam-cluster features all start here).  One codegen
+    ``regexp_extract_all`` over href attributes, double- or
+    single-quoted, case-insensitive; the pattern stays in the
+    RE2 ∩ Java subset so a DuckDB oracle runs it verbatim.  Returns
+    ``array<string>`` of the href values in document order (NULL html
+    -> NULL, the usual quarantine signal)."""
+    # two passes, one per quote style: a single alternation with two
+    # capture groups would need a conditional group reference, which
+    # regexp_extract_all's single-group contract can't express.  The
+    # leading [^\w-] boundary keeps data-href/xhref attributes out —
+    # RE2 has no lookbehind, so the boundary char is CONSUMED, which
+    # only matters for two href attributes with zero separator between
+    # them (malformed HTML; the second would be missed).
+    dq = F.regexp_extract_all(
+        html, F.lit('(?i)(?:^|[^\\w-])href[ \\t]*=[ \\t]*"([^"]*)"'), F.lit(1)
+    )
+    sq = F.regexp_extract_all(
+        html, F.lit("(?i)(?:^|[^\\w-])href[ \\t]*=[ \\t]*'([^']*)'"), F.lit(1)
+    )
+    return F.concat(dq, sq)
+
+
 def bigram_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -2892,6 +2892,102 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-budget chunking (chunk_tokens=128, overlap=16, step=112): the
+# chunk count is ALL-INTEGER ((n - 16 + 111) // 112) so no float
+# rounding exists for the engines to diverge on; slices and the
+# re-joined chunk text grade verbatim.
+_CHUNK_TOKENS_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), sized AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               greatest(1, (len(toks) - 16 + 111) // 112) AS nc
+        FROM d WHERE len(toks) > 0
+    ), expanded AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0, nc - 1)) AS i
+        FROM sized
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(toks, i * 112 + 1,
+                               least(i * 112 + 128, n))) AS INTEGER)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(toks, i * 112 + 1,
+                                      least(i * 112 + 128, n)), ' ')
+               AS chunk_text
+    FROM expanded
+"""
+
+
+@query("q_chunk_tokens", oracle=_CHUNK_TOKENS_ORACLE)
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (sampling.chunk_by_tokens): documents cut
+    into 128-token windows with 16-token overlap — the unit sequence
+    packers and context-window loaders consume, next to the
+    char-window q_chunk_docs.  Every chunk's token count AND re-joined
+    text grade per row, so an off-by-one anywhere in the
+    window arithmetic breaks the hash."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    return sampling.chunk_by_tokens(d, "doc_id", "text", chunk_tokens=128, overlap=16)
+
+
+# Outlink extraction over synthesized wrappers: two links per document
+# (absolute with the doc id; relative, single-quoted, with the source)
+# around the document text, so the graded value covers both quote
+# styles, ordering, and the text passthrough — and any regex
+# divergence between engines on the raw text itself.
+_HTML_LINKS_ORACLE = """
+    WITH h AS (
+        SELECT doc_id,
+               '<a href="https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+               || '">t</a><p>' || COALESCE(text, '')
+               || '</p><a href=''/rel/' || COALESCE(source, 'none')
+               || '''>s</a>' AS html
+        FROM documents
+    ), ex AS (
+        SELECT doc_id,
+               regexp_extract_all(html,
+                   '(?i)(?:^|[^\\w-])href[ \\t]*=[ \\t]*"([^"]*)"', 1) AS dq,
+               regexp_extract_all(html,
+                   '(?i)(?:^|[^\\w-])href[ \\t]*=[ \\t]*''([^'']*)''', 1) AS sq
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(len(dq) + len(sq) AS INTEGER) AS n_links,
+           array_to_string(list_concat(dq, sq), ' ') AS links
+    FROM ex
+"""
+
+
+@query("q_html_links", oracle=_HTML_LINKS_ORACLE)
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl outlink extraction (textstats.html_links) over synthesized
+    page wrappers: the link-graph half of page processing next to
+    q_html_extract's content half.  Both quote styles and the
+    document-order concat grade per row."""
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<a href="https://example.com/doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">t</a><p>'),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><a href='/rel/"),
+        F.coalesce(F.col("source"), F.lit("none")),
+        F.lit("'>s</a>"),
+    )
+    links = textstats.html_links(html)
+    return d.select(
+        "doc_id",
+        F.size(links).alias("n_links"),
+        F.array_join(links, " ").alias("links"),
+    )
+
+
 # Per-language tokenizer fertility (BPE tokens per whitespace word) —
 # THE metric that drives tokenizer/vocab choices for multilingual
 # corpora: fertility >> 1 for a language means its documents burn

@@ -1313,3 +1313,56 @@ def test_train_hashed_linear_warm_start_equals_continuous(spark):
     assert all(x == pytest.approx(y, abs=1e-12) for x, y in zip(w, w3))
     with pytest.raises(ValueError, match="init_weights has dim"):
         train_hashed_linear(df, "text", "label", iters=1, init_weights=[0.0] * 5, **kw)
+
+
+def test_chunk_by_tokens_windows_and_edges(spark):
+    """Token-window arithmetic: overlap shared between neighbors, short
+    tail kept, single-chunk docs below the window size, token-less and
+    NULL docs emit nothing, and chunks reconstruct the token stream."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.sampling import chunk_by_tokens
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three tokens"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = chunk_by_tokens(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}  # empty/NULL emit nothing
+    one = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # step=3: ceil((10-1)/3) = 3 chunks at starts 0,3,6 — the last one
+    # reaches w9, so no tail chunk exists and every token is covered
+    assert [r.chunk_text for r in one] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r.n_chunk_tokens for r in one] == [4, 4, 4]
+    assert by_doc[2][0].chunk_text == "only three tokens"
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_html_links_quote_styles_and_nulls(spark):
+    """href extraction: both quote styles in document order, attributes
+    with spacing/case variants, non-href attributes ignored, NULL html
+    quarantines as NULL."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import html_links
+
+    rows = [
+        (1, '<a HREF="https://a.com/x">one</a> <a href = \'/rel\'>two</a>'
+            '<img src="not-a-link.png"><a data-href="nope">'),
+        (2, "no links at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r.links for r in df.select(
+        "doc_id", html_links(F.col("html")).alias("links")
+    ).collect()}
+    assert got[1] == ["https://a.com/x", "/rel"]
+    assert got[2] == []
+    assert got[3] is None

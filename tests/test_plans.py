@@ -146,13 +146,13 @@ def test_graded_window_covers_priority_surface():
         "q_stream_profile",  # the r9 red, regraded after the rounding fix
         "q_classifier_train_score", "q_embed_topk_ivf_probed",
         "q_media_p3_decode", "q_prototypicality", "q_hard_negatives",
-        "q_tokenizer_fertility",
+        "q_tokenizer_fertility", "q_chunk_tokens", "q_html_links",
         # code/oracle changed this round (paren-sentinel oracle fold;
         # cosine_topk_ivf passthrough)
         "q_bpe_encode", "q_embed_topk_ivf_full",
         # oldest-evidence backfill anchors: the last r6 rows + r7 head
         "q01_pricing_summary", "q06_forecast_revenue",
-        "q_agg_cube", "q_join_anti",
+        "q_agg_cube", "q_html_extract",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
