@@ -1502,3 +1502,57 @@ def rrf_fuse(
     return fused.select("*", F.row_number().over(w).alias(rank_col)).where(
         F.col(rank_col) <= k
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 10,
+) -> DataFrame:
+    """IR evaluation of per-query rankings against relevance judgments
+    — the measurement half the retrieval family (bm25_topk,
+    cosine_topk, rrf_fuse) needs before anyone tunes it.  Per query in
+    ``qrels`` (binary relevance: a (query, doc) row means relevant):
+
+      * ``recall_at_k`` — relevant docs retrieved in the top-k / n_rel;
+      * ``rr`` — reciprocal rank of the FIRST relevant hit (0.0 when
+        none; average over queries for MRR);
+      * ``ndcg`` — binary-gain nDCG@k, DCG = sum 1/log2(rank+1) over
+        hits against the ideal prefix of min(n_rel, k) ones.
+
+    Queries present in qrels but missing from ``results`` still emit a
+    row (all-zero metrics) — silently dropping unanswered queries
+    would inflate every macro average.
+
+    Scale shape: both inputs are |queries|-bounded (results already
+    top-k'd), so every join and aggregate here is small-side; nothing
+    touches the corpus.  Floats round to 4 (registry convention)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    res = results.where(F.col(rank_col) <= k).select(query_col, id_col, rank_col)
+    rel = qrels.select(query_col, id_col).dropDuplicates()
+    nrel = rel.groupBy(query_col).agg(F.count("*").alias("n_rel"))
+    hits = res.join(rel, [query_col, id_col]).select(query_col, rank_col)
+    agg = hits.groupBy(query_col).agg(
+        F.count("*").alias("_nh"),
+        F.min(rank_col).alias("_first"),
+        F.sum(F.lit(1.0) / F.log2(F.col(rank_col) + F.lit(1.0))).alias("_dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0.0),
+        lambda a, i: a + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    return nrel.join(agg, query_col, "left").select(
+        query_col,
+        "n_rel",
+        F.coalesce(F.col("_nh"), F.lit(0)).cast("int").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("_nh"), F.lit(0)) / F.col("n_rel").cast("double"), 4
+        ).alias("recall_at_k"),
+        F.round(F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 4).alias("rr"),
+        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 4).alias("ndcg"),
+    )

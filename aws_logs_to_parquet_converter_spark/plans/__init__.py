@@ -146,14 +146,15 @@ _PRIORITY = [
     "q_embed_topk_ivf_probed",
     "q_media_p3_decode",
     # late r10 births (standing policy: enter at birth, displacing the
-    # five lowest-priority r7 backfills — q_join_left/q_join_range/
-    # q_join_semi/q_in_subquery/q_join_anti stay r7-green and join the
-    # r11 head)
+    # six lowest-priority r7 backfills — q_join_left/q_join_range/
+    # q_join_semi/q_in_subquery/q_join_anti/q_html_extract stay
+    # r7-green and join the r11 head)
     "q_prototypicality",
     "q_hard_negatives",
     "q_tokenizer_fertility",
     "q_chunk_tokens",
     "q_html_links",
+    "q_retrieval_metrics",
     # (2) code/oracle changed this round
     "q_bpe_encode",
     "q_embed_topk_ivf_full",
@@ -176,7 +177,6 @@ _PRIORITY = [
     "q_dedup_fingerprint",
     "q_gopher_rules",
     "q_group_by_all",
-    "q_html_extract",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

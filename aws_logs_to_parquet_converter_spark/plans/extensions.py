@@ -2227,6 +2227,59 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_topk(d, qdf, "doc_id", "text", k=5)
 
 
+# Retrieval evaluation under the oracle gate: deterministic binary
+# qrels (doc_id % 7 == query index — dense enough that top-10 lists
+# hit them, sparse enough that recall is far from 1, and the
+# all-zero-metrics path still exercises for any unlucky query),
+# graded per query so recall, first-hit reciprocal rank, and the
+# binary-gain nDCG ratio all hash.
+_RETRIEVAL_METRICS_ORACLE = (
+    _BM25_CTES
+    + """,
+    qs AS (SELECT * FROM (VALUES ('q1', 0), ('q2', 1), ('q3', 2), ('q4', 3))
+           t(query_id, qi)),
+    rel AS (SELECT qs.query_id, d.doc_id
+            FROM qs JOIN documents d ON d.doc_id % 7 = qs.qi),
+    nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+    res AS (SELECT query_id, doc_id, rnk FROM bm25_ranked WHERE rnk <= 10),
+    hits AS (SELECT r.query_id, r.rnk
+             FROM res r JOIN rel USING (query_id, doc_id)),
+    agg AS (SELECT query_id, COUNT(*) AS nh, MIN(rnk) AS first_rnk,
+                   SUM(1.0 / log2(rnk + 1.0)) AS dcg
+            FROM hits GROUP BY 1),
+    ideal AS (SELECT n.query_id, SUM(1.0 / log2(t.i + 1.0)) AS idcg
+              FROM nrel n JOIN range(1, 11) t(i) ON t.i <= least(n.n_rel, 10)
+              GROUP BY 1)
+    SELECT n.query_id, n.n_rel,
+           CAST(COALESCE(a.nh, 0) AS INTEGER) AS n_hits,
+           ROUND(COALESCE(a.nh, 0) / CAST(n.n_rel AS DOUBLE), 4) AS recall_at_k,
+           ROUND(COALESCE(1.0 / a.first_rnk, 0.0), 4) AS rr,
+           ROUND(COALESCE(a.dcg, 0.0) / i.idcg, 4) AS ndcg
+    FROM nrel n
+    LEFT JOIN agg a USING (query_id)
+    JOIN ideal i ON i.query_id = n.query_id
+    """
+)
+
+
+@query("q_retrieval_metrics", oracle=_RETRIEVAL_METRICS_ORACLE)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (similarity.retrieval_metrics): recall@10,
+    reciprocal rank, and binary nDCG@10 of the production BM25 ranking
+    against deterministic qrels — the measurement half without which
+    no retrieval stack can be tuned.  The whole chain grades as one
+    hash: the BM25 ranking feeds the metric joins feeds the per-query
+    numbers (the q_mix_bpe_budget composition pattern)."""
+    d = t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    results = textstats.bm25_topk(d, qdf, "doc_id", "text", k=10)
+    qs = spark.createDataFrame(
+        [(qid, i) for i, (qid, _) in enumerate(_BM25_QUERIES)], "query_id string, qi int"
+    )
+    qrels = qs.join(d, F.col("doc_id") % 7 == F.col("qi")).select("query_id", "doc_id")
+    return similarity.retrieval_metrics(results, qrels, k=10)
+
+
 _HYBRID_ORACLE = (
     _BM25_CTES
     + """,

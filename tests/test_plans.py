@@ -147,12 +147,13 @@ def test_graded_window_covers_priority_surface():
         "q_classifier_train_score", "q_embed_topk_ivf_probed",
         "q_media_p3_decode", "q_prototypicality", "q_hard_negatives",
         "q_tokenizer_fertility", "q_chunk_tokens", "q_html_links",
+        "q_retrieval_metrics",
         # code/oracle changed this round (paren-sentinel oracle fold;
         # cosine_topk_ivf passthrough)
         "q_bpe_encode", "q_embed_topk_ivf_full",
         # oldest-evidence backfill anchors: the last r6 rows + r7 head
         "q01_pricing_summary", "q06_forecast_revenue",
-        "q_agg_cube", "q_html_extract",
+        "q_agg_cube", "q_group_by_all",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
@@ -331,6 +332,9 @@ def test_registry_wide_no_scale_killers(spark):
         # composes q_bm25_topk's stats broadcast AND q_embed_topk's
         # bounded-query-set non-equi join (both sanctioned above)
         "q_hybrid_retrieval",
+        # embeds q_bm25_topk's ranking subplan (same stats broadcast);
+        # the metric joins themselves are |queries|-bounded equi joins
+        "q_retrieval_metrics",
     }
     failures = []
     for name, q in REGISTRY.items():

@@ -721,3 +721,36 @@ def test_hard_negative_pairs_band_and_subset_of_exact(spark):
     for r in sorted(got, key=lambda r: (r.query_id, r.rnk)):
         got_by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.sim))
     assert got_by_q == want
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """Metrics against a tiny hand-derived case: recall counts only
+    top-k hits, rr takes the FIRST relevant rank, binary nDCG divides
+    by the ideal prefix, unanswered queries emit all-zero rows, and
+    duplicate qrel rows don't double-count."""
+    import math
+
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        retrieval_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [("a", 10, 1), ("a", 11, 2), ("a", 12, 3),
+         ("b", 20, 1), ("b", 21, 2)],
+        "query_id string, doc_id long, rnk int",
+    )
+    qrels = spark.createDataFrame(
+        [("a", 11), ("a", 11), ("a", 12), ("a", 99),   # dup row; 99 unretrieved
+         ("b", 77),                                     # no hits
+         ("c", 1)],                                     # query with no results
+        "query_id string, doc_id long",
+    )
+    got = {r.query_id: r for r in retrieval_metrics(results, qrels, k=3).collect()}
+    a = got["a"]
+    assert (a.n_rel, a.n_hits) == (3, 2)
+    assert a.recall_at_k == round(2 / 3, 4) and a.rr == 0.5
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert a.ndcg == round(dcg / idcg, 4)
+    assert (got["b"].n_hits, got["b"].rr, got["b"].ndcg) == (0, 0.0, 0.0)
+    assert (got["c"].n_rel, got["c"].recall_at_k) == (1, 0.0)
