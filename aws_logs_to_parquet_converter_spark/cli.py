@@ -194,8 +194,16 @@ def run_maintenance(args: argparse.Namespace) -> int:
     if args.validate_index:
         # index health, CLI-reachable for BOTH persisted index kinds —
         # the operational sibling of --validate for the warehouse; kind
-        # sniffed from the self-describing params row
-        cols = set(spark.read.parquet(f"{args.validate_index}/params").columns)
+        # sniffed from the self-describing params row.  A missing/
+        # non-index path gets the same one-line-and-exit-2 treatment as
+        # unrecognized params, not a raw Java traceback (a typo'd cron
+        # path should read as a diagnostic)
+        try:
+            cols = set(spark.read.parquet(f"{args.validate_index}/params").columns)
+        except Exception as e:
+            print(f"no readable index params at {args.validate_index}/params: "
+                  f"{getattr(e, 'desc', e)}".splitlines()[0], file=sys.stderr)
+            return 2
         if "num_hashes" in cols:
             from aws_logs_to_parquet_converter_spark.operators.dedup import (
                 validate_minhash_index,
@@ -408,33 +416,26 @@ def run_corpus(args: argparse.Namespace) -> int:
     if args.ann_index and not args.ann_build:
         # semantic history gate, the embedding-space sibling of
         # --near-dedup-index: ADC top-1 against the persisted PQ codes
-        # (similarity.query_pq_index — the corpus is m bytes/vector on
-        # disk, never raw floats), drop docs whose nearest indexed
-        # neighbor clears the threshold.  Probe cost is O(batch x
-        # index-codes scan), the "index once, probe daily" shape.
+        # (the corpus is m bytes/vector on disk, never raw floats),
+        # drop docs whose nearest indexed neighbor clears the
+        # threshold.  Probe cost is O(batch x index-codes scan), the
+        # "index once, probe daily" shape.
         from aws_logs_to_parquet_converter_spark.operators.similarity import (
-            query_pq_index,
+            pq_semantic_gate,
         )
 
-        # exclude_self=False: a re-delivered document carrying the SAME
-        # id as its indexed copy must match that copy and be gated —
-        # the symmetric self-exclusion would invisibly excuse exactly
-        # the most common duplicate class (r10 review finding)
-        hits = query_pq_index(
+        # chunked probe with exclude_self=False (a re-delivered
+        # document carrying the SAME id as its indexed copy must match
+        # it and be gated); driver state stays bounded however big the
+        # export is — see pq_semantic_gate
+        df = pq_semantic_gate(
             spark,
             args.ann_index,
-            df.where(F.col(args.embedding_col).isNotNull()),
+            df,
             id_col=args.id_col,
             vec_col=args.embedding_col,
-            k=1,
-            exclude_self=False,
+            threshold=args.ann_threshold,
         )
-        dup_ids = (
-            hits.where(F.col("sim") >= args.ann_threshold)
-            .select(F.col("query_id").alias(args.id_col))
-            .distinct()
-        )
-        df = df.join(dup_ids, args.id_col, "left_anti")
     manifest = write_training_shards(
         df, args.dest, n_shards=args.n_shards, key_col=args.id_col, seed=args.seed
     )

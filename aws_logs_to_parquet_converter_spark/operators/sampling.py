@@ -188,11 +188,14 @@ def chunk_by_tokens(
     spacing).  Token-less documents (empty/NULL text) emit nothing —
     there is no token window to cut.
 
-    Pure codegen row expansion: explode(sequence) over an all-integer
+    Zero-shuffle row expansion: explode(sequence) over an all-integer
     chunk count ((n - overlap + step - 1) div step — no float
-    rounding ambiguity for an external engine to diverge on) + slice +
-    array_join; fan-out is ~n/step rows per doc, zero shuffle.
-    Returns (id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    rounding ambiguity for an external engine to diverge on), ONE
+    slice per output row, array_join; fan-out is ~n/step rows per
+    doc.  (The tokenization itself shares ``textstats.tokens``, whose
+    empty-filter is an interpreted HOF — a per-DOCUMENT constant, the
+    same sanctioned seam as every tokens() consumer, not a per-chunk
+    cost.)  Returns (id, chunk_idx, n_chunk_tokens, chunk_text)."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     from aws_logs_to_parquet_converter_spark.operators.textstats import tokens
@@ -212,16 +215,21 @@ def chunk_by_tokens(
             F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx"),
             F.col("_toks"),
         )
+        # slice once per output row, then derive both outputs from it
+        # (the inline form evaluated the O(chunk_tokens) slice twice —
+        # r10 review)
         .select(
             id_col,
             "chunk_idx",
-            F.size(
-                F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_tokens)
-            ).alias("n_chunk_tokens"),
-            F.array_join(
-                F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_tokens),
-                " ",
-            ).alias("chunk_text"),
+            F.slice(
+                F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_tokens
+            ).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_chunk").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
         )
     )
 

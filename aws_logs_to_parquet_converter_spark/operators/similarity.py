@@ -124,20 +124,36 @@ def cosine_topk(
     quadratic workloads where per-pair throughput pays back the
     compile (PERF.md: 16s vs 75s on 2M pairs).
     """
-    dim = unroll_dim
-    # Hoist each side's norm to a per-row column BEFORE the join: the
-    # per-pair cosine otherwise re-folds both self-dots for every
-    # (query, neighbor) pair — 3 interpreted HOF folds per pair where
-    # one (the cross dot) suffices.  norm_q * norm_c in the same
-    # order/precision as cosine()'s inline form, so results stay
-    # bit-identical (measured: ~3x less per-pair fold work at sf0.1).
+    scored = _cosine_scored_pairs(corpus, queries, id_col, vec_col, unroll_dim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+
+
+def _cosine_scored_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: "int | None",
+) -> DataFrame:
+    """The shared broadcast-queries x streamed-corpus cosine scoring
+    plan of ``cosine_topk`` and ``hard_negative_pairs`` (one definition
+    so a scoring fix can never miss one of them — r10 review): returns
+    (query_id, neighbor_id, sim) with sim rounded to 4.
+
+    Each side's norm hoists to a per-row column BEFORE the join: the
+    per-pair cosine otherwise re-folds both self-dots for every
+    (query, neighbor) pair — 3 interpreted HOF folds per pair where
+    one (the cross dot) suffices.  norm_q * norm_c in the same
+    order/precision as cosine()'s inline form, so results stay
+    bit-identical (measured: ~3x less per-pair fold work at sf0.1).
+    The corpus side spreads a one-row-group input across the cluster
+    first (partitioning.fan_out; no-op at scale)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _norm(F.col(vec_col), dim).alias("_nq"),
     )
-    # the corpus streams the per-pair math: spread a one-row-group input
-    # across the cluster first (partitioning.fan_out; no-op at scale)
     c = fan_out(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -156,16 +172,11 @@ def cosine_topk(
         ),
         F.lit(0.0),
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(sim, 4).alias("sim"),
-        )
+    return c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(sim, 4).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
 
 
 def hyperplane_signatures(
@@ -417,41 +428,20 @@ def hard_negative_pairs(
     threshold).  The band applies to the ROUNDED sim (same
     determinism rationale as ``prototypicality_scores``) and prunes
     BEFORE the ranking window, so the window only sorts band
-    survivors.  Same scale shape as ``cosine_topk``: broadcast
-    queries, one corpus stream, hoisted per-side norms, partitioned
-    window.  Returns (query_id, neighbor_id, sim, rnk), rnk <= k."""
-    dim = unroll_dim
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col), dim).alias("_nq"),
-    )
-    c = fan_out(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
-            _norm(F.col(vec_col), dim).alias("_nc"),
-        ),
-        "neighbor_id",
-    )
-    sim = F.round(
-        F.coalesce(
-            F.nanvl(
-                F.try_divide(
-                    _dot(F.col("_qv"), F.col("_cv"), dim),
-                    F.col("_nq") * F.col("_nc"),
-                ),
-                F.lit(0.0),
-            ),
-            F.lit(0.0),
-        ),
-        4,
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
-        .where((F.col("sim") >= lo) & (F.col("sim") < hi))
-    )
+    survivors.  The scoring plan IS cosine_topk's — one shared
+    definition (``_cosine_scored_pairs``), so a scoring fix can never
+    miss one of the two (r10 review).  NULL-embedding rows are
+    excluded on BOTH sides: their sim coalesces to 0.0, so with
+    lo <= 0 every geometry-less row would enter the band as a fake
+    negative for every query (r10 review).
+    Returns (query_id, neighbor_id, sim, rnk), rnk <= k."""
+    scored = _cosine_scored_pairs(
+        corpus.where(F.col(vec_col).isNotNull()),
+        queries.where(F.col(vec_col).isNotNull()),
+        id_col,
+        vec_col,
+        unroll_dim,
+    ).where((F.col("sim") >= lo) & (F.col("sim") < hi))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return scored.select("*", F.row_number().over(w).alias("rnk")).where(
         F.col("rnk") <= k
@@ -1307,6 +1297,74 @@ def validate_pq_index(spark, path: str) -> dict:
         }
     finally:
         codes.unpersist()
+
+
+def pq_semantic_gate(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    probe_chunk_rows: int = 2048,
+) -> DataFrame:
+    """The semantic history gate over a persisted PQ index, with
+    BOUNDED driver state: drop every ``batch`` row whose nearest
+    indexed ADC-cosine neighbor (k=1, ``exclude_self=False`` — a
+    re-delivered id must match its own indexed copy) reaches
+    ``threshold``; NULL-embedding rows pass (no geometry to gate on).
+
+    Why not one ``query_pq_index`` call: the ADC probe builds an
+    m*ks-double distance table PER QUERY on the driver and broadcasts
+    them, so probing an unbounded micro-batch/export in one shot is a
+    driver OOM / broadcast failure at scale (r10 review — the text
+    MinHash gate, by contrast, is fully distributed).  This helper
+    hash-partitions the probe side into ``probe_chunk_rows``-sized
+    chunks and probes them SEQUENTIALLY: driver memory is bounded by
+    one chunk's tables (~probe_chunk_rows * m*ks doubles, ~33 MB at
+    the defaults), each chunk is one bounded Spark job, total work
+    stays linear, and only the duplicate IDS (8 B each, at most the
+    batch size) accumulate driver-side between chunks.
+
+    Returns ``batch`` minus the gated rows, all columns intact."""
+    from pyspark.sql import types as T
+
+    probe = batch.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    n = probe.count()
+    id_field = T.StructType([batch.schema[id_col]])
+    if n == 0:
+        return batch
+    n_chunks = max(1, -(-n // probe_chunk_rows))
+    if n_chunks > 1:
+        probe = probe.withColumn(
+            "_pc", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+        ).persist()
+    dup_ids: list = []
+    try:
+        for i in range(n_chunks):
+            part = (
+                probe.where(F.col("_pc") == i).drop("_pc")
+                if n_chunks > 1
+                else probe
+            )
+            hits = query_pq_index(
+                spark, path, part, id_col=id_col, vec_col=vec_col, k=1,
+                exclude_self=False,
+            )
+            dup_ids.extend(
+                r[0]
+                for r in hits.where(F.col("sim") >= threshold)
+                .select("query_id")
+                .distinct()
+                .collect()
+            )
+    finally:
+        if n_chunks > 1:
+            probe.unpersist()
+    if not dup_ids:
+        return batch
+    dup_df = spark.createDataFrame([(d,) for d in dup_ids], id_field)
+    return batch.join(dup_df, id_col, "left_anti")
 
 
 def pq_topk_ivf(

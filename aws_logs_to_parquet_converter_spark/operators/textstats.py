@@ -821,8 +821,11 @@ def html_links(html: Column) -> Column:
     ``regexp_extract_all`` over href attributes, double- or
     single-quoted, case-insensitive; the pattern stays in the
     RE2 ∩ Java subset so a DuckDB oracle runs it verbatim.  Returns
-    ``array<string>`` of the href values in document order (NULL html
-    -> NULL, the usual quarantine signal)."""
+    ``array<string>`` of the href values — all DOUBLE-quoted matches
+    first (in document order), then all single-quoted ones (ditto):
+    one regexp pass per quote style, concatenated, so global document
+    order does NOT hold across the two styles (NULL html -> NULL, the
+    usual quarantine signal)."""
     # two passes, one per quote style: a single alternation with two
     # capture groups would need a conditional group reference, which
     # regexp_extract_all's single-group contract can't express.  The
@@ -830,11 +833,15 @@ def html_links(html: Column) -> Column:
     # RE2 has no lookbehind, so the boundary char is CONSUMED, which
     # only matters for two href attributes with zero separator between
     # them (malformed HTML; the second would be missed).
+    # full whitespace class around '=' (HTML allows newlines there;
+    # the explicit class, not \s, for the RE2/Java \x0b divergence —
+    # same rationale as html_to_text's final collapse)
+    ws = "[ \\t\\r\\n\\f\\x0b]*"
     dq = F.regexp_extract_all(
-        html, F.lit('(?i)(?:^|[^\\w-])href[ \\t]*=[ \\t]*"([^"]*)"'), F.lit(1)
+        html, F.lit(f'(?i)(?:^|[^\\w-])href{ws}={ws}"([^"]*)"'), F.lit(1)
     )
     sq = F.regexp_extract_all(
-        html, F.lit("(?i)(?:^|[^\\w-])href[ \\t]*=[ \\t]*'([^']*)'"), F.lit(1)
+        html, F.lit(f"(?i)(?:^|[^\\w-])href{ws}={ws}'([^']*)'"), F.lit(1)
     )
     return F.concat(dq, sq)
 

@@ -158,6 +158,11 @@ _PRIORITY = [
     # (2) code/oracle changed this round
     "q_bpe_encode",
     "q_embed_topk_ivf_full",
+    # cosine_topk's scoring block moved into the shared
+    # _cosine_scored_pairs helper (now also feeding hard_negative_pairs)
+    # — behavior-neutral, but CODE CHANGED, standing policy; its slot
+    # comes from q_group_by_all (stays r7-green, r11 head)
+    "q_embed_topk",
     # (3) oldest-evidence backfill: the r6 pair, then r7 cohort head
     "q01_pricing_summary",
     "q06_forecast_revenue",
@@ -176,7 +181,6 @@ _PRIORITY = [
     "q_date_funcs",
     "q_dedup_fingerprint",
     "q_gopher_rules",
-    "q_group_by_all",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -3005,9 +3005,11 @@ _HTML_LINKS_ORACLE = """
     ), ex AS (
         SELECT doc_id,
                regexp_extract_all(html,
-                   '(?i)(?:^|[^\\w-])href[ \\t]*=[ \\t]*"([^"]*)"', 1) AS dq,
+                   '(?i)(?:^|[^\\w-])href[ \\t\\r\\n\\f\\x0b]*=[ \\t\\r\\n\\f\\x0b]*"([^"]*)"',
+                   1) AS dq,
                regexp_extract_all(html,
-                   '(?i)(?:^|[^\\w-])href[ \\t]*=[ \\t]*''([^'']*)''', 1) AS sq
+                   '(?i)(?:^|[^\\w-])href[ \\t\\r\\n\\f\\x0b]*=[ \\t\\r\\n\\f\\x0b]*''([^'']*)''',
+                   1) AS sq
         FROM h
     )
     SELECT doc_id,

@@ -294,21 +294,16 @@ def stream_corpus_ingest(
             )
         if pq_index is not None:
             from aws_logs_to_parquet_converter_spark.operators.similarity import (
-                query_pq_index,
+                pq_semantic_gate,
             )
 
-            hits = query_pq_index(
-                spark, pq_index,
-                batch_df.where(F.col(embedding_col).isNotNull()),
-                id_col=id_col, vec_col=embedding_col, k=1,
-                exclude_self=False,
+            # chunked probe — bounded driver state per micro-batch
+            # regardless of trigger size (r10 review; see the helper)
+            batch_df = pq_semantic_gate(
+                spark, pq_index, batch_df,
+                id_col=id_col, vec_col=embedding_col,
+                threshold=pq_threshold,
             )
-            dup_ids = (
-                hits.where(F.col("sim") >= pq_threshold)
-                .select(F.col("query_id").alias(id_col))
-                .distinct()
-            )
-            batch_df = batch_df.join(dup_ids, id_col, "left_anti")
         return batch_df
 
     def write_sink(batch_df: DataFrame, path: str, batch_id: int) -> None:

@@ -149,11 +149,11 @@ def test_graded_window_covers_priority_surface():
         "q_tokenizer_fertility", "q_chunk_tokens", "q_html_links",
         "q_retrieval_metrics",
         # code/oracle changed this round (paren-sentinel oracle fold;
-        # cosine_topk_ivf passthrough)
-        "q_bpe_encode", "q_embed_topk_ivf_full",
+        # cosine_topk_ivf passthrough; shared cosine scoring helper)
+        "q_bpe_encode", "q_embed_topk_ivf_full", "q_embed_topk",
         # oldest-evidence backfill anchors: the last r6 rows + r7 head
         "q01_pricing_summary", "q06_forecast_revenue",
-        "q_agg_cube", "q_group_by_all",
+        "q_agg_cube", "q_gopher_rules",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
