@@ -222,3 +222,27 @@ def test_bpe_oracle_fold_handles_paren_words(spark):
             [txt],
         ).fetchone()
         assert rows[0] == got[i], f"doc {i} ({txt!r}): oracle {rows[0]!r} != spark {got[i]!r}"
+
+
+def test_bpe_train_incremental_matches_reference_randomized(spark):
+    """The incremental merge loop (pair->word index + lazy-deletion
+    heap, r10) must match the naive full-rescan reference on RANDOM
+    corpora, deep into vocabulary exhaustion (min_pair_freq=1 keeps
+    merging until no pair repeats) — every heap-staleness and
+    membership-cleanup edge exercised across many shapes, including
+    overlapping-pair words like 'aaaa'."""
+    rng = random.Random(23)
+    alphabets = ["ab", "abc", "abcdefgh"]
+    for trial in range(6):
+        alpha = alphabets[trial % len(alphabets)]
+        vocab = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(5, 40))
+        ]
+        texts = [" ".join(rng.choices(vocab, k=rng.randint(1, 30))) for _ in range(25)]
+        texts.append("aaaa aaa aa " + " ".join(vocab[:3]))  # overlap stress
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        for nm, mpf in ((7, 2), (500, 1)):
+            got = bpe.bpe_train(df, "text", num_merges=nm, min_pair_freq=mpf)
+            want = _reference_train(texts, nm, min_pair_freq=mpf)
+            assert got == want, f"trial {trial} nm={nm} mpf={mpf}: {got} != {want}"
