@@ -155,6 +155,7 @@ _PRIORITY = [
     "q_chunk_tokens",
     "q_html_links",
     "q_retrieval_metrics",
+    "q_pagerank",
     # (2) code/oracle changed this round
     "q_bpe_encode",
     "q_embed_topk_ivf_full",
@@ -180,7 +181,6 @@ _PRIORITY = [
     "q_cte_composition",
     "q_date_funcs",
     "q_dedup_fingerprint",
-    "q_gopher_rules",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

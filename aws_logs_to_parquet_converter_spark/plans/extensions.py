@@ -2945,6 +2945,74 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PageRank under the oracle gate: a deterministic synthetic link graph
+# over the documents table (each non-%11 doc links to (7*id + k) % N
+# for k in 1..3; %11 docs emit nothing and play the DANGLING role), 3
+# damped iterations unrolled as CTEs.  Per-node contribution sums and
+# the dangling mass carry ~1e-16 summation-order drift per iteration;
+# ROUND 6 at the end absorbs the compounded drift.
+def _pagerank_oracle() -> str:
+    it = """,
+    d{t} AS (SELECT COALESCE(SUM(r.r), 0.0) AS dang
+             FROM r{p} r LEFT JOIN outdeg o ON o.src = r.node
+             WHERE o.src IS NULL),
+    c{t} AS (SELECT e.dst AS node, SUM(r.r / o.od) AS c
+             FROM edges e
+             JOIN r{p} r ON r.node = e.src
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY 1),
+    r{t} AS (SELECT n.node,
+                    0.15 / (SELECT cnt FROM nn)
+                    + 0.85 * (COALESCE(c.c, 0.0)
+                              + (SELECT dang FROM d{t}) / (SELECT cnt FROM nn))
+                        AS r
+             FROM nodes n LEFT JOIN c{t} c ON c.node = n.node)"""
+    body = "".join(it.format(t=t, p=t - 1) for t in (1, 2, 3))
+    return f"""
+    WITH meta AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS (
+        SELECT DISTINCT d.doc_id AS src,
+               (d.doc_id * 7 + t.k) % (SELECT n FROM meta) AS dst
+        FROM documents d, range(1, 4) t(k)
+        WHERE d.doc_id % 11 != 0
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes){body}
+    SELECT node, ROUND(r, 6) AS rank FROM r3
+"""
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (operators/graph.pagerank, damping 0.85,
+    3 iterations) over a deterministic synthetic outlink graph derived
+    from the documents table — the crawl-prioritization / spam-mass
+    operator downstream of textstats.html_links, with ~9% of pages
+    DANGLING so the teleport redistribution path grades too.  Every
+    node's rank hashes, so a mass leak, a mis-joined contribution, or
+    a broken dangling term anywhere in the graph breaks the grade."""
+    from aws_logs_to_parquet_converter_spark.operators.graph import pagerank
+
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    edges = (
+        d.where(F.col("doc_id") % 11 != 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(*[
+                    F.pmod(F.col("doc_id") * 7 + F.lit(k), F.lit(n_docs))
+                    for k in (1, 2, 3)
+                ])
+            ).alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, n_iters=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 # Token-budget chunking (chunk_tokens=128, overlap=16, step=112): the
 # chunk count is ALL-INTEGER ((n - 16 + 111) // 112) so no float
 # rounding exists for the engines to diverge on; slices and the

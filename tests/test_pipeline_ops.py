@@ -1366,3 +1366,43 @@ def test_html_links_quote_styles_and_nulls(spark):
     assert got[1] == ["https://a.com/x", "/rel"]
     assert got[2] == []
     assert got[3] is None
+
+
+def test_pagerank_hand_computed_and_mass_conserved(spark):
+    """Dangling-aware PageRank against hand math: a 3-node graph
+    (1->{2,3}, 2->1, node 3 dangling) whose first iteration is
+    computable by hand; total rank mass stays 1.0 every iteration (the
+    teleport fix), results are partitioning-invariant, and duplicate
+    edges count once."""
+    from aws_logs_to_parquet_converter_spark.operators.graph import pagerank
+
+    # 1 -> 2, 1 -> 3, 2 -> 1; 3 has NO out-edges (dangling)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (2, 1)],  # duplicate 2->1 must not double
+        "src long, dst long",
+    )
+    d = 0.85
+    got = {r.node: r.rank for r in pagerank(edges, n_iters=1, damping=d).collect()}
+    # r0 = 1/3 each; dangling mass = 1/3 (node 3)
+    base = (1 - d) / 3 + d * ((1 / 3) / 3)  # teleport + dangling share
+    want = {
+        1: base + d * (1 / 3),            # from 2 (outdeg 1)
+        2: base + d * (1 / 6),            # from 1 (outdeg 2)
+        3: base + d * (1 / 6),            # from 1
+    }
+    for n, w in want.items():
+        assert abs(got[n] - w) < 1e-12, (n, got[n], w)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+    # mass conserved across more iterations; partitioning-invariant
+    r5 = pagerank(edges, n_iters=5, damping=d).collect()
+    assert abs(sum(r.rank for r in r5) - 1.0) < 1e-9
+    r5b = pagerank(edges.repartition(7), n_iters=5, damping=d).collect()
+    assert {r.node: round(r.rank, 12) for r in r5} == {
+        r.node: round(r.rank, 12) for r in r5b
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(edges, n_iters=0)

@@ -147,13 +147,13 @@ def test_graded_window_covers_priority_surface():
         "q_classifier_train_score", "q_embed_topk_ivf_probed",
         "q_media_p3_decode", "q_prototypicality", "q_hard_negatives",
         "q_tokenizer_fertility", "q_chunk_tokens", "q_html_links",
-        "q_retrieval_metrics",
+        "q_retrieval_metrics", "q_pagerank",
         # code/oracle changed this round (paren-sentinel oracle fold;
         # cosine_topk_ivf passthrough; shared cosine scoring helper)
         "q_bpe_encode", "q_embed_topk_ivf_full", "q_embed_topk",
         # oldest-evidence backfill anchors: the last r6 rows + r7 head
         "q01_pricing_summary", "q06_forecast_revenue",
-        "q_agg_cube", "q_gopher_rules",
+        "q_agg_cube", "q_dedup_fingerprint",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
@@ -335,6 +335,9 @@ def test_registry_wide_no_scale_killers(spark):
         # embeds q_bm25_topk's ranking subplan (same stats broadcast);
         # the metric joins themselves are |queries|-bounded equi joins
         "q_retrieval_metrics",
+        # one-row dangling-mass broadcast per PageRank iteration (the
+        # q_bm25_topk single-row-scalar class, three of them)
+        "q_pagerank",
     }
     failures = []
     for name, q in REGISTRY.items():
