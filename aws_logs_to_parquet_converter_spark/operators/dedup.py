@@ -658,6 +658,7 @@ def save_minhash_index(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     mode: str = "overwrite",
+    prune: bool = True,
 ) -> None:
     """Persist the MinHash-LSH state of a corpus: build once, probe
     every future ingest batch — the NEAR-DUP analog of
@@ -694,7 +695,13 @@ def save_minhash_index(
     row and a mismatch raises — signatures written under different
     parameters than the probe reads back would silently corrupt every
     later candidate set (``append_to_minhash_index`` reads the stored
-    params for you)."""
+    params for you).
+
+    ``prune=False`` skips the post-commit stale-version prune (a
+    refresh committing while a long-running probe still reads the old
+    version dir would otherwise delete files under it — the
+    ``operators/versioned.py`` concurrency contract); call
+    ``versioned.prune_stale_versions`` in a later maintenance window."""
     spark = corpus.sparkSession
     given = {
         "num_hashes": num_hashes,
@@ -773,7 +780,8 @@ def save_minhash_index(
                 "num_hashes int, bands int, shingle_n int, seed long, "
                 "hash_fn string, version string",
             ).write.mode("overwrite").parquet(f"{path}/params")
-            _prune_stale_versions(spark, path, ver)
+            if prune:
+                _prune_stale_versions(spark, path, ver)
     finally:
         sig.unpersist()
 
@@ -938,7 +946,9 @@ def validate_minhash_index(spark: SparkSession, path: str) -> dict:
         bands.unpersist()
 
 
-def rebuild_minhash_index(spark: SparkSession, src_path: str, dest_path: str) -> None:
+def rebuild_minhash_index(
+    spark: SparkSession, src_path: str, dest_path: str, prune: bool = True
+) -> None:
     """Compact a MinHash index into a fresh copy at ``dest_path`` FROM
     ITS STORED SIGNATURES — duplicate rows from crash-replayed appends
     drop, band rows regenerate (healing unbanded ids), and the corpus
@@ -999,8 +1009,10 @@ def rebuild_minhash_index(spark: SparkSession, src_path: str, dest_path: str) ->
         ).write.mode("overwrite").parquet(f"{dest_path}/params")
         # a dest that previously held an index (a re-run rebuild)
         # would otherwise accumulate orphan v-* dirs forever (r10
-        # review) — same post-commit prune as save_minhash_index
-        _prune_stale_versions(spark, dest_path, ver)
+        # review) — same post-commit prune (and same prune=False
+        # escape for concurrent readers) as save_minhash_index
+        if prune:
+            _prune_stale_versions(spark, dest_path, ver)
     finally:
         sig.unpersist()
 

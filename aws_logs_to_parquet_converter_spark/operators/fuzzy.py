@@ -1,0 +1,117 @@
+"""Fuzzy string matching: edit-distance join with recall-exact
+deletion-neighborhood blocking (the SymSpell idea, Garbe 2012 —
+public-domain algorithm) — entity resolution over names/titles/URLs,
+the string sibling of MinHash near-dup.
+
+Why not a cartesian + levenshtein: at 100 TB that is Θ(n²) string
+comparisons.  Blocking rule: two strings within Levenshtein distance
+``d`` ALWAYS share at least one member of their d-deletion
+neighborhoods (every alignment of a<->b with ≤d edits maps both onto a
+common subsequence reachable by ≤d deletions from each side), so
+joining on deletion variants is candidate-complete; an exact
+``levenshtein`` verification then removes false positives.  Cost:
+O(len^d) variants per string — ids and short variant strings on the
+wire, one equi-shuffle on the variant, never a cross product.
+
+Everything is built from Spark SQL primitives (``transform`` /
+``sequence`` / ``levenshtein`` with its threshold form) — zero Python
+in the path, whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_variants(col: str, d: int) -> Column:
+    """Array of all strings reachable from ``col`` by up to ``d``
+    single-character deletions (the string itself included), distinct.
+
+    ``transform(sequence(1, length(s)), i -> concat(substring(s, 1,
+    i-1), substring(s, i+1, length(s))))`` deletes position i; applied
+    ``d`` times with a flatten between rounds.
+    """
+
+    def one_round(expr: str) -> str:
+        # deletions of every element of the array expression `expr`
+        return (
+            f"flatten(transform({expr}, s -> transform("
+            f"sequence(1, greatest(length(s), 1)), "
+            f"i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s))))))"
+        )
+
+    expr = f"array({col})"
+    for _ in range(d):
+        expr = f"concat({expr}, {one_round(expr)})"
+    return F.array_distinct(F.expr(expr))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs (left_id, right_id, dist) with
+    ``levenshtein(left_col, right_col) <= max_dist``.
+
+    ``max_dist`` in {1, 2}: the deletion neighborhood grows O(len^d),
+    so beyond 2 the blocking itself approaches the cross product it
+    exists to avoid — chunk longer strings or use MinHash shingles
+    instead (raise, don't silently degrade).
+
+    Verification uses Spark's bounded ``levenshtein(l, r, threshold)``
+    (early-exits the DP at threshold+1, so candidate verification cost
+    is O(len·d), not O(len²)).
+    """
+    if not 1 <= max_dist <= 2:
+        raise ValueError(f"fuzzy_join: max_dist must be 1 or 2, got {max_dist}")
+
+    def side(df: DataFrame, id_col: str, s_col: str, pid: str, ps: str) -> DataFrame:
+        return (
+            df.where(F.col(s_col).isNotNull())
+            .select(
+                F.col(id_col).alias(pid),
+                F.col(s_col).alias(ps),
+                F.explode(_deletion_variants(s_col, max_dist)).alias("_variant"),
+            )
+        )
+
+    lv = side(left, left_id, left_col, "_lid", "_ls")
+    rv = side(right, right_id, right_col, "_rid", "_rs")
+    # candidates share >=1 variant; distinct BEFORE the levenshtein so
+    # each surviving pair is verified once, not once per shared variant
+    cand = (
+        lv.join(rv, "_variant")
+        .select("_lid", "_rid", "_ls", "_rs")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("_ls"), F.col("_rs"), max_dist)
+        )
+        .where(F.col("dist") >= 0)  # bounded levenshtein returns -1 beyond threshold
+        .select(
+            F.col("_lid").alias(left_id if left_id != right_id else f"{left_id}_l"),
+            F.col("_rid").alias(right_id if left_id != right_id else f"{right_id}_r"),
+            "dist",
+        )
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame, id_col: str, s_col: str, max_dist: int = 1
+) -> DataFrame:
+    """Distinct unordered near-match pairs within one table:
+    (id_a < id_b, dist) with edit distance <= max_dist — the
+    entity-resolution candidate list (feed connected components for
+    cluster canonicalization)."""
+    pairs = fuzzy_join(df, df, id_col, id_col, s_col, s_col, max_dist)
+    a, b = f"{id_col}_l", f"{id_col}_r"
+    return pairs.where(F.col(a) < F.col(b)).select(
+        F.col(a).alias("id_a"), F.col(b).alias("id_b"), "dist"
+    )

@@ -56,6 +56,10 @@ def pagerank(
     )
     try:
         n = nodes.count()
+        if n == 0:
+            # (1-d)/n below would raise a bare ZeroDivisionError; match
+            # the informative-ValueError convention for degenerate input
+            raise ValueError("pagerank: empty edge list (no nodes)")
         outdeg = e.groupBy("src").agg(F.count("*").alias("_od"))
         ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
         for it in range(n_iters):

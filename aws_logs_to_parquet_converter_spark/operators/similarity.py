@@ -1107,6 +1107,7 @@ def save_pq_index(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     mode: str = "overwrite",
+    prune: bool = True,
 ) -> None:
     """Persist a PQ index: build once, query many — the amortized form
     of ``pq_topk`` (whose in-query encode re-runs per call), and the
@@ -1130,7 +1131,10 @@ def save_pq_index(
                                    so no validator could ever catch
                                    the mismatch after the fact).
     Stale version dirs are pruned after the commit (single-writer
-    assumption, same as every persisted index here).
+    assumption, same as every persisted index here); ``prune=False``
+    defers that to a maintenance window so concurrent long-running
+    probes of the old version keep their files
+    (``versioned.prune_stale_versions`` is the deferred call).
 
     ``mode='append'`` admits new vectors ENCODED WITH THE EXISTING
     CODEBOOK (read back from the live version — append can never
@@ -1189,11 +1193,12 @@ def save_pq_index(
     ).write.mode("overwrite").parquet(f"{path}/params")
     # prune superseded versions (post-commit, best effort; see
     # operators/versioned.py for the single-writer/reader contract)
-    from aws_logs_to_parquet_converter_spark.operators.versioned import (
-        prune_stale_versions,
-    )
+    if prune:
+        from aws_logs_to_parquet_converter_spark.operators.versioned import (
+            prune_stale_versions,
+        )
 
-    prune_stale_versions(spark, path, ver)
+        prune_stale_versions(spark, path, ver)
 
 
 def _pq_index_version(spark, path: str) -> str:

@@ -14,6 +14,7 @@ import aws_logs_to_parquet_converter_spark.plans.core2  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.core3  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.core4  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.core5  # noqa: E402,F401
+import aws_logs_to_parquet_converter_spark.plans.core6  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.log_domain  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 

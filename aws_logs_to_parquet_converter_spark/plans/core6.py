@@ -1,0 +1,255 @@
+"""Round-11 ETL/analytics entries: dimension maintenance (SCD1/SCD2
+merges), fuzzy entity resolution (deletion-neighborhood edit-distance
+join), and robust anomaly detection (median/MAD modified z-score).
+
+Every entry derives its inputs deterministically from the shared
+testdata tables so the DuckDB oracle can re-derive them exactly; float
+fragility is kept off the graded boundary per the registry convention
+(integerize via FLOOR, never emit a raw or engine-rounded double —
+the q_stream_profile r9/r10 lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import anomaly, fuzzy, scd
+from aws_logs_to_parquet_converter_spark.plans.registry import query, t
+
+# ---------------------------------------------------------------------------
+# Dimension maintenance (SCD) — history/updates derived from customer
+# ---------------------------------------------------------------------------
+
+# Shared derivations (Spark + DuckDB build the SAME inputs):
+#   history: every customer open since 2023-01-01 on its mktsegment,
+#            plus a closed LEGACY 2022 version for custkey % 10 == 0;
+#   updates: custkey % 3 == 0 gets a 2024-01-01 row — segment moves to
+#            'MOVED-<k%5>' for even keys, stays put for odd (the
+#            no-op-update case); custkey % 50 == 0 ALSO gets an earlier
+#            2023-06-01 'TRANSIENT' row, so latest-per-key collapse is
+#            exercised (for % 50 keys not divisible by 3 it is the
+#            ONLY update and must win).
+
+_SCD_HIST_SQL = """
+    SELECT c_custkey AS k, c_mktsegment AS seg,
+           '2023-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'LEGACY', '2022-01-01', '2023-01-01'
+    FROM customer WHERE c_custkey % 10 = 0
+"""
+
+_SCD_UPD_SQL = """
+    SELECT c_custkey AS k,
+           CASE WHEN c_custkey % 2 = 0
+                THEN 'MOVED-' || CAST(c_custkey % 5 AS VARCHAR)
+                ELSE c_mktsegment END AS seg,
+           '2024-01-01' AS ts
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, 'TRANSIENT', '2023-06-01'
+    FROM customer WHERE c_custkey % 50 = 0
+"""
+
+
+def _scd_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    hist = c.select(
+        k.alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    ).unionByName(
+        c.where(k % 10 == 0).select(
+            k.alias("k"),
+            F.lit("LEGACY").alias("seg"),
+            F.lit("2022-01-01").alias("valid_from"),
+            F.lit("2023-01-01").alias("valid_to"),
+        )
+    )
+    upd = c.where(k % 3 == 0).select(
+        k.alias("k"),
+        F.when(k % 2 == 0, F.concat(F.lit("MOVED-"), (k % 5).cast("string")))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.lit("2024-01-01").alias("ts"),
+    ).unionByName(
+        c.where(k % 50 == 0).select(
+            k.alias("k"),
+            F.lit("TRANSIENT").alias("seg"),
+            F.lit("2023-06-01").alias("ts"),
+        )
+    )
+    return hist, upd
+
+
+_SCD2_ORACLE = f"""
+    WITH hist AS ({_SCD_HIST_SQL}),
+    upd0 AS ({_SCD_UPD_SQL}),
+    upd AS (
+        SELECT k, seg, ts FROM (
+            SELECT k, seg, ts,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, seg DESC) AS rn
+            FROM upd0
+        ) WHERE rn = 1
+    ),
+    o AS (SELECT * FROM hist WHERE valid_to IS NULL),
+    closed AS (SELECT * FROM hist WHERE valid_to IS NOT NULL),
+    j AS (
+        SELECT COALESCE(o.k, n.k) AS k, o.seg AS oseg, o.valid_from AS ovf,
+               n.seg AS nseg, n.ts AS nts
+        FROM o FULL OUTER JOIN upd n ON o.k = n.k
+    )
+    SELECT k, seg, valid_from, valid_to FROM closed
+    UNION ALL
+    SELECT k, oseg, ovf,
+           CASE WHEN nts IS NOT NULL AND oseg IS DISTINCT FROM nseg THEN nts END
+    FROM j WHERE ovf IS NOT NULL
+    UNION ALL
+    SELECT k, nseg, nts, NULL
+    FROM j WHERE nts IS NOT NULL AND (ovf IS NULL OR oseg IS DISTINCT FROM nseg)
+"""
+
+
+@query("q_scd2_merge", oracle=_SCD2_ORACLE)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing dimension) merge: evolve a history
+    table from a change batch — closed rows pass through, changed keys
+    close-and-reopen, unchanged keys stay open, new keys insert; the
+    batch collapses latest-per-key first (``operators/scd.scd2_merge``).
+    Plan: the open slice full-outer-joins the batch on the key — ONE
+    shuffle, broadcastable when the batch is small."""
+    hist, upd = _scd_inputs(spark, sf_dir)
+    return scd.scd2_merge(hist, upd, ["k"], ["seg"], ts_col="ts")
+
+
+_SCD1_ORACLE = f"""
+    WITH snap AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg, '2023-01-01' AS ts
+        FROM customer
+    ),
+    upd0 AS ({_SCD_UPD_SQL}),
+    upd AS (
+        SELECT k, seg, ts FROM (
+            SELECT k, seg, ts,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, seg DESC) AS rn
+            FROM upd0
+        ) WHERE rn = 1
+    )
+    SELECT s.k, s.seg, s.ts FROM snap s ANTI JOIN upd u ON s.k = u.k
+    UNION ALL
+    SELECT k, seg, ts FROM upd
+"""
+
+
+@query("q_scd1_upsert", oracle=_SCD1_ORACLE)
+def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 (latest-wins) upsert: MERGE a change batch into a snapshot
+    — matched keys update to the batch's newest row, new keys insert,
+    untouched keys pass through (``operators/scd.upsert_snapshot``).
+    The batch collapse is a max_by aggregate (no full-dimension sort),
+    and the pass-through is a single anti join on the key."""
+    c = t(spark, sf_dir, "customer")
+    snap = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2023-01-01").alias("ts"),
+    )
+    _, upd = _scd_inputs(spark, sf_dir)
+    return scd.upsert_snapshot(snap, upd, ["k"], "ts")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution
+# ---------------------------------------------------------------------------
+
+# The oracle's verification is the brute-force quadratic ground truth,
+# so BOTH engines cap the id range (mirrored literal): at the capped
+# 2000 keys DuckDB computes <=4M bounded levenshteins in-memory, while
+# the Spark side still runs the production deletion-neighborhood path.
+_FUZZY_CAP = 2000
+
+_FUZZY_ORACLE = f"""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a, customer b
+    WHERE a.c_custkey < {_FUZZY_CAP} AND b.c_custkey < {_FUZZY_CAP}
+      AND a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@query("q_fuzzy_pairs", oracle=_FUZZY_ORACLE)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance<=1 entity-resolution pairs over customer names via
+    recall-exact deletion-neighborhood blocking + bounded levenshtein
+    verification (``operators/fuzzy.fuzzy_self_pairs`` — SymSpell
+    blocking, never a cross product; the oracle IS the cross product,
+    which is exactly why the capped brute force only lives there)."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") < _FUZZY_CAP)
+    pairs = fuzzy.fuzzy_self_pairs(c, "c_custkey", "c_name", max_dist=1)
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), F.col("dist").cast("long").alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection
+# ---------------------------------------------------------------------------
+
+# Integerize value via FLOOR (not ROUND: floor of a double is exact and
+# identical across engines with no half-way semantics to align), then
+# median/MAD interpolation stays on power-of-two denominators => every
+# intermediate double is EXACT and the z>k membership comparison cannot
+# flip on an engine ulp.  The emitted score is floor-integerized too.
+_MAD_ORACLE = """
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v100
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(v100, 0.5) AS med FROM v GROUP BY 1
+    ),
+    dev AS (
+        SELECT v.event_id, v.event_type, v.v100, m.med,
+               ABS(v.v100 - m.med) AS absdev
+        FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1
+    ),
+    scored AS (
+        SELECT d.event_id, d.event_type, d.v100,
+               0.6745 * (d.v100 - d.med) / s.mad AS mz
+        FROM dev d JOIN mad s USING (event_type)
+        WHERE s.mad > 0
+    )
+    SELECT event_id, event_type, v100,
+           CAST(FLOOR(mz * 10000) AS BIGINT) AS mz_e4
+    FROM scored WHERE ABS(mz) > 3.5
+"""
+
+
+@query("q_mad_outliers", oracle=_MAD_ORACLE)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outliers: modified z-score on exact
+    median/MAD (``operators/anomaly.mad_outliers``, Iglewicz-Hoaglin) —
+    the log-analytics anomaly flag.  Two percentile aggregations on the
+    same group key (AQE reuses the exchange), no window over the fact
+    table, no UDF."""
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    out = anomaly.mad_outliers(v, "v100", by=["event_type"], k=3.5)
+    return out.where(F.col("mad") > 0).select(
+        "event_id",
+        "event_type",
+        "v100",
+        F.floor(F.col("mz") * 10000).cast("long").alias("mz_e4"),
+    )
