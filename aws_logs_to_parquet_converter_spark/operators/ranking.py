@@ -136,6 +136,68 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+    sum_col: str = "_running_sum",
+    handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Attach the GLOBAL inclusive running sum of ``value_col`` under
+    ``order_by`` — the prefix-sum sibling of :func:`global_row_number`,
+    with the same contracts: ``order_by`` must be a TOTAL order, the
+    intermediate is persisted (pass ``handles`` for the unpersist
+    hook), and the driver-side collect is bounded by the partition
+    count (a config constant).
+
+    Unlike row numbering, a running sum needs each partition's LOCAL
+    prefix sums, which only a window can produce — so after the range
+    exchange there is a second, pid-keyed exchange for the window.
+    Both move the caller's projection; project down to (keys, value)
+    first when composing over wide rows.  The pid-partitioned window
+    is a real hash-partitioned window (thousands of pids), never the
+    single-task funnel the registry bans, and the per-pid totals
+    aggregate reuses the window's exchange (AQE exchange reuse).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    local = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .select("*", F.spark_partition_id().alias("_pid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if handles is not None:
+        handles.append(local)
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+    offsets, acc = [], 0
+    for row in sorted(stats, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_tot"] or 0
+    if not offsets:  # empty input: keep the schema contract
+        return local.select(
+            *df.columns, F.lit(None).cast("long").alias(sum_col)
+        )
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        local.withColumn("_local_sum", F.sum(value_col).over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            *df.columns,
+            (F.col("_off") + F.col("_local_sum")).cast("long").alias(sum_col),
+        )
+    )
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """SQL-standard ``NTILE(k)`` derived arithmetically from a unique
     1-based global rank and the total count: the first ``n % k`` tiles

@@ -620,3 +620,53 @@ def write_training_shards(
     out.write(bytearray(json.dumps(manifest, indent=1).encode()))
     out.close()
     return manifest
+
+
+def token_stream_blocks(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column | str,
+    block_size: int,
+    *,
+    handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """GPT-style token-stream chunking: conceptually concatenate every
+    document's tokens in ``id_col`` order into ONE global stream and
+    cut it into fixed ``block_size`` blocks; report where each document
+    lands — (n_tokens, start_offset, first_block, last_block).  This is
+    the GLOBAL form of :func:`pack_sequences` (which packs within a
+    group): the standard LM-pretraining sharder, where block
+    ``last_block - first_block`` spans tell the downstream example
+    builder which documents straddle block boundaries.
+
+    ``id_col`` must be a TOTAL order (unique ids).  The global prefix
+    sum comes from ``ranking.global_running_sum`` — two slim shuffles
+    plus a partition-count-bounded collect, never a single-task window,
+    so the stream layout is computed without ever materializing the
+    stream.  Empty documents occupy zero tokens: their first_block ==
+    last_block == the block containing their start offset.
+    """
+    if block_size < 1:
+        raise ValueError(f"token_stream_blocks: block_size must be >= 1, got {block_size}")
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    tok = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    base = df.select("*", tok.cast("long").alias("n_tokens"))
+    summed = global_running_sum(
+        base, [F.col(id_col)], "n_tokens", sum_col="_incl", handles=handles
+    )
+    start = (F.col("_incl") - F.col("n_tokens")).alias("start_offset")
+    return summed.select(
+        *df.columns,
+        "n_tokens",
+        start,
+        F.expr(f"(_incl - n_tokens) div {block_size}").alias("first_block"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(_incl - 1) div {block_size}"),
+        )
+        .otherwise(F.expr(f"(_incl - n_tokens) div {block_size}"))
+        .alias("last_block"),
+    )

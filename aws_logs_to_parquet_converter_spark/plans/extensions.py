@@ -1858,6 +1858,43 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_token_stream_blocks",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS incl
+        FROM d
+    )
+    SELECT doc_id, n_tokens,
+           incl - n_tokens AS start_offset,
+           (incl - n_tokens) // 2048 AS first_block,
+           CASE WHEN n_tokens > 0 THEN (incl - 1) // 2048
+                ELSE (incl - n_tokens) // 2048 END AS last_block
+    FROM c
+    """,
+)
+def q_token_stream_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style GLOBAL token-stream chunking: every document's tokens
+    concatenated in doc_id order into one stream, cut into 2048-token
+    blocks; each doc reports its stream offset and first/last block
+    (``sampling.token_stream_blocks``).  The global prefix sum is the
+    two-pass ``ranking.global_running_sum`` — the oracle's single
+    ORDER-BY-everything window is exactly the single-task shape the
+    Spark side exists to avoid.  All-integer output."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", textstats.token_count(F.col("text")).alias("_tc"))
+    return sampling.token_stream_blocks(base, "doc_id", "_tc", 2048).select(
+        "doc_id", "n_tokens", "start_offset", "first_block", "last_block"
+    )
+
+
+@query(
     "q_vocab_topk",
     oracle=f"""
     SELECT tok, COUNT(*) AS freq FROM (

@@ -119,13 +119,12 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-10
-    window policy (plans/__init__.py): every never-driver-graded
-    oracle-bearing entry first (the 19 r9 post-window births, the
-    regraded stateful seam, the three r10 births), then the
-    code/oracle-changed pair, then oldest-evidence backfill (the last
-    r6 rows + the r7 cohort head) — every windowed entry
-    hash-gradeable."""
+    """The driver grades the first 50 registry entries.  Round-11
+    window policy (plans/__init__.py): the never-green stateful seam
+    (integer-only boundary now), the prune-flag code-changed index
+    pair, the four round-11 births, the FULL 29-entry r7 cohort (the
+    oldest evidence anywhere, mandated by the r10 policy), then r8
+    backfill — every windowed entry hash-gradeable."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
     names = list(REGISTRY)
@@ -134,28 +133,33 @@ def test_graded_window_covers_priority_surface():
     required = {
         # flagship
         "q_days_apart",
-        # the never-driver-graded cohort (r9 verdict item 2 + r10 births)
-        "q_bm25_topk", "q_hybrid_retrieval", "q_quality_classifier",
-        "q_classifier_train_step", "q_gini_udaf", "q_mix_bpe_budget",
-        "q_retention_cohorts", "q_event_funnel", "q_weighted_sample",
-        "q_temperature_mix", "q_incremental_minhash",
-        "q_media_features_hist", "q_semantic_contamination",
-        "q_embed_topk_pq_persisted", "q_embed_topk_ivfpq_full",
-        "q_embed_topk_lsh", "q_semantic_dedup_cells_md5",
-        "q_simhash_md5", "q_simhash_neardup_md5",
-        "q_stream_profile",  # the r9 red, regraded after the rounding fix
-        "q_classifier_train_score", "q_embed_topk_ivf_probed",
-        "q_media_p3_decode", "q_prototypicality", "q_hard_negatives",
-        "q_tokenizer_fertility", "q_chunk_tokens", "q_html_links",
-        "q_retrieval_metrics", "q_pagerank",
-        # code/oracle changed this round (paren-sentinel oracle fold;
-        # cosine_topk_ivf passthrough; shared cosine scoring helper)
-        "q_bpe_encode", "q_embed_topk_ivf_full", "q_embed_topk",
-        # oldest-evidence backfill anchors: the last r6 rows + r7 head
-        "q01_pricing_summary", "q06_forecast_revenue",
-        "q_agg_cube", "q_dedup_fingerprint",
+        # the only never-green entry (red r9 + r10; integerized boundary)
+        "q_stream_profile",
+        # code changed this round: prune=False escape hatch
+        "q_incremental_minhash", "q_embed_topk_pq_persisted",
+        # round-11 births
+        "q_scd2_merge", "q_scd1_upsert", "q_fuzzy_pairs", "q_mad_outliers",
+        "q_token_stream_blocks",
+        # the full r7 cohort (anchors — first and last in name order)
+        "q_gopher_rules", "q_k_anonymize", "q_perplexity", "q_topk",
+        "q_window_rank", "q_winnow_pairs",
+        # r8 backfill head
+        "q_approx_top_k", "q_dedup_exact",
     }
     assert required <= set(window), sorted(required - set(window))
+    # the full r7 cohort must be present (the r10 mandate)
+    r7_cohort = {
+        "q_gopher_rules", "q_group_by_all", "q_html_extract",
+        "q_in_subquery", "q_join_anti", "q_join_left", "q_join_range",
+        "q_join_semi", "q_k_anonymize", "q_lang_id", "q_math_funcs",
+        "q_pack_sequences", "q_percentiles", "q_perplexity", "q_pivot",
+        "q_quality_filter", "q_quality_score", "q_set_ops",
+        "q_string_funcs", "q_tfidf_topterms", "q_token_count",
+        "q_top_bigram", "q_topk", "q_unpivot", "q_vocab_topk",
+        "q_window_rank", "q_window_rolling", "q_winnow_fingerprints",
+        "q_winnow_pairs",
+    }
+    assert r7_cohort <= set(window), sorted(r7_cohort - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
     assert "q_hll_distinct_rollup" not in window
     assert all(REGISTRY[n].oracle is not None for n in window)
