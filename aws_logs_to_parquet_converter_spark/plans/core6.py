@@ -253,3 +253,58 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v100",
         F.floor(F.col("mz") * 10000).cast("long").alias("mz_e4"),
     )
+
+
+# Composed chain: fuzzy pairs -> connected components -> cluster id.
+# The sparse %7 subset keeps real cluster structure (the full id range
+# under dist<=1 collapses into one giant digit-chain component); the
+# oracle re-derives the clusters by recursive-CTE transitive closure
+# over the brute-force pair graph — tractable only because both the
+# cap and the sparsity are mirrored literals.
+_FUZZY_ER_ORACLE = f"""
+    WITH RECURSIVE nodes AS (
+        SELECT c_custkey AS id, c_name AS name FROM customer
+        WHERE c_custkey < {_FUZZY_CAP} AND c_custkey % 7 = 0
+    ),
+    pairs AS (
+        SELECT a.id AS ida, b.id AS idb
+        FROM nodes a, nodes b
+        WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+        SELECT ida AS src, idb AS dst FROM pairs
+        UNION
+        SELECT idb, ida FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+@query("q_fuzzy_entity_resolution", oracle=_FUZZY_ER_ORACLE)
+def q_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution chain under ONE oracle: deletion-
+    neighborhood fuzzy pairs (``operators/fuzzy``) feed min-label
+    connected components (``operators/dedup``); every node reports its
+    cluster (min reachable id, itself when unmatched).  The oracle is
+    a recursive-CTE transitive closure over the capped brute-force
+    graph — the chain-grading pattern (q_mix_bpe_budget): one hash
+    gate over two composed operators."""
+    from aws_logs_to_parquet_converter_spark.operators import dedup
+
+    k = F.col("c_custkey")
+    nodes = (
+        t(spark, sf_dir, "customer")
+        .where((k < _FUZZY_CAP) & (k % 7 == 0))
+        .select(k.alias("id"), F.col("c_name").alias("name"))
+    )
+    pairs = fuzzy.fuzzy_self_pairs(nodes, "id", "name", max_dist=1)
+    cc = dedup.connected_components(pairs)
+    return nodes.join(cc, nodes.id == cc.node, "left").select(
+        nodes.id.alias("id"),
+        F.coalesce(cc.component, nodes.id).alias("cluster_id"),
+    )

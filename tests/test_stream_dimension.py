@@ -1,0 +1,84 @@
+"""Streaming SCD2 dimension maintenance (CDC apply): multi-batch
+evolution equals sequential batch merges; committed-batch replay is a
+no-op (the idempotence the crash contract relies on)."""
+
+from aws_logs_to_parquet_converter_spark.streaming.dimension import (
+    read_dimension,
+    stream_dimension_scd2,
+)
+
+
+def _write_change_file(spark, path, rows):
+    spark.createDataFrame(rows, "k long, seg string, ts string").coalesce(
+        1
+    ).write.mode("append").json(str(path))
+
+
+def _run(spark, src, dim, ckpt):
+    changes = spark.readStream.schema("k long, seg string, ts string").option(
+        "maxFilesPerTrigger", 1  # one micro-batch per change file
+    ).json(str(src))
+    q = stream_dimension_scd2(
+        changes, str(dim), ["k"], ["seg"], "ts", str(ckpt)
+    )
+    q.awaitTermination()
+    q.stop()
+
+
+def test_cdc_apply_multi_batch(spark, tmp_path):
+    src, dim, ckpt = tmp_path / "chg", tmp_path / "dim", tmp_path / "ckpt"
+    # batch 1: two inserts; batch 2: one change + one no-op + one insert
+    _write_change_file(spark, src, [(1, "A", "2024-01-01"), (2, "B", "2024-01-01")])
+    _write_change_file(
+        spark, src,
+        [(1, "A2", "2024-02-01"), (2, "B", "2024-02-01"), (3, "C", "2024-02-01")],
+    )
+    _run(spark, src, dim, ckpt)
+
+    out = {
+        (r.k, r.seg): (r.valid_from, r.valid_to)
+        for r in read_dimension(spark, str(dim)).collect()
+    }
+    assert out == {
+        (1, "A"): ("2024-01-01", "2024-02-01"),  # closed by batch 2
+        (1, "A2"): ("2024-02-01", None),
+        (2, "B"): ("2024-01-01", None),  # no-op update: still the original row
+        (3, "C"): ("2024-02-01", None),
+    }
+    # exactly one live version after pruning
+    vdirs = [p.name for p in dim.iterdir() if p.name.startswith("v-")]
+    assert len(vdirs) == 1
+
+
+def test_cdc_apply_restart_continues(spark, tmp_path):
+    src, dim, ckpt = tmp_path / "chg", tmp_path / "dim", tmp_path / "ckpt"
+    _write_change_file(spark, src, [(1, "A", "2024-01-01")])
+    _run(spark, src, dim, ckpt)
+    # new changes arrive; a RESTARTED stream (same checkpoint) applies
+    # only them
+    _write_change_file(spark, src, [(1, "A2", "2024-03-01")])
+    _run(spark, src, dim, ckpt)
+    out = {(r.k, r.seg): r.valid_to for r in read_dimension(spark, str(dim)).collect()}
+    assert out == {(1, "A"): "2024-03-01", (1, "A2"): None}
+
+
+def test_cdc_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """The crash window between commit and checkpoint: re-merging an
+    already-applied batch must change nothing."""
+    from aws_logs_to_parquet_converter_spark.operators.scd import scd2_merge
+
+    src, dim, ckpt = tmp_path / "chg", tmp_path / "dim", tmp_path / "ckpt"
+    _write_change_file(
+        spark, src, [(1, "A", "2024-01-01"), (2, "B", "2024-01-01")]
+    )
+    _write_change_file(spark, src, [(1, "A2", "2024-02-01")])
+    _run(spark, src, dim, ckpt)
+    before = sorted(map(tuple, read_dimension(spark, str(dim)).collect()))
+    # simulate the replay: merge batch 2 again against the committed state
+    batch2 = spark.createDataFrame(
+        [(1, "A2", "2024-02-01")], "k long, seg string, ts string"
+    )
+    replayed = scd2_merge(
+        read_dimension(spark, str(dim)), batch2, ["k"], ["seg"], ts_col="ts"
+    )
+    assert sorted(map(tuple, replayed.collect())) == before
