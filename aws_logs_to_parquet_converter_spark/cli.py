@@ -173,6 +173,11 @@ def build_maintenance_parser() -> argparse.ArgumentParser:
                         "validate_pq_index) from the stored params, prints "
                         "the report, exits nonzero on real corruption "
                         "(conflicting ids, bad lengths, orphan band rows)")
+    p.add_argument("--expire-before", default="",
+                   help="retention: drop dt= partitions strictly older than "
+                        "this YYYY-MM-DD (honors --dry-run) instead of "
+                        "compacting; catalog partitions need a follow-up "
+                        "MSCK where a table exists")
     return p
 
 
@@ -237,6 +242,19 @@ def run_maintenance(args: argparse.Namespace) -> int:
         print("maintain: --dest is required unless --validate-index",
               file=sys.stderr)
         return 2
+    if args.expire_before:
+        from aws_logs_to_parquet_converter_spark.operators.compact import (
+            expire_partitions,
+        )
+
+        expired = expire_partitions(
+            spark, args.dest, args.expire_before, dry_run=args.dry_run
+        )
+        verb = "would expire" if args.dry_run else "expired"
+        for dt in expired:
+            print(f"dt={dt}: {verb}")
+        print(f"{verb}: {len(expired)} partition(s) older than {args.expire_before}")
+        return 0
     if args.validate:
         from aws_logs_to_parquet_converter_spark.operators.validate import (
             validation_report,

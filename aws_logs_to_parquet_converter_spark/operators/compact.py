@@ -136,6 +136,50 @@ def find_fragmented_partitions(
     return sorted(out, key=lambda d: d["dt"])
 
 
+def expire_partitions(
+    spark,
+    dest: str,
+    before_dt: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention half of partition maintenance: drop every ``dt=``
+    partition strictly OLDER than ``before_dt`` (lexicographic compare
+    — ``dt`` is zero-padded ISO by the write path's contract, so
+    string order IS date order).  Returns the affected dt values;
+    ``dry_run=True`` lists without deleting (the ``maintain``
+    convention).  Metadata-only via the Hadoop FileSystem API, same as
+    the fragmentation scanner; catalog partitions are dropped by the
+    caller's MSCK/ALTER pass (``sources/catalog.py``) where a table
+    exists.
+
+    The cutoff must look like a ``dt`` value (``YYYY-MM-DD``): a typo
+    like '2024-1-5' would silently compare wrong lexicographically, so
+    malformed cutoffs raise."""
+    import re
+
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", before_dt):
+        raise ValueError(
+            f"expire_partitions: before_dt must be YYYY-MM-DD, got {before_dt!r}"
+        )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return []
+    expired = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("dt=")):
+            continue
+        dt = name[len("dt="):]
+        if dt < before_dt:
+            expired.append(dt)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
+    return sorted(expired)
+
+
 def compact_to_size(
     df: DataFrame,
     dest: str,

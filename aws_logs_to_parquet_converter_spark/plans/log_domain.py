@@ -148,6 +148,63 @@ def q_log_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT DATE_TRUNC('hour', MIN(ts)) AS lo,
+               DATE_TRUNC('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    real AS (
+        SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v100
+        FROM events GROUP BY 1, 2
+    )
+    SELECT STRFTIME(s.bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+           k.event_type,
+           COALESCE(r.n_events, 0) AS n_events,
+           COALESCE(r.v100, 0) AS v100
+    FROM spine s
+    CROSS JOIN keys k
+    LEFT JOIN real r ON r.bucket = s.bucket AND r.event_type = k.event_type
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly traffic with gap fill
+    (``operators/timeseries.gap_filled_counts``): every hour in the
+    observed span appears for every event type, zero-filled — the
+    dashboard/alerting shape where a missing hour must read 0, not
+    vanish.  The fact aggregate runs first (map-side combine); the
+    generated |hours| x |types| spine broadcast-joins after, so the
+    fact table shuffles once."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    dense = timeseries.gap_filled_counts(
+        e,
+        "ts",
+        key_cols=["event_type"],
+        unit="hour",
+        aggs={
+            "n_events": (F.count("*"), 0),
+            "v100": (F.sum(F.floor(F.col("value") * 100).cast("long")), 0),
+        },
+    )
+    return dense.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "v100",
+    )
+
+
+@query(
     "q_hourly_traffic",
     oracle="""
     SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
