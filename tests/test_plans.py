@@ -333,6 +333,10 @@ def test_registry_wide_no_scale_killers(spark):
         # one-row (N, avgdl) corpus-stats broadcast into the
         # query-filtered postings (same single-row class)
         "q_bm25_topk",
+        # generated |hours| spine x distinct-keys dim: BOTH sides are
+        # bounded derived aggregates (never the fact table) crossed to
+        # enumerate the dense bucket-key grid before the left join
+        "q_gap_fill",
         # composes q_bm25_topk's stats broadcast AND q_embed_topk's
         # bounded-query-set non-equi join (both sanctioned above)
         "q_hybrid_retrieval",
