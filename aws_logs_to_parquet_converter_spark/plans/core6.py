@@ -308,3 +308,74 @@ def q_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.id.alias("id"),
         F.coalesce(cc.component, nodes.id).alias("cluster_id"),
     )
+
+
+def _scd2_merge_sql(hist_cte: str, upd_cte: str, sfx: str) -> str:
+    """One SCD2 merge as a DuckDB SQL fragment (CTE names suffixed so
+    the two-merge chain can instantiate it twice in one WITH list).
+    Mirrors operators/scd.scd2_merge exactly: latest-per-key collapse,
+    closed passthrough, null-safe change detection, close-and-reopen."""
+    return f"""
+    upd{sfx} AS (
+        SELECT k, seg, ts FROM (
+            SELECT k, seg, ts,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, seg DESC) AS rn
+            FROM {upd_cte}
+        ) WHERE rn = 1
+    ),
+    o{sfx} AS (SELECT * FROM {hist_cte} WHERE valid_to IS NULL),
+    c{sfx} AS (SELECT * FROM {hist_cte} WHERE valid_to IS NOT NULL),
+    j{sfx} AS (
+        SELECT COALESCE(o.k, n.k) AS k, o.seg AS oseg, o.valid_from AS ovf,
+               n.seg AS nseg, n.ts AS nts
+        FROM o{sfx} o FULL OUTER JOIN upd{sfx} n ON o.k = n.k
+    ),
+    m{sfx} AS (
+        SELECT k, seg, valid_from, valid_to FROM c{sfx}
+        UNION ALL
+        SELECT k, oseg, ovf,
+               CASE WHEN nts IS NOT NULL AND oseg IS DISTINCT FROM nseg THEN nts END
+        FROM j{sfx} WHERE ovf IS NOT NULL
+        UNION ALL
+        SELECT k, nseg, nts, NULL
+        FROM j{sfx} WHERE nts IS NOT NULL AND (ovf IS NULL OR oseg IS DISTINCT FROM nseg)
+    )"""
+
+
+# second change batch (2025): every %4 key re-segments again — keys
+# already MOVED in 2024 gain a THIRD version, so the chain proves
+# merge-of-merged (close a row that the first merge itself opened)
+_SCD_UPD2_SQL = """
+    SELECT c_custkey AS k,
+           'RESEG-' || CAST(c_custkey % 3 AS VARCHAR) AS seg,
+           '2025-01-01' AS ts
+    FROM customer WHERE c_custkey % 4 = 0
+"""
+
+_SCD2_CHAIN_ORACLE = (
+    f"WITH hist AS ({_SCD_HIST_SQL}),\n"
+    f"upd0_1 AS ({_SCD_UPD_SQL}),\n"
+    + _scd2_merge_sql("hist", "upd0_1", "1")
+    + f",\nupd0_2 AS ({_SCD_UPD2_SQL}),\n"
+    + _scd2_merge_sql("m1", "upd0_2", "2")
+    + "\nSELECT k, seg, valid_from, valid_to FROM m2"
+)
+
+
+@query("q_scd2_chain", oracle=_SCD2_CHAIN_ORACLE)
+def q_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO sequential SCD2 merges under ONE hash gate — the multi-batch
+    CDC story (streaming/dimension.py applies exactly this, one merge
+    per micro-batch): batch 2 re-segments keys batch 1 itself opened,
+    so close-of-reopened rows, three-version histories, and closed-row
+    passthrough through a second merge all grade together."""
+    hist, upd1 = _scd_inputs(spark, sf_dir)
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd2 = c.where(k % 4 == 0).select(
+        k.alias("k"),
+        F.concat(F.lit("RESEG-"), (k % 3).cast("string")).alias("seg"),
+        F.lit("2025-01-01").alias("ts"),
+    )
+    m1 = scd.scd2_merge(hist, upd1, ["k"], ["seg"], ts_col="ts")
+    return scd.scd2_merge(m1, upd2, ["k"], ["seg"], ts_col="ts")
