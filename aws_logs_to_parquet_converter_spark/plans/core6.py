@@ -113,7 +113,7 @@ _SCD2_ORACLE = f"""
 """
 
 
-@query("q_scd2_merge", oracle=_SCD2_ORACLE)
+@query("q_scd2_merge", headline=True, oracle=_SCD2_ORACLE)
 def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (type-2 slowly-changing dimension) merge: evolve a history
     table from a change batch — closed rows pass through, changed keys
@@ -233,7 +233,7 @@ _MAD_ORACLE = """
 """
 
 
-@query("q_mad_outliers", oracle=_MAD_ORACLE)
+@query("q_mad_outliers", headline=True, oracle=_MAD_ORACLE)
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type robust outliers: modified z-score on exact
     median/MAD (``operators/anomaly.mad_outliers``, Iglewicz-Hoaglin) —

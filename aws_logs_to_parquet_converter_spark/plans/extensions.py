@@ -1859,6 +1859,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_token_stream_blocks",
+    headline=True,
     oracle=f"""
     WITH d AS (
         SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
