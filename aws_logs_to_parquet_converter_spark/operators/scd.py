@@ -88,6 +88,10 @@ def scd2_merge(
     shuffle, broadcastable when the batch is small.
     """
     key_cols, tracked_cols = list(key_cols), list(tracked_cols)
+    if not tracked_cols:
+        # the <=> conjunction below would degenerate to 'never changed'
+        # and every update would silently no-op
+        raise ValueError("scd2_merge: tracked_cols must be non-empty")
     open_rows = history.where(F.col(valid_to_col).isNull())
     closed_rows = history.where(F.col(valid_to_col).isNotNull())
 
@@ -102,9 +106,7 @@ def scd2_merge(
     has_new = F.col(f"n.{ts_col}").isNotNull()
     # null-safe attr comparison: any tracked column differing (<=> is
     # null-safe equality, so NULL -> value counts as a change)
-    changed = ~F.expr(
-        " AND ".join(f"o.{c} <=> n.{c}" for c in tracked_cols) or "true"
-    )
+    changed = ~F.expr(" AND ".join(f"o.{c} <=> n.{c}" for c in tracked_cols))
 
     null_to = F.lit(None).cast(history.schema[valid_to_col].dataType)
     new_open = [F.col(f"n.{c}").alias(c) for c in tracked_cols] + [

@@ -74,7 +74,10 @@ def gap_filled_counts(
     if key_cols:
         keys = df.select(*key_cols).distinct()
         spine = spine.crossJoin(F.broadcast(keys))
-    dense = F.broadcast(spine).join(real, ["bucket", *key_cols], "left")
+    # the LEFT side of a left-outer join cannot be the build side; the
+    # aggregate (right) is the broadcastable one and AQE picks that up
+    # (plan-verified: LeftOuter BuildRight over the spine stream)
+    dense = spine.join(real, ["bucket", *key_cols], "left")
     return dense.select(
         "bucket",
         *key_cols,

@@ -92,6 +92,12 @@ def test_upsert_snapshot_latest_wins(spark):
     }
 
 
+def test_scd2_merge_empty_tracked_cols_raises(spark, hist):
+    upd = spark.createDataFrame([(1, "X", "t")], "k long, attr string, ts string")
+    with pytest.raises(ValueError, match="tracked_cols"):
+        scd2_merge(hist, upd, ["k"], [], "ts")
+
+
 def test_upsert_snapshot_column_mismatch_raises(spark):
     snap = spark.createDataFrame([(1, "A")], "k long, attr string")
     upd = spark.createDataFrame([(1, "A", "t")], "k long, attr string, ts string")
