@@ -55,6 +55,7 @@ def fuzzy_join(
     left_col: str,
     right_col: str,
     max_dist: int = 1,
+    max_len: int = 512,
 ) -> DataFrame:
     """All pairs (left_id, right_id, dist) with
     ``levenshtein(left_col, right_col) <= max_dist``.
@@ -64,16 +65,25 @@ def fuzzy_join(
     exists to avoid — chunk longer strings or use MinHash shingles
     instead (raise, don't silently degrade).
 
+    ``max_len`` bounds the per-row variant fan-out (a 10 kB "name"
+    would explode 10k variants at d=1, len²/2 at d=2): rows whose
+    string exceeds it are EXCLUDED from matching — a declared domain
+    cutoff for a short-string operator, not silent truncation (two
+    >max_len strings within edit distance 2 are whole-document
+    near-dups; winnowing/MinHash is the right tool there).
+
     Verification uses Spark's bounded ``levenshtein(l, r, threshold)``
     (early-exits the DP at threshold+1, so candidate verification cost
     is O(len·d), not O(len²)).
     """
     if not 1 <= max_dist <= 2:
         raise ValueError(f"fuzzy_join: max_dist must be 1 or 2, got {max_dist}")
+    if max_len < 1:
+        raise ValueError(f"fuzzy_join: max_len must be >= 1, got {max_len}")
 
     def side(df: DataFrame, id_col: str, s_col: str, pid: str, ps: str) -> DataFrame:
         return (
-            df.where(F.col(s_col).isNotNull())
+            df.where(F.col(s_col).isNotNull() & (F.length(s_col) <= max_len))
             .select(
                 F.col(id_col).alias(pid),
                 F.col(s_col).alias(ps),
@@ -104,13 +114,13 @@ def fuzzy_join(
 
 
 def fuzzy_self_pairs(
-    df: DataFrame, id_col: str, s_col: str, max_dist: int = 1
+    df: DataFrame, id_col: str, s_col: str, max_dist: int = 1, max_len: int = 512
 ) -> DataFrame:
     """Distinct unordered near-match pairs within one table:
     (id_a < id_b, dist) with edit distance <= max_dist — the
     entity-resolution candidate list (feed connected components for
     cluster canonicalization)."""
-    pairs = fuzzy_join(df, df, id_col, id_col, s_col, s_col, max_dist)
+    pairs = fuzzy_join(df, df, id_col, id_col, s_col, s_col, max_dist, max_len)
     a, b = f"{id_col}_l", f"{id_col}_r"
     return pairs.where(F.col(a) < F.col(b)).select(
         F.col(a).alias("id_a"), F.col(b).alias("id_b"), "dist"

@@ -177,6 +177,24 @@ def test_fuzzy_join_two_tables_and_bounds(spark):
         fuzzy_join(l, r, "lid", "rid", "name", "name", 3)
 
 
+def test_fuzzy_join_max_len_cutoff(spark):
+    # >max_len strings are excluded from matching (declared domain
+    # cutoff), short ones still match; max_len < 1 raises
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "x" * 600), (4, "x" * 600 + "y")],
+        "id long, s string",
+    )
+    got = {(r.id_a, r.id_b) for r in fuzzy_self_pairs(df, "id", "s", 1).collect()}
+    assert got == {(1, 2)}
+    longer = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_self_pairs(df, "id", "s", 1, max_len=1000).collect()
+    }
+    assert longer == {(1, 2), (3, 4)}
+    with pytest.raises(ValueError, match="max_len"):
+        fuzzy_self_pairs(df, "id", "s", 1, max_len=0)
+
+
 def test_fuzzy_join_no_python_udf_in_plan(spark):
     df = spark.createDataFrame([(1, "ab"), (2, "ac")], "id long, s string")
     plan = fuzzy_self_pairs(df, "id", "s", 1)._jdf.queryExecution().executedPlan().toString()
