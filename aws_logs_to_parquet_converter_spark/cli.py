@@ -318,7 +318,13 @@ def build_corpus_parser() -> argparse.ArgumentParser:
     quality-gated, shard-exported training data."""
     p = argparse.ArgumentParser(prog="compact-s3-access-logs corpus")
     p.add_argument("--src", required=True,
-                   help="input documents parquet (doc_id, text, ... schema)")
+                   help="input documents table (doc_id, text, ... schema)")
+    p.add_argument("--src-format", default="parquet",
+                   choices=["parquet", "jsonl", "csv"],
+                   help="jsonl/csv read through the dead-letter sources "
+                        "(sources/jsonl.py, sources/csvfile.py) against the "
+                        "documents schema; corrupt lines are COUNTED and "
+                        "excluded, never silently dropped")
     p.add_argument("--dest", required=True, help="shard output directory")
     p.add_argument("--aws-config", default="",
                    help="same credentials file as the ingest command")
@@ -387,7 +393,28 @@ def run_corpus(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corpus_export")
     if args.aws_config:
         apply_s3a_conf(spark, aws_config_to_s3a(args.aws_config))
-    df = spark.read.parquet(args.src)
+    if args.src_format == "parquet":
+        df = spark.read.parquet(args.src)
+    else:
+        from aws_logs_to_parquet_converter_spark.sources.jsonl import (
+            DOCUMENT_SCHEMA,
+            read_jsonl,
+            split_corrupt,
+        )
+
+        if args.src_format == "jsonl":
+            raw = read_jsonl(spark, args.src, DOCUMENT_SCHEMA)
+        else:
+            from aws_logs_to_parquet_converter_spark.sources.csvfile import (
+                read_csv_deadletter,
+            )
+
+            raw = read_csv_deadletter(spark, args.src, DOCUMENT_SCHEMA, header=True)
+        df, dead = split_corrupt(raw)
+        n_dead = dead.count()
+        if n_dead:
+            print(f"corpus: {n_dead} corrupt {args.src_format} line(s) excluded",
+                  file=sys.stderr)
     if args.min_quality > 0:
         df = df.where(quality_score(F.col(args.text_col)) >= args.min_quality)
     if args.gopher:

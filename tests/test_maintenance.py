@@ -209,6 +209,34 @@ def test_cli_corpus_subcommand(spark, tmp_path, capsys):
     assert "3 documents exported across 4 shards" in capsys.readouterr().out
 
 
+def test_cli_corpus_jsonl_source_with_deadletter(spark, tmp_path, capsys):
+    """--src-format jsonl: corrupt lines are counted and excluded, clean
+    rows flow through the same export pipeline."""
+    import json
+
+    from aws_logs_to_parquet_converter_spark import cli
+
+    src = tmp_path / "docs.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "the cat sat on the mat and it was a good day",
+                    "lang": "en", "source": "web", "n_chars": 44}),
+        "{broken json",
+        json.dumps({"doc_id": 2, "text": "the dog ran in the park on a fine morning today",
+                    "lang": "en", "source": "web", "n_chars": 47}),
+    ]
+    src.write_text("\n".join(lines))
+    dest = str(tmp_path / "shards")
+    args = cli.build_corpus_parser().parse_args([
+        "--src", str(src), "--src-format", "jsonl", "--dest", dest,
+        "--n-shards", "2", "--dedup", "exact",
+    ])
+    assert cli.run_corpus(args) == 0
+    out = spark.read.parquet(dest)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+    err = capsys.readouterr().err
+    assert "1 corrupt jsonl line(s) excluded" in err
+
+
 def test_cli_corpus_gopher_gate(spark, tmp_path):
     """--gopher applies the published rule battery as a hard gate."""
     from aws_logs_to_parquet_converter_spark import cli
