@@ -1866,8 +1866,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), c AS (
         SELECT doc_id, n_tokens,
-               SUM(n_tokens) OVER (ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) AS incl
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS incl
         FROM d
     )
     SELECT doc_id, n_tokens,

@@ -163,13 +163,13 @@ def q_log_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     real AS (
         SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v100
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v100
         FROM events GROUP BY 1, 2
     )
     SELECT STRFTIME(s.bucket, '%Y-%m-%d %H:%M:%S') AS hour,
            k.event_type,
-           COALESCE(r.n_events, 0) AS n_events,
-           COALESCE(r.v100, 0) AS v100
+           CAST(COALESCE(r.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(r.v100, 0) AS BIGINT) AS v100
     FROM spine s
     CROSS JOIN keys k
     LEFT JOIN real r ON r.bucket = s.bucket AND r.event_type = k.event_type
@@ -432,7 +432,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(user_id AS VARCHAR) AS key,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_bytes,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_bytes,
            CAST(FLOOR(MAX(value) * 1000000.0) AS BIGINT) AS max_value_micros
     FROM events GROUP BY 1
     """,
@@ -476,20 +476,20 @@ def q_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_f.total_bytes").alias("total_bytes"),
         # r9 AND r10 driver grades came back hash_match=false on this
         # entry alone, while five judge replays and every local parity
-        # run pass — including r10's, AFTER max_value was rounded to six
-        # places on both engines per the registry convention.  The only
-        # fragility class that survives rounding is the double itself
-        # crossing two engines' round() implementations (Spark rounds
-        # the shortest-decimal repr via BigDecimal HALF_UP; DuckDB
-        # rounds the scaled binary), which can differ by one output ulp
-        # on boundary inputs the local 9-sig-digit normalizer hides but
-        # an exact hash catches.  So remove the float from the graded
-        # boundary entirely: emit floor(max * 1e6) as BIGINT.  MAX is a
-        # bit-exact selection, the multiply is the same IEEE-754 op on
-        # the same input on both engines, and floor of a double is
-        # exact — integers hash identically everywhere.  The stateful
-        # operator still evolves the true double max in its state; only
-        # the graded projection is integerized.
+        # run passed.  ROOT CAUSE (found r11): the oracle's total_bytes
+        # was the registry's ONLY final-projection integer SUM without
+        # the outer CAST(... AS BIGINT) — DuckDB's SUM(BIGINT) returns
+        # HUGEINT (int128), which serializes differently from Spark's
+        # int64 through arrow/pandas fetch paths, so the driver's hash
+        # diverged deterministically while fetchall-based comparisons
+        # (judge, local parity) saw equal Python ints.  Fixed in the
+        # oracle; test_oracle_parity now DESCRIBEs every oracle and
+        # bans wide integer types registry-wide.  Belt-and-braces, the
+        # graded max is ALSO integerized (floor-to-micros BIGINT on
+        # both engines: MAX is bit-exact selection, the multiply is the
+        # same IEEE op, floor is exact) so no double crosses the graded
+        # boundary either.  The stateful operator still evolves the
+        # true double max in its state; only the projection changed.
         F.floor(F.col("_f.max_value") * F.lit(1000000.0))
         .cast("long")
         .alias("max_value_micros"),
