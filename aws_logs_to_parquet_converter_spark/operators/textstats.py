@@ -1230,3 +1230,101 @@ def c4_page_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[c.alias(n) for n, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    buckets: int = 1024,
+    alpha: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much its hashed n-gram profile looks
+    like a TARGET slice of the corpus rather than the corpus at large —
+    the principled replacement for hand-tuned quality thresholds when
+    curating pretraining mixes toward a domain.
+
+        features  = unigrams + bigrams, hashed into ``buckets``
+                    (the paper's hashing trick; md5 mode is the
+                    cross-engine oracle-parity draw, xxhash64 the
+                    production default — the `_bucket_index` rule)
+        p_tgt[b]  = (c_tgt[b] + alpha) / (N_tgt + alpha * buckets)
+        p_raw[b]  =  same over the whole corpus
+        w(doc)    = sum over the doc's feature OCCURRENCES of
+                    ln(p_tgt[b] / p_raw[b])
+
+    ``target`` is a boolean Column over ``df``'s rows (e.g.
+    ``F.col('lang') == 'en'``) — the in-corpus target slice.  Sample
+    with Gumbel-top-k on the returned weight (``weighted_sample``) to
+    complete the paper's resampling step.
+
+    Scale: the two bucket-count aggregates collapse to <= ``buckets``
+    rows each (map-side combine over the token explode); the log-ratio
+    table is broadcast; the only data-sized shuffle is the per-doc
+    weight aggregation.  Returns (id, n_feats, weight) with weight
+    ROUND(3) — the q_perplexity convention absorbing last-ULP libm
+    drift in ln().
+    """
+    if buckets < 2:
+        raise ValueError(f"dsir_importance_weights: buckets must be >= 2, got {buckets}")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        target.alias("_tgt"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias("_pos", "_tok"),
+    ).where(F.col("_tok") != "")
+    w_next = Window.partitionBy("_id").orderBy("_pos")
+    with_next = toks.select(
+        "_id", "_tgt", "_tok", F.lead("_tok").over(w_next).alias("_nxt")
+    )
+    feats = with_next.select(
+        "_id",
+        "_tgt",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.col("_tok"),
+                    F.when(
+                        F.col("_nxt").isNotNull(),
+                        F.concat_ws(" ", "_tok", "_nxt"),
+                    ),
+                )
+            )
+        ).alias("_feat"),
+    ).select("_id", "_tgt", _bucket_index(F.col("_feat"), buckets, hash_fn).alias("_b"))
+
+    counts = feats.groupBy("_b").agg(
+        F.count("*").alias("_c_raw"),
+        F.count_if(F.col("_tgt")).alias("_c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("_c_raw").alias("_n_raw"), F.sum("_c_tgt").alias("_n_tgt")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_c_tgt") + alpha) / (F.col("_n_tgt") + alpha * buckets))
+            - F.log((F.col("_c_raw") + alpha) / (F.col("_n_raw") + alpha * buckets))
+        ).alias("_lr"),
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "_b")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("_lr").alias("_w"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            # + 0.0 folds IEEE negative zero (a tiny negative weight
+            # rounds to -0.0, which engines stringify differently)
+            (F.round(F.coalesce("_w", F.lit(0.0)), 3) + F.lit(0.0)).alias("weight"),
+        )
+    )

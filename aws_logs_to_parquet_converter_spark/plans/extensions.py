@@ -4346,3 +4346,52 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
     }
     return validate.validation_report(li, rules)
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang = 'en' AS tgt, {_DUCK_TOKENS} AS l
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, tgt,
+               ('0x' || substring(md5(f), 1, 8))::BIGINT % 1024 AS b
+        FROM (
+            SELECT doc_id, tgt,
+                   unnest(l || list_transform(range(1, len(l)),
+                                              i -> l[i] || ' ' || l[i+1])) AS f
+            FROM base
+        )
+    ), counts AS (
+        SELECT b, COUNT(*) AS c_raw, COUNT(*) FILTER (WHERE tgt) AS c_tgt
+        FROM feats GROUP BY b
+    ), tot AS (
+        SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM counts
+    ), ratio AS (
+        SELECT b, LN((c_tgt + 0.5) / (n_tgt + 0.5 * 1024))
+                - LN((c_raw + 0.5) / (n_raw + 0.5 * 1024)) AS lr
+        FROM counts, tot
+    ), scored AS (
+        SELECT f.doc_id, COUNT(*) AS n_feats, SUM(r.lr) AS w
+        FROM feats f JOIN ratio r USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+           ROUND(COALESCE(s.w, 0.0), 3) + 0.0 AS weight
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie 2023): hashed unigram+bigram
+    profile log-likelihood ratio of the English target slice vs the
+    raw corpus (``textstats.dsir_importance_weights``, md5 oracle
+    mode) — the principled domain-curation scorer; compose with
+    ``weighted_sample`` for the paper's resampling step.  Bucket
+    aggregates collapse to <=1024 rows, the log-ratio table
+    broadcasts, and the only data-sized shuffle is the per-doc sum."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.dsir_importance_weights(
+        d, "doc_id", "text", target=F.col("lang") == "en",
+        buckets=1024, alpha=0.5, hash_fn="md5",
+    )

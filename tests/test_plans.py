@@ -140,7 +140,7 @@ def test_graded_window_covers_priority_surface():
         # round-11 births
         "q_scd2_merge", "q_scd1_upsert", "q_fuzzy_pairs", "q_mad_outliers",
         "q_token_stream_blocks", "q_fuzzy_entity_resolution", "q_gap_fill",
-        "q_scd2_chain",
+        "q_scd2_chain", "q_dsir_weights",
         # the full r7 cohort (anchors — first and last in name order)
         "q_gopher_rules", "q_k_anonymize", "q_perplexity", "q_topk",
         "q_window_rank", "q_winnow_pairs",
@@ -338,6 +338,9 @@ def test_registry_wide_no_scale_killers(spark):
         # bounded derived aggregates (never the fact table) crossed to
         # enumerate the dense bucket-key grid before the left join
         "q_gap_fill",
+        # one-row (N_raw, N_tgt) totals broadcast into the <=buckets-row
+        # log-ratio table (the q11 single-row class)
+        "q_dsir_weights",
         # composes q_bm25_topk's stats broadcast AND q_embed_topk's
         # bounded-query-set non-equi join (both sanctioned above)
         "q_hybrid_retrieval",
