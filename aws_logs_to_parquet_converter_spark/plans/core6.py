@@ -379,3 +379,98 @@ def q_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m1 = scd.scd2_merge(hist, upd1, ["k"], ["seg"], ts_col="ts")
     return scd.scd2_merge(m1, upd2, ["k"], ["seg"], ts_col="ts")
+
+
+_CDC_ORACLE = (
+    f"WITH upd0_1 AS ({_SCD_UPD_SQL}),\n"
+    "upd1c AS (\n"
+    "    SELECT k, seg, ts FROM (\n"
+    "        SELECT k, seg, ts,\n"
+    "               ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, seg DESC) AS rn\n"
+    "        FROM upd0_1\n"
+    "    ) WHERE rn = 1\n"
+    "),\n"
+    # merge into an EMPTY dimension = every collapsed update inserts open
+    "m0 AS (\n"
+    "    SELECT k, seg, ts AS valid_from, CAST(NULL AS VARCHAR) AS valid_to\n"
+    "    FROM upd1c\n"
+    "),\n"
+    f"upd0_2 AS ({_SCD_UPD2_SQL}),\n"
+    + _scd2_merge_sql("m0", "upd0_2", "2")
+    + "\nSELECT k, seg, valid_from, valid_to FROM m2"
+)
+
+
+@query("q_stream_cdc_dimension", oracle=_CDC_ORACLE)
+def q_stream_cdc_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CDC-apply pipeline END-TO-END under the oracle
+    gate (the FIFTH streaming-family graded row): two change batches
+    are written as separate files with ordered mtimes, replayed through
+    ``streaming/dimension.stream_dimension_scd2`` with
+    maxFilesPerTrigger=1 (one SCD2 merge per micro-batch, bootstrapping
+    an empty dimension, versioned-commit per batch), and the LIVE
+    dimension read back via the params pointer.  The oracle re-derives
+    both merges as SQL CTEs and never sees the files — the grade proves
+    the foreachBatch loop, the bootstrap, the commit protocol, and the
+    batch ordering all compose to the batch-sequential merge semantics.
+    Fixture dirs are stable per sf_dir and wiped per invocation (the
+    q_warc_extract discipline: repeated grading must not accumulate
+    under /tmp)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from aws_logs_to_parquet_converter_spark.streaming.dimension import (
+        read_dimension,
+        stream_dimension_scd2,
+    )
+
+    _, upd1 = _scd_inputs(spark, sf_dir)
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd2 = c.where(k % 4 == 0).select(
+        k.alias("k"),
+        F.concat(F.lit("RESEG-"), (k % 3).cast("string")).alias("seg"),
+        F.lit("2025-01-01").alias("ts"),
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "q_stream_cdc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    changes = os.path.join(root, "changes")
+    os.makedirs(changes)
+
+    # one file per batch, mtimes ordered so the file source (oldest
+    # first) replays them as micro-batch 1 then 2
+    for i, batch in enumerate((upd1, upd2), start=1):
+        stage = os.path.join(root, f"stage{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dest = os.path.join(changes, f"b{i}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (1_000_000 * i, 1_000_000 * i))
+
+    src = (
+        spark.readStream.schema("k long, seg string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes)
+    )
+    q = stream_dimension_scd2(
+        src,
+        os.path.join(root, "dim"),
+        ["k"],
+        ["seg"],
+        "ts",
+        os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    q.stop()
+    return read_dimension(spark, os.path.join(root, "dim")).select(
+        "k", "seg", "valid_from", "valid_to"
+    )

@@ -140,7 +140,7 @@ def test_graded_window_covers_priority_surface():
         # round-11 births
         "q_scd2_merge", "q_scd1_upsert", "q_fuzzy_pairs", "q_mad_outliers",
         "q_token_stream_blocks", "q_fuzzy_entity_resolution", "q_gap_fill",
-        "q_scd2_chain", "q_dsir_weights",
+        "q_scd2_chain", "q_dsir_weights", "q_stream_cdc_dimension",
         # the full r7 cohort (anchors — first and last in name order)
         "q_gopher_rules", "q_k_anonymize", "q_perplexity", "q_topk",
         "q_window_rank", "q_winnow_pairs",
