@@ -1619,3 +1619,91 @@ def retrieval_metrics(
         F.round(F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 4).alias("rr"),
         F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 4).alias("ndcg"),
     )
+
+
+def cosine_topk_lsh_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    bands: int = 3,
+    probe_flips: bool = True,
+    seed: int = 42,
+    unroll_dim: int | None = None,
+) -> DataFrame:
+    """Bucketed multi-probe LSH top-k — the EQUI-JOIN form of
+    ``cosine_topk_lsh`` for query sets too large to broadcast (that
+    broadcast form streams the corpus once per run and is the right
+    shape when queries fit in memory; THIS one is the right shape when
+    both sides are big): signatures split into ``bands`` bit-bands,
+    the corpus explodes one (band, value) row per band, and each query
+    probes its own band values PLUS every 1-bit flip within the band
+    (multi-probe, Lv et al. 2007 — recall of a far bigger table count
+    at ~w extra probe rows per band, probe volume grows, corpus stays
+    put).  Candidates come from the (band, value) equi-join — NO
+    broadcast nested loop, no corpus x queries product — then exact
+    cosine re-rank takes top-k.
+
+    Candidate-completeness floor: any pair within ``bands - 1``
+    differing signature bits shares >=1 exact band (pigeonhole); with
+    probe_flips the same floor holds at ``2*bands - 1`` bits.  Beyond
+    the floor, recall is probabilistic via SRP collisions.
+
+    Returns (query_id, neighbor_id, sim, rank), sims ROUND(4).
+    """
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must divide evenly into bands ({bands})"
+        )
+    w = n_planes // bands
+    mask = (1 << w) - 1
+    sig = hyperplane_signatures(vec_col, dim, n_planes, seed)
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        b = df.select(F.col(id_col).alias(out_id), sig.alias("_sig"))
+        return b.select(
+            out_id,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), "
+                    f"j -> struct(j AS band, "
+                    f"shiftright(_sig, j * {w}) & {mask} AS val))"
+                )
+            ).alias("_bv"),
+        ).select(out_id, F.col("_bv.band").alias("_band"), F.col("_bv.val").alias("_val"))
+
+    cb = banded(fan_out(corpus, id_col), "neighbor_id")
+    qb = banded(queries, "query_id")
+    if probe_flips:
+        # each band value probes itself and its w one-bit flips
+        qb = qb.select(
+            "query_id",
+            "_band",
+            F.explode(
+                F.expr(
+                    f"array_union(array(_val), transform(sequence(0, {w - 1}), "
+                    f"i -> _val ^ shiftleft(1L, i)))"
+                )
+            ).alias("_val"),
+        )
+    cand = qb.join(cb, ["_band", "_val"]).select("query_id", "neighbor_id").distinct()
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv"), unroll_dim), 4).alias("sim"),
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return scored.select("*", F.row_number().over(wnd).alias("rank")).where(
+        F.col("rank") <= k
+    )

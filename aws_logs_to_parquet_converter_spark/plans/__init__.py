@@ -34,7 +34,8 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #   3. round-11 births enter at birth: q_scd2_merge, q_scd1_upsert,
 #      q_fuzzy_pairs, q_mad_outliers, q_token_stream_blocks,
 #      q_fuzzy_entity_resolution, q_gap_fill, q_scd2_chain,
-#      q_dsir_weights, q_stream_cdc_dimension (each
+#      q_dsir_weights, q_stream_cdc_dimension,
+#      q_embed_topk_lsh_multiprobe (each
 #      additional birth displaces the lowest r8 backfill slot, which
 #      stays r8-green and leads the r12 rotation);
 #   4. the FULL 29-entry r7 cohort (the oldest evidence anywhere,
@@ -156,6 +157,10 @@ _PRIORITY = [
     "q_scd2_chain",
     "q_dsir_weights",
     "q_stream_cdc_dimension",
+    # (displaces q_dedup_exact from the r8 backfill: benched + graded
+    # every round — the strongest independent evidence in the cohort,
+    # the q06 precedent)
+    "q_embed_topk_lsh_multiprobe",
     # (4) the full r7 cohort — oldest evidence anywhere
     "q_gopher_rules",
     "q_group_by_all",
@@ -194,7 +199,6 @@ _PRIORITY = [
     "q_asof_join",
     "q_bag_set_ops",
     "q_correlated_scalar",
-    "q_dedup_exact",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

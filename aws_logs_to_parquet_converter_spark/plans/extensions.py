@@ -4395,3 +4395,73 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", target=F.col("lang") == "en",
         buckets=1024, alpha=0.5, hash_fn="md5",
     )
+
+
+def _lsh_multiprobe_oracle(n_planes: int = 12, bands: int = 3, dim: int = 64,
+                           seed: int = 42, k: int = 5) -> str:
+    """DuckDB restatement of the BUCKETED multi-probe LSH: the
+    candidate set of `cosine_topk_lsh_bucketed(probe_flips=True)` is
+    EXACTLY the pairs where some band differs by <= 1 bit (own value +
+    every 1-bit flip probed), so the gate restates as an OR over
+    per-band hamming <= 1 on the same literal-plane signatures as
+    _lsh_oracle."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    bits = []
+    for j, plane in enumerate(planes):
+        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_aggregate(list_transform(list_zip(v, {lits}), "
+            f"p -> p[1] * p[2]), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    sig = " + ".join(bits)
+    w = n_planes // bands
+    mask = (1 << w) - 1
+    gate = " OR ".join(
+        f"bit_count((xor(q.sig, c.sig) >> {j * w}) & {mask}) <= 1"
+        for j in range(bands)
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sigs AS (
+        SELECT vec_id, v, {sig} AS sig FROM vecs
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                 list_aggregate(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(q.v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(c.v, x -> x * x), 'sum'))), 4) AS sim
+        FROM sigs c JOIN sigs q
+          ON q.vec_id < 10 AND q.vec_id != c.vec_id
+         AND ({gate})
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+@query("q_embed_topk_lsh_multiprobe", oracle=_lsh_multiprobe_oracle())
+def q_embed_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED multi-probe LSH top-5 (`cosine_topk_lsh_bucketed`,
+    Lv et al. 2007): the EQUI-JOIN form for query sets too large to
+    broadcast — corpus explodes one (band, value) row per band, each
+    query probes its band values plus every 1-bit flip, candidates come
+    from the bucket equi-join (no broadcast nested loop, no corpus x
+    queries product), exact cosine re-ranks.  The oracle restates the
+    probe set algebraically: a pair is a candidate iff some band
+    differs by <= 1 bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    queries = emb.where(F.col("vec_id") < 10)
+    res = similarity.cosine_topk_lsh_bucketed(
+        emb, queries, dim=dim, id_col="vec_id", vec_col="embedding", k=5,
+        n_planes=12, bands=3, probe_flips=True,
+    )
+    return res.withColumnRenamed("rank", "rnk")

@@ -803,3 +803,49 @@ def test_pq_semantic_gate_chunked_equals_single_shot(spark, tmp_path):
         ).collect()
     }
     assert kept_loose == set()
+
+
+def test_lsh_bucketed_multiprobe_recall_and_plan(spark, sf_dir):
+    """The bucketed equi-join LSH must (a) contain no broadcast nested
+    loop or cartesian (its whole point vs the broadcast form), (b) beat
+    its own no-probe recall against exact top-k, and (c) validate the
+    band split."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_logs_to_parquet_converter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    queries = emb.where(F.col("vec_id") < 8)
+
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.cosine_topk_lsh_bucketed(
+                emb, queries, dim=dim, k=5, n_planes=12, bands=3,
+                probe_flips=probe,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_plain, r_probe = recall(False), recall(True)
+    assert r_probe >= r_plain  # multi-probe can only widen candidates
+    assert r_probe >= 0.5  # sanity floor at this table count
+
+    plan = (
+        similarity.cosine_topk_lsh_bucketed(
+            emb, queries, dim=dim, k=5, n_planes=12, bands=3
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        similarity.cosine_topk_lsh_bucketed(
+            emb, queries, dim=dim, n_planes=12, bands=5
+        )
