@@ -27,6 +27,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 # Logistic quality stub coefficients — documented so the SQL oracle in
@@ -129,3 +130,47 @@ def quality_filter_by_model(
         .dropDuplicates([id_col])
     )
     return df.join(kept, on=id_col, how="inner")
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Classifier reliability table: bucket [0,1] scores into ``bins``
+    equal-width bins and report per-bin volume, positive count, and
+    score mass — the calibration diagnostic you run before trusting a
+    quality filter's threshold (a well-calibrated scorer has
+    n_pos/n ~ mean score per bin).
+
+    Cross-engine exactness: the score is integerized FIRST
+    (e4 = round(score * 10000) as BIGINT — round-to-integer agrees
+    across engines), then the bin edge is pure integer arithmetic
+    (e4 * bins // 10000, clamped so score=1.0 lands in the last bin).
+    Binning the raw double instead would put documents whose score
+    rounds to an exact bin edge on engine-dependent sides of it.
+    Outputs are all integers: (bin, n, n_pos, sum_score_e4).
+
+    One aggregation, <= bins rows out — map-side combine does the work
+    at any corpus size.
+    """
+    if bins < 1:
+        raise ValueError(f"calibration_bins: bins must be >= 1, got {bins}")
+    base = scored.select(
+        F.round(F.col(score_col) * 10000).cast("long").alias("_e4"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    return (
+        base.select(
+            F.least(F.expr(f"_e4 * {bins} div 10000"), F.lit(bins - 1)).alias("bin"),
+            "_e4",
+            "_y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("_y")).alias("n_pos"),
+            F.sum("_e4").alias("sum_score_e4"),
+        )
+    )

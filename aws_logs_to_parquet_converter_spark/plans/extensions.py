@@ -4465,3 +4465,61 @@ def q_embed_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=12, bands=3, probe_flips=True,
     )
     return res.withColumnRenamed("rank", "rnk")
+
+
+def _calibration_oracle(dim: int = 64, seed: int = 11, bias: float = -0.1,
+                        bins: int = 10) -> str:
+    w = _classifier_weights(dim, seed)
+    w_lit = "[" + ", ".join(repr(x) for x in w) + "]"
+    wsum = (
+        "list_aggregate(list_transform(toks, t -> "
+        f"({w_lit})[CAST(('0x' || substring(md5(t), 1, 8))::BIGINT % {dim} AS INTEGER) + 1]"
+        "), 'sum')"
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang = 'en' AS y,
+               list_filter(string_split_regex(lower(text), '[ \\t\\r\\n\\f\\x0b]+'), x -> x <> '') AS toks
+        FROM documents
+    ), raw AS (
+        SELECT doc_id, y,
+               {bias!r}::DOUBLE + CASE WHEN len(toks) > 0
+                   THEN {wsum} / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END AS r
+        FROM d
+    ), e AS (
+        SELECT y,
+               CAST(ROUND(ROUND(1.0::DOUBLE / (1.0::DOUBLE + exp(-r)), 4) * 10000)
+                    AS BIGINT) AS e4
+        FROM raw
+    )
+    SELECT LEAST(e4 * {bins} // 10000, {bins - 1}) AS bin,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE y) AS n_pos,
+           CAST(SUM(e4) AS BIGINT) AS sum_score_e4
+    FROM e GROUP BY 1
+    """
+
+
+@query("q_calibration_bins", oracle=_calibration_oracle())
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration (reliability table) chained on the
+    hashed-linear scorer under ONE oracle: score every document with
+    the literal md5-mode weights (q_quality_classifier's exact model),
+    label it by language, and bucket into ten equal-width bins via
+    ``inference.calibration_bins`` — the diagnostic you run before
+    trusting a quality filter's threshold.  The score is integerized
+    (e4) BEFORE binning, so bin edges are pure integer arithmetic and
+    engine-independent; every output column is an integer."""
+    from aws_logs_to_parquet_converter_spark.operators.inference import (
+        calibration_bins,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    scored = textstats.hashed_linear_score(
+        d, "doc_id", "text", weights=_classifier_weights(), bias=-0.1, hash_fn="md5"
+    )
+    joined = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    return calibration_bins(joined, "prob", "y", bins=10)

@@ -144,3 +144,29 @@ def test_batch_score_fresh_index_model_and_duplicate_ids(spark):
         dup, threshold=0.0, model_loader=fresh_index_loader
     )
     assert kept.count() == 3  # k duplicates -> k rows, never k*k
+
+
+def test_calibration_bins_semantics(spark):
+    """Integer-exact reliability table: bin membership, the 1.0 clamp,
+    positives per bin, and the degenerate-bins guard."""
+    import pytest
+    from aws_logs_to_parquet_converter_spark.operators.inference import (
+        calibration_bins,
+    )
+
+    rows = [
+        (0.05, False), (0.08, True),   # bin 0: 1/2 positive
+        (0.55, True), (0.57, True),    # bin 5: 2/2
+        (1.0, True),                   # clamps into bin 9, not bin 10
+        (0.95, False),                 # bin 9
+    ]
+    df = spark.createDataFrame(rows, "prob double, y boolean")
+    out = {r.bin: (r.n, r.n_pos, r.sum_score_e4) for r in
+           calibration_bins(df, "prob", "y", bins=10).collect()}
+    assert out == {
+        0: (2, 1, 500 + 800),
+        5: (2, 2, 5500 + 5700),
+        9: (2, 1, 10000 + 9500),
+    }
+    with pytest.raises(ValueError, match="bins"):
+        calibration_bins(df, "prob", "y", bins=0)
