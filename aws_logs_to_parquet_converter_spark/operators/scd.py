@@ -59,6 +59,43 @@ def upsert_snapshot(
     return kept.unionByName(u.select(*current.columns))
 
 
+def merge_additive_rollup(
+    current: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance for ADDITIVE
+    aggregates (counts, sums): merge a new increment's rollup into the
+    standing rollup — matched keys ADD (unlike the SCD1 latest-wins
+    upsert), unmatched keys pass through / insert.  This is the "don't
+    re-aggregate 100 TB to admit a day" pattern: the delta aggregates
+    alone, and the merge is one key join between two rollup-sized
+    frames.
+
+    Only additive measures belong here — averages and distincts must
+    be carried as (sum, count) / sketches and finalized at read time.
+    """
+    key_cols, sum_cols = list(key_cols), list(sum_cols)
+    for df, side in ((current, "current"), (delta, "delta")):
+        missing = set(key_cols + sum_cols) - set(df.columns)
+        if missing:
+            raise ValueError(f"merge_additive_rollup: {side} missing {sorted(missing)}")
+    c = current.select(*key_cols, *[F.col(x).alias(f"_c_{x}") for x in sum_cols])
+    d = delta.select(*key_cols, *[F.col(x).alias(f"_d_{x}") for x in sum_cols])
+    j = c.join(d, key_cols, "full_outer")
+    return j.select(
+        *key_cols,
+        *[
+            (
+                F.coalesce(F.col(f"_c_{x}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_{x}"), F.lit(0))
+            ).alias(x)
+            for x in sum_cols
+        ],
+    )
+
+
 def scd2_merge(
     history: DataFrame,
     updates: DataFrame,

@@ -35,7 +35,8 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #      q_fuzzy_pairs, q_mad_outliers, q_token_stream_blocks,
 #      q_fuzzy_entity_resolution, q_gap_fill, q_scd2_chain,
 #      q_dsir_weights, q_stream_cdc_dimension,
-#      q_embed_topk_lsh_multiprobe, q_calibration_bins (each
+#      q_embed_topk_lsh_multiprobe, q_calibration_bins,
+#      q_incremental_rollup (each
 #      additional birth displaces the lowest r8 backfill slot, which
 #      stays r8-green and leads the r12 rotation);
 #   4. the FULL 29-entry r7 cohort (the oldest evidence anywhere,
@@ -162,6 +163,7 @@ _PRIORITY = [
     # the q06 precedent)
     "q_embed_topk_lsh_multiprobe",
     "q_calibration_bins",
+    "q_incremental_rollup",
     # (4) the full r7 cohort — oldest evidence anywhere
     "q_gopher_rules",
     "q_group_by_all",
@@ -198,7 +200,6 @@ _PRIORITY = [
     "q_array_funcs",
     "q_asof_forward_tolerance",
     "q_asof_join",
-    "q_bag_set_ops",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

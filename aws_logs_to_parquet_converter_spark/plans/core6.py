@@ -474,3 +474,49 @@ def q_stream_cdc_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_dimension(spark, os.path.join(root, "dim")).select(
         "k", "seg", "valid_from", "valid_to"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance
+# ---------------------------------------------------------------------------
+
+# Both engines split the events table at a mirrored literal date: the
+# standing rollup aggregates the "history" half, the increment
+# aggregates the "new day" half, and the additive merge of the two
+# must equal the full-table GROUP BY — the materialized-view
+# maintenance identity, graded as one hash.
+_ROLLUP_CUTOFF = "2024-06-01"
+
+_ROLLUP_ORACLE = f"""
+    SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v100
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("q_incremental_rollup", oracle=_ROLLUP_ORACLE)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance
+    (``operators/scd.merge_additive_rollup``): the standing daily
+    rollup (events before the cutoff) merges the increment's rollup
+    (events from the cutoff on) by ADDING matched keys — and the result
+    must equal the full-table GROUP BY exactly.  At 100 TB the delta
+    aggregates alone; history is never re-read."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v100"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n_events"), F.sum("v100").alias("v100")
+        )
+
+    current = rollup(e.where(F.col("day") < _ROLLUP_CUTOFF))
+    delta = rollup(e.where(F.col("day") >= _ROLLUP_CUTOFF))
+    return scd.merge_additive_rollup(
+        current, delta, ["day", "event_type"], ["n_events", "v100"]
+    )

@@ -142,13 +142,14 @@ def test_graded_window_covers_priority_surface():
         "q_token_stream_blocks", "q_fuzzy_entity_resolution", "q_gap_fill",
         "q_scd2_chain", "q_dsir_weights", "q_stream_cdc_dimension",
         "q_embed_topk_lsh_multiprobe", "q_calibration_bins",
+        "q_incremental_rollup",
         # the full r7 cohort (anchors — first and last in name order)
         "q_gopher_rules", "q_k_anonymize", "q_perplexity", "q_topk",
         "q_window_rank", "q_winnow_pairs",
         # r8 backfill head (q_dedup_exact displaced by the multiprobe
         # birth — benched+graded every round, the strongest independent
         # evidence in the cohort)
-        "q_approx_top_k", "q_bag_set_ops",
+        "q_approx_top_k", "q_asof_join",
     }
     assert required <= set(window), sorted(required - set(window))
     # the full r7 cohort must be present (the r10 mandate)

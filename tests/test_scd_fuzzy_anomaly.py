@@ -232,3 +232,21 @@ def test_mad_outliers_global_vs_grouped_consistency(spark):
     assert ("a", 50) in grouped
     # group b is a single value: deviation 0, never an outlier
     assert not any(g == "b" for g, _ in grouped)
+
+
+def test_merge_additive_rollup(spark):
+    from aws_logs_to_parquet_converter_spark.operators.scd import (
+        merge_additive_rollup,
+    )
+
+    cur = spark.createDataFrame(
+        [("a", 10, 100), ("b", 5, 50)], "k string, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [("b", 2, 20), ("c", 1, 10)], "k string, n long, s long"
+    )
+    out = {r.k: (r.n, r.s) for r in
+           merge_additive_rollup(cur, delta, ["k"], ["n", "s"]).collect()}
+    assert out == {"a": (10, 100), "b": (7, 70), "c": (1, 10)}
+    with pytest.raises(ValueError, match="missing"):
+        merge_additive_rollup(cur, delta.drop("s"), ["k"], ["n", "s"])
