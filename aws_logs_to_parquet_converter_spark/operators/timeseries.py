@@ -86,3 +86,49 @@ def gap_filled_counts(
             for name, (_, fill) in aggs.items()
         ],
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day active users (WAU/MAU): for every day in the
+    observed span, the count of DISTINCT users active in the trailing
+    ``window_days`` window — the metric where sliding-SUM tricks break
+    (distinct does not pre-aggregate across overlapping windows).
+
+    Shape: events collapse to distinct (user, day) pairs FIRST (the
+    only pass over the fact table), each pair then contributes to the
+    ``window_days`` window-end days it falls in (a bounded explode of
+    users x days x N rows — never raw events), and one
+    count-distinct-per-day aggregate finishes.  Days with no activity
+    in their whole trailing window read 0 via the day spine.
+    """
+    if window_days < 1:
+        raise ValueError(f"rolling_active_users: window_days must be >= 1, got {window_days}")
+    ud = df.select(
+        F.date_trunc("day", F.col(ts_col)).alias("_day"),
+        F.col(user_col).alias("_user"),
+    ).distinct()
+    contrib = ud.select(
+        F.explode(
+            F.sequence(
+                F.col("_day"),
+                F.col("_day") + F.make_dt_interval(days=F.lit(window_days - 1)),
+                F.make_dt_interval(days=F.lit(1)),
+            )
+        ).alias("bucket"),
+        "_user",
+    )
+    wau = contrib.groupBy("bucket").agg(
+        F.countDistinct("_user").alias(f"active_{window_days}d")
+    )
+    spine = time_spine(df, ts_col, "day")
+    return spine.join(wau, "bucket", "left").select(
+        "bucket",
+        F.coalesce(f"active_{window_days}d", F.lit(0)).alias(
+            f"active_{window_days}d"
+        ),
+    )

@@ -44,8 +44,13 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #      q_gopher_rules .. q_winnow_pairs in registry-name order;
 #   5. remaining slots backfill with the next-oldest (r8) cohort in
 #      registry-name order: q_approx_top_k .. as many as fit.  The
-#      rest of the r8 cohort (q_correlated_scalar onward) stays
-#      r8-green and leads the r12 rotation.
+#      rest of the r8 cohort stays r8-green and leads the r12
+#      rotation.
+#   6. LATE round-11 births past the slot budget stay OUT of this
+#      window and outrank everything in the r12 rotation (the
+#      q_temperature_mix precedent): q_rolling_active_users (and any
+#      later birth this round) — four r8 backfill slots are the floor
+#      kept for old-evidence refresh.
 # Rotated out (green at their latest r9/r10 grade and UNMODIFIED this
 # round): the entire r10 window (all 49 green) and the r9 cohort —
 # both inside two-round currency.

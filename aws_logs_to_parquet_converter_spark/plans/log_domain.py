@@ -940,3 +940,41 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id FROM events
+    ), bounds AS (
+        SELECT DATE_TRUNC('day', MIN(ts)) AS lo, DATE_TRUNC('day', MAX(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+    ), contrib AS (
+        SELECT UNNEST(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS d,
+               user_id
+        FROM ud
+    ), wau AS (
+        SELECT d, COUNT(DISTINCT user_id) AS a FROM contrib GROUP BY d
+    )
+    SELECT STRFTIME(s.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(w.a, 0) AS BIGINT) AS active_7d
+    FROM spine s LEFT JOIN wau w ON w.d = s.d
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users — the sliding-DISTINCT metric where
+    window pre-aggregation breaks (``timeseries.rolling_active_users``):
+    events collapse to distinct (user, day) pairs, pairs explode to the
+    7 window-end days they serve, one count-distinct-per-day aggregate
+    finishes; shuffles bounded by users x days, never raw events."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    out = timeseries.rolling_active_users(e, "ts", "user_id", 7)
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.col("active_7d").cast("long").alias("active_7d"),
+    )

@@ -121,3 +121,31 @@ def test_cli_maintain_expire_before(spark, tmp_path, capsys):
     assert cli.run_maintenance(args) == 0
     left = {p.split("dt=")[1] for p in glob.glob(f"{dest}/dt=*")}
     assert left == {"2024-01-05"}
+
+
+def test_rolling_active_users(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    rows = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 1),  # dup same day
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-03 10:00:00", 3),
+        ("2024-01-09 10:00:00", 1),  # 8 days later: day-1 users aged out
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    out = {
+        r.bucket.strftime("%m-%d"): r.active_3d
+        for r in rolling_active_users(df, "ts", "user_id", 3).collect()
+    }
+    # 3-day trailing windows: 01-01 {1,2}; 01-02 {1,2}; 01-03 {1,2,3};
+    # 01-04 {3}; 01-05 {3}; 01-06..08 {}; 01-09 {1}
+    assert out == {
+        "01-01": 2, "01-02": 2, "01-03": 3, "01-04": 1, "01-05": 1,
+        "01-06": 0, "01-07": 0, "01-08": 0, "01-09": 1,
+    }
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_active_users(df, "ts", "user_id", 0)
