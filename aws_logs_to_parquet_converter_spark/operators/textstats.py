@@ -1328,3 +1328,43 @@ def dsir_importance_weights(
             (F.round(F.coalesce("_w", F.lit(0.0)), 3) + F.lit(0.0)).alias("weight"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group quantile (rank) normalization: map each row's score to
+    its within-group rank percentile, so scores from heterogeneous
+    sources become comparable before a GLOBAL threshold (a quality
+    score of 0.6 means different things on wiki text vs crawl text —
+    thresholding raw scores over-selects the easy source).
+
+    Returns the input ids plus (rank, n, pct_e6): rank is the 1-based
+    within-group rank under (score, id) — the id tiebreak makes it a
+    total order, so results are deterministic and engine-identical —
+    and pct_e6 = rank * 1_000_000 // n is the integer-arithmetic
+    percentile (all-integer output; divide at read time).
+
+    One partitioned window + one group count, both on the group key —
+    hash-partitioned, never a single-task funnel; groups are assumed
+    numerous (sources), so no skew beyond the largest source.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    ranked = df.select(
+        id_col, group_col, F.row_number().over(w).cast("long").alias("rank")
+    )
+    return ranked.join(counts, group_col).select(
+        id_col,
+        group_col,
+        "rank",
+        "n",
+        # rank is already LONG: an int32 rank * 1000000 overflows at
+        # groups past ~2147 rows (the sf1 sweep caught exactly this)
+        F.expr("rank * 1000000 div n").alias("pct_e6"),
+    )

@@ -4523,3 +4523,54 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
     )
     return calibration_bins(joined, "prob", "y", bins=10)
+
+
+@query(
+    "q_quantile_normalize",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(ROUND(ROUND((
+                   CASE WHEN len({_DUCK_TOKENS}) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.3 END
+                 + CASE WHEN len({_DUCK_TOKENS}) > 0 AND
+                        length(regexp_replace(text, '[ \\t\\r\\n\\f\\x0b]', '', 'g'))
+                        / len({_DUCK_TOKENS}) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END
+                 + CASE WHEN {_DUCK_SW_RATIO} >= 0.05 THEN 1.0 ELSE 0.5 END
+                 + CASE WHEN length(text) > 0 AND
+                        (length(text) - length(regexp_replace(text,
+                            '[^\\p{{L}}\\p{{N}}_ \\t\\r\\n\\f\\x0b]', '', 'g')))
+                        / length(text) <= 0.2 THEN 1.0 ELSE 0.5 END
+               ) / 4.0, 4) * 10000) AS BIGINT) AS s_e4
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, s_e4,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY s_e4, doc_id) AS rank,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM scored
+    )
+    SELECT doc_id, source, rank, n, rank * 1000000 // n AS pct_e6
+    FROM ranked
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile (rank) normalization of the quality score
+    (``textstats.quantile_normalize``): heterogeneous sources become
+    comparable before a GLOBAL threshold — thresholding raw scores
+    over-selects the easiest source.  Rank under (score, doc_id) is a
+    total order, pct_e6 is integer arithmetic; all-integer output.
+    LATE r11 birth — r12 rotation leader with q_rolling_active_users."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        # round-to-int, NOT cast-truncate: score*1e4 lands an ulp either
+        # side of an integer and truncation would read 5999 where the
+        # oracle's round reads 6000 (ranks survive an order-isomorphic
+        # shift, but only by luck — keep both engines on the same draw)
+        F.round(textstats.quality_score(F.col("text")) * 10000)
+        .cast("long")
+        .alias("s_e4"),
+    )
+    return textstats.quantile_normalize(scored, "source", "s_e4", "doc_id").select(
+        "doc_id", "source", "rank", "n", "pct_e6"
+    )
