@@ -163,7 +163,13 @@ def calibration_bins(
     )
     return (
         base.select(
-            F.least(F.expr(f"_e4 * {bins} div 10000"), F.lit(bins - 1)).alias("bin"),
+            # clamp BOTH ends: score=1.0 lands in the last bin, and a
+            # (contract-violating) out-of-range score degrades to the
+            # edge bin instead of minting phantom bins
+            F.greatest(
+                F.lit(0),
+                F.least(F.expr(f"_e4 * {bins} div 10000"), F.lit(bins - 1)),
+            ).alias("bin"),
             "_e4",
             "_y",
         )
