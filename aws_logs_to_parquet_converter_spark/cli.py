@@ -529,12 +529,58 @@ def run_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def build_dimension_parser() -> argparse.ArgumentParser:
+    """``dimension`` subcommand: apply a CDC change batch to an on-disk
+    SCD2 dimension — the batch face of
+    ``streaming/dimension.stream_dimension_scd2`` (same merge, same
+    versioned commit, same idempotent-replay contract), for deployments
+    that land change files daily rather than streaming them."""
+    p = argparse.ArgumentParser(prog="compact-s3-access-logs dimension")
+    p.add_argument("--dim", required=True, help="dimension root path")
+    p.add_argument("--changes", required=True,
+                   help="parquet of change rows (keys + tracked + ts)")
+    p.add_argument("--keys", required=True,
+                   help="comma-separated key column(s)")
+    p.add_argument("--tracked", required=True,
+                   help="comma-separated tracked attribute column(s)")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--aws-config", default="",
+                   help="same credentials file as the ingest command")
+    return p
+
+
+def run_dimension(args: argparse.Namespace) -> int:
+    from aws_logs_to_parquet_converter_spark.streaming.dimension import (
+        apply_cdc_batch,
+        read_dimension,
+    )
+
+    spark = get_spark(app_name="dimension_cdc_apply")
+    if args.aws_config:
+        apply_s3a_conf(spark, aws_config_to_s3a(args.aws_config))
+    changes = spark.read.parquet(args.changes)
+    keys = [c for c in args.keys.split(",") if c]
+    tracked = [c for c in args.tracked.split(",") if c]
+    missing = set(keys + tracked + [args.ts_col]) - set(changes.columns)
+    if missing:
+        print(f"dimension: changes missing columns {sorted(missing)}",
+              file=sys.stderr)
+        return 2
+    apply_cdc_batch(changes, args.dim, keys, tracked, args.ts_col)
+    dim = read_dimension(spark, args.dim)
+    n_open = dim.where(F.col("valid_to").isNull()).count()
+    print(f"dimension: {dim.count()} history row(s), {n_open} open, at {args.dim}")
+    return 0
+
+
 def main() -> None:
     argv = sys.argv[1:]
     if argv and argv[0] == "maintain":
         sys.exit(run_maintenance(build_maintenance_parser().parse_args(argv[1:])))
     if argv and argv[0] == "corpus":
         sys.exit(run_corpus(build_corpus_parser().parse_args(argv[1:])))
+    if argv and argv[0] == "dimension":
+        sys.exit(run_dimension(build_dimension_parser().parse_args(argv[1:])))
     sys.exit(run(build_parser().parse_args(argv)))
 
 

@@ -66,6 +66,42 @@ def _commit_dimension(merged: DataFrame, dim_path: str) -> None:
     prune_stale_versions(spark, dim_path, ver)
 
 
+def apply_cdc_batch(
+    batch_df: DataFrame,
+    dim_path: str,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    ts_col: str,
+) -> None:
+    """Apply ONE batch of change rows to the on-disk SCD2 dimension
+    (bootstrap on first use, versioned commit) — the unit of work
+    shared by the streaming pipeline's foreachBatch and the batch CLI
+    (``dimension`` subcommand).  Idempotent re-apply per the module
+    contract."""
+    key_cols, tracked_cols = list(key_cols), list(tracked_cols)
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    try:
+        hist = read_dimension(spark, dim_path)
+    except Exception:
+        # bootstrap: empty history, valid_from/valid_to typed to ts
+        hist = spark.createDataFrame([], batch_df.select(
+            *key_cols,
+            *tracked_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.col(ts_col).alias("valid_to"),
+        ).schema)
+    merged = scd2_merge(
+        hist,
+        batch_df.select(*key_cols, *tracked_cols, ts_col),
+        key_cols,
+        tracked_cols,
+        ts_col=ts_col,
+    )
+    _commit_dimension(merged, dim_path)
+
+
 def stream_dimension_scd2(
     changes: DataFrame,
     dim_path: str,
@@ -81,30 +117,9 @@ def stream_dimension_scd2(
     crash and ordering contracts.  Query the result with
     ``read_dimension`` (full history) or filter ``valid_to IS NULL``
     for the current snapshot."""
-    key_cols, tracked_cols = list(key_cols), list(tracked_cols)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        try:
-            hist = read_dimension(spark, dim_path)
-        except Exception:
-            # bootstrap: empty history, valid_from/valid_to typed to ts
-            hist = spark.createDataFrame([], batch_df.select(
-                *key_cols,
-                *tracked_cols,
-                F.col(ts_col).alias("valid_from"),
-                F.col(ts_col).alias("valid_to"),
-            ).schema)
-        merged = scd2_merge(
-            hist,
-            batch_df.select(*key_cols, *tracked_cols, ts_col),
-            key_cols,
-            tracked_cols,
-            ts_col=ts_col,
-        )
-        _commit_dimension(merged, dim_path)
+        apply_cdc_batch(batch_df, dim_path, key_cols, tracked_cols, ts_col)
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

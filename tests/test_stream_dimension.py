@@ -82,3 +82,46 @@ def test_cdc_replay_of_committed_batch_is_noop(spark, tmp_path):
         read_dimension(spark, str(dim)), batch2, ["k"], ["seg"], ts_col="ts"
     )
     assert sorted(map(tuple, replayed.collect())) == before
+
+
+def test_cli_dimension_subcommand(spark, tmp_path, capsys):
+    """Batch CDC apply via the CLI: two daily change files applied in
+    sequence evolve the same history the streaming pipeline produces."""
+    from aws_logs_to_parquet_converter_spark import cli
+
+    dim = str(tmp_path / "dim")
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(1, "A", "2024-01-01"), (2, "B", "2024-01-01")],
+        "k long, seg string, ts string",
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(1, "A2", "2024-02-01")], "k long, seg string, ts string"
+    ).write.parquet(b2)
+
+    for changes in (b1, b2):
+        args = cli.build_dimension_parser().parse_args(
+            ["--dim", dim, "--changes", changes, "--keys", "k",
+             "--tracked", "seg"]
+        )
+        assert cli.run_dimension(args) == 0
+    out = {
+        (r.k, r.seg): r.valid_to
+        for r in read_dimension(spark, dim).collect()
+    }
+    assert out == {(1, "A"): "2024-02-01", (1, "A2"): None, (2, "B"): None}
+    assert "3 history row(s), 2 open" in capsys.readouterr().out
+
+
+def test_cli_dimension_missing_columns(spark, tmp_path, capsys):
+    from aws_logs_to_parquet_converter_spark import cli
+
+    b = str(tmp_path / "b")
+    spark.createDataFrame([(1, "A")], "k long, seg string").write.parquet(b)
+    args = cli.build_dimension_parser().parse_args(
+        ["--dim", str(tmp_path / "d"), "--changes", b, "--keys", "k",
+         "--tracked", "seg"]
+    )
+    assert cli.run_dimension(args) == 2
+    assert "missing columns" in capsys.readouterr().err
