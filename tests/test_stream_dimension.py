@@ -125,3 +125,60 @@ def test_cli_dimension_missing_columns(spark, tmp_path, capsys):
     )
     assert cli.run_dimension(args) == 2
     assert "missing columns" in capsys.readouterr().err
+
+
+def test_scd2_randomized_sequential_differential(spark):
+    """Drive scd2_merge through randomized multi-batch histories and
+    compare against a driver-side reference implementation — the
+    merge's branch space (insert / close-and-reopen / no-op / closed
+    passthrough / within-batch collapse) under arbitrary interleavings,
+    plus the invariants every SCD2 table must keep (<=1 open row per
+    key; closed rows never resurrect)."""
+    import random
+
+    from aws_logs_to_parquet_converter_spark.operators.scd import scd2_merge
+
+    rng = random.Random(1101)
+    KEYS = list(range(12))
+    ATTRS = ["a", "b", "c"]
+
+    def ref_apply(state, closed, batch, ts):
+        # collapse latest-per-key: same (ts DESC, attr DESC) tie-break
+        latest = {}
+        for k, attr, t in batch:
+            cur = latest.get(k)
+            if cur is None or (t, attr) > (cur[1], cur[0]):
+                latest[k] = (attr, t)
+        for k, (attr, t) in latest.items():
+            if k not in state:
+                state[k] = (attr, t)
+            elif state[k][0] != attr:
+                closed.append((k, state[k][0], state[k][1], t))
+                state[k] = (attr, t)
+        return state, closed
+
+    for trial in range(4):
+        hist = spark.createDataFrame(
+            [], "k long, attr string, valid_from string, valid_to string"
+        )
+        state, closed = {}, []
+        for day in range(1, 6):
+            ts = f"2024-01-{day:02d}"
+            batch_rows = [
+                (rng.choice(KEYS), rng.choice(ATTRS), ts)
+                for _ in range(rng.randint(1, 15))
+            ]
+            batch = spark.createDataFrame(batch_rows, "k long, attr string, ts string")
+            hist = scd2_merge(hist, batch, ["k"], ["attr"], "ts")
+            # localCheckpoint: 5 nested merges build a deep plan
+            hist = hist.localCheckpoint(eager=True)
+            state, closed = ref_apply(state, closed, batch_rows, ts)
+
+        got = {(r.k, r.attr, r.valid_from, r.valid_to) for r in hist.collect()}
+        want = {(k, a, t, None) for k, (a, t) in state.items()} | {
+            (k, a, vf, vt) for (k, a, vf, vt) in closed
+        }
+        assert got == want, f"trial {trial}"
+        # invariants
+        open_rows = [r for r in got if r[3] is None]
+        assert len(open_rows) == len({r[0] for r in open_rows})  # <=1 open/key
