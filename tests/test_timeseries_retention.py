@@ -149,3 +149,49 @@ def test_rolling_active_users(spark):
     }
     with pytest.raises(ValueError, match="window_days"):
         rolling_active_users(df, "ts", "user_id", 0)
+
+
+def test_rolling_active_users_randomized_differential(spark):
+    """Random event stream vs a driver-side reference of the trailing
+    N-day distinct-user count over the full day spine."""
+    import datetime
+    import random
+
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    rng = random.Random(7)
+    base = datetime.date(2024, 3, 1)
+    rows = [
+        (
+            (base + datetime.timedelta(days=rng.randint(0, 20))).strftime(
+                "%Y-%m-%d 12:00:00"
+            ),
+            rng.randint(1, 9),
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    active = {}
+    for ts, u in rows:
+        active.setdefault(ts[:10], set()).add(u)
+    days = sorted(active)
+    lo = datetime.date.fromisoformat(days[0])
+    hi = datetime.date.fromisoformat(days[-1])
+    want = {}
+    d = lo
+    while d <= hi:
+        users = set()
+        for back in range(4):
+            users |= active.get((d - datetime.timedelta(days=back)).isoformat(), set())
+        want[d.isoformat()] = len(users)
+        d += datetime.timedelta(days=1)
+
+    got = {
+        r.bucket.strftime("%Y-%m-%d"): r.active_4d
+        for r in rolling_active_users(df, "ts", "user_id", 4).collect()
+    }
+    assert got == want
