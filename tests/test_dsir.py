@@ -60,3 +60,52 @@ def test_dsir_production_hash_mode_runs(spark, corpus):
 def test_dsir_rejects_degenerate_buckets(spark, corpus):
     with pytest.raises(ValueError, match="buckets"):
         dsir_importance_weights(corpus, "doc_id", "text", F.col("is_tgt"), buckets=1)
+
+
+def test_dsir_differential_vs_python_reference(spark, corpus):
+    """Exact value check against a pure-Python reimplementation with
+    the same md5 bucket draw, smoothing, and ROUND(3) convention."""
+    import hashlib
+    import math
+
+    B, ALPHA = 64, 0.5
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+    rows = corpus.collect()
+    feats = []  # (doc_id, tgt, bucket)
+    for r in rows:
+        toks = [t for t in r.text.lower().split() if t]
+        fs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        feats.extend((r.doc_id, r.is_tgt, bucket(f)) for f in fs)
+    c_raw, c_tgt = {}, {}
+    for _, tgt, b in feats:
+        c_raw[b] = c_raw.get(b, 0) + 1
+        if tgt:
+            c_tgt[b] = c_tgt.get(b, 0) + 1
+    n_raw = sum(c_raw.values())
+    n_tgt = sum(c_tgt.values())
+    lr = {
+        b: math.log((c_tgt.get(b, 0) + ALPHA) / (n_tgt + ALPHA * B))
+        - math.log((c_raw[b] + ALPHA) / (n_raw + ALPHA * B))
+        for b in c_raw
+    }
+    want = {}
+    for r in rows:
+        toks = [t for t in r.text.lower().split() if t]
+        fs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        w = sum(lr[bucket(f)] for f in fs)
+        want[r.doc_id] = (len(fs), round(round(w, 3) + 0.0, 3))
+
+    from pyspark.sql import functions as F2
+
+    got = {
+        r.doc_id: (r.n_feats, r.weight)
+        for r in dsir_importance_weights(
+            corpus, "doc_id", "text", F2.col("is_tgt"), buckets=B, hash_fn="md5"
+        ).collect()
+    }
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])
