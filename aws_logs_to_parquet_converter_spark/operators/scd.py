@@ -3,7 +3,8 @@
 path.  A log pipeline that joins request logs against a customer /
 account dimension (the reference's downstream Athena queries join
 exactly such tables) needs the dimension maintained from change
-batches; these two operators are the standard shapes.
+batches; these operators are the standard shapes (SCD1, SCD2, and the
+additive-rollup merge for incremental materialized aggregates).
 
 Scale posture: both are ONE key-shuffle joins between the dimension
 and the (usually tiny) change batch — Catalyst/AQE broadcasts the
