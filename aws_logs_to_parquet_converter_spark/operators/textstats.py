@@ -1368,3 +1368,77 @@ def quantile_normalize(
         # groups past ~2147 rows (the sf1 sweep caught exactly this)
         F.expr("rank * 1000000 div n").alias("pct_e6"),
     )
+
+
+def pmi_top_bigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Collocation mining: the corpus' top adjacent-bigram
+    collocations with their pointwise mutual information
+    (Church & Hanks 1990) — the phrase/vocab-curation diagnostic
+    ("new york" scores high PMI, "of the" scores low despite high
+    count).
+
+        pmi(a b) = ln( p(a b) / (p(a) p(b)) )
+                 = ln( (c_ab / N_b) / ((c_a / N_u) (c_b / N_u)) )
+
+    Ranking is by the INTEGER bigram count (desc, bigram asc
+    tiebreak), so top-k membership is float-free; the pmi itself
+    follows the q_perplexity float convention (ln both engines, final
+    ROUND(3)).  ``min_count`` drops hapax bigrams whose PMI is pure
+    noise.  Two token-explode aggregates (map-side combine), a
+    broadcast unigram join, one TakeOrdered top-k — never a
+    single-task window.
+
+    Returns (bigram, n, pmi).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_row"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias("_pos", "_tok"),
+    ).where(F.col("_tok") != "")
+    w = Window.partitionBy("_row").orderBy("_pos")
+    big = toks.select(
+        "_tok", F.lead("_tok").over(w).alias("_nxt")
+    ).where(F.col("_nxt").isNotNull())
+
+    uni = toks.groupBy("_tok").agg(F.count("*").alias("_cu"))
+    bi = big.groupBy("_tok", "_nxt").agg(F.count("*").alias("n"))
+    # totals as in-plan one-row broadcasts (the q11 single-row class) —
+    # no driver-side count actions, everything stays one Catalyst plan
+    totals = uni.agg(F.sum("_cu").alias("_nu")).crossJoin(
+        bi.agg(F.sum("n").alias("_nb"))
+    )
+
+    top = (
+        bi.where(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), "_tok", "_nxt")
+        .limit(top_k)
+    )
+    a = uni.select(F.col("_tok").alias("_a"), F.col("_cu").alias("_ca"))
+    b = uni.select(F.col("_tok").alias("_b"), F.col("_cu").alias("_cb"))
+    # broadcast the k-ROW side, stream the vocab: a 100 TB corpus'
+    # unigram table is itself big — the tiny side here is top-k
+    joined = (
+        F.broadcast(top)
+        .join(a, F.col("_tok") == F.col("_a"))
+        .join(b, F.col("_nxt") == F.col("_b"))
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("n") / F.col("_nb").cast("double"))
+        / (
+            (F.col("_ca") / F.col("_nu").cast("double"))
+            * (F.col("_cb") / F.col("_nu").cast("double"))
+        )
+    )
+    return joined.select(
+        F.concat_ws(" ", "_tok", "_nxt").alias("bigram"),
+        F.col("n"),
+        F.round(pmi, 3).alias("pmi"),
+    )

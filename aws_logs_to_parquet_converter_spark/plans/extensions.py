@@ -4574,3 +4574,47 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quantile_normalize(scored, "source", "s_e4", "doc_id").select(
         "doc_id", "source", "rank", "n", "pct_e6"
     )
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS l FROM documents
+    ), uni AS (
+        SELECT tok, COUNT(*) AS cu
+        FROM (SELECT unnest(l) AS tok FROM base) GROUP BY tok
+    ), bi AS (
+        SELECT a, b, COUNT(*) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS a,
+                   unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS b
+            FROM base
+        ) GROUP BY a, b
+    ), tot AS (
+        SELECT (SELECT SUM(cu) FROM uni) AS nu,
+               (SELECT SUM(n) FROM bi) AS nb
+    ), top AS (
+        SELECT a, b, n FROM bi WHERE n >= 2
+        ORDER BY n DESC, a, b LIMIT 50
+    )
+    SELECT t.a || ' ' || t.b AS bigram,
+           t.n,
+           ROUND(LN((t.n / CAST(tot.nb AS DOUBLE))
+                 / ((ua.cu / CAST(tot.nu AS DOUBLE))
+                    * (ub.cu / CAST(tot.nu AS DOUBLE)))), 3) AS pmi
+    FROM top t
+    JOIN uni ua ON ua.tok = t.a
+    JOIN uni ub ON ub.tok = t.b
+    CROSS JOIN tot
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (Church & Hanks 1990 PMI): the corpus' top-50
+    adjacent bigrams by count with their pointwise mutual information
+    (``textstats.pmi_top_bigrams``) — phrase/vocab curation.  Top-k
+    membership ranks on the INTEGER count (bigram tiebreak), so the
+    float only rides along under the q_perplexity ln/ROUND(3)
+    convention; the k-row side broadcasts against the streamed vocab.
+    LATE r11 birth — r12 rotation leader."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.pmi_top_bigrams(d, "doc_id", "text", top_k=50, min_count=2)

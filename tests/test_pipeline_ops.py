@@ -1406,3 +1406,30 @@ def test_pagerank_hand_computed_and_mass_conserved(spark):
 
     with pytest.raises(ValueError):
         pagerank(edges, n_iters=0)
+
+
+def test_pmi_top_bigrams_semantics(spark):
+    """Collocation beats chance: a bigram that always co-occurs gets
+    higher PMI than a frequent-but-independent pair; ranking is by
+    count with lexicographic tiebreak."""
+    import math
+
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        pmi_top_bigrams,
+    )
+
+    rows = [
+        (1, "new york new york new york"),
+        (2, "the cat the dog the fish"),
+        (3, "new york again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bigram: (r.n, r.pmi) for r in
+           pmi_top_bigrams(df, "doc_id", "text", top_k=10, min_count=2).collect()}
+    assert out["new york"][0] == 4
+    # 'new york': perfectly associated; 'the cat' happens once -> filtered
+    assert "the cat" not in out
+    # hand-check 'new york': c_ab=4 (3 in doc1 + 1 in doc3), n_b=12
+    # bigrams (5+5+2), c_new=c_york=4, n_u=15 tokens (6+6+3)
+    want = round(math.log((4 / 12) / ((4 / 15) * (4 / 15))), 3)
+    assert abs(out["new york"][1] - want) < 1e-9
