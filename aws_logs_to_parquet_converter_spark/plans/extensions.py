@@ -4618,3 +4618,40 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATE r11 birth — r12 rotation leader."""
     d = t(spark, sf_dir, "documents")
     return textstats.pmi_top_bigrams(d, "doc_id", "text", top_k=50, min_count=2)
+
+
+@query(
+    "q_dedup_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text),
+                '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')))) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text),
+                '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')))) AS BIGINT) AS n_dups,
+           (COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text),
+                '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g'))))) * 10000 // COUNT(*)
+               AS dup_rate_e4
+    FROM documents GROUP BY source
+    """,
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report (the decide-before-you-dedup
+    diagnostic: which ingest sources are redundant enough to justify
+    the near-dup pass): docs, distinct normalized fingerprints, dup
+    count, integer-arithmetic dup rate.  One countDistinct aggregate on
+    the 16-byte fingerprint — digests shuffle, never text.  LATE r11
+    birth — r12 rotation leader."""
+    d = t(spark, sf_dir, "documents")
+    fp = textstats.fingerprint(F.col("text"))
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
+        F.expr("(n_docs - n_unique) * 10000 div n_docs").alias("dup_rate_e4"),
+    )
