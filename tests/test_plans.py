@@ -345,6 +345,10 @@ def test_registry_wide_no_scale_killers(spark):
         # one-row (N_raw, N_tgt) totals broadcast into the <=buckets-row
         # log-ratio table (the q11 single-row class)
         "q_dsir_weights",
+        # one-row (N_u, N_b) totals crossed into the k-row top list,
+        # PLUS the broadcast k-row top side against the streamed vocab
+        # (both sides of the BNLJ bounded; same single-row class)
+        "q_pmi_collocations",
         # composes q_bm25_topk's stats broadcast AND q_embed_topk's
         # bounded-query-set non-equi join (both sanctioned above)
         "q_hybrid_retrieval",
