@@ -49,7 +49,8 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #   6. LATE round-11 births past the slot budget stay OUT of this
 #      window and outrank everything in the r12 rotation (the
 #      q_temperature_mix precedent): q_rolling_active_users,
-#      q_quantile_normalize, q_pmi_collocations, q_dedup_stats (and any
+#      q_quantile_normalize, q_pmi_collocations, q_dedup_stats,
+#      q_zipf_slope (and any
 #      later birth
 #      this round) — four
 #      r8 backfill slots are the floor kept for old-evidence refresh.

@@ -4655,3 +4655,55 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
         F.expr("(n_docs - n_unique) * 10000 div n_docs").alias("dup_rate_e4"),
     )
+
+
+@query(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH counts AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+        GROUP BY tok
+    ), ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+        FROM counts
+    ), top AS (
+        SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+        FROM ranked WHERE r <= 200
+    )
+    SELECT COUNT(*) AS n_ranks,
+           ROUND(REGR_SLOPE(y, x), 3) AS zipf_slope
+    FROM top
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the top-200 vocabulary (natural
+    text reads ~-1; heavy boilerplate or synthetic spam bends it) —
+    the corpus-health diagnostic.  The global rank comes from the
+    two-pass ``ranking.global_row_number`` (the oracle's ORDER-BY-
+    everything window is exactly the single-task shape the Spark side
+    avoids); regr_slope runs engine-side on both, the final ROUND(3)
+    absorbing last-ULP drift per the q_perplexity convention.  LATE
+    r11 birth — r12 rotation leader."""
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), WS_PLUS)).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = global_row_number(
+        counts, [F.desc("c"), F.col("tok")], rank_col="r", count_col="_n"
+    )
+    top = ranked.where(F.col("r") <= 200).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return top.agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope("y", "x"), 3).alias("zipf_slope"),
+    )
