@@ -154,7 +154,9 @@ def expire_partitions(
 
     The cutoff must look like a ``dt`` value (``YYYY-MM-DD``): a typo
     like '2024-1-5' would silently compare wrong lexicographically, so
-    malformed cutoffs raise."""
+    malformed cutoffs raise.  Partition dirs whose dt value fails the
+    same gate are SKIPPED (never deleted, never reported expired) —
+    foreign layouts are not this operator's to destroy."""
     import re
 
     if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", before_dt):
@@ -173,6 +175,12 @@ def expire_partitions(
         if not (st.isDirectory() and name.startswith("dt=")):
             continue
         dt = name[len("dt="):]
+        # the same YYYY-MM-DD gate as the cutoff: a nonconforming dir
+        # (dt=2024-1-5, dt=20240105) compares lexicographically wrong
+        # and could be wrongly deleted — skip it, never delete it
+        # (r11 advisor; delete is recursive and destructive)
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", dt):
+            continue
         if dt < before_dt:
             expired.append(dt)
             if not dry_run:

@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: columns added by :func:`global_row_number`
 RANK_COL = "_global_rn"
@@ -160,8 +161,23 @@ def global_running_sum(
     is a real hash-partitioned window (thousands of pids), never the
     single-task funnel the registry bans, and the per-pid totals
     aggregate reuses the window's exchange (AQE exchange reuse).
+
+    ``value_col`` must be an INTEGRAL type: the per-partition offsets
+    accumulate driver-side in exact Python ints and the result column
+    is long — a fractional value_col would silently truncate (r11
+    advisor), so it raises here instead.
     """
     spark = df.sparkSession
+    vtype = df.schema[value_col].dataType
+    if not isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"global_running_sum: value_col {value_col!r} must be an "
+            f"integral type (byte/short/int/long), got {vtype.simpleString()}; "
+            "exact fractional prefix sums are not representable in the "
+            "long result column"
+        )
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 

@@ -35,18 +35,26 @@ def read_csv_deadletter(
     unparseable lines land in ``_corrupt``.  ``header=True`` drops
     lines that EQUAL the schema's header row (per-file headers in a
     distributed text scan have no "first line" — matching the exact
-    rendered header is the deterministic equivalent)."""
+    rendered header is the deterministic equivalent) AND that fail
+    typed parsing — so a legitimate data row that happens to render
+    identically to the header (possible only with an all-string
+    schema, where it parses cleanly) is KEPT, upholding the module's
+    no-silent-drop discipline (r11 advisor).  Caveats that remain by
+    construction: with an all-string schema the real header line is
+    indistinguishable from data and therefore also kept (filter it
+    downstream if that matters), and a header rendered differently
+    than ``sep.join(fieldNames)`` (quoted names, reordered columns,
+    trailing spaces) is not recognized — it surfaces in ``_corrupt``
+    rather than vanishing."""
     if "_corrupt" in schema.fieldNames():
         raise ValueError("schema must not declare _corrupt; it is added")
     raw = spark.read.text(path)
-    if header:
-        header_line = sep.join(schema.fieldNames())
-        raw = raw.where(F.col("value") != header_line)
     # from_csv needs the corrupt column IN the parse schema
     parse_schema = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
     )
     parsed = raw.select(
+        "value",
         F.from_csv(
             "value",
             parse_schema.simpleString(),
@@ -55,8 +63,13 @@ def read_csv_deadletter(
                 "mode": "PERMISSIVE",
                 "columnNameOfCorruptRecord": "_corrupt",
             },
-        ).alias("_s")
+        ).alias("_s"),
     )
+    if header:
+        header_line = sep.join(schema.fieldNames())
+        parsed = parsed.where(
+            (F.col("value") != header_line) | F.col("_s._corrupt").isNull()
+        )
     return parsed.select("_s.*")
 
 

@@ -54,7 +54,19 @@ def read_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
     return spark.read.parquet(f"{dim_path}/v-{ver}/data")
 
 
-def _commit_dimension(merged: DataFrame, dim_path: str) -> None:
+def dimension_exists(spark: SparkSession, dim_path: str) -> bool:
+    """True iff a committed dimension lives at ``dim_path`` (the params
+    pointer exists).  This is the ONLY bootstrap signal
+    ``apply_cdc_batch`` accepts: a transient read failure against an
+    existing dimension must abort the batch, never silently reset the
+    history (r11 advisor, high)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{dim_path}/params")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _commit_dimension(merged: DataFrame, dim_path: str, prune: bool) -> None:
     spark = merged.sparkSession
     ver = uuid.uuid4().hex[:12]
     merged.write.mode("overwrite").parquet(f"{dim_path}/v-{ver}/data")
@@ -63,7 +75,8 @@ def _commit_dimension(merged: DataFrame, dim_path: str) -> None:
     spark.createDataFrame([(ver,)], "version string").write.mode(
         "overwrite"
     ).parquet(f"{dim_path}/params")
-    prune_stale_versions(spark, dim_path, ver)
+    if prune:
+        prune_stale_versions(spark, dim_path, ver)
 
 
 def apply_cdc_batch(
@@ -72,19 +85,28 @@ def apply_cdc_batch(
     key_cols: Sequence[str],
     tracked_cols: Sequence[str],
     ts_col: str,
+    prune: bool = True,
 ) -> None:
     """Apply ONE batch of change rows to the on-disk SCD2 dimension
     (bootstrap on first use, versioned commit) — the unit of work
     shared by the streaming pipeline's foreachBatch and the batch CLI
     (``dimension`` subcommand).  Idempotent re-apply per the module
-    contract."""
+    contract.
+
+    Bootstrap is detected EXPLICITLY (``dimension_exists``: fs.exists
+    on the params pointer) — if the dimension exists, any read failure
+    propagates and aborts the batch, so a transient IO error can never
+    be mistaken for first use and wipe the history via a
+    merge-into-empty + prune (r11 advisor, high).  Pass
+    ``prune=False`` to keep stale version dirs for a later maintenance
+    window (``operators/versioned.prune_stale_versions``)."""
     key_cols, tracked_cols = list(key_cols), list(tracked_cols)
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    try:
+    if dimension_exists(spark, dim_path):
         hist = read_dimension(spark, dim_path)
-    except Exception:
+    else:
         # bootstrap: empty history, valid_from/valid_to typed to ts
         hist = spark.createDataFrame([], batch_df.select(
             *key_cols,
@@ -99,7 +121,7 @@ def apply_cdc_batch(
         tracked_cols,
         ts_col=ts_col,
     )
-    _commit_dimension(merged, dim_path)
+    _commit_dimension(merged, dim_path, prune=prune)
 
 
 def stream_dimension_scd2(
@@ -110,6 +132,7 @@ def stream_dimension_scd2(
     ts_col: str,
     checkpoint: str,
     trigger: dict | None = None,
+    prune: bool = True,
 ) -> StreamingQuery:
     """Maintain an SCD2 dimension at ``dim_path`` from a streaming
     frame of change rows (keys + tracked attrs + ts).  Bootstraps an
@@ -119,7 +142,9 @@ def stream_dimension_scd2(
     for the current snapshot."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        apply_cdc_batch(batch_df, dim_path, key_cols, tracked_cols, ts_col)
+        apply_cdc_batch(
+            batch_df, dim_path, key_cols, tracked_cols, ts_col, prune=prune
+        )
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

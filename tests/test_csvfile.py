@@ -74,3 +74,20 @@ def test_csv_roundtrip_tsv(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{out}/*.csv")) == 1  # file-count contract
+
+
+def test_read_csv_header_equal_data_row_is_kept(spark, tmp_path):
+    # all-string schema: a data row identical to the rendered header
+    # parses cleanly and must NOT be dropped (no-silent-drop discipline,
+    # r11 advisor); with a typed schema the real header fails parsing
+    # and is dropped as before (covered above).
+    s = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.StringType())]
+    )
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\nx,y\na,b\n")  # line 3 is DATA equal to the header
+    df = read_csv_deadletter(spark, str(p), s, header=True)
+    rows = [(r.a, r.b) for r in df.collect()]
+    # both header-equal lines parse cleanly under the all-string schema,
+    # so both are kept — the documented indistinguishability caveat
+    assert sorted(rows) == [("a", "b"), ("a", "b"), ("x", "y")]

@@ -182,3 +182,57 @@ def test_scd2_randomized_sequential_differential(spark):
         # invariants
         open_rows = [r for r in got if r[3] is None]
         assert len(open_rows) == len({r[0] for r in open_rows})  # <=1 open/key
+
+
+def test_cdc_apply_read_failure_aborts_not_resets(spark, tmp_path):
+    # Bootstrap is detected by fs.exists on the params pointer, NOT by
+    # catching read failures: against an EXISTING dimension, a broken
+    # read must abort the batch — never merge into an empty history and
+    # prune away the real one (r11 advisor, high).
+    import shutil
+
+    from aws_logs_to_parquet_converter_spark.streaming.dimension import (
+        apply_cdc_batch,
+    )
+
+    dim = tmp_path / "dim"
+    batch1 = spark.createDataFrame(
+        [(1, "A", "2024-01-01")], "k long, seg string, ts string"
+    )
+    apply_cdc_batch(batch1, str(dim), ["k"], ["seg"], "ts")
+    # simulate a transient/corrupted read: params points at a version
+    # whose data dir is gone
+    (vdir,) = [p for p in dim.iterdir() if p.name.startswith("v-")]
+    shutil.rmtree(vdir / "data")
+    batch2 = spark.createDataFrame(
+        [(2, "B", "2024-02-01")], "k long, seg string, ts string"
+    )
+    import pytest
+
+    with pytest.raises(Exception):
+        apply_cdc_batch(batch2, str(dim), ["k"], ["seg"], "ts")
+    # the failed batch committed nothing: pointer still names the same
+    # version, and no new v-dir appeared
+    vdirs = [p.name for p in dim.iterdir() if p.name.startswith("v-")]
+    assert vdirs == [vdir.name]
+
+
+def test_cdc_apply_prune_false_keeps_prior_version(spark, tmp_path):
+    from aws_logs_to_parquet_converter_spark.streaming.dimension import (
+        apply_cdc_batch,
+    )
+
+    dim = tmp_path / "dim"
+    b1 = spark.createDataFrame(
+        [(1, "A", "2024-01-01")], "k long, seg string, ts string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "A2", "2024-02-01")], "k long, seg string, ts string"
+    )
+    apply_cdc_batch(b1, str(dim), ["k"], ["seg"], "ts", prune=False)
+    apply_cdc_batch(b2, str(dim), ["k"], ["seg"], "ts", prune=False)
+    vdirs = [p.name for p in dim.iterdir() if p.name.startswith("v-")]
+    assert len(vdirs) == 2  # prior version survives for the maintenance window
+    # the live read still resolves through the pointer to the new merge
+    out = {(r.k, r.seg) for r in read_dimension(spark, str(dim)).collect()}
+    assert out == {(1, "A"), (1, "A2")}

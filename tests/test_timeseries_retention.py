@@ -195,3 +195,19 @@ def test_rolling_active_users_randomized_differential(spark):
         for r in rolling_active_users(df, "ts", "user_id", 4).collect()
     }
     assert got == want
+
+
+def test_expire_partitions_skips_nonconforming_dirs(spark, tmp_path):
+    # dt values that fail the YYYY-MM-DD gate compare lexicographically
+    # wrong against the cutoff — they must be skipped, never deleted
+    # (r11 advisor: delete is recursive/destructive)
+    dest = str(tmp_path / "wh")
+    _write_days(spark, dest, ["2024-01-01", "2024-01-03"])
+    import os
+
+    os.makedirs(f"{dest}/dt=2024-1-2")  # < cutoff lexicographically
+    os.makedirs(f"{dest}/dt=20230101")  # < cutoff lexicographically
+    gone = expire_partitions(spark, dest, "2024-01-03")
+    assert gone == ["2024-01-01"]
+    left = {p.split("dt=")[1] for p in glob.glob(f"{dest}/dt=*")}
+    assert left == {"2024-01-03", "2024-1-2", "20230101"}

@@ -71,3 +71,14 @@ def test_token_stream_blocks_no_single_task_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line  # every window is pid-partitioned
+
+
+def test_global_running_sum_rejects_fractional_value_col(spark):
+    # offsets accumulate in exact ints and the result column is long —
+    # a double value_col would silently truncate, so it raises (r11
+    # advisor)
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.5)], "id long, v double")
+    with pytest.raises(ValueError, match="integral"):
+        global_running_sum(df, [F.col("id")], "v", sum_col="s")
