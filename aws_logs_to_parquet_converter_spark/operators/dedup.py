@@ -565,8 +565,8 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     seed: int = 42,
     signature_method: str = "affine",
-    persist: bool = False,
     hash_fn: str = "xxhash64",
+    handles: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding, scored by
     estimated Jaccard (fraction of agreeing minhashes), filtered at
@@ -587,18 +587,21 @@ def minhash_near_duplicates(
     byte-reproducible by any SQL engine.  Requires
     signature_method='affine'.
 
-    ``persist``: materialize the signature DataFrame before the band
-    self-join.  Catalyst does not reuse the aggregation subplan across
-    the join's two branches, so signatures compute twice without it.
-    Default False: at bench scale the two branches schedule
-    concurrently and persisting was measured SLOWER end to end (8.1s ->
-    13.7s cold at sf0.1, the cache write serializes the DAG).  On a
-    saturated cluster deduping a 100 TB corpus the CPU trade flips —
-    pass True there (signatures are ~520 B/doc; caller unpersists via
-    the returned plan's lineage or spark.catalog.clearCache()).
-    """
+    Shuffle shape (r11 verdict item, A/B'd at sf1): the band self-join
+    and the (id_a, id_b) dedup carry ONLY slim id/band/bucket rows —
+    signatures re-attach to the deduped candidate pairs afterwards via
+    two joins against the persisted signature relation.  The old shape
+    (signatures riding through the join + dropDuplicates) moved ~2 x
+    520 B per candidate ROW through two exchanges; slim rows are ~24 B.
+    Measured sf1 (50k docs, 264k candidate pairs): 7.7s vs 14.4s warm,
+    and 6.5s vs 144-218s under memory pressure; identical pair sets;
+    sf0.1 unchanged (1.7s vs 1.8s).  The signature relation is
+    persisted internally (it feeds the banding once and the re-attach
+    twice — unpersisted it recomputes the shingle aggregation 3x,
+    measured 56-80s at sf1); pass ``handles`` to receive the persisted
+    DataFrame for deterministic unpersist, else it lives until
+    ``spark.catalog.clearCache()``/session end (~8k B/doc)."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     if hash_fn == "md5":
         if signature_method != "affine":
             raise ValueError("hash_fn='md5' requires signature_method='affine'")
@@ -610,27 +613,32 @@ def minhash_near_duplicates(
             signature_method
         ]
         sig = sig_fn(df, id_col, text_col, num_hashes, shingle_n, seed)
-    if persist:
-        sig = sig.persist()
+    sig = sig.persist()
+    if handles is not None:
+        handles.append(sig)
 
-    banded = _band_rows(sig, id_col, num_hashes, bands, hash_fn)
+    banded = _band_rows(sig, id_col, num_hashes, bands, hash_fn).select(
+        "_id", "band", "bucket"
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pair_ids.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")),
+        "id_b",
     )
     # MEASURED EXCEPTION to the no-HOF rule: at k=64 the "obvious"
     # codegen unroll (a 64-deep chain of element_at equality adds) ran

@@ -69,17 +69,25 @@ def test_minhash_finds_exact_high_jaccard_pairs(spark, corpus):
         assert abs(lsh[pair] - j) < 0.25, f"estimate too far off for {pair}: {lsh[pair]} vs {j}"
 
 
-def test_minhash_persist_flag_identical_results(spark, corpus):
-    """persist=True (the 100 TB saturated-cluster knob) must change the
-    execution strategy only, never the result set."""
+def test_minhash_handles_unpersist_contract(spark, corpus):
+    """The slim-join shape persists the signature relation internally;
+    ``handles`` must receive exactly that DataFrame so the caller can
+    unpersist deterministically, and unpersisting after consumption
+    must not change results on re-run."""
     kw = dict(num_hashes=64, bands=16, threshold=0.5)
-    plain = {(r.id_a, r.id_b): r.est_jaccard
-             for r in dedup.minhash_near_duplicates(corpus, "doc_id", "text", **kw).collect()}
-    persisted = {(r.id_a, r.id_b): r.est_jaccard
-                 for r in dedup.minhash_near_duplicates(
-                     corpus, "doc_id", "text", persist=True, **kw).collect()}
+    handles = []
+    first = {(r.id_a, r.id_b): r.est_jaccard
+             for r in dedup.minhash_near_duplicates(
+                 corpus, "doc_id", "text", handles=handles, **kw).collect()}
+    assert len(handles) == 1 and handles[0].is_cached
+    for h in handles:
+        h.unpersist()
+    assert not handles[0].is_cached
+    again = {(r.id_a, r.id_b): r.est_jaccard
+             for r in dedup.minhash_near_duplicates(
+                 corpus, "doc_id", "text", **kw).collect()}
     spark.catalog.clearCache()
-    assert plain == persisted
+    assert first == again
 
 
 def test_minhash_no_gross_false_positives(spark, corpus):
