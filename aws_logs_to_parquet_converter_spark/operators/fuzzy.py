@@ -23,6 +23,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Per-max_dist default string-length cutoffs, and the worst-case
+# per-row variant budget an EXPLICIT max_len must stay under.  The
+# d-deletion neighborhood of a length-L string has ~1 + L variants at
+# d=1 and ~1 + L + L(L-1)/2 at d=2 — an unchanged max_len=512 default
+# at d=2 would silently explode ~131k variants per row (r11 verdict
+# item 4); 64 at d=2 keeps the fan-out in the same ~2k range the d=1
+# default occupies.
+_DEFAULT_MAX_LEN = {1: 512, 2: 64}
+_MAX_VARIANTS_PER_ROW = 20_000
+
+
+def _variant_budget(max_len: int, max_dist: int) -> int:
+    """Worst-case deletion-neighborhood size for a length-``max_len``
+    string at ``max_dist``."""
+    n = 1 + max_len
+    if max_dist == 2:
+        n += max_len * (max_len - 1) // 2
+    return n
+
 
 def _deletion_variants(col: str, d: int) -> Column:
     """Array of all strings reachable from ``col`` by up to ``d``
@@ -55,7 +74,7 @@ def fuzzy_join(
     left_col: str,
     right_col: str,
     max_dist: int = 1,
-    max_len: int = 512,
+    max_len: int | None = None,
 ) -> DataFrame:
     """All pairs (left_id, right_id, dist) with
     ``levenshtein(left_col, right_col) <= max_dist``.
@@ -70,7 +89,11 @@ def fuzzy_join(
     string exceeds it are EXCLUDED from matching — a declared domain
     cutoff for a short-string operator, not silent truncation (two
     >max_len strings within edit distance 2 are whole-document
-    near-dups; winnowing/MinHash is the right tool there).
+    near-dups; winnowing/MinHash is the right tool there).  The
+    default is tied to ``max_dist`` (512 at d=1, 64 at d=2 — similar
+    worst-case fan-out); an explicit value whose worst-case
+    neighborhood exceeds ~20k variants per row raises instead of
+    silently scheduling the explosion (r11 verdict).
 
     Verification uses Spark's bounded ``levenshtein(l, r, threshold)``
     (early-exits the DP at threshold+1, so candidate verification cost
@@ -78,8 +101,17 @@ def fuzzy_join(
     """
     if not 1 <= max_dist <= 2:
         raise ValueError(f"fuzzy_join: max_dist must be 1 or 2, got {max_dist}")
+    if max_len is None:
+        max_len = _DEFAULT_MAX_LEN[max_dist]
     if max_len < 1:
         raise ValueError(f"fuzzy_join: max_len must be >= 1, got {max_len}")
+    if _variant_budget(max_len, max_dist) > _MAX_VARIANTS_PER_ROW:
+        raise ValueError(
+            f"fuzzy_join: max_len={max_len} at max_dist={max_dist} means up "
+            f"to {_variant_budget(max_len, max_dist):,} deletion variants "
+            f"PER ROW (budget {_MAX_VARIANTS_PER_ROW:,}); lower max_len, or "
+            "use MinHash shingles for long strings"
+        )
 
     def side(df: DataFrame, id_col: str, s_col: str, pid: str, ps: str) -> DataFrame:
         return (
@@ -114,7 +146,11 @@ def fuzzy_join(
 
 
 def fuzzy_self_pairs(
-    df: DataFrame, id_col: str, s_col: str, max_dist: int = 1, max_len: int = 512
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 1,
+    max_len: int | None = None,
 ) -> DataFrame:
     """Distinct unordered near-match pairs within one table:
     (id_a < id_b, dist) with edit distance <= max_dist — the

@@ -250,3 +250,35 @@ def test_merge_additive_rollup(spark):
     assert out == {"a": (10, 100), "b": (7, 70), "c": (1, 10)}
     with pytest.raises(ValueError, match="missing"):
         merge_additive_rollup(cur, delta.drop("s"), ["k"], ["n", "s"])
+
+
+def test_fuzzy_join_defaults_tied_to_max_dist_and_variant_budget(spark):
+    from aws_logs_to_parquet_converter_spark.operators.fuzzy import (
+        _DEFAULT_MAX_LEN,
+        _MAX_VARIANTS_PER_ROW,
+        _variant_budget,
+    )
+
+    # the per-d defaults themselves are within budget
+    for d, ml in _DEFAULT_MAX_LEN.items():
+        assert _variant_budget(ml, d) <= _MAX_VARIANTS_PER_ROW
+    # d=2 default cutoff is 64, so a 100-char string is excluded by
+    # DEFAULT at d=2 but matched at d=1 (whose default is 512)
+    df = spark.createDataFrame(
+        [(1, "y" * 100), (2, "y" * 100 + "z"), (3, "abc"), (4, "abd")],
+        "id long, s string",
+    )
+    d1 = {(r.id_a, r.id_b) for r in fuzzy_self_pairs(df, "id", "s", 1).collect()}
+    assert d1 == {(1, 2), (3, 4)}
+    d2 = {(r.id_a, r.id_b) for r in fuzzy_self_pairs(df, "id", "s", 2).collect()}
+    assert d2 == {(3, 4)}
+    # an explicit max_len whose worst-case neighborhood blows the
+    # budget raises instead of silently scheduling the explosion
+    with pytest.raises(ValueError, match="variants"):
+        fuzzy_self_pairs(df, "id", "s", 2, max_len=512)
+    # explicit-but-sane d=2 max_len still works
+    ok = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_self_pairs(df, "id", "s", 2, max_len=150).collect()
+    }
+    assert ok == {(1, 2), (3, 4)}
