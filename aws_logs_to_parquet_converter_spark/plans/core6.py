@@ -181,7 +181,7 @@ _FUZZY_ORACLE = f"""
 """
 
 
-@query("q_fuzzy_pairs", oracle=_FUZZY_ORACLE)
+@query("q_fuzzy_pairs", oracle=_FUZZY_ORACLE, headline=True)
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance<=1 entity-resolution pairs over customer names via
     recall-exact deletion-neighborhood blocking + bounded levenshtein
@@ -401,7 +401,7 @@ _CDC_ORACLE = (
 )
 
 
-@query("q_stream_cdc_dimension", oracle=_CDC_ORACLE)
+@query("q_stream_cdc_dimension", oracle=_CDC_ORACLE, headline=True)
 def q_stream_cdc_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming CDC-apply pipeline END-TO-END under the oracle
     gate (the FIFTH streaming-family graded row): two change batches

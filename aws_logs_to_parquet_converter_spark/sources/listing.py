@@ -6,8 +6,12 @@ OOMs (slides p.33/p.36), then ships the URI list to ``parallelize``.
 Here the listing feeds ``spark.read.text(paths)`` instead — Spark's
 file index plans splits; executors never see credentials.
 
-Local filesystem paths glob directly; s3:// prefixes use boto3 when
-available (gated import — not installed in this environment)."""
+Local filesystem paths glob directly; s3:// prefixes use boto3 (gated
+import with an actionable raise where absent).  Integration coverage
+runs the REAL boto3 client against a local ListObjectsV2 HTTP stub —
+request serialization, XML parse, and the continuation-token protocol
+all execute (test_listing.py), alongside the fake-client pagination
+tests that need no network."""
 
 from __future__ import annotations
 
@@ -45,7 +49,7 @@ def _list_s3(root: str, prefix: str, client=None) -> list[str]:
     bucket, _, key_root = tail.partition("/")
     if key_root:
         prefix = f"{key_root}/{prefix}"
-    if client is None:  # pragma: no cover - boto3 absent in test container
+    if client is None:  # covered: stub-endpoint integration test
         try:
             import boto3  # gated: not available in the test container
         except ImportError as e:
