@@ -1712,3 +1712,28 @@ def drop_repeated_spans(
         .otherwise(F.coalesce(F.col("_joined"), F.lit("")))
         .alias(text_col),
     )
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-aware sampling weights ("soft dedup"): instead of
+    DROPPING duplicates, every copy of a repeated document gets weight
+    1/n_copies, so each content group contributes one document's worth
+    of probability mass to training-mix sampling — the soft alternative
+    to ``exact_keep_first`` when repetition itself is signal (popular
+    boilerplate should not be over-represented, but neither silently
+    erased).
+
+    Returns (id_col, n_copies, weight_ppm) with ``weight_ppm =
+    floor(1e6 / n_copies)`` — an exact-integer parts-per-million weight
+    (the repo's integer-boundary discipline: no double crosses a graded
+    boundary).  Content key = xxhash64 of the normalized text (the
+    shared ``normalized_text`` rule); one hash-partitioned window over
+    the fixed-width digest — 8 B/row through the exchange, never whole
+    documents, same envelope as ``exact_duplicates``."""
+    w = Window.partitionBy(F.xxhash64(_normalized(F.col(text_col))))
+    n = F.count("*").over(w)
+    return df.select(
+        id_col,
+        n.alias("n_copies"),
+        F.floor(F.lit(1_000_000) / n).cast("long").alias("weight_ppm"),
+    )

@@ -670,3 +670,35 @@ def token_stream_blocks(
         .otherwise(F.expr(f"(_incl - n_tokens) div {block_size}"))
         .alias("last_block"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: "dict[str, float] | None" = None,
+    seed: int = 42,
+    label_col: str = "split",
+) -> DataFrame:
+    """``assign_splits`` keyed by each row's duplicate-group CANONICAL
+    id (min id over the normalized-content group) instead of its own
+    id: exact/near-exact copies of one document always land in the SAME
+    split, closing the classic train/test leakage hole per-doc hash
+    splitting leaves open (a duplicated document straddling splits
+    leaks the test set into training verbatim).
+
+    Cost over plain ``assign_splits``: ONE hash-partitioned window on
+    the fixed-width content digest (8 B/row shuffle key, the
+    ``exact_duplicates`` envelope) to attach the canonical id; the
+    split labeling itself stays a zero-shuffle codegen CASE.  Same
+    md5-interval auditability: any SQL engine re-derives the partition
+    from (canonical id, seed, fractions)."""
+    from aws_logs_to_parquet_converter_spark.operators.textstats import (
+        normalized_text,
+    )
+
+    w = Window.partitionBy(F.xxhash64(normalized_text(F.col(text_col))))
+    canon = F.min(id_col).over(w)
+    return assign_splits(
+        df.withColumn("_canon", canon), "_canon", splits, seed, label_col
+    ).drop("_canon")

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_logs_to_parquet_converter_spark.operators import dedup, similarity, textstats
@@ -4706,4 +4706,83 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.agg(
         F.count("*").alias("n_ranks"),
         F.round(F.regr_slope("y", "x"), 3).alias("zipf_slope"),
+    )
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g'))"
+
+
+@query(
+    "q_soft_dedup_weights",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               COUNT(*) OVER (PARTITION BY {_NORM_SQL}) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_copies,
+           CAST(FLOOR(1000000.0 / n) AS BIGINT) AS weight_ppm
+    FROM g
+    """,
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware per-doc sampling weights (soft dedup,
+    operators/dedup.soft_dedup_weights): every copy of a repeated
+    document weights 1/n_copies in ppm, so content groups contribute
+    one document's worth of sampling mass instead of being dropped or
+    over-represented.  Engine partitions the count window by the
+    fixed-width xxhash64 of the normalized text; the oracle partitions
+    by the normalized text itself — equivalence IS the
+    collision-freedom check at graded scale.  Round-12 birth."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.soft_dedup_weights(d, "doc_id", "text")
+
+
+@query(
+    "q_leakage_safe_split",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY {_NORM_SQL}) AS canon
+        FROM documents
+    ), labeled AS (
+        SELECT doc_id, canon,
+               CASE WHEN substring(md5(CAST(canon AS VARCHAR) || '#42'), 1, 8)
+                         < 'fae147ae' THEN 'train'
+                    WHEN substring(md5(CAST(canon AS VARCHAR) || '#42'), 1, 8)
+                         < 'fd70a3d7' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM g
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_groups
+    FROM labeled GROUP BY split ORDER BY split
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group-aware 98/1/1 split
+    (operators/sampling.leakage_safe_split): the md5-interval label is
+    computed on each row's duplicate-group canonical id, so copies of
+    one document can never straddle train/test (the leakage hole plain
+    per-doc hash splitting leaves open).  The oracle re-derives the
+    canonical ids AND the split rule, so the grade pins group
+    integrity, the hash rule, and the interval thresholds together.
+    Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import sampling
+
+    d = t(spark, sf_dir, "documents")
+    labeled = sampling.leakage_safe_split(
+        d, "doc_id", "text", {"train": 0.98, "val": 0.01, "test": 0.01}, seed=42
+    )
+    w = Window.partitionBy(F.xxhash64(textstats.normalized_text(F.col("text"))))
+    return (
+        labeled.withColumn("_canon", F.min("doc_id").over(w))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("_canon").alias("n_groups"),
+        )
+        .orderBy("split")
     )

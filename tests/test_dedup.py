@@ -1035,3 +1035,27 @@ def test_minhash_index_refresh_is_versioned_commit(spark, tmp_path):
     # superseded dirs (old version AND the crash debris) pruned
     left = {d for d in os.listdir(idx) if d.startswith("v-")}
     assert left == {os.path.basename(v2)}
+
+
+def test_soft_dedup_weights_exact_ppm(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same text"),
+            (2, "Same   TEXT"),   # normalized-equal to 1
+            (3, "same text"),     # byte-equal to 1
+            (4, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_copies, r.weight_ppm)
+        for r in dedup.soft_dedup_weights(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (3, 333333),
+        2: (3, 333333),
+        3: (3, 333333),
+        4: (1, 1000000),
+    }
+    # group mass: each group sums to ~1e6 (floor loses <n ppm)
+    assert 999999 <= 3 * 333333 <= 1000000

@@ -1433,3 +1433,57 @@ def test_pmi_top_bigrams_semantics(spark):
     # bigrams (5+5+2), c_new=c_york=4, n_u=15 tokens (6+6+3)
     want = round(math.log((4 / 12) / ((4 / 15) * (4 / 15))), 3)
     assert abs(out["new york"][1] - want) < 1e-9
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from aws_logs_to_parquet_converter_spark.operators.sampling import (
+        assign_splits,
+        leakage_safe_split,
+    )
+
+    # 300 duplicate groups of 3 copies each (normalized-equal variants)
+    rows = []
+    for g in range(300):
+        rows += [
+            (3 * g, f"document number {g}"),
+            (3 * g + 1, f"Document   NUMBER {g}"),
+            (3 * g + 2, f"document number {g}"),
+        ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    labeled = leakage_safe_split(
+        df, "doc_id", "text", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    from pyspark.sql import functions as F
+
+    # every group is entirely in one split
+    per_group = (
+        labeled.groupBy((F.col("doc_id") / 3).cast("long").alias("g"))
+        .agg(F.count_distinct("split").alias("k"))
+    )
+    assert per_group.where("k > 1").count() == 0
+    # and the split is the one the CANONICAL id would get from plain
+    # assign_splits (same md5-interval rule, same seed)
+    canon = df.where(F.col("doc_id") % 3 == 0)
+    want = {
+        r.doc_id // 3: r.split
+        for r in assign_splits(
+            canon, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    got = {
+        r.g: r.split
+        for r in labeled.select(
+            (F.col("doc_id") / 3).cast("long").alias("g"), "split"
+        ).distinct().collect()
+    }
+    assert got == want
+    # plain per-doc splitting DOES straddle on this fixture (the hole
+    # this operator closes) — otherwise the test proves nothing
+    naive = assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    straddled = (
+        naive.groupBy((F.col("doc_id") / 3).cast("long").alias("g"))
+        .agg(F.count_distinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert straddled > 0
