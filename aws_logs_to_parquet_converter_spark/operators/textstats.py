@@ -1442,3 +1442,108 @@ def pmi_top_bigrams(
         F.col("n"),
         F.round(pmi, 3).alias("pmi"),
     )
+
+
+_LN2 = 0.6931471805599453
+
+
+def unigram_entropy(
+    df: DataFrame,
+    group_cols: "list[str]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Shannon entropy (bits) and type-token ratio of the
+    unigram distribution — the corpus-health diagnostic that catches
+    boilerplate floods and synthetic spam BEFORE training: natural
+    English runs ~9-11 bits of unigram entropy; a template-stamped
+    source collapses toward the entropy of its template.
+
+        H = log2(N) - (1/N) * sum_w c_w * log2(c_w)
+
+    computed from the per-(group, token) integer counts, so the only
+    floats are the final ln/division (engine-side on both Spark and a
+    SQL oracle; ROUND(3) absorbs last-ULP drift per the q_perplexity
+    convention).  ``ttr_ppm`` (distinct tokens per million tokens) is
+    all-integer.
+
+    Two map-side-combine aggregates on the token key — no window, no
+    all-pairs; vocab per group is the working set, never the corpus.
+
+    Returns ``group_cols + (n_tokens, vocab, entropy_bits, ttr_ppm)``.
+    """
+    toks = df.select(
+        *group_cols,
+        F.explode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    counts = toks.groupBy(*group_cols, "_tok").agg(F.count("*").alias("_c"))
+    grouped = counts.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(F.col("_c") * F.log(F.col("_c").cast("double"))).alias("_s"),
+    )
+    n = F.col("n_tokens").cast("double")
+    entropy_nats = F.log(n) - F.col("_s") / n
+    return grouped.select(
+        *group_cols,
+        "n_tokens",
+        "vocab",
+        F.round(entropy_nats / F.lit(float(_LN2)), 3).alias("entropy_bits"),
+        F.expr("vocab * 1000000 div n_tokens").alias("ttr_ppm"),
+    )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """KL divergence (bits) of each group's unigram distribution from
+    the whole-corpus distribution — the data-mixing diagnostic: a
+    source whose KL is near 0 is redundant with the mix; a large KL
+    marks distribution shift worth up/down-weighting (the same
+    quantity DSIR's importance weights integrate per-document).
+
+        KL(p_g || q) = sum_w p_w ln(p_w / q_w) / ln 2
+                     = [ (1/N_g) sum_w c_gw (ln c_gw - ln c_w)
+                         + ln N - ln N_g ] / ln 2
+
+    with c_gw the per-(group, token) count and c_w the corpus count —
+    every token of the group appears in the corpus, so q_w > 0 always
+    and the sum is total.  Counts are exact integers; the ln/division
+    is engine-side with a final ROUND(3) (q_perplexity convention).
+
+    Shape: one token-key aggregate, the corpus counts RE-AGGREGATED
+    from the group counts (one shuffle feeds both), a vocab-keyed
+    equi-join, then a group rollup with the two scalar totals joined
+    as one-row broadcasts (the q11 single-row class).
+
+    Returns ``(group_col, n_tokens, kl_bits)``.
+    """
+    toks = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    per_group = toks.groupBy(group_col, "_tok").agg(F.count("*").alias("_cg"))
+    # per_group / corpus each feed two consumers with IDENTICAL
+    # subplans — AQE ReusedExchange serves the second read, so no
+    # persist is needed (the PMI-totals convention)
+    corpus = per_group.groupBy("_tok").agg(F.sum("_cg").alias("_cw"))
+    joined = per_group.join(corpus, "_tok")
+    inner = joined.groupBy(group_col).agg(
+        F.sum("_cg").alias("n_tokens"),
+        F.sum(
+            F.col("_cg")
+            * (
+                F.log(F.col("_cg").cast("double"))
+                - F.log(F.col("_cw").cast("double"))
+            )
+        ).alias("_s"),
+    )
+    total = corpus.agg(F.sum("_cw").cast("double").alias("_n"))
+    ng = F.col("n_tokens").cast("double")
+    kl_nats = F.col("_s") / ng + F.log(F.col("_n")) - F.log(ng)
+    return inner.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_tokens",
+        F.round(kl_nats / F.lit(float(_LN2)), 3).alias("kl_bits"),
+    )

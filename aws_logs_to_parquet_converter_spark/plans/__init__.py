@@ -40,11 +40,12 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #      detection hardened — the r11 HIGH advisory),
 #      q_token_stream_blocks (global_running_sum integral-type guard —
 #      r11 advisory #4).
-#   3. remaining 35 slots backfill with the oldest-evidence cohort:
-#      the 37-entry r8 cohort in registry-name order (q_bag_set_ops ..
-#      q_window_ntile, including q_dedup_exact per the verdict); the two
-#      alphabetical stragglers (q_window_percent_rank,
-#      q_window_range_frame) stay r8-green and lead the r13 rotation.
+#   3. remaining slots backfill with the oldest-evidence cohort: the
+#      37-entry r8 cohort in registry-name order (q_bag_set_ops ..,
+#      including q_dedup_exact per the verdict); the 29 that fit end
+#      at q_sessionize — the eight alphabetical stragglers
+#      (q_sliding_window .. q_window_range_frame) stay r8-green and
+#      lead the r13 rotation.
 # Rotated out (green at their latest r9-r11 grade and UNMODIFIED this
 # round): the entire r11 window remainder, the r9/r10 cohorts — all
 # inside currency.
@@ -198,9 +199,21 @@ _PRIORITY = [
     "q_fuzzy_entity_resolution",
     "q_stream_cdc_dimension",
     "q_token_stream_blocks",
+    # (1b) later r12 births (standing policy: a new oracle-bearing
+    # entry enters the window the round it is added, displacing the
+    # lowest backfill slot)
+    "q_source_entropy",
+    "q_source_kl",
+    "q_markov_transitions",
+    "q_interarrival_cv",
+    "q_ewma_daily",
+    "q_stream_static_join",
     # (3) oldest-evidence backfill: the r8 cohort in registry-name
-    # order (q_window_percent_rank / q_window_range_frame stay r8-green
-    # and lead the r13 rotation)
+    # order (the six alphabetical stragglers displaced by the six 1b
+    # births — q_sliding_window, q_union_by_name, q_url_funcs,
+    # q_warc_extract, q_window_lag, q_window_ntile — plus
+    # q_window_percent_rank / q_window_range_frame stay r8-green and
+    # lead the r13 rotation)
     "q_bag_set_ops",
     "q_correlated_scalar",
     "q_dedup_exact",
@@ -230,12 +243,6 @@ _PRIORITY = [
     "q_segment_repetition",
     "q_session_window",
     "q_sessionize",
-    "q_sliding_window",
-    "q_union_by_name",
-    "q_url_funcs",
-    "q_warc_extract",
-    "q_window_lag",
-    "q_window_ntile",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -4786,3 +4786,197 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q_source_entropy",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, tok, COUNT(*) AS c
+        FROM (SELECT source, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ), g AS (
+        SELECT source, SUM(c) AS n, COUNT(*) AS v,
+               SUM(c * LN(CAST(c AS DOUBLE))) AS s
+        FROM counts GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab,
+           ROUND((LN(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE))
+                 / 0.6931471805599453, 3) AS entropy_bits,
+           CAST(v * 1000000 // n AS BIGINT) AS ttr_ppm
+    FROM g
+    """,
+)
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy + type-token ratio
+    (textstats.unigram_entropy) — the corpus-health diagnostic that
+    catches template floods before training.  Counts are exact
+    integers; the single ln/divide runs engine-side on both, ROUND(3)
+    absorbing last-ULP drift (q_perplexity convention); ttr_ppm is
+    all-integer.  Round-12 birth."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.unigram_entropy(d, ["source"], "text")
+
+
+@query(
+    "q_source_kl",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, tok, COUNT(*) AS cg
+        FROM (SELECT source, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ), corpus AS (
+        SELECT tok, SUM(cg) AS cw FROM counts GROUP BY tok
+    ), per_src AS (
+        SELECT source, SUM(cg) AS ng,
+               SUM(cg * (LN(CAST(cg AS DOUBLE)) - LN(CAST(cw AS DOUBLE)))) AS s
+        FROM counts JOIN corpus USING (tok) GROUP BY source
+    ), total AS (SELECT CAST(SUM(cw) AS DOUBLE) AS nn FROM corpus)
+    SELECT source,
+           CAST(ng AS BIGINT) AS n_tokens,
+           ROUND((s / CAST(ng AS DOUBLE) + LN(nn) - LN(CAST(ng AS DOUBLE)))
+                 / 0.6931471805599453, 3) AS kl_bits
+    FROM per_src, total
+    """,
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    (textstats.source_kl_divergence) — the data-mixing diagnostic
+    DSIR's importance weights integrate per-document, here at source
+    granularity.  Exact-integer counts, engine-side ln, final
+    ROUND(3).  Round-12 birth."""
+    d = t(spark, sf_dir, "documents")
+    return textstats.source_kl_divergence(d, "source", "text")
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_state,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_state
+        FROM events
+    ), counts AS (
+        SELECT from_state, to_state, COUNT(*) AS n
+        FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+        SELECT from_state, SUM(n) AS tt FROM counts GROUP BY 1
+    )
+    SELECT c.from_state, c.to_state,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 1000000 // t.tt AS BIGINT) AS prob_ppm
+    FROM counts c JOIN totals t USING (from_state)
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    sequences (timeseries.markov_transitions): counts plus
+    row-normalized integer probabilities — the session-flow model
+    behind funnel and bot-loop analysis.  The (ts, event_id) order is
+    a deterministic total order, so the adjacency set is
+    engine-identical; prob_ppm is all-integer.  Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    return timeseries.markov_transitions(
+        e, "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+@query(
+    "q_interarrival_cv",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap
+        FROM events
+    ), a AS (
+        SELECT user_id, COUNT(*) AS n, SUM(gap) AS sg,
+               SUM(CAST(gap AS HUGEINT) * gap) AS sg2
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id HAVING COUNT(*) >= 5
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(sg // n AS BIGINT) AS mean_gap_us,
+           CAST(CASE WHEN sg > 0 THEN FLOOR(
+               1000000.0
+               * SQRT(GREATEST(
+                   (CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                    - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+                   0.0))
+               * CAST(n AS DOUBLE) / CAST(sg AS DOUBLE))
+           ELSE 0 END AS BIGINT) AS cv_ppm
+    FROM a
+    """,
+)
+def q_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival coefficient of variation
+    (anomaly.interarrival_regularity) — the scripted-client signal: a
+    fixed-period scraper collapses toward cv 0, organic traffic
+    spreads.  Gaps are exact integer micros; Σg² accumulates in
+    DECIMAL(38,0)/HUGEINT engine-side but only BIGINTs cross the
+    graded boundary (the r11 wide-type rule); every double derives
+    from the same exact integers through the same IEEE expression
+    tree, so the FLOOR cannot straddle engines.  Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import anomaly
+
+    e = t(spark, sf_dir, "events")
+    return anomaly.interarrival_regularity(e, "user_id", "ts", "event_id")
+
+
+@query(
+    "q_ewma_daily",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), l AS (
+        SELECT event_type, day, n,
+               LAG(n, 1) OVER w AS l1, LAG(n, 2) OVER w AS l2,
+               LAG(n, 3) OVER w AS l3, LAG(n, 4) OVER w AS l4,
+               LAG(n, 5) OVER w AS l5, LAG(n, 6) OVER w AS l6
+        FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, n AS value,
+           CAST(1000 * (64 * n
+                        + COALESCE(32 * l1, 0) + COALESCE(16 * l2, 0)
+                        + COALESCE(8 * l3, 0) + COALESCE(4 * l4, 0)
+                        + COALESCE(2 * l5, 0) + COALESCE(1 * l6, 0))
+                // (64 + CASE WHEN l1 IS NULL THEN 0 ELSE 32 END
+                       + CASE WHEN l2 IS NULL THEN 0 ELSE 16 END
+                       + CASE WHEN l3 IS NULL THEN 0 ELSE 8 END
+                       + CASE WHEN l4 IS NULL THEN 0 ELSE 4 END
+                       + CASE WHEN l5 IS NULL THEN 0 ELSE 2 END
+                       + CASE WHEN l6 IS NULL THEN 0 ELSE 1 END)
+           AS BIGINT) AS ewma_milli
+    FROM l
+    """,
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-one EWMA of the daily event-type counts over the
+    trailing 7 observed days (timeseries.ewma_trailing) — the smoothed
+    baseline anomaly detectors compare against.  INTEGER-EXACT end to
+    end: power-of-two weights make numerator and denominator exact
+    BIGINTs and ewma_milli one exact integer division, so the oracle
+    matches bit-for-bit with no float convention needed.  Round-12
+    birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.count("*").alias("n"))
+    return timeseries.ewma_trailing(daily, "event_type", "day", "n")

@@ -1106,3 +1106,46 @@ def q_etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes_sent").alias("sum_bytes"),
         F.count_distinct("requester").alias("n_requesters"),
     )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the oracle gate (the SIXTH
+    streaming-family graded row): the events stream LEFT-joined to the
+    static customer dimension — the canonical streaming-ETL shape
+    (enrich each event with its dimension row as it arrives) the
+    reference's batch-only rerun loop cannot express.
+
+    The static side is explicitly ``broadcast()``: stream-static joins
+    re-plan per micro-batch, and a broadcast keeps each batch one
+    narrow stage — no stream-side shuffle, no state store at all (the
+    dimension is not stream state).  LEFT join keeps events with no
+    dimension row ('unknown'), preserving the no-silent-drop
+    discipline.  Aggregate in complete mode over the bounded replay;
+    cents are exact integers at the graded boundary (the
+    q_stream_read_after_write convention)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = _stream_events_source(spark, sf_dir).join(
+        F.broadcast(cust),
+        F.col("user_id") == F.col("c_custkey"),
+        "left",
+    )
+    agg = joined.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    return _replay_to_memory_sink(
+        spark, agg, "q_stream_static_join_sink", "complete"
+    )

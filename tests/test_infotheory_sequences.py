@@ -1,0 +1,211 @@
+"""Round-12 ops: unigram entropy / KL divergence, Markov transitions,
+inter-arrival regularity, integer-exact trailing EWMA.
+
+Every expected value below is hand-computed from the closed form in
+the operator docstring, so these are analytic checks, not snapshots.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+    interarrival_regularity,
+)
+from aws_logs_to_parquet_converter_spark.operators.textstats import (
+    source_kl_divergence,
+    unigram_entropy,
+)
+from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+    ewma_trailing,
+    markov_transitions,
+)
+
+
+# ---------------------------------------------------------------------------
+# unigram entropy
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_entropy_analytic(spark):
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "c")], "source string, text string"
+    )
+    got = {
+        r["source"]: r
+        for r in unigram_entropy(df, ["source"], "text").collect()
+    }
+    # s1: counts {a:2, b:1}, N=3 -> H = log2(3) - (2*log2(2))/3
+    h = round(math.log2(3) - 2 * math.log2(2) / 3, 3)
+    assert got["s1"]["n_tokens"] == 3
+    assert got["s1"]["vocab"] == 2
+    assert got["s1"]["entropy_bits"] == pytest.approx(h)
+    assert got["s1"]["ttr_ppm"] == 2 * 1_000_000 // 3
+    # s2: a single token -> zero entropy, TTR 1
+    assert got["s2"]["entropy_bits"] == 0.0
+    assert got["s2"]["ttr_ppm"] == 1_000_000
+
+
+def test_entropy_flags_template_flood(spark):
+    """A template-stamped source must score strictly lower entropy
+    than a same-size varied source."""
+    rows = [("tpl", "buy now click here buy now click here")] + [
+        ("var", "alpha beta gamma delta epsilon zeta eta theta")
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: r["entropy_bits"]
+        for r in unigram_entropy(df, ["source"], "text").collect()
+    }
+    assert got["tpl"] < got["var"]
+
+
+# ---------------------------------------------------------------------------
+# KL divergence
+# ---------------------------------------------------------------------------
+
+
+def test_source_kl_analytic(spark):
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "b")], "source string, text string"
+    )
+    got = {
+        r["source"]: r
+        for r in source_kl_divergence(df, "source", "text").collect()
+    }
+    # corpus: {a:2, b:2}, N=4.  s1: p=(2/3, 1/3), q=(1/2, 1/2)
+    kl1 = (2 / 3 * math.log((2 / 3) / 0.5) + 1 / 3 * math.log((1 / 3) / 0.5)) / math.log(2)
+    kl2 = math.log(1 / 0.5) / math.log(2)  # s2: p_b=1, q_b=1/2
+    assert got["s1"]["n_tokens"] == 3
+    assert got["s1"]["kl_bits"] == pytest.approx(round(kl1, 3))
+    assert got["s2"]["kl_bits"] == pytest.approx(round(kl2, 3))
+
+
+def test_source_kl_identical_distribution_is_zero(spark):
+    df = spark.createDataFrame(
+        [("s1", "a b"), ("s2", "a b")], "source string, text string"
+    )
+    for r in source_kl_divergence(df, "source", "text").collect():
+        assert r["kl_bits"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions
+# ---------------------------------------------------------------------------
+
+
+def test_markov_transitions_analytic(spark):
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "C"),
+        (2, 1, "A"), (2, 2, "B"),
+    ]
+    df = spark.createDataFrame(rows, "u long, seq long, state string")
+    got = {
+        (r["from_state"], r["to_state"]): r
+        for r in markov_transitions(df, "u", ["seq"], "state").collect()
+    }
+    # adjacencies: u1 A->B, B->A, A->C; u2 A->B
+    assert got[("A", "B")]["n"] == 2
+    assert got[("A", "C")]["n"] == 1
+    assert got[("B", "A")]["n"] == 1
+    # from A: 3 transitions total
+    assert got[("A", "B")]["prob_ppm"] == 2 * 1_000_000 // 3
+    assert got[("A", "C")]["prob_ppm"] == 1_000_000 // 3
+    assert got[("B", "A")]["prob_ppm"] == 1_000_000
+    # no self-invented states, last event of each key emits nothing
+    assert len(got) == 3
+
+
+def test_markov_single_event_keys_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "A"), (2, 1, "B")], "u long, seq long, state string"
+    )
+    assert markov_transitions(df, "u", ["seq"], "state").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival regularity
+# ---------------------------------------------------------------------------
+
+
+def _ts_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "u long, eid long, ts string"
+    ).select("u", "eid", F.to_timestamp("ts").alias("ts"))
+
+
+def test_interarrival_cv_analytic(spark):
+    base = "2024-01-01 00:00:"
+    # u=1: perfectly regular 10 s gaps (6 events, 5 gaps) -> CV 0
+    # u=2: gaps 5,15,5,15,10 -> mean 10, sample var 25, sd 5 -> CV 0.5
+    rows = [(1, i, f"{base}{10 * i:02d}") for i in range(6)]
+    offs = [0, 5, 20, 25, 40, 50]
+    rows += [(2, i, f"{base}{o:02d}") for i, o in enumerate(offs)]
+    df = _ts_df(spark, rows)
+    got = {
+        r["u"]: r
+        for r in interarrival_regularity(df, "u", "ts", "eid").collect()
+    }
+    assert got[1]["n_gaps"] == 5
+    assert got[1]["mean_gap_us"] == 10_000_000
+    assert got[1]["cv_ppm"] == 0
+    assert got[2]["mean_gap_us"] == 10_000_000
+    assert got[2]["cv_ppm"] == 500_000
+
+
+def test_interarrival_min_gaps_filter(spark):
+    rows = [(1, i, f"2024-01-01 00:00:{10 * i:02d}") for i in range(4)]
+    df = _ts_df(spark, rows)  # 3 gaps < default 5
+    assert interarrival_regularity(df, "u", "ts", "eid").count() == 0
+
+
+def test_interarrival_all_zero_gaps(spark):
+    """Duplicate timestamps throughout: mean 0, CV reported as 0 —
+    never NaN/inf at the boundary."""
+    rows = [(1, i, "2024-01-01 00:00:00") for i in range(7)]
+    df = _ts_df(spark, rows)
+    row = interarrival_regularity(df, "u", "ts", "eid").collect()[0]
+    assert row["mean_gap_us"] == 0
+    assert row["cv_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# trailing EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_trailing_analytic(spark):
+    df = spark.createDataFrame(
+        [("g", "d1", 4), ("g", "d2", 2), ("g", "d3", 6)],
+        "k string, d string, n long",
+    )
+    got = {
+        r["d"]: r["ewma_milli"]
+        for r in ewma_trailing(df, "k", "d", "n").collect()
+    }
+    # d1: 64*4/64            -> 4000
+    # d2: (64*2+32*4)/96     -> 256000/96  = 2666
+    # d3: (64*6+32*2+16*4)/112 -> 512000/112 = 4571
+    assert got == {"d1": 4000, "d2": 2666, "d3": 4571}
+
+
+def test_ewma_window_deeper_than_seven_drops_oldest(spark):
+    rows = [("g", f"d{i:02d}", 0) for i in range(8)]
+    rows[0] = ("g", "d00", 1000)  # only the FIRST bucket is nonzero
+    df = spark.createDataFrame(rows, "k string, d string, n long")
+    got = {
+        r["d"]: r["ewma_milli"]
+        for r in ewma_trailing(df, "k", "d", "n").collect()
+    }
+    # d06 still sees d00 at weight 1/127; d07 no longer sees it at all
+    assert got["d06"] == 1000 * 1000 // 127
+    assert got["d07"] == 0
+
+
+def test_ewma_rejects_fractional_values(spark):
+    df = spark.createDataFrame(
+        [("g", "d1", 1.5)], "k string, d string, n double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        ewma_trailing(df, "k", "d", "n")

@@ -119,12 +119,12 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-11
-    window policy (plans/__init__.py): the never-green stateful seam
-    (integer-only boundary now), the prune-flag code-changed index
-    pair, the four round-11 births, the FULL 29-entry r7 cohort (the
-    oldest evidence anywhere, mandated by the r10 policy), then r8
-    backfill — every windowed entry hash-gradeable."""
+    """The driver grades the first 50 registry entries.  Round-12
+    window policy (plans/__init__.py): every never-driver-graded
+    oracle-bearing entry leads (the five late r11 births + the r12
+    births), then the code-changed re-entries, then the oldest-
+    evidence r8 cohort backfill — every windowed entry
+    hash-gradeable."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
     names = list(REGISTRY)
@@ -133,38 +133,23 @@ def test_graded_window_covers_priority_surface():
     required = {
         # flagship
         "q_days_apart",
-        # the only never-green entry (red r9 + r10; integerized boundary)
-        "q_stream_profile",
-        # code changed this round: prune=False escape hatch
-        "q_incremental_minhash", "q_embed_topk_pq_persisted",
-        # round-11 births
-        "q_scd2_merge", "q_scd1_upsert", "q_fuzzy_pairs", "q_mad_outliers",
-        "q_token_stream_blocks", "q_fuzzy_entity_resolution", "q_gap_fill",
-        "q_scd2_chain", "q_dsir_weights", "q_stream_cdc_dimension",
-        "q_embed_topk_lsh_multiprobe", "q_calibration_bins",
-        "q_incremental_rollup",
-        # the full r7 cohort (anchors — first and last in name order)
-        "q_gopher_rules", "q_k_anonymize", "q_perplexity", "q_topk",
-        "q_window_rank", "q_winnow_pairs",
-        # r8 backfill head (q_dedup_exact displaced by the multiprobe
-        # birth — benched+graded every round, the strongest independent
-        # evidence in the cohort)
-        "q_approx_top_k", "q_asof_join",
+        # never driver-graded: the five late r11 births
+        "q_rolling_active_users", "q_quantile_normalize",
+        "q_pmi_collocations", "q_dedup_stats", "q_zipf_slope",
+        # never driver-graded: r12 births
+        "q_etl_roundtrip", "q_soft_dedup_weights", "q_leakage_safe_split",
+        # code changed this round (minhash shuffle narrowing, fuzzy
+        # max_len tie, CDC bootstrap hardening, prefix-sum type guard)
+        "q_dedup_minhash_md5", "q_incremental_minhash",
+        "q_fuzzy_pairs", "q_fuzzy_entity_resolution",
+        "q_stream_cdc_dimension", "q_token_stream_blocks",
+        # r12 births added this round enter at birth
+        "q_source_entropy", "q_source_kl", "q_markov_transitions",
+        "q_interarrival_cv", "q_ewma_daily", "q_stream_static_join",
+        # r8 backfill anchors (first and last in name order)
+        "q_bag_set_ops", "q_dedup_exact", "q_sessionize",
     }
     assert required <= set(window), sorted(required - set(window))
-    # the full r7 cohort must be present (the r10 mandate)
-    r7_cohort = {
-        "q_gopher_rules", "q_group_by_all", "q_html_extract",
-        "q_in_subquery", "q_join_anti", "q_join_left", "q_join_range",
-        "q_join_semi", "q_k_anonymize", "q_lang_id", "q_math_funcs",
-        "q_pack_sequences", "q_percentiles", "q_perplexity", "q_pivot",
-        "q_quality_filter", "q_quality_score", "q_set_ops",
-        "q_string_funcs", "q_tfidf_topterms", "q_token_count",
-        "q_top_bigram", "q_topk", "q_unpivot", "q_vocab_topk",
-        "q_window_rank", "q_window_rolling", "q_winnow_fingerprints",
-        "q_winnow_pairs",
-    }
-    assert r7_cohort <= set(window), sorted(r7_cohort - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
     assert "q_hll_distinct_rollup" not in window
     assert all(REGISTRY[n].oracle is not None for n in window)
@@ -358,6 +343,9 @@ def test_registry_wide_no_scale_killers(spark):
         # one-row dangling-mass broadcast per PageRank iteration (the
         # q_bm25_topk single-row-scalar class, three of them)
         "q_pagerank",
+        # one-row corpus-token-total broadcast into the per-source KL
+        # rollup (the q11 single-row class)
+        "q_source_kl",
     }
     failures = []
     for name, q in REGISTRY.items():
