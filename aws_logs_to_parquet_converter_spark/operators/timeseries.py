@@ -246,3 +246,106 @@ def ewma_trailing(
         "value",
         F.expr("1000 * _num div _den").alias("ewma_milli"),
     )
+
+
+def session_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    event_col: str,
+    conversion: str,
+    gap_seconds: int = 3600,
+) -> DataFrame:
+    """First-touch attribution: sessionize per key on an inactivity
+    gap, then credit each session's conversions to the session's FIRST
+    event type — the marketing-analytics operator answering "which
+    entry point leads to purchases".
+
+    Shape: the q_sessionize cumulative-sum sessionizer (one
+    key-partitioned window pass evaluates the gap flag, the running
+    session id AND the first-touch rank together), then one
+    (key, session) aggregate and a final |event types|-row rollup —
+    all counts integer, nothing floats.  ``(ts_col, tiebreak_col)``
+    must be a total order within a key or the first touch is
+    engine-dependent.
+
+    Returns (first_touch, n_sessions, n_converted_sessions,
+    n_conversions).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w_lag = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    gap_us = gap_seconds * 1_000_000
+    flagged = df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        event_col,
+        F.when(us - F.lag(us).over(w_lag) > gap_us, 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    w_cum = Window.partitionBy(key_col).orderBy(
+        ts_col, tiebreak_col
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        event_col,
+        F.sum("_new").over(w_cum).alias("_sid"),
+    )
+    w_first = Window.partitionBy(key_col, "_sid").orderBy(
+        ts_col, tiebreak_col
+    )
+    ranked = sess.select(
+        key_col,
+        "_sid",
+        event_col,
+        F.row_number().over(w_first).alias("_rn"),
+    )
+    per_session = ranked.groupBy(key_col, "_sid").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col(event_col))).alias(
+            "first_touch"
+        ),
+        F.count(F.when(F.col(event_col) == conversion, 1)).alias("_conv"),
+    )
+    return per_session.groupBy("first_touch").agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("_conv") > 0, 1)).alias(
+            "n_converted_sessions"
+        ),
+        F.sum("_conv").alias("n_conversions"),
+    )
+
+
+def top_event_paths(
+    df: DataFrame,
+    key_col: str,
+    order_cols: "list",
+    state_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """The corpus' most common length-3 event paths (order-2 sequence
+    mining, the n-gram sibling of :func:`markov_transitions`): two
+    leads in ONE key-partitioned window, a path aggregate with
+    map-side combine, then a TakeOrdered top-k under the
+    (count desc, path) total order — never a global sort or a
+    single-task window.
+
+    Returns (path, n) — ``path`` is 'a>b>c'.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    steps = df.select(
+        F.col(state_col).alias("_s0"),
+        F.lead(state_col, 1).over(w).alias("_s1"),
+        F.lead(state_col, 2).over(w).alias("_s2"),
+    ).where(F.col("_s2").isNotNull())
+    counts = steps.groupBy(
+        F.concat_ws(">", "_s0", "_s1", "_s2").alias("path")
+    ).agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), "path").limit(top_k)

@@ -42,10 +42,10 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #      r11 advisory #4).
 #   3. remaining slots backfill with the oldest-evidence cohort: the
 #      37-entry r8 cohort in registry-name order (q_bag_set_ops ..,
-#      including q_dedup_exact per the verdict); the 29 that fit end
-#      at q_sessionize — the eight alphabetical stragglers
-#      (q_sliding_window .. q_window_range_frame) stay r8-green and
-#      lead the r13 rotation.
+#      including q_dedup_exact per the verdict); the 26 that fit end
+#      at q_salted_agg — the eleven alphabetical stragglers
+#      (q_segment_repetition .. q_window_range_frame) stay r8-green
+#      and lead the r13 rotation.
 # Rotated out (green at their latest r9-r11 grade and UNMODIFIED this
 # round): the entire r11 window remainder, the r9/r10 cohorts — all
 # inside currency.
@@ -208,10 +208,12 @@ _PRIORITY = [
     "q_interarrival_cv",
     "q_ewma_daily",
     "q_stream_static_join",
+    "q_session_attribution",
+    "q_top_paths",
+    "q_winsorize",
     # (3) oldest-evidence backfill: the r8 cohort in registry-name
-    # order (the six alphabetical stragglers displaced by the six 1b
-    # births — q_sliding_window, q_union_by_name, q_url_funcs,
-    # q_warc_extract, q_window_lag, q_window_ntile — plus
+    # order (the alphabetical stragglers displaced by the nine 1b
+    # births — q_segment_repetition .. q_window_ntile — plus
     # q_window_percent_rank / q_window_range_frame stay r8-green and
     # lead the r13 rotation)
     "q_bag_set_ops",
@@ -240,9 +242,6 @@ _PRIORITY = [
     "q_recursive_cte",
     "q_regexp_funcs",
     "q_salted_agg",
-    "q_segment_repetition",
-    "q_session_window",
-    "q_sessionize",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -4980,3 +4980,117 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).agg(F.count("*").alias("n"))
     return timeseries.ewma_trailing(daily, "event_type", "day", "n")
+
+
+@query(
+    "q_session_attribution",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ), ranked AS (
+        SELECT user_id, sid, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+        FROM sess
+    ), per_session AS (
+        SELECT user_id, sid,
+               MAX(CASE WHEN rn = 1 THEN event_type END) AS first_touch,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS conv
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN conv > 0 THEN 1 END) AS BIGINT)
+               AS n_converted_sessions,
+           CAST(SUM(conv) AS BIGINT) AS n_conversions
+    FROM per_session GROUP BY 1
+    """,
+)
+def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution over 30-min-gap sessions
+    (timeseries.session_attribution): which entry event type leads to
+    purchases — the marketing-analytics rollup.  All-integer output;
+    the (ts, event_id) total order pins sessionization, first touch,
+    and conversion counts cross-engine.  Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    return timeseries.session_attribution(
+        e, "user_id", "ts", "event_id", "event_type", "purchase",
+        gap_seconds=1800,
+    )
+
+
+@query(
+    "q_top_paths",
+    oracle="""
+    WITH steps AS (
+        SELECT event_type AS s0,
+               LEAD(event_type, 1) OVER w AS s1,
+               LEAD(event_type, 2) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s0 || '>' || s1 || '>' || s2 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM steps WHERE s2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 event paths (timeseries.top_event_paths) — the
+    order-2 sequence-mining sibling of q_markov_transitions.  Two
+    leads in one user-partitioned window, path aggregate with map-side
+    combine, TakeOrdered top-k under the (n desc, path) total order —
+    ties at the cut cannot straddle engines.  Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    return timeseries.top_event_paths(
+        e, "user_id", ["ts", "event_id"], "event_type", top_k=20
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               quantile_cont(n_chars, 0.25) AS plo,
+               quantile_cont(n_chars, 0.75) AS phi
+        FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN d.n_chars < b.plo THEN 1 END) AS BIGINT)
+               AS n_clamped_low,
+           CAST(COUNT(CASE WHEN d.n_chars > b.phi THEN 1 END) AS BIGINT)
+               AS n_clamped_high,
+           CAST(SUM(CAST(GREATEST(LEAST(CAST(d.n_chars AS DOUBLE), b.phi),
+                                  b.plo) * 4 AS BIGINT)) AS BIGINT)
+               AS sum_clamped_x4
+    FROM documents d JOIN b USING (source)
+    GROUP BY d.source
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source IQR winsorization report
+    (anomaly.winsorized_stats): doc-length mass clamped to the exact
+    [p25, p75] — the robust-scaling step before cross-source mixing.
+    Quarter-position interpolation keeps every clamped value a x4
+    exact integer, so the graded sums are BIGINT-exact cross-engine
+    (the mad_outliers half/quarter convention).  Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import anomaly
+
+    d = t(spark, sf_dir, "documents")
+    return anomaly.winsorized_stats(d, "source", "n_chars", 0.25, 0.75)

@@ -209,3 +209,128 @@ def test_ewma_rejects_fractional_values(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         ewma_trailing(df, "k", "d", "n")
+
+
+# ---------------------------------------------------------------------------
+# session attribution
+# ---------------------------------------------------------------------------
+
+
+def test_session_attribution_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        session_attribution,
+    )
+
+    rows = [
+        # u1 session A: view -> click -> purchase  (first touch: view)
+        (1, 0, "2024-01-01 00:00:00", "view"),
+        (1, 1, "2024-01-01 00:10:00", "click"),
+        (1, 2, "2024-01-01 00:20:00", "purchase"),
+        # u1 session B (2h later): click only, no conversion
+        (1, 3, "2024-01-01 02:30:00", "click"),
+        # u2 one session: signup -> purchase -> purchase (2 conversions)
+        (2, 0, "2024-01-01 00:00:00", "signup"),
+        (2, 1, "2024-01-01 00:05:00", "purchase"),
+        (2, 2, "2024-01-01 00:06:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, eid long, ts string, etype string"
+    ).select("u", "eid", F.to_timestamp("ts").alias("ts"), "etype")
+    got = {
+        r["first_touch"]: r
+        for r in session_attribution(
+            df, "u", "ts", "eid", "etype", "purchase", gap_seconds=1800
+        ).collect()
+    }
+    assert got["view"]["n_sessions"] == 1
+    assert got["view"]["n_converted_sessions"] == 1
+    assert got["view"]["n_conversions"] == 1
+    assert got["click"]["n_sessions"] == 1
+    assert got["click"]["n_converted_sessions"] == 0
+    assert got["signup"]["n_conversions"] == 2
+    assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# top event paths
+# ---------------------------------------------------------------------------
+
+
+def test_top_event_paths_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        top_event_paths,
+    )
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d"),
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        (3, 1, "x"), (3, 2, "y"),  # too short for a trigram
+    ]
+    df = spark.createDataFrame(rows, "u long, seq long, s string")
+    got = {
+        r["path"]: r["n"]
+        for r in top_event_paths(df, "u", ["seq"], "s", top_k=10).collect()
+    }
+    assert got == {"a>b>c": 2, "b>c>d": 1}
+
+
+def test_top_paths_k_cut_is_deterministic(spark):
+    """At the k boundary with tied counts the (n desc, path) order must
+    decide membership lexicographically."""
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        top_event_paths,
+    )
+
+    rows = []
+    for u, s in enumerate(["a", "b", "c"]):
+        rows += [(u, 1, s), (u, 2, s), (u, 3, s)]  # paths a>a>a, b>b>b, c>c>c
+    df = spark.createDataFrame(rows, "u long, seq long, s string")
+    got = [r["path"] for r in top_event_paths(df, "u", ["seq"], "s", top_k=2).collect()]
+    assert got == ["a>a>a", "b>b>b"]
+
+
+# ---------------------------------------------------------------------------
+# winsorization
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_stats_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+        winsorized_stats,
+    )
+
+    # g: values 0..4 -> p25=1, p75=3; clamped sum = 1+1+2+3+3 = 10
+    df = spark.createDataFrame(
+        [("g", v) for v in [0, 1, 2, 3, 4]], "src string, v long"
+    )
+    row = winsorized_stats(df, "src", "v").collect()[0]
+    assert row["n"] == 5
+    assert row["n_clamped_low"] == 1
+    assert row["n_clamped_high"] == 1
+    assert row["sum_clamped_x4"] == 40
+
+
+def test_winsorized_stats_quarter_interpolation_exact(spark):
+    from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+        winsorized_stats,
+    )
+
+    # n=4: p25 position = 0.75 -> 10 + 0.75*(20-10) = 17.5 (x4 = 70)
+    df = spark.createDataFrame(
+        [("g", v) for v in [10, 20, 30, 40]], "src string, v long"
+    )
+    row = winsorized_stats(df, "src", "v").collect()[0]
+    # p25=17.5, p75=32.5: clamped = 17.5, 20, 30, 32.5 -> x4 sum = 400
+    assert row["sum_clamped_x4"] == 400
+
+
+def test_winsorized_stats_rejects_non_quarter(spark):
+    from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+        winsorized_stats,
+    )
+
+    df = spark.createDataFrame([("g", 1)], "src string, v long")
+    with pytest.raises(ValueError, match="quarter"):
+        winsorized_stats(df, "src", "v", lo=0.05, hi=0.95)
+    with pytest.raises(ValueError, match="lo"):
+        winsorized_stats(df, "src", "v", lo=0.75, hi=0.25)

@@ -146,8 +146,9 @@ def test_graded_window_covers_priority_surface():
         # r12 births added this round enter at birth
         "q_source_entropy", "q_source_kl", "q_markov_transitions",
         "q_interarrival_cv", "q_ewma_daily", "q_stream_static_join",
+        "q_session_attribution", "q_top_paths", "q_winsorize",
         # r8 backfill anchors (first and last in name order)
-        "q_bag_set_ops", "q_dedup_exact", "q_sessionize",
+        "q_bag_set_ops", "q_dedup_exact", "q_salted_agg",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
