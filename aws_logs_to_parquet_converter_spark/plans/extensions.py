@@ -4840,6 +4840,7 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 0.6931471805599453, 3) AS kl_bits
     FROM per_src, total
     """,
+    headline=True,
 )
 def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence from the corpus unigram distribution
@@ -5015,6 +5016,7 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(conv) AS BIGINT) AS n_conversions
     FROM per_session GROUP BY 1
     """,
+    headline=True,
 )
 def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch attribution over 30-min-gap sessions
