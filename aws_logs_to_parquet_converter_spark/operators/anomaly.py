@@ -88,6 +88,7 @@ def interarrival_regularity(
     ts_col: str,
     tiebreak_col: str,
     min_gaps: int = 5,
+    segment_col=None,
 ) -> DataFrame:
     """Per-key inter-arrival regularity: the coefficient of variation
     (stddev/mean) of the microsecond gaps between a key's consecutive
@@ -110,11 +111,19 @@ def interarrival_regularity(
     decimal crosses the graded boundary (the r11 wide-type rule):
     outputs are BIGINT only.
 
+    ``segment_col`` is the hot-key scale lever (the markov_transitions
+    contract): partition the lag window by (key, segment) so a bot
+    key's sort splits across segments, dropping the one gap that
+    straddles each boundary.  The n/Σg/Σg² aggregate still rolls up
+    per KEY, so the output shape is unchanged.  Exact mode (None) is
+    the graded default.
+
     Returns (key, n_gaps, mean_gap_us, cv_ppm).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    part = [key_col] if segment_col is None else [key_col, segment_col]
+    w = Window.partitionBy(*part).orderBy(ts_col, tiebreak_col)
     us = F.unix_micros(F.col(ts_col))
     gaps = df.select(
         F.col(key_col),

@@ -334,3 +334,58 @@ def test_winsorized_stats_rejects_non_quarter(spark):
         winsorized_stats(df, "src", "v", lo=0.05, hi=0.95)
     with pytest.raises(ValueError, match="lo"):
         winsorized_stats(df, "src", "v", lo=0.75, hi=0.25)
+
+
+# ---------------------------------------------------------------------------
+# segment_col hot-key lever
+# ---------------------------------------------------------------------------
+
+
+def test_markov_segmented_equals_exact_without_boundaries(spark):
+    """When every key's events share one segment, segmented == exact."""
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    rows = [(u, i, f"s{u}", st) for u in (1, 2) for i, st in enumerate("ABAB")]
+    df = spark.createDataFrame(rows, "u long, seq long, seg string, state string")
+    exact = sorted(map(tuple, markov_transitions(df, "u", ["seq"], "state").collect()))
+    segd = sorted(map(tuple, markov_transitions(df, "u", ["seq"], "state", "seg").collect()))
+    assert exact == segd
+
+
+def test_markov_segmented_drops_only_boundary_adjacency(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    # one key, states A B | C D split across two segments: the exact
+    # form sees B->C; the segmented form loses exactly that adjacency
+    rows = [(1, 1, "d1", "A"), (1, 2, "d1", "B"), (1, 3, "d2", "C"), (1, 4, "d2", "D")]
+    df = spark.createDataFrame(rows, "u long, seq long, seg string, state string")
+    exact = {(r["from_state"], r["to_state"]): r["n"]
+             for r in markov_transitions(df, "u", ["seq"], "state").collect()}
+    segd = {(r["from_state"], r["to_state"]): r["n"]
+            for r in markov_transitions(df, "u", ["seq"], "state", "seg").collect()}
+    assert exact == {("A", "B"): 1, ("B", "C"): 1, ("C", "D"): 1}
+    assert segd == {("A", "B"): 1, ("C", "D"): 1}
+
+
+def test_interarrival_segmented_drops_only_boundary_gap(spark):
+    from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+        interarrival_regularity,
+    )
+
+    rows = [(1, i, f"2024-01-01 00:{10 * i // 60:02d}:{10 * i % 60:02d}",
+             "a" if i < 4 else "b")
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "u long, eid long, ts string, seg string"
+    ).select("u", "eid", F.to_timestamp("ts").alias("ts"), "seg")
+    exact = interarrival_regularity(df, "u", "ts", "eid").collect()[0]
+    segd = interarrival_regularity(
+        df, "u", "ts", "eid", min_gaps=5, segment_col="seg"
+    ).collect()[0]
+    assert exact["n_gaps"] == 7
+    assert segd["n_gaps"] == 6  # the a|b boundary gap is gone
+    assert segd["cv_ppm"] == 0  # still perfectly regular
