@@ -1149,3 +1149,84 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_to_memory_sink(
         spark, agg, "q_stream_static_join_sink", "complete"
     )
+
+
+@query(
+    "q_stream_drift",
+    oracle="""
+    WITH h AS (
+        SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), d AS (
+        SELECT day, SUM(n) AS nd FROM h GROUP BY day
+    ), g AS (
+        SELECT event_type, SUM(n) AS ng FROM h GROUP BY event_type
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM h)
+    SELECT h.day,
+           CAST(d.nd AS BIGINT) AS n_events,
+           ROUND(SUM((CAST(h.n AS DOUBLE) / CAST(d.nd AS DOUBLE))
+                     * (LN(CAST(h.n AS DOUBLE) / CAST(d.nd AS DOUBLE))
+                        - LN(CAST(g.ng AS DOUBLE) / nn)))
+                 / 0.6931471805599453, 3) AS drift_kl_bits
+    FROM h JOIN d USING (day) JOIN g USING (event_type), tot
+    GROUP BY h.day, d.nd
+    """,
+)
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor under the oracle gate (the SEVENTH
+    graded streaming row): the events stream aggregates into a
+    per-(day, event_type) histogram — the watermarked windowed-count
+    shape — and the sink table then scores each day's event-type
+    distribution by its KL divergence (bits) from the whole-stream
+    mix.  This is the production data-drift alarm: a day whose traffic
+    composition shifts (bot flood, outage dropping one event type)
+    spikes its KL against the long-run mix.
+
+    The STREAMING part is the histogram (bounded state: watermark x
+    |event types|); the KL is batch arithmetic ON THE SINK TABLE
+    (day totals, type totals, one-row grand total — all derived from
+    the streamed aggregate, nothing re-reads the source).  Counts are
+    exact integers; ln/divide engine-side with the final ROUND(3)
+    (q_perplexity convention)."""
+    agg = (
+        _stream_events_source(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    hist = _replay_to_memory_sink(
+        spark, agg, "q_stream_drift_sink", "complete"
+    ).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+    )
+    # the KL below self-joins the sink three ways; a MemoryPlan view
+    # reuses attribute ids across those branches and the analyzer
+    # rejects the join (conflicting references).  localCheckpoint
+    # breaks lineage into a fresh bounded relation (|days| x |types|
+    # rows — distributed, no driver collect) that self-joins cleanly.
+    hist = hist.localCheckpoint(eager=True)
+    day_tot = hist.groupBy("day").agg(F.sum("n").alias("nd"))
+    type_tot = hist.groupBy("event_type").agg(F.sum("n").alias("ng"))
+    grand = hist.agg(F.sum("n").cast("double").alias("nn"))
+    p = F.col("n").cast("double") / F.col("nd").cast("double")
+    q = F.col("ng").cast("double") / F.col("nn")
+    kl = F.sum(p * (F.log(p) - F.log(q)))
+    return (
+        hist.join(day_tot, "day")
+        .join(type_tot, "event_type")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("day", "nd")
+        .agg(
+            F.round(kl / F.lit(0.6931471805599453), 3).alias(
+                "drift_kl_bits"
+            )
+        )
+        .select(
+            "day",
+            F.col("nd").alias("n_events"),
+            "drift_kl_bits",
+        )
+    )

@@ -147,8 +147,9 @@ def test_graded_window_covers_priority_surface():
         "q_source_entropy", "q_source_kl", "q_markov_transitions",
         "q_interarrival_cv", "q_ewma_daily", "q_stream_static_join",
         "q_session_attribution", "q_top_paths", "q_winsorize",
+        "q_stream_drift",
         # r8 backfill anchors (first and last in name order)
-        "q_bag_set_ops", "q_dedup_exact", "q_salted_agg",
+        "q_bag_set_ops", "q_dedup_exact", "q_regexp_funcs",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
@@ -347,6 +348,9 @@ def test_registry_wide_no_scale_killers(spark):
         # one-row corpus-token-total broadcast into the per-source KL
         # rollup (the q11 single-row class)
         "q_source_kl",
+        # one-row grand-total broadcast into the |days| x |types| sink
+        # histogram (same single-row class, on the bounded sink table)
+        "q_stream_drift",
     }
     failures = []
     for name, q in REGISTRY.items():
