@@ -197,3 +197,57 @@ def test_stream_daily_events_handles_nanos_fixture(spark, tmp_path):
     # 6 events at 6h spacing from Mar 1 12:00 -> days 1,1,2,2,2,2... :
     # 12:00,18:00 on Mar 1; 00:00,06:00,12:00,18:00 on Mar 2
     assert got == {("2024-03-01", "view"): 2, ("2024-03-02", "view"): 4}, got
+
+
+def test_stream_static_join_multibatch_matches_batch(spark, tmp_path):
+    """Stream-static enrichment across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 forces one batch per file; the static side
+    re-broadcasts per batch) must equal the batch left join — and keep
+    events with no dimension row (the no-silent-drop discipline)."""
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "ss_src"
+    rows = [(i, i % 4, 10 * i) for i in range(40)]  # user 3 has no dim row
+    df = spark.createDataFrame(rows, "event_id long, user_id long, v long")
+    # two part files -> maxFilesPerTrigger=1 yields two micro-batches
+    df.repartition(2).write.parquet(str(src))
+
+    dim = spark.createDataFrame(
+        [(0, "seg0"), (1, "seg1"), (2, "seg2")], "user_id long, segment string"
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.join(SF.broadcast(dim), "user_id", "left")
+        .groupBy(SF.coalesce("segment", SF.lit("unknown")).alias("segment"))
+        .agg(SF.count("*").alias("n"), SF.sum("v").alias("sv"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ss_multibatch_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        batches = [p.numInputRows for p in q.recentProgress if p.numInputRows]
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("ss_multibatch_sink").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(src))
+            .join(SF.broadcast(dim), "user_id", "left")
+            .groupBy(SF.coalesce("segment", SF.lit("unknown")).alias("segment"))
+            .agg(SF.count("*").alias("n"), SF.sum("v").alias("sv"))
+            .collect(),
+        )
+    )
+    assert got == want
+    assert ("unknown", 10, sum(10 * i for i in range(40) if i % 4 == 3)) in got
+    assert len(batches) >= 2  # the join really ran across micro-batches
