@@ -1707,3 +1707,54 @@ def cosine_topk_lsh_bucketed(
     return scored.select("*", F.row_number().over(wnd).alias("rank")).where(
         F.col("rank") <= k
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "qvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact integer gram matrix Gᵀ = XᵀX over an INTEGER-vector
+    column — the covariance/PCA/whitening building block, computed the
+    only way that survives 100 TB: per-partition Arrow accumulation
+    (each partition's mapInPandas emits ONE dim x dim int64 partial,
+    regardless of row count) followed by an (i, j)-keyed sum of the
+    |partitions| partials.  Never a row-pair join, never a per-row
+    explode of dim² terms; the shuffle is |partitions| x dim(dim+1)/2
+    slim rows.
+
+    Integer vectors (e.g. :func:`quantize_int8` output) make every
+    partial EXACT int64 — the oracle-parity path and the reason PCA on
+    quantized embeddings grades bit-for-bit where a float gram would
+    drift with summation order.  Upper triangle only (i <= j, 0-based);
+    mirror for the full matrix.
+
+    Returns (i, j, g).
+    """
+    import pandas as pd  # noqa: F401 (signature contract)
+
+    spark = df.sparkSession
+    vecs = df.select(F.col(vec_col).alias("qvec"))
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            part = x.T @ x
+            acc = part if acc is None else acc + part
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu.astype("int32"), "j": ju.astype("int32"),
+             "g": acc[iu, ju]}
+        )
+
+    partials = vecs.mapInPandas(_partials, "i int, j int, g long")
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))

@@ -5096,3 +5096,42 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return anomaly.winsorized_stats(d, "source", "n_chars", 0.25, 0.75)
+
+
+@query(
+    "q_embed_gram",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+    s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS am FROM v),
+    q AS (
+        SELECT vec_id,
+               CASE WHEN am > 0 THEN
+                   list_transform(e, x -> CAST(floor(x / (am / 127.0) + 0.5) AS BIGINT))
+               ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qvec
+        FROM s),
+    u AS (
+        SELECT vec_id,
+               generate_subscripts(qvec, 1) - 1 AS i,
+               UNNEST(qvec) AS qi
+        FROM q)
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           CAST(SUM(a.qi * b.qi) AS BIGINT) AS g
+    FROM u a JOIN u b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer gram matrix of the int8-quantized embeddings
+    (similarity.gram_matrix over quantize_int8) — the PCA/whitening
+    primitive in its 100 TB shape: one dim x dim int64 partial PER
+    PARTITION via mapInPandas (Arrow seam), then an (i, j)-keyed sum
+    of |partitions| slim partials.  The oracle re-derives quantization
+    AND the gram by the quadratic UNNEST self-join — the declared
+    ground-truth form this operator exists to avoid at scale.  All
+    2080 upper-triangle entries exact BIGINTs.  Round-12 birth."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb, "vec_id", "embedding")
+    return similarity.gram_matrix(q, "qvec")

@@ -389,3 +389,37 @@ def test_interarrival_segmented_drops_only_boundary_gap(spark):
     assert exact["n_gaps"] == 7
     assert segd["n_gaps"] == 6  # the a|b boundary gap is gone
     assert segd["cv_ppm"] == 0  # still perfectly regular
+
+
+# ---------------------------------------------------------------------------
+# integer gram matrix
+# ---------------------------------------------------------------------------
+
+
+def test_gram_matrix_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        gram_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [([1, 2, 3],), ([4, 5, 6],)], "qvec array<int>"
+    ).repartition(2)  # force multiple partials
+    got = {(r["i"], r["j"]): r["g"] for r in gram_matrix(df, "qvec").collect()}
+    # X^T X for X = [[1,2,3],[4,5,6]]
+    assert got == {
+        (0, 0): 17, (0, 1): 22, (0, 2): 27,
+        (1, 1): 29, (1, 2): 36,
+        (2, 2): 45,
+    }
+
+
+def test_gram_matrix_partition_invariant(spark):
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        gram_matrix,
+    )
+
+    rows = [([i % 5 - 2, (i * 7) % 11 - 5, i % 3],) for i in range(100)]
+    df = spark.createDataFrame(rows, "qvec array<int>")
+    one = sorted(map(tuple, gram_matrix(df.coalesce(1), "qvec").collect()))
+    many = sorted(map(tuple, gram_matrix(df.repartition(16), "qvec").collect()))
+    assert one == many
