@@ -257,7 +257,11 @@ def ewma_trailing(
         group_col,
         order_col,
         "value",
-        F.expr("1000 * _num div _den").alias("ewma_milli"),
+        # nullif: a row whose value AND all six lags are NULL has zero
+        # present-weight — emit NULL rather than tripping ANSI
+        # DIVIDE_BY_ZERO (callers feeding aggregate counts never hit
+        # this; raw columns with NULLs can)
+        F.expr("1000 * _num div nullif(_den, 0)").alias("ewma_milli"),
     )
 
 

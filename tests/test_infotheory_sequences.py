@@ -490,3 +490,15 @@ def test_pca_projection_end_to_end_variance_order(spark):
     )
     variances = proj.var(axis=0)
     assert variances[0] > variances[1] > variances[2]
+
+
+def test_ewma_all_null_frame_emits_null_not_error(spark):
+    """A row whose value and all lags are NULL must emit NULL (zero
+    present-weight), not an ANSI divide-by-zero."""
+    df = spark.createDataFrame(
+        [("g", "d1", None), ("g", "d2", 3)],
+        "k string, d string, n long",
+    )
+    got = {r["d"]: r["ewma_milli"] for r in ewma_trailing(df, "k", "d", "n").collect()}
+    assert got["d1"] is None
+    assert got["d2"] == 3000  # the null lag contributes neither num nor den
