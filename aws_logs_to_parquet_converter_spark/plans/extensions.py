@@ -5135,3 +5135,58 @@ def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = similarity.quantize_int8(emb, "vec_id", "embedding")
     return similarity.gram_matrix(q, "qvec")
+
+
+@query(
+    "q_embed_pca_project",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+    s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS am FROM v),
+    q AS (
+        SELECT vec_id,
+               CASE WHEN am > 0 THEN
+                   list_transform(e, x -> CAST(floor(x / (am / 127.0) + 0.5) AS BIGINT))
+               ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qvec
+        FROM s),
+    u AS (
+        SELECT vec_id,
+               generate_subscripts(qvec, 1) - 1 AS i,
+               UNNEST(qvec) AS qi
+        FROM q)
+    SELECT vec_id,
+           CAST(SUM(qi * (CASE WHEN (i // 1) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS p0,
+           CAST(SUM(qi * (CASE WHEN (i // 2) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS p1,
+           CAST(SUM(qi * (CASE WHEN (i // 4) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS p2,
+           CAST(SUM(qi * (CASE WHEN (i // 8) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS p3
+    FROM u GROUP BY vec_id
+    """,
+)
+def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow projection seam (similarity.project_vectors — the
+    X @ Wᵀ matmul PCA reduction runs through) under the FULL hash
+    grade, the q_media_features_hist convention: deterministic
+    integer inputs make the float64 matmul EXACT in any summation
+    order (|dot| ≤ 64·127² ≪ 2⁵³), so numpy's SIMD accumulation, a
+    DuckDB UNNEST fold, and a hand loop all agree bit-for-bit.
+    Components are the first four ±1 Walsh rows (sign by bit c of the
+    dimension index) — SQL-expressible, no float constants anywhere.
+    Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        project_vectors,
+        quantize_int8,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "vec_id", "embedding")
+    dim = 64
+    comps = [
+        [1.0 if (d >> c) % 2 == 0 else -1.0 for d in range(dim)]
+        for c in range(4)
+    ]
+    proj = project_vectors(q, comps, "vec_id", "qvec", "p")
+    return proj.select(
+        "vec_id",
+        *[F.element_at("p", c + 1).cast("long").alias(f"p{c}") for c in range(4)],
+    )

@@ -147,9 +147,9 @@ def test_graded_window_covers_priority_surface():
         "q_source_entropy", "q_source_kl", "q_markov_transitions",
         "q_interarrival_cv", "q_ewma_daily", "q_stream_static_join",
         "q_session_attribution", "q_top_paths", "q_winsorize",
-        "q_stream_drift", "q_embed_gram",
+        "q_stream_drift", "q_embed_gram", "q_embed_pca_project",
         # r8 backfill anchors (first and last in name order)
-        "q_bag_set_ops", "q_dedup_exact", "q_recursive_cte",
+        "q_bag_set_ops", "q_dedup_exact", "q_ngram_jaccard",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
@@ -304,6 +304,8 @@ def test_registry_wide_no_scale_killers(spark):
         # per-partition dim x dim int64 gram partials (one frame per
         # partition regardless of row count — the tree-aggregate seam)
         "q_embed_gram",
+        # the same Arrow matmul seam, projection direction
+        "q_embed_pca_project",
     }
     BNLJ_OK = {
         "q11_important_parts",
