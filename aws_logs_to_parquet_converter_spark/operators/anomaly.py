@@ -214,3 +214,48 @@ def winsorized_stats(
         ),
         F.sum((F.col("_cl") * 4).cast("long")).alias("sum_clamped_x4"),
     )
+
+
+def benford_digit_profile(
+    df: DataFrame,
+    value_col,
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    forensic screen for fabricated or truncated numeric columns
+    (organic multiplicative quantities follow P(d) = log10(1 + 1/d);
+    invented numbers and capped counters do not).
+
+    ``value_col`` must be a positive INTEGER column/expression (cents,
+    bytes, counts).  The digit comes from the integer's STRING head —
+    no log10 float whose engine rounding could flip a power-of-ten
+    boundary — so the per-digit counts are engine-exact; the Benford
+    expectation is emitted as exact integer ppm of ln-ratios (floor),
+    and the observed share as ``n * 1_000_000 div total``.  One
+    map-side-combining 9-row aggregate + a one-row total broadcast.
+
+    Returns (digit, n, observed_ppm, benford_ppm).
+    """
+    import math
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    digits = df.select(
+        F.substring(v.cast("string"), 1, 1).cast("int").alias("digit")
+    ).where(v > 0)
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_t"))
+    benford = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (
+                F.lit(d),
+                F.lit(int(math.floor(1_000_000 * math.log10(1 + 1 / d)))),
+            )
+        ]
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.expr("n * 1000000 div _t").alias("observed_ppm"),
+        benford[F.col("digit")].alias("benford_ppm"),
+    )

@@ -1773,6 +1773,7 @@ def pca_components(
     df: DataFrame,
     vec_col: str = "embedding",
     k: int = 8,
+    whiten: bool = False,
 ) -> "tuple[list[list[float]], list[float], int]":
     """Top-k PCA of an embedding column in the 100 TB shape: the only
     data-sized passes are the :func:`gram_matrix` partials and one
@@ -1784,7 +1785,10 @@ def pca_components(
 
     Returns (components, eigenvalues, n): ``components`` is a k x dim
     row-major list (descending eigenvalue order), ready for
-    :func:`project_vectors`.
+    :func:`project_vectors`.  With ``whiten=True`` each component is
+    additionally scaled by 1/sqrt(eigenvalue) so the projected
+    coordinates have unit variance (the pre-clustering normalization;
+    a zero-variance component raises — whitening it is undefined).
     """
     import numpy as np
 
@@ -1815,7 +1819,16 @@ def pca_components(
         j = int(np.argmax(np.abs(row)))
         if row[j] < 0:
             row *= -1.0
-    return comps.tolist(), w[order].tolist(), int(n)
+    eigs = w[order]
+    if whiten:
+        if np.any(eigs <= 0):
+            raise ValueError(
+                "pca_components: whiten=True with a non-positive "
+                f"eigenvalue {float(eigs.min())!r} — reduce k below the "
+                "data's effective rank"
+            )
+        comps = comps / np.sqrt(eigs)[:, None]
+    return comps.tolist(), eigs.tolist(), int(n)
 
 
 def project_vectors(

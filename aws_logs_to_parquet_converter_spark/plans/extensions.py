@@ -5190,3 +5190,41 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.element_at("p", c + 1).cast("long").alias(f"p{c}") for c in range(4)],
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    ), d AS (
+        SELECT CAST(SUBSTRING(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM cents WHERE v > 0
+    ), c AS (
+        SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT SUM(n) AS tt FROM c),
+    b(digit, benford_ppm) AS (VALUES
+        (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+    SELECT c.digit,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 1000000 // t.tt AS BIGINT) AS observed_ppm,
+           CAST(b.benford_ppm AS BIGINT) AS benford_ppm
+    FROM c JOIN b USING (digit) CROSS JOIN t
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over line-item prices in cents
+    (anomaly.benford_digit_profile) — the forensic test for fabricated
+    numeric columns.  The digit comes from the integer's STRING head
+    (no log10 float near a power-of-ten boundary), counts and shares
+    are all-integer, and the Benford expectation ships as the SAME
+    nine literal ppm constants on both engines.  Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import anomaly
+
+    li = t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    return anomaly.benford_digit_profile(cents, "v")

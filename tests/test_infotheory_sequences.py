@@ -502,3 +502,46 @@ def test_ewma_all_null_frame_emits_null_not_error(spark):
     got = {r["d"]: r["ewma_milli"] for r in ewma_trailing(df, "k", "d", "n").collect()}
     assert got["d1"] is None
     assert got["d2"] == 3000  # the null lag contributes neither num nor den
+
+
+def test_pca_whiten_unit_variance(spark):
+    import numpy as np
+    from aws_logs_to_parquet_converter_spark.operators.similarity import (
+        pca_components,
+        project_vectors,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(400, 5) * np.array([8, 3, 2, 1, 0.5])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, _, _ = pca_components(df, "embedding", k=3, whiten=True)
+    proj = np.array(
+        [r["pca"] for r in project_vectors(df, comps).orderBy("vec_id").collect()]
+    )
+    # whitened coordinates: sample variance 1 per component
+    assert proj.var(axis=0, ddof=1) == pytest.approx([1.0, 1.0, 1.0], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Benford profile
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digit_profile_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+        benford_digit_profile,
+    )
+
+    # digits: 1 x3, 2 x1, 9 x1; zeros and negatives excluded
+    df = spark.createDataFrame(
+        [(1,), (15,), (1999,), (2,), (900,), (0,), (-7,)], "v long"
+    )
+    got = {r["digit"]: r for r in benford_digit_profile(df, "v").collect()}
+    assert got[1]["n"] == 3 and got[1]["observed_ppm"] == 600_000
+    assert got[2]["n"] == 1 and got[9]["n"] == 1
+    assert got[1]["benford_ppm"] == 301_029
+    assert got[9]["benford_ppm"] == 45_757
+    assert set(got) == {1, 2, 9}
