@@ -357,6 +357,8 @@ def test_registry_wide_no_scale_killers(spark):
         # one-row grand-total broadcast into the |days| x |types| sink
         # histogram (same single-row class, on the bounded sink table)
         "q_stream_drift",
+        # one-row total broadcast into the 9-row digit profile
+        "q_benford",
     }
     failures = []
     for name, q in REGISTRY.items():
