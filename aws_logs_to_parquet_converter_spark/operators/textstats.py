@@ -1487,7 +1487,12 @@ def unigram_entropy(
         *group_cols,
         "n_tokens",
         "vocab",
-        F.round(entropy_nats / F.lit(float(_LN2)), 3).alias("entropy_bits"),
+        # + 0.0 folds IEEE negative zero (a hair-below-zero entropy of
+        # a near-degenerate group rounds to -0.0 on one engine and 0.0
+        # on the other — the hashed-linear weight precedent)
+        (F.round(entropy_nats / F.lit(float(_LN2)), 3) + F.lit(0.0)).alias(
+            "entropy_bits"
+        ),
         F.expr("vocab * 1000000 div n_tokens").alias("ttr_ppm"),
     )
 
@@ -1545,5 +1550,7 @@ def source_kl_divergence(
     return inner.crossJoin(F.broadcast(total)).select(
         group_col,
         "n_tokens",
-        F.round(kl_nats / F.lit(float(_LN2)), 3).alias("kl_bits"),
+        (F.round(kl_nats / F.lit(float(_LN2)), 3) + F.lit(0.0)).alias(
+            "kl_bits"
+        ),
     )

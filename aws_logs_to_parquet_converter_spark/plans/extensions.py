@@ -4804,7 +4804,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n_tokens,
            CAST(v AS BIGINT) AS vocab,
            ROUND((LN(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE))
-                 / 0.6931471805599453, 3) AS entropy_bits,
+                 / 0.6931471805599453, 3) + 0.0 AS entropy_bits,
            CAST(v * 1000000 // n AS BIGINT) AS ttr_ppm
     FROM g
     """,
@@ -4837,7 +4837,7 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(ng AS BIGINT) AS n_tokens,
            ROUND((s / CAST(ng AS DOUBLE) + LN(nn) - LN(CAST(ng AS DOUBLE)))
-                 / 0.6931471805599453, 3) AS kl_bits
+                 / 0.6931471805599453, 3) + 0.0 AS kl_bits
     FROM per_src, total
     """,
     headline=True,

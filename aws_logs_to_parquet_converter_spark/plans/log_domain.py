@@ -1168,7 +1168,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM((CAST(h.n AS DOUBLE) / CAST(d.nd AS DOUBLE))
                      * (LN(CAST(h.n AS DOUBLE) / CAST(d.nd AS DOUBLE))
                         - LN(CAST(g.ng AS DOUBLE) / nn)))
-                 / 0.6931471805599453, 3) AS drift_kl_bits
+                 / 0.6931471805599453, 3) + 0.0 AS drift_kl_bits
     FROM h JOIN d USING (day) JOIN g USING (event_type), tot
     GROUP BY h.day, d.nd
     """,
@@ -1220,7 +1220,7 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(grand))
         .groupBy("day", "nd")
         .agg(
-            F.round(kl / F.lit(0.6931471805599453), 3).alias(
+            (F.round(kl / F.lit(0.6931471805599453), 3) + F.lit(0.0)).alias(
                 "drift_kl_bits"
             )
         )
