@@ -352,6 +352,11 @@ def top_event_paths(
     (count desc, path) total order — never a global sort or a
     single-task window.
 
+    Contract: ``state_col`` must be non-NULL (``concat_ws`` SKIPS
+    nulls while a SQL ``||`` oracle propagates them — a null state
+    would silently shorten the path here and drop the row there) and
+    should not contain the ``>`` separator.
+
     Returns (path, n) — ``path`` is 'a>b>c'.
     """
     from pyspark.sql import Window
