@@ -371,3 +371,45 @@ def top_event_paths(
         F.concat_ws(">", "_s0", "_s1", "_s2").alias("path")
     ).agg(F.count("*").alias("n"))
     return counts.orderBy(F.desc("n"), "path").limit(top_k)
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest the seasonal-naive forecast (predict bucket t with the
+    value ``season`` buckets earlier — the baseline every fancier
+    forecaster must beat) over an integer series: per group, the count
+    of scoreable buckets and the MAE/bias in exact milli-units.
+
+    INTEGER-EXACT end to end: errors are integer differences, the MAE
+    is ``1000 * Σ|e| div n`` and the bias ``1000 * Σe div n`` — one
+    exact division each, no float anywhere (the ewma_trailing
+    convention).  ONE group-partitioned window (over the
+    PRE-AGGREGATED per-bucket table — bounded by buckets x groups) +
+    one rollup.
+
+    Returns (group, n_scored, mae_milli, bias_milli).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"seasonal_naive_backtest: value_col {value_col!r} must be an "
+            f"integral type, got {vtype.simpleString()}"
+        )
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    err = (F.col(value_col) - F.lag(value_col, season).over(w)).alias("_e")
+    scored = df.select(group_col, err).where(F.col("_e").isNotNull())
+    return scored.groupBy(group_col).agg(
+        F.count("*").alias("n_scored"),
+        F.expr("1000 * sum(abs(_e)) div count(*)").alias("mae_milli"),
+        F.expr("1000 * sum(_e) div count(*)").alias("bias_milli"),
+    )

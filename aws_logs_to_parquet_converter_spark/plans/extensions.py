@@ -5228,3 +5228,45 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v")
     )
     return anomaly.benford_digit_profile(cents, "v")
+
+
+@query(
+    "q_seasonal_naive",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), e AS (
+        SELECT event_type,
+               n - LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS err
+        FROM d
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(1000 * SUM(ABS(err)) // COUNT(*) AS BIGINT) AS mae_milli,
+           CAST(1000 * SUM(err) // COUNT(*) AS BIGINT) AS bias_milli
+    FROM e WHERE err IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest over the daily event-type
+    series (timeseries.seasonal_naive_backtest): MAE and bias of
+    "predict today with the value 7 days ago" — the baseline every
+    forecaster must beat, and the capacity-planning sanity metric.
+    INTEGER-EXACT end to end (integer errors, one exact division
+    each), so the oracle matches bit-for-bit.  Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.count("*").alias("n"))
+    return timeseries.seasonal_naive_backtest(
+        daily, "event_type", "day", "n", season=7
+    )

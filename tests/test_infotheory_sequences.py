@@ -545,3 +545,29 @@ def test_benford_digit_profile_analytic(spark):
     assert got[1]["benford_ppm"] == 301_029
     assert got[9]["benford_ppm"] == 45_757
     assert set(got) == {1, 2, 9}
+
+
+def test_seasonal_naive_backtest_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    # 10 days, season 7: days 8..10 scored against days 1..3
+    vals = [10, 20, 30, 40, 50, 60, 70, 13, 26, 27]
+    rows = [("g", f"d{i:02d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, d string, n long")
+    row = seasonal_naive_backtest(df, "k", "d", "n", season=7).collect()[0]
+    # errors: 13-10=3, 26-20=6, 27-30=-3 -> MAE 12/3=4, bias 6/3=2
+    assert row["n_scored"] == 3
+    assert row["mae_milli"] == 4000
+    assert row["bias_milli"] == 2000
+
+
+def test_seasonal_naive_short_series_empty(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    rows = [("g", f"d{i}", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, d string, n long")
+    assert seasonal_naive_backtest(df, "k", "d", "n", season=7).count() == 0

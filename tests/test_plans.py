@@ -148,9 +148,9 @@ def test_graded_window_covers_priority_surface():
         "q_interarrival_cv", "q_ewma_daily", "q_stream_static_join",
         "q_session_attribution", "q_top_paths", "q_winsorize",
         "q_stream_drift", "q_embed_gram", "q_embed_pca_project",
-        "q_benford",
+        "q_benford", "q_seasonal_naive",
         # r8 backfill anchors (first and last in name order)
-        "q_bag_set_ops", "q_dedup_exact", "q_mix_token_budget",
+        "q_bag_set_ops", "q_dedup_exact", "q_mix_sources",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
