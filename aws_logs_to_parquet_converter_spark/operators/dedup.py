@@ -1737,3 +1737,75 @@ def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n.alias("n_copies"),
         F.floor(F.lit(1_000_000) / n).cast("long").alias("weight_ppm"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_containment_ppm: int = 800_000,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """EXACT Broder containment pairs via the same inverted-index
+    self-join as :func:`ngram_jaccard_pairs` — the ASYMMETRIC near-dup
+    measure Jaccard misses: a short document quoted verbatim inside a
+    long one has containment(short in long) ≈ 1 while Jaccard ≈
+    |short|/|long| ≈ 0, so symmetric thresholds never flag
+    quote-inclusion/boilerplate-wrapping duplication.
+
+        containment(A in B) = |A ∩ B| / |A|
+
+    Both directions are reported per candidate pair (id_a < id_b) and
+    the pair is kept when EITHER reaches ``min_containment_ppm``.
+    Shares the df-cap contract of ngram_jaccard_pairs (hot shingles
+    leave the intersection index, set sizes stay exact, scores become
+    lower bounds above the cap).  Output is ALL-INTEGER
+    (``c * 1_000_000 div n``), so an oracle matches bit-for-bit — no
+    float rounding convention needed.
+
+    Returns (id_a, id_b, common, c_ab_ppm, c_ba_ppm): c_ab_ppm is the
+    containment of id_a's shingle set in id_b's.
+    """
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).dropDuplicates(
+        ["_id", "_sh"]
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    idx = sh
+    if max_shingle_df is not None:
+        cold = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("_sh")
+        )
+        idx = sh.join(cold, "_sh")
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    scored = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.expr("common * 1000000 div _na").alias("c_ab_ppm"),
+            F.expr("common * 1000000 div _nb").alias("c_ba_ppm"),
+        )
+    )
+    return scored.where(
+        F.greatest("c_ab_ppm", "c_ba_ppm") >= min_containment_ppm
+    )

@@ -5270,3 +5270,51 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.seasonal_naive_backtest(
         daily, "event_type", "day", "n", season=7
     )
+
+
+@query(
+    "q_ngram_containment",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, nt FROM (
+            SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
+            FROM documents
+        ) WHERE nt IS NOT NULL AND nt != ''
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(nt) - 4, 1)),
+                   i -> substring(nt, i, 5)))) AS s
+        FROM docs
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), cold AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000
+    ), idx AS (
+        SELECT doc_id, s FROM sh JOIN cold USING (s)
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(c AS BIGINT) AS common,
+           CAST(c * 1000000 // sa.n AS BIGINT) AS c_ab_ppm,
+           CAST(c * 1000000 // sb.n AS BIGINT) AS c_ba_ppm
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE GREATEST(c * 1000000 // sa.n, c * 1000000 // sb.n) >= 600000
+    """,
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Broder containment pairs (dedup.ngram_containment_pairs)
+    — the asymmetric near-dup measure that catches a short document
+    quoted inside a long one (Jaccard ≈ 0 there, containment ≈ 1).
+    Same df-capped inverted index as q_ngram_jaccard; ALL-INTEGER
+    output, so the grade is bit-exact with no float convention.
+    Round-12 birth."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        d, "doc_id", "text", shingle_n=5, min_containment_ppm=600_000
+    )

@@ -1059,3 +1059,38 @@ def test_soft_dedup_weights_exact_ppm(spark):
     }
     # group mass: each group sums to ~1e6 (floor loses <n ppm)
     assert 999999 <= 3 * 333333 <= 1000000
+
+
+def test_ngram_containment_catches_quote_inclusion(spark):
+    """A short doc quoted verbatim inside a long one: Jaccard stays
+    far below any sane threshold while containment(short in long)
+    is 1.0 — the case the asymmetric measure exists for."""
+    from aws_logs_to_parquet_converter_spark.operators import dedup
+
+    short = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i:03d} token{i:03d}" for i in range(40))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dedup.ngram_containment_pairs(
+        df, "doc_id", "text", min_containment_ppm=900_000
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    assert p["c_ab_ppm"] == 1_000_000  # short fully contained
+    assert p["c_ba_ppm"] < 200_000  # long barely contained in short
+
+    jac = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.4
+    ).collect()
+    assert jac == []  # symmetric Jaccard misses exactly this pair
+
+
+def test_ngram_containment_unrelated_docs_emit_nothing(spark):
+    from aws_logs_to_parquet_converter_spark.operators import dedup
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.ngram_containment_pairs(df, "doc_id", "text").count() == 0

@@ -148,9 +148,9 @@ def test_graded_window_covers_priority_surface():
         "q_interarrival_cv", "q_ewma_daily", "q_stream_static_join",
         "q_session_attribution", "q_top_paths", "q_winsorize",
         "q_stream_drift", "q_embed_gram", "q_embed_pca_project",
-        "q_benford", "q_seasonal_naive",
+        "q_benford", "q_seasonal_naive", "q_ngram_containment",
         # r8 backfill anchors (first and last in name order)
-        "q_bag_set_ops", "q_dedup_exact", "q_mix_sources",
+        "q_bag_set_ops", "q_dedup_exact", "q_map_funcs",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
@@ -169,7 +169,12 @@ def test_quadratic_oracles_have_no_unbounded_joins(spark):
     index on the shingle key; embed_neardup goes through the blocked
     block-pair equi-join (round-1 verdict: both were unguarded
     quadratics — the BNLJ shape OOMs at corpus scale)."""
-    for name in ("q_ngram_jaccard", "q_embed_neardup", "q_dedup_keep_list"):
+    for name in (
+        "q_ngram_jaccard",
+        "q_ngram_containment",
+        "q_embed_neardup",
+        "q_dedup_keep_list",
+    ):
         plan = explain_str(REGISTRY[name].builder(spark, SF), "simple")
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
