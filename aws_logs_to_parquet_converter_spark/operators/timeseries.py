@@ -413,3 +413,42 @@ def seasonal_naive_backtest(
         F.expr("1000 * sum(abs(_e)) div count(*)").alias("mae_milli"),
         F.expr("1000 * sum(_e) div count(*)").alias("bias_milli"),
     )
+
+
+def dow_profile(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Day-of-week seasonality profile: per (group, weekday) the
+    number of observed days and the mean daily event count in exact
+    milli-units — the diagnostic that justifies (or refutes) a
+    7-bucket season before reaching for :func:`seasonal_naive_backtest`
+    or weekly windows.
+
+    The weekday is PURE INTEGER arithmetic on days-since-epoch
+    (``(epoch_day + 3) % 7``, 0 = Monday; 1970-01-01 was a Thursday)
+    — never an engine dow() builtin, whose week-start conventions
+    differ across engines.  ``avg_milli = 1000 * Σ count div n_days``
+    is one exact division (the ewma convention).
+
+    Two aggregates (daily, then weekday rollup), both map-side
+    combining; output is |groups| x 7 rows.
+
+    Returns (group, dow, n_days, avg_milli).
+    """
+    daily = df.groupBy(
+        F.col(group_col),
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "_ed"
+        ),
+    ).agg(F.count("*").alias("_n"))
+    return (
+        daily.groupBy(
+            group_col, F.expr("(_ed + 3) % 7").cast("int").alias("dow")
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            F.expr("1000 * sum(_n) div count(*)").alias("avg_milli"),
+        )
+    )

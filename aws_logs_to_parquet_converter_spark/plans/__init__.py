@@ -42,9 +42,9 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #      r11 advisory #4).
 #   3. remaining slots backfill with the oldest-evidence cohort: the
 #      37-entry r8 cohort in registry-name order (q_bag_set_ops ..,
-#      including q_dedup_exact per the verdict); the 20 that fit end
-#      at q_map_funcs — the seventeen alphabetical stragglers
-#      (q_mix_sources .. q_window_range_frame) stay r8-green
+#      including q_dedup_exact per the verdict); the 19 that fit end
+#      at q_log_status_breakdown — the eighteen alphabetical
+#      stragglers (q_map_funcs .. q_window_range_frame) stay r8-green
 #      and lead the r13 rotation.
 # Rotated out (green at their latest r9-r11 grade and UNMODIFIED this
 # round): the entire r11 window remainder, the r9/r10 cohorts — all
@@ -217,6 +217,7 @@ _PRIORITY = [
     "q_benford",
     "q_seasonal_naive",
     "q_ngram_containment",
+    "q_dow_profile",
     # (3) oldest-evidence backfill: the r8 cohort in registry-name
     # order (the alphabetical stragglers displaced by the nine 1b
     # births — q_segment_repetition .. q_window_ntile — plus
@@ -241,7 +242,6 @@ _PRIORITY = [
     "q_lateral_topn",
     "q_length_band",
     "q_log_status_breakdown",
-    "q_map_funcs",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

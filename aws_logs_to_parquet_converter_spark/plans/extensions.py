@@ -5318,3 +5318,31 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_containment_pairs(
         d, "doc_id", "text", shingle_n=5, min_containment_ppm=600_000
     )
+
+
+@query(
+    "q_dow_profile",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST((ed + 3) % 7 AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(1000 * SUM(n) // COUNT(*) AS BIGINT) AS avg_milli
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile of the event stream
+    (timeseries.dow_profile): mean daily count per (event_type,
+    weekday) — the diagnostic behind a 7-bucket season.  Weekday from
+    integer epoch-day arithmetic (engine dow() conventions differ);
+    all-integer output, bit-exact grade.  Round-12 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    return timeseries.dow_profile(e, "event_type", "ts")

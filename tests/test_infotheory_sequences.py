@@ -571,3 +571,25 @@ def test_seasonal_naive_short_series_empty(spark):
     rows = [("g", f"d{i}", i) for i in range(5)]
     df = spark.createDataFrame(rows, "k string, d string, n long")
     assert seasonal_naive_backtest(df, "k", "d", "n", season=7).count() == 0
+
+
+def test_dow_profile_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        dow_profile,
+    )
+
+    # 2024-01-01 was a Monday (dow 0); two Mondays and one Tuesday
+    rows = (
+        [("a", "2024-01-01 10:00:00")] * 3
+        + [("a", "2024-01-08 09:00:00")] * 5
+        + [("a", "2024-01-02 08:00:00")] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, ts string").select(
+        "g", F.to_timestamp("ts").alias("ts")
+    )
+    got = {r["dow"]: r for r in dow_profile(df, "g", "ts").collect()}
+    assert got[0]["n_days"] == 2          # two Mondays observed
+    assert got[0]["avg_milli"] == 4000    # (3+5)/2
+    assert got[1]["n_days"] == 1
+    assert got[1]["avg_milli"] == 2000
+    assert set(got) == {0, 1}

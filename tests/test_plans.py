@@ -149,8 +149,9 @@ def test_graded_window_covers_priority_surface():
         "q_session_attribution", "q_top_paths", "q_winsorize",
         "q_stream_drift", "q_embed_gram", "q_embed_pca_project",
         "q_benford", "q_seasonal_naive", "q_ngram_containment",
+        "q_dow_profile",
         # r8 backfill anchors (first and last in name order)
-        "q_bag_set_ops", "q_dedup_exact", "q_map_funcs",
+        "q_bag_set_ops", "q_dedup_exact", "q_log_status_breakdown",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
