@@ -99,12 +99,19 @@ def interarrival_regularity(
 
     Cross-engine determinism: gaps are exact integer microseconds; the
     three aggregates (n, sum g, sum g²) are exact integers — sum g² in
-    DECIMAL(38,0) so a multi-day gap squared cannot overflow BIGINT —
-    and every float is derived from those integers by the SAME IEEE
-    expression tree on both engines (one cast each, then
-    correctly-rounded *, -, /, sqrt), so the doubles agree bit-for-bit
-    and the final FLOOR cannot straddle engines.  The sample variance
-    uses n·Σg² − (Σg)² over n(n−1).
+    DECIMAL(38,0) so a multi-day gap squared cannot overflow BIGINT.
+    Because a wide-integer→double cast is NOT correctly rounded in
+    every engine once the value exceeds 2^64 (DuckDB's HUGEINT→DOUBLE
+    can be 1 ulp off — r12 advisor), Σg² never crosses to double by a
+    single wide cast: it is split into two BIGINT halves at 2^62 and
+    reconstructed as ``double(hi)·2^62 + double(lo)`` — BIGINT→double
+    casts are correctly rounded everywhere, the 2^62 scaling is exact
+    (power of two; hi < 2^53 whenever Σg² < 2^115), and the one add
+    rounds identically under IEEE.  Every later float derives from
+    those doubles by the SAME expression tree on both engines
+    (correctly-rounded *, -, /, sqrt), so the doubles agree
+    bit-for-bit and the final FLOOR cannot straddle engines.  The
+    sample variance uses n·Σg² − (Σg)² over n(n−1).
 
     Shape: ONE key-partitioned window for the lag (hash on the key —
     users are numerous), then a map-side-combining aggregate.  No
@@ -124,7 +131,11 @@ def interarrival_regularity(
 
     part = [key_col] if segment_col is None else [key_col, segment_col]
     w = Window.partitionBy(*part).orderBy(ts_col, tiebreak_col)
-    us = F.unix_micros(F.col(ts_col))
+    # .cast("timestamp") tolerates TIMESTAMP_NTZ inputs (raw parquet
+    # without the registry's normalization seam) — value-identical
+    # under the pinned-UTC session, no-op for instant-typed columns
+    # (the asof.py convention)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gaps = df.select(
         F.col(key_col),
         (us - F.lag(us).over(w)).alias("_g"),
@@ -134,9 +145,21 @@ def interarrival_regularity(
         F.sum("_g").alias("_sg"),
         F.sum(F.col("_g").cast("decimal(38,0)") * F.col("_g")).alias("_sg2"),
     ).where(F.col("n_gaps") >= min_gaps)
+    two62 = 1 << 62
+    agg = agg.withColumns(
+        {
+            "_sg2_hi": F.expr(f"CAST(_sg2 div {two62} AS BIGINT)"),
+            "_sg2_lo": F.expr(f"CAST(_sg2 % {two62} AS BIGINT)"),
+        }
+    )
     n = F.col("n_gaps").cast("double")
     g = F.col("_sg").cast("double")
-    g2 = F.col("_sg2").cast("double")
+    # two-halves reconstruction: only BIGINT→double casts (correctly
+    # rounded on every engine), exact 2^62 scaling, one shared add
+    g2 = (
+        F.col("_sg2_hi").cast("double") * F.lit(float(two62))
+        + F.col("_sg2_lo").cast("double")
+    )
     # greatest(·, 0): when every gap is equal the exact cancellation
     # n·Σg² = (Σg)² can round to a tiny NEGATIVE double once Σg² no
     # longer fits 2^53 — sqrt would yield NaN on both engines, but a

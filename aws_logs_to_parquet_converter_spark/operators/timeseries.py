@@ -212,8 +212,8 @@ def ewma_trailing(
     den`` is one exact integer division — no float ever crosses an
     engine boundary, so an oracle matches bit-for-bit.  Milli (not
     ppm) precision keeps ``1000 * num`` inside BIGINT under ANSI mode
-    up to ~7e14-per-bucket values — comfortably past any real bucket
-    count.  Short prefixes (fewer than 7 prior rows) renormalize by
+    up to ~7e13-per-bucket values (1000·127·v ≤ 2^63) — comfortably
+    past any real bucket count.  Short prefixes (fewer than 7 prior rows) renormalize by
     construction: missing lags contribute to neither sum.
 
     ONE group-partitioned window evaluates all 7 lags (a single
@@ -243,7 +243,10 @@ def ewma_trailing(
     num = None
     den = None
     for lagged, weight in zip(lags, weights):
-        term = F.coalesce(lagged * F.lit(weight), F.lit(0)).cast("long")
+        # cast BEFORE multiplying: an IntegerType value near 2^31/64
+        # would otherwise overflow in the input's integral type (r12
+        # advisor) — the product must happen in BIGINT
+        term = F.coalesce(lagged.cast("long") * F.lit(weight), F.lit(0))
         wterm = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
         num = term if num is None else num + term
         den = wterm if den is None else den + wterm
@@ -292,7 +295,9 @@ def session_attribution(
     """
     from pyspark.sql import Window
 
-    us = F.unix_micros(F.col(ts_col))
+    # NTZ-tolerant (the asof.py convention): no-op for TIMESTAMP,
+    # value-identical cast for TIMESTAMP_NTZ under the pinned-UTC session
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w_lag = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     gap_us = gap_seconds * 1_000_000
     flagged = df.select(

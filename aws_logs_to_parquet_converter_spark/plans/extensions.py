@@ -4902,6 +4902,14 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(gap AS HUGEINT) * gap) AS sg2
         FROM g WHERE gap IS NOT NULL
         GROUP BY user_id HAVING COUNT(*) >= 5
+    ), h AS (
+        -- two-BIGINT-halves split at 2^62: HUGEINT->DOUBLE is not
+        -- correctly rounded above 2^64, BIGINT->DOUBLE is; the
+        -- reconstruction below matches Spark's expression tree exactly
+        SELECT user_id, n, sg,
+               CAST(sg2 // 4611686018427387904 AS BIGINT) AS sg2_hi,
+               CAST(sg2 %  4611686018427387904 AS BIGINT) AS sg2_lo
+        FROM a
     )
     SELECT user_id,
            CAST(n AS BIGINT) AS n_gaps,
@@ -4909,13 +4917,15 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN sg > 0 THEN FLOOR(
                1000000.0
                * SQRT(GREATEST(
-                   (CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                   (CAST(n AS DOUBLE)
+                    * (CAST(sg2_hi AS DOUBLE) * 4611686018427387904.0
+                       + CAST(sg2_lo AS DOUBLE))
                     - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
                    0.0))
                * CAST(n AS DOUBLE) / CAST(sg AS DOUBLE))
            ELSE 0 END AS BIGINT) AS cv_ppm
-    FROM a
+    FROM h
     """,
 )
 def q_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4924,9 +4934,13 @@ def q_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-period scraper collapses toward cv 0, organic traffic
     spreads.  Gaps are exact integer micros; Σg² accumulates in
     DECIMAL(38,0)/HUGEINT engine-side but only BIGINTs cross the
-    graded boundary (the r11 wide-type rule); every double derives
-    from the same exact integers through the same IEEE expression
-    tree, so the FLOOR cannot straddle engines.  Round-12 birth."""
+    graded boundary (the r11 wide-type rule), and Σg² reaches double
+    via a two-BIGINT-halves split at 2^62 on BOTH engines (the wide
+    cast itself is not correctly rounded above 2^64 in DuckDB — r12
+    advisor), so every double derives from the same exact integers
+    through the same IEEE expression tree and the FLOOR cannot
+    straddle engines.  Round-12 advisory fix, re-enters the r13
+    window."""
     from aws_logs_to_parquet_converter_spark.operators import anomaly
 
     e = t(spark, sf_dir, "events")

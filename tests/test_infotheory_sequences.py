@@ -154,6 +154,34 @@ def test_interarrival_cv_analytic(spark):
     assert got[2]["cv_ppm"] == 500_000
 
 
+def test_interarrival_sg2_beyond_2_64(spark):
+    """Σg² > 2^64 — the regime where a single wide-integer→double cast
+    is not correctly rounded in every engine (r12 advisor).  The
+    two-BIGINT-halves reconstruction must still match a Python-exact
+    differential bit-for-bit."""
+    import math
+
+    # irregular multi-hour gaps: each ~2^33–2^34 us, squared ≈ 2^67
+    gaps = [8_589_934_592 + 1_234_567_891 * i for i in range(6)]  # 6 gaps
+    # build timestamps from exact microsecond offsets
+    offs = [0]
+    for gp in gaps:
+        offs.append(offs[-1] + gp)
+    df = spark.createDataFrame(
+        [(1, i, off) for i, off in enumerate(offs)], "u long, eid long, us long"
+    ).select("u", "eid", F.timestamp_micros("us").alias("ts"))
+    row = interarrival_regularity(df, "u", "ts", "eid").collect()[0]
+    n, sg, sg2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    assert sg2 > 2**64  # the regime under test
+    hi, lo = divmod(sg2, 1 << 62)
+    g2d = float(hi) * float(1 << 62) + float(lo)  # the shared tree
+    var = max((n * g2d - float(sg) * float(sg)) / (n * (n - 1.0)), 0.0)
+    want = math.floor(1000000.0 * math.sqrt(var) * n / float(sg))
+    assert row["n_gaps"] == n
+    assert row["mean_gap_us"] == sg // n
+    assert row["cv_ppm"] == want
+
+
 def test_interarrival_min_gaps_filter(spark):
     rows = [(1, i, f"2024-01-01 00:00:{10 * i:02d}") for i in range(4)]
     df = _ts_df(spark, rows)  # 3 gaps < default 5
@@ -188,6 +216,21 @@ def test_ewma_trailing_analytic(spark):
     # d2: (64*2+32*4)/96     -> 256000/96  = 2666
     # d3: (64*6+32*2+16*4)/112 -> 512000/112 = 4571
     assert got == {"d1": 4000, "d2": 2666, "d3": 4571}
+
+
+def test_ewma_integer_values_near_int_max(spark):
+    """IntegerType values near 2^31: the 64× weight product must run
+    in BIGINT, not the input type (r12 advisor) — ANSI mode would
+    otherwise raise ARITHMETIC_OVERFLOW."""
+    df = spark.createDataFrame(
+        [("g", "d1", 2_000_000_000), ("g", "d2", 2_000_000_000)],
+        "k string, d string, n int",
+    )
+    got = {
+        r["d"]: r["ewma_milli"]
+        for r in ewma_trailing(df, "k", "d", "n").collect()
+    }
+    assert got == {"d1": 2_000_000_000_000, "d2": 2_000_000_000_000}
 
 
 def test_ewma_window_deeper_than_seven_drops_oldest(spark):
