@@ -4883,8 +4883,13 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_logs_to_parquet_converter_spark.operators import timeseries
 
     e = t(spark, sf_dir, "events")
+    # SEGMENTED mode under the exact oracle: the day segment splits a
+    # hot key's window sort while the boundary stitch keeps the result
+    # bit-identical to exact mode — the hash match IS the losslessness
+    # proof (r12 verdict item 3)
+    e = e.withColumn("_seg_day", F.date_trunc("day", "ts"))
     return timeseries.markov_transitions(
-        e, "user_id", ["ts", "event_id"], "event_type"
+        e, "user_id", ["ts", "event_id"], "event_type", segment_col="_seg_day"
     )
 
 
@@ -4944,7 +4949,12 @@ def q_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_logs_to_parquet_converter_spark.operators import anomaly
 
     e = t(spark, sf_dir, "events")
-    return anomaly.interarrival_regularity(e, "user_id", "ts", "event_id")
+    # segmented mode under the exact oracle (the q_markov_transitions
+    # losslessness-proof convention)
+    e = e.withColumn("_seg_day", F.date_trunc("day", "ts"))
+    return anomaly.interarrival_regularity(
+        e, "user_id", "ts", "event_id", segment_col="_seg_day"
+    )
 
 
 @query(

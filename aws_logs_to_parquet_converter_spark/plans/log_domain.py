@@ -991,42 +991,39 @@ _ETL_MONTHS = [
 ]
 
 
-@query(
-    "q_etl_roundtrip",
-    oracle=f"""
-    WITH src AS (
-        SELECT * FROM orders ORDER BY o_orderkey LIMIT {_ETL_FIXTURE_CAP}
-    )
-    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS dt,
-           CAST(CASE o_orderstatus WHEN 'O' THEN 200 WHEN 'F' THEN 304
-                ELSE 404 END AS INTEGER) AS status,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(o_orderkey % 1000000) AS BIGINT) AS sum_bytes,
-           CAST(COUNT(DISTINCT o_custkey % 50) AS BIGINT) AS n_requesters
-    FROM src
-    GROUP BY 1, 2
-    """,
-)
-def q_etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WHOLE reference ETL under the oracle gate: raw access-log
-    lines on disk -> ``read_raw_logs -> parse_lines -> with_dt ->
-    compact`` (partitioned snappy parquet warehouse) -> read back ->
-    aggregate (reference counterpart: compacter.py:244-262, the
-    parse-then-write day job).  The oracle never sees the files — it
-    recomputes the aggregate straight from the orders table the lines
-    were rendered from, so the grade proves every field survived
-    render -> regex parse -> type coercion -> timestamp parse ->
-    partitioned write -> partition-discovering read byte-exactly.  A
-    garbage log file rides along and must vanish into the dead-letter
-    path (``dt IS NOT NULL``) without taking any good row with it —
-    a mis-parse, a dropped row, or a partition mix-up each fail the
-    hash.
+def _etl_fixture_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the shared ETL fixture: render the first
+    ``_ETL_FIXTURE_CAP`` orders as raw S3-access-log lines, run them
+    through the real ``read_raw_logs -> parse_lines -> with_dt ->
+    compact`` pipeline, and publish the partitioned parquet warehouse
+    by atomic ``os.rename`` (a concurrent first build loses the rename
+    and discards its staging copy; repeated grading reuses the
+    published warehouse — bounded /tmp, the q_warc_extract discipline).
 
-    The fixture warehouse is built ONCE per sf_dir (deterministic
-    content), published by atomic ``os.rename`` of the completed
-    directory — a concurrent first build loses the rename and discards
-    its staging copy; repeated grading reuses the published warehouse
-    (bounded /tmp, the q_warc_extract discipline)."""
+    Line shape (all derived deterministically from the orders row, so
+    an oracle can recompute any aggregate straight from the table):
+
+      * request_time: the order's month, day 01 12:00:00 +0000 — one
+        ``dt`` partition per month (~80 at any SF), not one per day
+        (5000 rows over 2000+ daily partitions would be the tiny-file
+        storm the compactor exists to prevent);
+      * requester: assumed-role ARN
+        ``arn:aws:sts::...:assumed-role/svc-{custkey%%7}/i-{custkey}``
+        — the shape the flagship's ``regexp_replace(requester,
+        '/i-.*')`` cardinality collapse expects;
+      * key: ``logs/l{okey%%7}/YYYY/MM/DD/part-{okey}.tgz`` with the
+        written date shifted 0..899 days before the order month (the
+        flagship derivation), so the Days-Apart ``> 400`` threshold
+        selects a proper subset when the analysis runs over this
+        warehouse;
+      * http_status: O->200 (passes the analysis's ``< 300``
+        filter), F->304, else 404 (both filtered out); bytes_sent:
+        okey %% 1000000.
+
+    A garbage log file rides along and must vanish into the
+    dead-letter path without taking any good row with it.
+    """
+    import datetime
     import hashlib
     import os
     import shutil
@@ -1044,60 +1041,100 @@ def q_etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         tempfile.gettempdir(),
         "q_etl_roundtrip_"
-        + hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:12],
+        + hashlib.md5(f"{sf_dir}:v3".encode()).hexdigest()[:12],
     )
     wh = os.path.join(root, "warehouse")
-    if not os.path.isdir(wh):
-        os.makedirs(root, exist_ok=True)
-        rows = (
-            t(spark, sf_dir, "orders")
-            .orderBy("o_orderkey")
-            .limit(_ETL_FIXTURE_CAP)  # bounded collect, oracle-mirrored
-            .collect()
-        )
-        staging = tempfile.mkdtemp(dir=root, prefix="staging-")
-        try:
-            logdir = os.path.join(staging, "logs")
-            os.makedirs(logdir)
-            lines = []
-            for r in rows:
-                # month-truncated log date: one dt partition per month
-                # (~80 at any SF), not one per day — 5000 rows over
-                # 2000+ daily partitions would be a tiny-file storm,
-                # the exact layout the compactor exists to prevent
-                d = r.o_orderdate  # timestamp at midnight, UTC semantics
-                tstr = (
-                    f"[01/{_ETL_MONTHS[d.month - 1]}/{d.year}"
-                    ":12:00:00 +0000]"
-                )
-                status = {"O": 200, "F": 304}.get(r.o_orderstatus, 404)
-                okey = f"orders/{r.o_orderkey}.dat"
-                lines.append(
-                    f"{'0' * 64} etl-bucket {tstr} 192.0.2.1 "
-                    f"arn:aws:iam::123456789012:user/user{r.o_custkey % 50} "
-                    f"{r.o_orderkey:016X} REST.GET.OBJECT {okey} "
-                    f'"GET /etl-bucket/{okey} HTTP/1.1" {status} - '
-                    f"{r.o_orderkey % 1000000} - 7 3 "
-                    f'"-" "S3Console/0.4" -'
-                )
-            with open(os.path.join(logdir, "fixture.log"), "w") as f:
-                f.write("\n".join(lines) + "\n")
-            with open(os.path.join(logdir, "garbage.log"), "w") as f:
-                f.write("this line is not an access log\nneither is this\n")
-            raw = read_raw_logs(spark, os.path.join(logdir, "*.log"))
-            parsed = with_dt(parse_lines(raw))
-            compact(
-                parsed.where("dt IS NOT NULL"),
-                os.path.join(staging, "wh"),
-                num_files=2,
+    if os.path.isdir(wh):
+        return wh
+    os.makedirs(root, exist_ok=True)
+    rows = (
+        t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(_ETL_FIXTURE_CAP)  # bounded collect, oracle-mirrored
+        .collect()
+    )
+    staging = tempfile.mkdtemp(dir=root, prefix="staging-")
+    try:
+        logdir = os.path.join(staging, "logs")
+        os.makedirs(logdir)
+        lines = []
+        for r in rows:
+            d = r.o_orderdate  # midnight timestamp or date, UTC semantics
+            base = d.date() if isinstance(d, datetime.datetime) else d
+            tstr = f"[01/{_ETL_MONTHS[base.month - 1]}/{base.year}:12:00:00 +0000]"
+            status = {"O": 200, "F": 304}.get(r.o_orderstatus, 404)
+            okey = r.o_orderkey
+            wd = base - datetime.timedelta(days=okey % 900)
+            key = (
+                f"logs/l{okey % 7}/{wd.year:04d}/{wd.month:02d}/"
+                f"{wd.day:02d}/part-{okey}.tgz"
             )
-            try:
-                os.rename(os.path.join(staging, "wh"), wh)
-            except OSError:
-                pass  # a concurrent build published first; use theirs
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
-    back = spark.read.parquet(wh)
+            op = "REST.GET.OBJECT" if okey % 4 < 3 else "REST.PUT.OBJECT"
+            requester = (
+                "arn:aws:sts::123456789012:assumed-role/"
+                f"svc-{r.o_custkey % 7}/i-{r.o_custkey}"
+            )
+            lines.append(
+                f"{'0' * 64} etl-bucket {tstr} 192.0.2.1 "
+                f"{requester} {okey:016X} {op} {key} "
+                f'"GET /etl-bucket/{key} HTTP/1.1" {status} - '
+                f"{okey % 1000000} - 7 3 "
+                f'"-" "S3Console/0.4" -'
+            )
+        with open(os.path.join(logdir, "fixture.log"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with open(os.path.join(logdir, "garbage.log"), "w") as f:
+            f.write("this line is not an access log\nneither is this\n")
+        raw = read_raw_logs(spark, os.path.join(logdir, "*.log"))
+        parsed = with_dt(parse_lines(raw))
+        compact(
+            parsed.where("dt IS NOT NULL"),
+            os.path.join(staging, "wh"),
+            num_files=2,
+        )
+        try:
+            os.rename(os.path.join(staging, "wh"), wh)
+        except OSError:
+            pass  # a concurrent build published first; use theirs
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return wh
+
+
+@query(
+    "q_etl_roundtrip",
+    oracle=f"""
+    WITH src AS (
+        SELECT * FROM orders ORDER BY o_orderkey LIMIT {_ETL_FIXTURE_CAP}
+    )
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS dt,
+           CAST(CASE o_orderstatus WHEN 'O' THEN 200 WHEN 'F' THEN 304
+                ELSE 404 END AS INTEGER) AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey % 1000000) AS BIGINT) AS sum_bytes,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_requesters
+    FROM src
+    GROUP BY 1, 2
+    """,
+)
+def q_etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference ETL under the oracle gate: raw access-log
+    lines on disk -> ``read_raw_logs -> parse_lines -> with_dt ->
+    compact`` (partitioned snappy parquet warehouse) -> read back ->
+    aggregate (reference counterpart: compacter.py:244-262, the
+    parse-then-write day job).  The oracle never sees the files — it
+    recomputes the aggregate straight from the orders table the lines
+    were rendered from, so the grade proves every field survived
+    render -> regex parse -> type coercion -> timestamp parse ->
+    partitioned write -> partition-discovering read byte-exactly (the
+    requester ARN is graded through COUNT(DISTINCT): one corrupted
+    byte splits or merges a distinct class and fails the hash).  A
+    garbage log file rides along and must vanish into the dead-letter
+    path (``dt IS NOT NULL``) without taking any good row with it —
+    a mis-parse, a dropped row, or a partition mix-up each fail the
+    hash.  Fixture shared with q_etl_days_apart
+    (``_etl_fixture_warehouse``)."""
+    back = spark.read.parquet(_etl_fixture_warehouse(spark, sf_dir))
     return back.groupBy(
         F.col("dt").cast("string").alias("dt"),
         F.col("http_status").alias("status"),
@@ -1106,6 +1143,50 @@ def q_etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes_sent").alias("sum_bytes"),
         F.count_distinct("requester").alias("n_requesters"),
     )
+
+
+@query(
+    "q_etl_days_apart",
+    oracle=f"""
+    WITH src AS (
+        SELECT * FROM orders ORDER BY o_orderkey LIMIT {_ETL_FIXTURE_CAP}
+    ), tmp AS (
+        SELECT 'arn:aws:sts::123456789012:assumed-role/svc-'
+                   || CAST(o_custkey % 7 AS VARCHAR) AS requester,
+               'l' || CAST(o_orderkey % 7 AS VARCHAR) AS log_name,
+               CAST(o_orderdate AS DATE)
+                   - CAST(o_orderkey % 900 AS INT) AS dt_written,
+               CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS dt_read,
+               o_orderkey % 1000000 AS bytes_sent
+        FROM src
+        WHERE o_orderkey % 4 < 3            -- REST.GET.OBJECT only
+          AND o_orderstatus = 'O'           -- only 200 passes http_status < 300
+    )
+    SELECT requester, log_name,
+           COUNT(*) AS access_count,
+           CAST(SUM(bytes_sent) AS BIGINT) AS total_bytes
+    FROM tmp
+    WHERE DATE_DIFF('day', dt_written, dt_read) > 400
+    GROUP BY 1, 2
+    ORDER BY access_count DESC
+    """,
+)
+def q_etl_days_apart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two reference halves chained under ONE hash: the Days-Apart
+    Presto SQL (example_queries/days_apart_analysis.sql:14-39) run
+    VERBATIM over the parquet warehouse the ETL fixture itself wrote
+    (reference lifecycle: compacter.py:244-262 writes the day's
+    partition, then the analyst queries it) — the single entry that
+    proves "no second engine needed" end-to-end: raw log text ->
+    regex parse -> typed coercion -> partitioned snappy write ->
+    partition-discovering read -> dialect-shimmed analysis.  The
+    oracle recomputes the analysis straight from the orders table the
+    lines were rendered from; it never sees a file, a regex, or the
+    Presto dialect, so any drift anywhere in the chain fails the
+    hash."""
+    back = spark.read.parquet(_etl_fixture_warehouse(spark, sf_dir))
+    back.createOrReplaceTempView("s3_access_logs")
+    return run_presto_sql(spark, _DAYS_APART_PRESTO)
 
 
 @query(

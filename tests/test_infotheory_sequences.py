@@ -397,13 +397,13 @@ def test_markov_segmented_equals_exact_without_boundaries(spark):
     assert exact == segd
 
 
-def test_markov_segmented_drops_only_boundary_adjacency(spark):
+def test_markov_segmented_recovers_boundary_adjacency(spark):
+    """The boundary stitch (r13): states A B | C D split across two
+    segments must STILL yield B->C — segmented is lossless."""
     from aws_logs_to_parquet_converter_spark.operators.timeseries import (
         markov_transitions,
     )
 
-    # one key, states A B | C D split across two segments: the exact
-    # form sees B->C; the segmented form loses exactly that adjacency
     rows = [(1, 1, "d1", "A"), (1, 2, "d1", "B"), (1, 3, "d2", "C"), (1, 4, "d2", "D")]
     df = spark.createDataFrame(rows, "u long, seq long, seg string, state string")
     exact = {(r["from_state"], r["to_state"]): r["n"]
@@ -411,10 +411,12 @@ def test_markov_segmented_drops_only_boundary_adjacency(spark):
     segd = {(r["from_state"], r["to_state"]): r["n"]
             for r in markov_transitions(df, "u", ["seq"], "state", "seg").collect()}
     assert exact == {("A", "B"): 1, ("B", "C"): 1, ("C", "D"): 1}
-    assert segd == {("A", "B"): 1, ("C", "D"): 1}
+    assert segd == exact
 
 
-def test_interarrival_segmented_drops_only_boundary_gap(spark):
+def test_interarrival_segmented_recovers_boundary_gap(spark):
+    """The boundary stitch (r13): the a|b boundary gap is recovered —
+    segmented is lossless, bit-for-bit."""
     from aws_logs_to_parquet_converter_spark.operators.anomaly import (
         interarrival_regularity,
     )
@@ -427,11 +429,58 @@ def test_interarrival_segmented_drops_only_boundary_gap(spark):
     ).select("u", "eid", F.to_timestamp("ts").alias("ts"), "seg")
     exact = interarrival_regularity(df, "u", "ts", "eid").collect()[0]
     segd = interarrival_regularity(
-        df, "u", "ts", "eid", min_gaps=5, segment_col="seg"
+        df, "u", "ts", "eid", segment_col="seg"
     ).collect()[0]
     assert exact["n_gaps"] == 7
-    assert segd["n_gaps"] == 6  # the a|b boundary gap is gone
-    assert segd["cv_ppm"] == 0  # still perfectly regular
+    assert tuple(segd) == tuple(exact)
+
+
+def test_segmented_equals_exact_on_skewed_synthetic(spark):
+    """Differential on the hot-key shape the lever exists for: one bot
+    user holds ~50% of all events with many single-event and
+    multi-event days interleaved; both operators must produce
+    IDENTICAL results in segmented (day) and exact mode — including
+    empty segments' worth of multi-day boundary gaps and per-day
+    singleton segments (no within-segment adjacency at all)."""
+    import random
+
+    from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+        interarrival_regularity,
+    )
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for u in range(6):
+        n = 400 if u == 0 else 40  # user 0 is the hot key
+        t_us = rng.randrange(10**6)
+        for _ in range(n):
+            # jumps up to ~3 days: many day boundaries, some days with
+            # a single event, some multi-day gaps
+            t_us += rng.randrange(1, 3 * 86_400_000_000)
+            rows.append((u, eid, t_us, rng.choice("ABC")))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "u long, eid long, us long, state string"
+    ).select(
+        "u", "eid", "state",
+        F.timestamp_micros("us").alias("ts"),
+    ).withColumn("seg", F.date_trunc("day", "ts"))
+
+    m_exact = sorted(map(tuple, markov_transitions(
+        df, "u", ["ts", "eid"], "state").collect()))
+    m_segd = sorted(map(tuple, markov_transitions(
+        df, "u", ["ts", "eid"], "state", segment_col="seg").collect()))
+    assert m_exact == m_segd
+
+    i_exact = sorted(map(tuple, interarrival_regularity(
+        df, "u", "ts", "eid").collect()))
+    i_segd = sorted(map(tuple, interarrival_regularity(
+        df, "u", "ts", "eid", segment_col="seg").collect()))
+    assert i_exact == i_segd
 
 
 # ---------------------------------------------------------------------------

@@ -119,12 +119,11 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-12
-    window policy (plans/__init__.py): every never-driver-graded
-    oracle-bearing entry leads (the five late r11 births + the r12
-    births), then the code-changed re-entries, then the oldest-
-    evidence r8 cohort backfill — every windowed entry
-    hash-gradeable."""
+    """The driver grades the first 50 registry entries.  Round-13
+    window policy (plans/__init__.py): the r13 births lead, then the
+    code-changed re-entries, then the 18-entry r8-stale cohort the
+    r12 verdict ordered in, then the oldest-evidence r9 backfill —
+    every windowed entry hash-gradeable."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
     names = list(REGISTRY)
@@ -133,25 +132,22 @@ def test_graded_window_covers_priority_surface():
     required = {
         # flagship
         "q_days_apart",
-        # never driver-graded: the five late r11 births
-        "q_rolling_active_users", "q_quantile_normalize",
-        "q_pmi_collocations", "q_dedup_stats", "q_zipf_slope",
-        # never driver-graded: r12 births
-        "q_etl_roundtrip", "q_soft_dedup_weights", "q_leakage_safe_split",
-        # code changed this round (minhash shuffle narrowing, fuzzy
-        # max_len tie, CDC bootstrap hardening, prefix-sum type guard)
-        "q_dedup_minhash_md5", "q_incremental_minhash",
-        "q_fuzzy_pairs", "q_fuzzy_entity_resolution",
-        "q_stream_cdc_dimension", "q_token_stream_blocks",
-        # r12 births added this round enter at birth
-        "q_source_entropy", "q_source_kl", "q_markov_transitions",
-        "q_interarrival_cv", "q_ewma_daily", "q_stream_static_join",
-        "q_session_attribution", "q_top_paths", "q_winsorize",
-        "q_stream_drift", "q_embed_gram", "q_embed_pca_project",
-        "q_benford", "q_seasonal_naive", "q_ngram_containment",
-        "q_dow_profile",
-        # r8 backfill anchors (first and last in name order)
-        "q_bag_set_ops", "q_dedup_exact", "q_log_status_breakdown",
+        # never driver-graded: r13 births
+        "q_etl_days_apart",
+        # code changed this round (shared ETL fixture, the two r12
+        # advisory fixes, the sequence-family lossless segment lever)
+        "q_etl_roundtrip", "q_interarrival_cv", "q_ewma_daily",
+        "q_session_attribution", "q_markov_transitions", "q_top_paths",
+        # the full 18-entry r8-stale cohort (r12 verdict item 1)
+        "q_map_funcs", "q_mix_sources", "q_mix_token_budget",
+        "q_ngram_jaccard", "q_recursive_cte", "q_regexp_funcs",
+        "q_salted_agg", "q_segment_repetition", "q_session_window",
+        "q_sessionize", "q_sliding_window", "q_union_by_name",
+        "q_url_funcs", "q_warc_extract", "q_window_lag",
+        "q_window_ntile", "q_window_percent_rank",
+        "q_window_range_frame",
+        # r9 backfill anchors (first and last in name order)
+        "q02_filter_project", "q_chunk_docs",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
