@@ -301,3 +301,67 @@ def benford_digit_profile(
         F.expr("n * 1000000 div _t").alias("observed_ppm"),
         benford[F.col("digit")].alias("benford_ppm"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single changepoint detection per group via the max-CUSUM
+    statistic over an INTEGER series (daily counts, cents): the bucket
+    k maximizing |n·S_k − k·S_n| — the point where the series' mean
+    most plausibly shifted (Page's CUSUM in its scan form; the
+    before/after split operators feed to drift triage).
+
+    INTEGER-EXACT end to end: S_k/S_n are exact BIGINT prefix/total
+    sums over the PRE-AGGREGATED per-bucket table, the scan statistic
+    ``n·S_k − k·S_n`` is one BIGINT product difference (|values| must
+    stay under ~2^63/n — counts and cents always do), and the argmax
+    is taken under the (stat DESC, bucket ASC) total order, so the
+    split bucket cannot straddle engines.  No float anywhere.
+
+    Shape: ONE group-partitioned window over buckets×groups rows (the
+    input is pre-aggregated — never raw events) evaluates the prefix
+    sum and the row number; the group total rides the same window
+    with an unbounded frame; one rank window picks the argmax.
+
+    Returns (group, split_bucket, n_buckets, cusum_stat) — the stat is
+    |n·S_k − k·S_n| at the split; callers compare it to a threshold
+    (e.g. permutation-calibrated) before acting.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    wall = Window.partitionBy(group_col)
+    v = F.col(value_col).cast("long")
+    scanned = df.select(
+        group_col,
+        order_col,
+        F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_sk"),
+        F.row_number().over(w).alias("_k"),
+        F.sum(v).over(wall).alias("_sn"),
+        F.count("*").over(wall).alias("_n"),
+    )
+    scored = scanned.select(
+        group_col,
+        order_col,
+        "_n",
+        F.abs(
+            F.col("_n") * F.col("_sk") - F.col("_k") * F.col("_sn")
+        ).alias("_stat"),
+    )
+    wrank = Window.partitionBy(group_col).orderBy(
+        F.desc("_stat"), F.asc(order_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wrank))
+        .where(F.col("_rn") == 1)
+        .select(
+            group_col,
+            F.col(order_col).alias("split_bucket"),
+            F.col("_n").cast("long").alias("n_buckets"),
+            F.col("_stat").alias("cusum_stat"),
+        )
+    )

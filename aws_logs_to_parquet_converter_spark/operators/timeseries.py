@@ -304,6 +304,7 @@ def session_attribution(
     event_col: str,
     conversion: str,
     gap_seconds: int = 3600,
+    segment_col=None,
 ) -> DataFrame:
     """First-touch attribution: sessionize per key on an inactivity
     gap, then credit each session's conversions to the session's FIRST
@@ -311,12 +312,24 @@ def session_attribution(
     entry point leads to purchases".
 
     Shape: the q_sessionize cumulative-sum sessionizer (one
-    key-partitioned window pass evaluates the gap flag, the running
-    session id AND the first-touch rank together), then one
-    (key, session) aggregate and a final |event types|-row rollup —
-    all counts integer, nothing floats.  ``(ts_col, tiebreak_col)``
-    must be a total order within a key or the first touch is
-    engine-dependent.
+    key-partitioned window pass evaluates the gap flag and the running
+    session id), then one (key, session) ``min_by`` aggregate for the
+    first touch (map-side combinable — no per-session window, so a
+    single giant session cannot become a sort straggler) and a final
+    |event types|-row rollup — all counts integer, nothing floats.
+    ``(ts_col, tiebreak_col)`` must be a total order within a key or
+    the first touch is engine-dependent.
+
+    ``segment_col`` is the LOSSLESS hot-key scale lever (the
+    markov_transitions contract — the segment must coarsen the
+    (ts, tiebreak) order; a date_trunc of ``ts_col`` qualifies): gap
+    flags and running session ids evaluate in (key, segment) windows,
+    and the cross-boundary state — the gap flag of each segment's
+    first row and the session-id offset carried in from earlier
+    segments — is reconstructed exactly from a per-(key, segment)
+    summary aggregate stitched by a per-key window over
+    |segments-per-key| rows.  Sessions spanning segment boundaries get
+    the same ids as exact mode, bit for bit.
 
     Returns (first_touch, n_sessions, n_converted_sessions,
     n_conversions).
@@ -326,40 +339,95 @@ def session_attribution(
     # NTZ-tolerant (the asof.py convention): no-op for TIMESTAMP,
     # value-identical cast for TIMESTAMP_NTZ under the pinned-UTC session
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w_lag = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     gap_us = gap_seconds * 1_000_000
-    flagged = df.select(
-        key_col,
-        ts_col,
-        tiebreak_col,
-        event_col,
-        F.when(us - F.lag(us).over(w_lag) > gap_us, 1)
-        .otherwise(0)
-        .alias("_new"),
-    )
-    w_cum = Window.partitionBy(key_col).orderBy(
-        ts_col, tiebreak_col
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    sess = flagged.select(
-        key_col,
-        ts_col,
-        tiebreak_col,
-        event_col,
-        F.sum("_new").over(w_cum).alias("_sid"),
-    )
-    w_first = Window.partitionBy(key_col, "_sid").orderBy(
-        ts_col, tiebreak_col
-    )
-    ranked = sess.select(
-        key_col,
-        "_sid",
-        event_col,
-        F.row_number().over(w_first).alias("_rn"),
-    )
-    per_session = ranked.groupBy(key_col, "_sid").agg(
-        F.max(F.when(F.col("_rn") == 1, F.col(event_col))).alias(
-            "first_touch"
-        ),
+    if segment_col is None:
+        w_lag = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+        w_cum = Window.partitionBy(key_col).orderBy(
+            ts_col, tiebreak_col
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        sess = df.select(
+            key_col,
+            ts_col,
+            tiebreak_col,
+            event_col,
+            F.sum(
+                F.when(us - F.lag(us).over(w_lag) > gap_us, 1).otherwise(0)
+            ).over(w_cum).alias("_sid"),
+        )
+    else:
+        w_lag = Window.partitionBy(key_col, segment_col).orderBy(
+            ts_col, tiebreak_col
+        )
+        w_cum = Window.partitionBy(key_col, segment_col).orderBy(
+            ts_col, tiebreak_col
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        flagged = df.select(
+            key_col,
+            segment_col,
+            ts_col,
+            tiebreak_col,
+            event_col,
+            us.alias("_us"),
+            F.when(us - F.lag(us).over(w_lag) > gap_us, 1)
+            .otherwise(0)
+            .alias("_new"),
+            F.row_number().over(w_lag).alias("_pos"),
+        )
+        # per-(key, segment) summary: first/last instant + how many
+        # sessions open INSIDE the segment (map-side combinable)
+        seg = flagged.groupBy(key_col, segment_col).agg(
+            F.min("_us").alias("_first_us"),
+            F.max("_us").alias("_last_us"),
+            F.sum("_new").alias("_new_within"),
+        )
+        wseg = Window.partitionBy(key_col).orderBy("_first_us", segment_col)
+        seg_info = seg.select(
+            key_col,
+            segment_col,
+            "_first_us",
+            # the boundary gap flag: does this segment's FIRST row open
+            # a new session?  (0 for the key's first segment — exact
+            # mode's first row carries flag 0 too)
+            F.when(
+                F.col("_first_us") - F.lag("_last_us").over(wseg) > gap_us,
+                1,
+            )
+            .otherwise(0)
+            .alias("_new_first"),
+            "_new_within",
+        ).select(
+            key_col,
+            segment_col,
+            "_new_first",
+            # session-id offset carried in from all EARLIER segments
+            F.coalesce(
+                F.sum(F.col("_new_within") + F.col("_new_first")).over(
+                    wseg.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_offset"),
+        )
+        # stitch: each row's flag is the boundary flag for a segment's
+        # first row, its within-segment flag otherwise; the running sum
+        # restarts per segment and the offset re-anchors it
+        sess = flagged.join(seg_info, [key_col, segment_col]).select(
+            key_col,
+            ts_col,
+            tiebreak_col,
+            event_col,
+            (
+                F.col("_offset")
+                + F.sum(
+                    F.when(F.col("_pos") == 1, F.col("_new_first")).otherwise(
+                        F.col("_new")
+                    )
+                ).over(w_cum)
+            ).alias("_sid"),
+        )
+    per_session = sess.groupBy(key_col, "_sid").agg(
+        F.min_by(
+            event_col, F.struct(ts_col, tiebreak_col)
+        ).alias("first_touch"),
         F.count(F.when(F.col(event_col) == conversion, 1)).alias("_conv"),
     )
     return per_session.groupBy("first_touch").agg(
@@ -377,6 +445,7 @@ def top_event_paths(
     order_cols: "list",
     state_col: str,
     top_k: int = 20,
+    segment_col=None,
 ) -> DataFrame:
     """The corpus' most common length-3 event paths (order-2 sequence
     mining, the n-gram sibling of :func:`markov_transitions`): two
@@ -390,16 +459,74 @@ def top_event_paths(
     would silently shorten the path here and drop the row there) and
     should not contain the ``>`` separator.
 
+    ``segment_col`` is the LOSSLESS hot-key scale lever (the
+    markov_transitions contract — the segment must coarsen the
+    order within each key): in-segment triples come from the
+    (key, segment) window, and every triple that CROSSES a boundary
+    is recovered exactly from the ≤2 first and ≤2 last rows of each
+    segment (a filter off the same split window) re-sequenced by a
+    per-key window over that slim stitch table — triple adjacency is
+    verified by within-segment positions (consecutive positions, or a
+    segment-end row followed by a segment-start row), so interior
+    rows dropped from the stitch can never fuse a false path.
+
     Returns (path, n) — ``path`` is 'a>b>c'.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    part = (
+        [key_col] if segment_col is None else [key_col, segment_col]
+    )
+    w = Window.partitionBy(*part).orderBy(*order_cols)
     steps = df.select(
         F.col(state_col).alias("_s0"),
         F.lead(state_col, 1).over(w).alias("_s1"),
         F.lead(state_col, 2).over(w).alias("_s2"),
     ).where(F.col("_s2").isNotNull())
+    if segment_col is not None:
+        w_desc = Window.partitionBy(key_col, segment_col).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        pos = df.select(
+            key_col,
+            *order_cols,
+            F.col(segment_col).alias("_seg"),
+            F.col(state_col).alias("_st"),
+            F.row_number().over(w).alias("_ps"),
+            F.row_number().over(w_desc).alias("_pe"),
+        )
+        stitch = pos.where((F.col("_ps") <= 2) | (F.col("_pe") <= 2))
+        wk = Window.partitionBy(key_col).orderBy(*order_cols)
+        cur = F.struct("_seg", "_ps", "_pe", "_st")
+        tri = stitch.select(
+            cur.alias("_a"),
+            F.lead(cur, 1).over(wk).alias("_b"),
+            F.lead(cur, 2).over(wk).alias("_c"),
+        ).where(F.col("_c").isNotNull())
+
+        def _adj(x, y):
+            # consecutive in the FULL sequence: same segment and
+            # positions one apart, or x ends its segment and y starts
+            # the next (under the coarsening contract the next stitch
+            # row after a segment-last IS the next segment's first)
+            return (
+                (x["_seg"] == y["_seg"]) & (y["_ps"] == x["_ps"] + 1)
+            ) | (
+                (x["_seg"] != y["_seg"]) & (x["_pe"] == 1) & (y["_ps"] == 1)
+            )
+
+        a, b, c = F.col("_a"), F.col("_b"), F.col("_c")
+        crossing = tri.where(
+            _adj(a, b)
+            & _adj(b, c)
+            # all-same-segment triples are already counted in-segment
+            & ~((a["_seg"] == b["_seg"]) & (b["_seg"] == c["_seg"]))
+        ).select(
+            a["_st"].alias("_s0"),
+            b["_st"].alias("_s1"),
+            c["_st"].alias("_s2"),
+        )
+        steps = steps.unionByName(crossing)
     counts = steps.groupBy(
         F.concat_ws(">", "_s0", "_s1", "_s2").alias("path")
     ).agg(F.count("*").alias("n"))
@@ -484,4 +611,69 @@ def dow_profile(
             F.count("*").alias("n_days"),
             F.expr("1000 * sum(_n) div count(*)").alias("avg_milli"),
         )
+    )
+
+
+def kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kendall rank-correlation trend test per group over an INTEGER
+    series (the Mann-Kendall monotonic-trend screen): counts of
+    concordant, discordant, and tied bucket pairs, plus the S
+    statistic — the nonparametric "is this metric drifting" answer
+    that, unlike a fitted slope, no single spike can flip.
+
+    INTEGER-EXACT: every output is a pair count (concordant −
+    discordant = S); nothing floats, so an oracle matches
+    bit-for-bit.  Callers needing tau divide S by n(n−1)/2 downstream.
+
+    Shape: the input must be PRE-AGGREGATED per bucket (daily counts:
+    buckets×groups rows), so the O(|buckets|²) pair self-join is
+    bounded by calendar size — thousands of rows per group, never
+    events — and runs as one group-keyed equi-join feeding a map-side
+    combining aggregate.  Raw-event inputs are the caller's bug, not a
+    scale path.
+
+    Returns (group, n_buckets, concordant, discordant, tied, s_stat).
+    """
+    left = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o1"),
+        F.col(value_col).cast("long").alias("_v1"),
+    )
+    right = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o2"),
+        F.col(value_col).cast("long").alias("_v2"),
+    )
+    pairs = left.join(right, "_g").where(F.col("_o1") < F.col("_o2"))
+    scored = pairs.select(
+        "_g",
+        F.when(
+            (F.col("_v2") > F.col("_v1")), F.lit(1)
+        ).when(
+            (F.col("_v2") < F.col("_v1")), F.lit(-1)
+        ).otherwise(F.lit(0)).alias("_sign"),
+    )
+    counts = scored.groupBy("_g").agg(
+        F.count("*").alias("_pairs"),
+        F.count(F.when(F.col("_sign") == 1, 1)).alias("concordant"),
+        F.count(F.when(F.col("_sign") == -1, 1)).alias("discordant"),
+        F.count(F.when(F.col("_sign") == 0, 1)).alias("tied"),
+        F.sum("_sign").alias("s_stat"),
+    )
+    # n_buckets back from the pair count: p = n(n-1)/2
+    n_from_pairs = (
+        F.lit(1) + F.sqrt(F.lit(1.0) + F.lit(8.0) * F.col("_pairs"))
+    ) / F.lit(2.0)
+    return counts.select(
+        F.col("_g").alias(group_col),
+        F.round(n_from_pairs).cast("long").alias("n_buckets"),
+        "concordant",
+        "discordant",
+        "tied",
+        "s_stat",
     )

@@ -210,8 +210,13 @@ GRADED_WINDOW = 50
 _PRIORITY = [
     # flagship (reference's days_apart_analysis.sql run verbatim)
     "q_days_apart",
-    # (1) never driver-graded: r13 births
+    # (1) never driver-graded: r13 births (later births displaced the
+    # four lowest r9 backfill slots — q_agg_modern .. q_chunk_docs)
     "q_etl_days_apart",
+    "q_partition_backfill",
+    "q_schema_evolution",
+    "q_cusum_changepoint",
+    "q_trend_kendall",
     # (2) code changed this round
     "q_etl_roundtrip",
     "q_interarrival_cv",
@@ -261,10 +266,6 @@ _PRIORITY = [
     "q20_promotable_suppliers",
     "q21_sole_blame_suppliers",
     "q22_idle_balances",
-    "q_agg_modern",
-    "q_agg_stats",
-    "q_bitwise_funcs",
-    "q_chunk_docs",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -5047,13 +5047,17 @@ def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (timeseries.session_attribution): which entry event type leads to
     purchases — the marketing-analytics rollup.  All-integer output;
     the (ts, event_id) total order pins sessionization, first touch,
-    and conversion counts cross-engine.  Round-12 birth."""
+    and conversion counts cross-engine.  Runs SEGMENTED (day) mode
+    under the exact oracle since r13 — the hash match proves the
+    boundary stitch (gap flags + session-id offsets across segments)
+    is lossless.  Round-12 birth."""
     from aws_logs_to_parquet_converter_spark.operators import timeseries
 
     e = t(spark, sf_dir, "events")
+    e = e.withColumn("_seg_day", F.date_trunc("day", "ts"))
     return timeseries.session_attribution(
         e, "user_id", "ts", "event_id", "event_type", "purchase",
-        gap_seconds=1800,
+        gap_seconds=1800, segment_col="_seg_day",
     )
 
 
@@ -5078,12 +5082,16 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-2 sequence-mining sibling of q_markov_transitions.  Two
     leads in one user-partitioned window, path aggregate with map-side
     combine, TakeOrdered top-k under the (n desc, path) total order —
-    ties at the cut cannot straddle engines.  Round-12 birth."""
+    ties at the cut cannot straddle engines.  Runs SEGMENTED (day)
+    mode under the exact oracle since r13 (the q_markov_transitions
+    losslessness-proof convention).  Round-12 birth."""
     from aws_logs_to_parquet_converter_spark.operators import timeseries
 
     e = t(spark, sf_dir, "events")
+    e = e.withColumn("_seg_day", F.date_trunc("day", "ts"))
     return timeseries.top_event_paths(
-        e, "user_id", ["ts", "event_id"], "event_type", top_k=20
+        e, "user_id", ["ts", "event_id"], "event_type", top_k=20,
+        segment_col="_seg_day",
     )
 
 
@@ -5370,3 +5378,93 @@ def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events")
     return timeseries.dow_profile(e, "event_type", "ts")
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type, day,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS sk,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+               SUM(n) OVER (PARTITION BY event_type) AS sn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nb
+        FROM d
+    ), st AS (
+        SELECT event_type, day, nb,
+               ABS(nb * sk - k * sn) AS stat,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(nb * sk - k * sn) DESC, day
+                                 ) AS rn
+        FROM s
+    )
+    SELECT event_type, day AS split_bucket,
+           CAST(nb AS BIGINT) AS n_buckets,
+           CAST(stat AS BIGINT) AS cusum_stat
+    FROM st WHERE rn = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-CUSUM changepoint per event type over the daily count
+    series (anomaly.cusum_changepoint): the day where each type's
+    event rate most plausibly shifted.  All-integer scan statistic
+    |n·S_k − k·S_n| with an (stat DESC, day ASC) argmax — nothing
+    floats, the split day cannot straddle engines.  The window runs
+    over the PRE-AGGREGATED daily table (buckets×types rows), never
+    raw events.  Round-13 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import anomaly
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    return anomaly.cusum_changepoint(d, "event_type", "day", "n")
+
+
+@query(
+    "q_trend_kendall",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), p AS (
+        SELECT a.event_type AS g,
+               CASE WHEN b.n > a.n THEN 1
+                    WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT g AS event_type,
+           CAST(ROUND((1 + SQRT(1.0 + 8.0 * COUNT(*))) / 2) AS BIGINT)
+               AS n_buckets,
+           CAST(COUNT(*) FILTER (WHERE sgn = 1) AS BIGINT) AS concordant,
+           CAST(COUNT(*) FILTER (WHERE sgn = -1) AS BIGINT) AS discordant,
+           CAST(COUNT(*) FILTER (WHERE sgn = 0) AS BIGINT) AS tied,
+           CAST(SUM(sgn) AS BIGINT) AS s_stat
+    FROM p GROUP BY g
+    """,
+)
+def q_trend_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend screen per event type over daily
+    counts (timeseries.kendall_trend): concordant/discordant/tied
+    pair counts and the S statistic, all exact integers (n_buckets
+    rides back through √(1+8p) of a perfect square — exact on both
+    engines).  The O(days²) self-join runs on the pre-aggregated
+    daily table, bounded by calendar size.  Round-13 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    return timeseries.kendall_trend(d, "event_type", "day", "n")

@@ -1311,3 +1311,178 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_kl_bits",
         )
     )
+
+
+def _ops_fixture_base(spark: SparkSession, sf_dir: str):
+    """Shared derivation for the warehouse-ops fixtures: the first
+    ``_ETL_FIXTURE_CAP`` orders as (dt='YYYY-MM-01' month string,
+    okey, bytes=okey%1000000) — small, deterministic, and exactly
+    recomputable by a DuckDB oracle that never sees the files."""
+    base = (
+        t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(_ETL_FIXTURE_CAP)
+        .select(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("dt"),
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_orderkey") % 1000000).alias("bytes"),
+        )
+    )
+    return base
+
+
+def _published_fixture(tag: str, sf_dir: str, build) -> str:
+    """Build-once atomic-publish helper (the q_etl_roundtrip
+    discipline): ``build(staging_dir)`` must create ``staging/wh``;
+    the completed directory is published by atomic ``os.rename`` and
+    reused by every later grading at this sf_dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"{tag}_" + hashlib.md5(f"{sf_dir}:v1".encode()).hexdigest()[:12],
+    )
+    wh = os.path.join(root, "warehouse")
+    if os.path.isdir(wh):
+        return wh
+    os.makedirs(root, exist_ok=True)
+    staging = tempfile.mkdtemp(dir=root, prefix="staging-")
+    try:
+        build(staging)
+        try:
+            os.rename(os.path.join(staging, "wh"), wh)
+        except OSError:
+            pass  # a concurrent build published first; use theirs
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return wh
+
+
+@query(
+    "q_partition_backfill",
+    oracle=f"""
+    WITH src AS (
+        SELECT * FROM orders ORDER BY o_orderkey LIMIT {_ETL_FIXTURE_CAP}
+    ), rows AS (
+        SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS dt,
+               o_orderkey AS okey
+        FROM src
+    ), tgt AS (SELECT MIN(dt) AS m FROM rows)
+    SELECT dt,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dt = (SELECT m FROM tgt)
+                         THEN okey % 1000 ELSE okey % 1000000 END)
+                AS BIGINT) AS sum_bytes
+    FROM rows
+    WHERE NOT (dt = (SELECT m FROM tgt) AND okey % 10 = 0)
+    GROUP BY dt
+    """,
+)
+def q_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent day re-run under the oracle gate: the reference's
+    operational story is "re-run a failed day and ONLY that day's
+    partition changes" (compacter.py runs per-day; the engine's
+    ``compact`` uses writer-scoped dynamic partition overwrite for
+    exactly this).  The fixture writes the full warehouse, then
+    re-runs the EARLIEST month with corrected data (every okey%10==0
+    row dropped, bytes re-derived at %1000) — the backfill must
+    replace that one partition and leave every other byte untouched.
+    The oracle recomputes the post-backfill state from orders; a
+    leaked stale file, a wiped sibling partition, or append-instead-
+    of-overwrite each fail the hash.  Round-13 birth."""
+    from aws_logs_to_parquet_converter_spark.operators.compact import compact
+
+    base = _ops_fixture_base(spark, sf_dir)
+
+    def build(staging):
+        import os
+
+        dest = os.path.join(staging, "wh")
+        compact(base, dest, num_files=2, sort_keys=("okey",))
+        m = base.agg(F.min("dt")).collect()[0][0]  # 1-value collect
+        corrected = (
+            base.where((F.col("dt") == m) & (F.col("okey") % 10 != 0))
+            .withColumn("bytes", F.col("okey") % 1000)
+        )
+        # dynamic overwrite: replaces ONLY dt=m (mode stays
+        # "overwrite" — the whole point under test)
+        compact(corrected, dest, num_files=2, sort_keys=("okey",))
+
+    wh = _published_fixture("q_backfill", sf_dir, build)
+    back = spark.read.parquet(wh)
+    return back.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.count("*").alias("n"),
+        F.sum("bytes").alias("sum_bytes"),
+    )
+
+
+@query(
+    "q_schema_evolution",
+    oracle=f"""
+    WITH src AS (
+        SELECT * FROM orders ORDER BY o_orderkey LIMIT {_ETL_FIXTURE_CAP}
+    ), rows AS (
+        SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS dt,
+               o_orderkey AS okey,
+               o_orderkey % 1000000 AS bytes,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+        FROM src
+    )
+    SELECT dt,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+           CAST(COUNT(status) AS BIGINT) AS n_with_status,
+           CAST(COUNT(DISTINCT status) AS BIGINT) AS n_statuses
+    FROM rows
+    GROUP BY dt
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse schema evolution under the oracle gate: batch 1
+    writes the original schema (dt, okey, bytes), batch 2 APPENDS the
+    same partitioned layout with an added ``status`` column (the
+    ubiquitous 100 TB ops event — a log format gains a field
+    mid-history), and the read-back uses ``mergeSchema`` so old files
+    surface NULL status.  The oracle recomputes from orders (odd keys
+    carry status, even keys predate the column); a dropped column, a
+    type clash, or nulls bleeding into new-batch rows each fail the
+    hash.  Round-13 birth."""
+    from aws_logs_to_parquet_converter_spark.operators.compact import compact
+
+    base = _ops_fixture_base(spark, sf_dir)
+
+    def build(staging):
+        import os
+
+        dest = os.path.join(staging, "wh")
+        old = base.where(F.col("okey") % 2 == 0)
+        compact(old, dest, num_files=2, sort_keys=("okey",))
+        new = (
+            t(spark, sf_dir, "orders")
+            .orderBy("o_orderkey")
+            .limit(_ETL_FIXTURE_CAP)
+            .where(F.col("o_orderkey") % 2 == 1)
+            .select(
+                F.date_format(
+                    F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+                ).alias("dt"),
+                F.col("o_orderkey").alias("okey"),
+                (F.col("o_orderkey") % 1000000).alias("bytes"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+        compact(new, dest, num_files=2, sort_keys=("okey",), mode="append")
+
+    wh = _published_fixture("q_schema_evo", sf_dir, build)
+    back = spark.read.option("mergeSchema", "true").parquet(wh)
+    return back.groupBy(F.col("dt").cast("string").alias("dt")).agg(
+        F.count("*").alias("n"),
+        F.sum("bytes").alias("sum_bytes"),
+        F.count("status").alias("n_with_status"),
+        F.count_distinct("status").alias("n_statuses"),
+    )

@@ -482,6 +482,94 @@ def test_segmented_equals_exact_on_skewed_synthetic(spark):
         df, "u", "ts", "eid", segment_col="seg").collect()))
     assert i_exact == i_segd
 
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        session_attribution,
+        top_event_paths,
+    )
+
+    # 2h gap => multi-day gaps start new sessions, shorter runs chain
+    # across day boundaries
+    s_exact = sorted(map(tuple, session_attribution(
+        df, "u", "ts", "eid", "state", "B", gap_seconds=7200).collect()))
+    s_segd = sorted(map(tuple, session_attribution(
+        df, "u", "ts", "eid", "state", "B", gap_seconds=7200,
+        segment_col="seg").collect()))
+    assert s_exact == s_segd
+
+    p_exact = sorted(map(tuple, top_event_paths(
+        df, "u", ["ts", "eid"], "state", top_k=30).collect()))
+    p_segd = sorted(map(tuple, top_event_paths(
+        df, "u", ["ts", "eid"], "state", top_k=30,
+        segment_col="seg").collect()))
+    assert p_exact == p_segd
+
+
+def test_session_attribution_segmented_boundary_cases(spark):
+    """Hand-built boundary shapes: a session SPANNING a segment
+    boundary (short gap across days) must keep ONE session id; a long
+    gap across the boundary must open a new session; single-event
+    segments chain offsets correctly."""
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        session_attribution,
+    )
+
+    h = 3_600_000_000  # 1h in us
+    rows = [
+        # key 1: d1 [A, B] --30min--> d2 [B] (same session spans days),
+        # then --5h--> d2 [C] (new session)
+        (1, 0, 0 * h, "A", "d1"),
+        (1, 1, 1 * h, "B", "d1"),
+        (1, 2, int(1.5 * h), "B", "d2"),
+        (1, 3, int(6.5 * h), "C", "d2"),
+        # key 2: three single-event segments, each > gap apart:
+        # three sessions, first touches A, C, A
+        (2, 4, 0 * h, "A", "e1"),
+        (2, 5, 10 * h, "C", "e2"),
+        (2, 6, 20 * h, "A", "e3"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, eid long, us long, state string, seg string"
+    ).select("u", "eid", "state", "seg",
+             F.timestamp_micros("us").alias("ts"))
+    exact = sorted(map(tuple, session_attribution(
+        df, "u", "ts", "eid", "state", "B", gap_seconds=3600).collect()))
+    segd = sorted(map(tuple, session_attribution(
+        df, "u", "ts", "eid", "state", "B", gap_seconds=3600,
+        segment_col="seg").collect()))
+    assert exact == segd
+    got = {r[0]: r[1:] for r in segd}
+    # key1: session A..B..B (converted twice), session C; key2: A, C, A
+    assert got["A"] == (3, 1, 2)
+    assert got["C"] == (2, 0, 0)
+
+
+def test_top_paths_segmented_boundary_cases(spark):
+    """Paths crossing one boundary (both offsets) and a path spanning
+    THREE segments via a singleton middle segment are all recovered;
+    no false path is fused across dropped interior rows."""
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        top_event_paths,
+    )
+
+    rows = [
+        # key 1: segment s1 = A B C D E (interior C dropped from the
+        # stitch), segment s2 = F G.  Cross paths: D E F, E F G.
+        (1, 0, "A", "s1"), (1, 1, "B", "s1"), (1, 2, "C", "s1"),
+        (1, 3, "D", "s1"), (1, 4, "E", "s1"),
+        (1, 5, "F", "s2"), (1, 6, "G", "s2"),
+        # key 2: singleton middle segment: H | I | J -> path H I J
+        (2, 7, "H", "t1"), (2, 8, "I", "t2"), (2, 9, "J", "t3"),
+    ]
+    df = spark.createDataFrame(rows, "u long, eid long, state string, seg string")
+    exact = {r["path"]: r["n"] for r in top_event_paths(
+        df, "u", ["eid"], "state", top_k=50).collect()}
+    segd = {r["path"]: r["n"] for r in top_event_paths(
+        df, "u", ["eid"], "state", top_k=50, segment_col="seg").collect()}
+    assert exact == segd
+    assert segd["D>E>F"] == 1 and segd["E>F>G"] == 1 and segd["H>I>J"] == 1
+    # the dropped interior row C must not fuse B and D
+    assert "B>D>E" not in segd
+
 
 # ---------------------------------------------------------------------------
 # integer gram matrix
@@ -685,3 +773,72 @@ def test_dow_profile_analytic(spark):
     assert got[1]["n_days"] == 1
     assert got[1]["avg_milli"] == 2000
     assert set(got) == {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint + Mann-Kendall trend (round-13 births)
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_changepoint_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+        cusum_changepoint,
+    )
+
+    # counts 1,1,1,9,9: mean shifts after day 3; |n*S_k - k*S_n| =
+    # 16,32,48,24,0 -> split at d3 with stat 48
+    rows = [("g", f"d{i+1}", v) for i, v in enumerate([1, 1, 1, 9, 9])]
+    # a constant group: every stat is 0, argmax tie -> earliest day
+    rows += [("h", f"d{i+1}", 4) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, day string, n long")
+    got = {r["g"]: r for r in cusum_changepoint(df, "g", "day", "n").collect()}
+    assert got["g"]["split_bucket"] == "d3"
+    assert got["g"]["cusum_stat"] == 48
+    assert got["g"]["n_buckets"] == 5
+    assert got["h"]["split_bucket"] == "d1"  # tie -> earliest
+    assert got["h"]["cusum_stat"] == 0
+
+
+def test_kendall_trend_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        kendall_trend,
+    )
+
+    # counts 1,3,2,2: pairs (1,3)+ (1,2)+ (1,2)+ (3,2)- (3,2)- (2,2)0
+    rows = [("g", f"d{i+1}", v) for i, v in enumerate([1, 3, 2, 2])]
+    # strictly increasing group: all concordant
+    rows += [("i", f"d{i+1}", v) for i, v in enumerate([1, 2, 5])]
+    df = spark.createDataFrame(rows, "g string, day string, n long")
+    got = {r["g"]: r for r in kendall_trend(df, "g", "day", "n").collect()}
+    assert tuple(got["g"])[1:] == (4, 3, 2, 1, 1)
+    assert tuple(got["i"])[1:] == (3, 3, 0, 0, 3)
+
+
+def test_kendall_trend_python_differential(spark):
+    """Randomized differential vs an O(n^2) Python reference."""
+    import random
+
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        kendall_trend,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (g, f"d{i:03d}", rng.randrange(0, 8))
+        for g in ("a", "b") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, day string, n long")
+    got = {r["g"]: r for r in kendall_trend(df, "g", "day", "n").collect()}
+    for g in ("a", "b"):
+        vals = [v for (gg, _, v) in rows if gg == g]
+        conc = disc = tied = 0
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                d = vals[j] - vals[i]
+                conc += d > 0
+                disc += d < 0
+                tied += d == 0
+        r = got[g]
+        assert (r["n_buckets"], r["concordant"], r["discordant"],
+                r["tied"], r["s_stat"]) == (
+            len(vals), conc, disc, tied, conc - disc)

@@ -133,7 +133,8 @@ def test_graded_window_covers_priority_surface():
         # flagship
         "q_days_apart",
         # never driver-graded: r13 births
-        "q_etl_days_apart",
+        "q_etl_days_apart", "q_partition_backfill",
+        "q_schema_evolution", "q_cusum_changepoint", "q_trend_kendall",
         # code changed this round (shared ETL fixture, the two r12
         # advisory fixes, the sequence-family lossless segment lever)
         "q_etl_roundtrip", "q_interarrival_cv", "q_ewma_daily",
@@ -147,7 +148,7 @@ def test_graded_window_covers_priority_surface():
         "q_window_ntile", "q_window_percent_rank",
         "q_window_range_frame",
         # r9 backfill anchors (first and last in name order)
-        "q02_filter_project", "q_chunk_docs",
+        "q02_filter_project", "q22_idle_balances",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
