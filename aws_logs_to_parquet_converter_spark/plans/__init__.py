@@ -217,6 +217,7 @@ _PRIORITY = [
     "q_schema_evolution",
     "q_cusum_changepoint",
     "q_trend_kendall",
+    "q_stream_sessionize",
     # (2) code changed this round
     "q_etl_roundtrip",
     "q_interarrival_cv",
@@ -265,7 +266,6 @@ _PRIORITY = [
     "q19_disjunctive",
     "q20_promotable_suppliers",
     "q21_sole_blame_suppliers",
-    "q22_idle_balances",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

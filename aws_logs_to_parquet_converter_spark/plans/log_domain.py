@@ -1486,3 +1486,60 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("status").alias("n_with_status"),
         F.count_distinct("status").alias("n_statuses"),
     )
+
+
+@query(
+    "q_stream_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= 3600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows under the driver's oracle gate (the
+    EIGHTH graded streaming row): the events table replayed as a
+    bounded stream through a watermarked ``session_window`` aggregate
+    — Spark's merging stateful session assignment, the operator
+    behind live user-session analytics — graded against the batch
+    lag/cumulative-sum sessionization SQL.  Complete-mode availableNow
+    replay: the final state equals the batch session_window result,
+    which q_session_window separately proves equal to the cumsum
+    formulation, so the STREAMING state machine (merge-on-arrival
+    session consolidation) is what this hash pins.  State is bounded
+    by watermark × open sessions; the memory sink holds only final
+    per-session rows."""
+    src = _stream_events_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return _replay_to_memory_sink(
+        spark, agg, "q_stream_sessionize_sink", "complete"
+    ).select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+        "total_value",
+    )

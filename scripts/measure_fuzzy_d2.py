@@ -4,9 +4,11 @@ the r12 budget (max_len defaults to 64 for d=2): the r12 verdict's
 item 7 — show wall tracks output pairs at d=2, not the variant
 explosion.
 
-Input: the distinct lowercase words of the sf1 documents table
-(length 4..20 — the entity-resolution shape), ids = the words
-themselves.
+Input: the distinct sf1 customer names ("Customer#000000001",
+18 chars) — the near-identical-record entity-resolution shape where
+the d<=2 neighborhood is DENSE (every id has dozens of real digit-
+substitution matches), so the wall is dominated by emitted pairs,
+which is exactly the claim under test.
 
 Usage: python scripts/measure_fuzzy_d2.py [--sf /tmp/sf1]
 """
@@ -34,15 +36,8 @@ def main() -> None:
     from aws_logs_to_parquet_converter_spark.session import get_spark
 
     spark = get_spark(app_name="fuzzy-d2", extra_conf={"spark.ui.enabled": "false"})
-    docs = spark.read.parquet(f"{args.sf}/documents.parquet")
-    words = (
-        docs.select(
-            F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("w")
-        )
-        .where((F.length("w") >= 4) & (F.length("w") <= 20))
-        .distinct()
-        .cache()
-    )
+    cust = spark.read.parquet(f"{args.sf}/customer.parquet")
+    words = cust.select(F.col("c_name").alias("w")).distinct().cache()
     n = words.count()
     for d in (1, 2):
         t0 = time.perf_counter()
