@@ -677,3 +677,69 @@ def kendall_trend(
         "tied",
         "s_stat",
     )
+
+
+def acf_stats(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation SUFFICIENT STATISTICS per group over an
+    integer-bucketed series: for each lag k in 1..max_lag, the exact
+    integer sums (n_pairs, sum_x, sum_y, sum_xx, sum_yy, sum_xy) over
+    all calendar-ALIGNED pairs (x at bucket t, y at bucket t−k).
+    Pearson r per lag is one driver-side division away; keeping the
+    graded quantities integral means an oracle matches bit-for-bit
+    with no IEEE ordering hazard (the same split the interarrival CV
+    grade uses).
+
+    Alignment is by exact integer bucket difference: a missing bucket
+    contributes NO pair at the lags it would anchor (gap-fill first —
+    ``gap_filled_counts`` — to treat missing buckets as zeros).
+
+    Shape: input is PRE-AGGREGATED per bucket (buckets×groups rows).
+    Each row is duplicated max_lag times (a bounded, calendar-sized
+    explode), then one (group, bucket) hash equi-join aligns the
+    lagged pairs and a map-side-combining aggregate reduces to
+    groups×max_lag rows.  No window, no sort, no skew surface beyond
+    the group key itself.
+
+    ``bucket_col`` must be integral (epoch days/hours); ``value_col``
+    is cast to BIGINT before multiplying, so products stay exact while
+    |value| < ~3e9 and sums of products stay inside BIGINT for any
+    realistic calendar length.
+    """
+    if max_lag < 1:
+        raise ValueError(f"acf_stats: max_lag must be >= 1, got {max_lag}")
+    x = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).withColumn("_lag", F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))))
+    y = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(bucket_col).cast("long").alias("_by"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    pairs = x.join(
+        y,
+        (x["_g"] == y["_g"]) & (y["_by"] == x["_b"] - x["_lag"]),
+    ).select(x["_g"], "_lag", "_x", "_y")
+    return (
+        pairs.groupBy("_g", "_lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("_x").alias("sum_x"),
+            F.sum("_y").alias("sum_y"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sum_xx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("sum_yy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sum_xy"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_lag").cast("long").alias("lag"),
+            "n_pairs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
+        )
+    )

@@ -218,6 +218,8 @@ _PRIORITY = [
     "q_cusum_changepoint",
     "q_trend_kendall",
     "q_stream_sessionize",
+    "q_bitmap_distinct",
+    "q_acf_daily",
     # (2) code changed this round
     "q_etl_roundtrip",
     "q_interarrival_cv",
@@ -245,8 +247,9 @@ _PRIORITY = [
     "q_window_percent_rank",
     "q_window_range_frame",
     # (4) oldest-evidence backfill: the r9 cohort in registry-name
-    # order (the remainder — q_agg_stats .. q_window_first_last —
-    # stays r9-green and leads the r14 rotation)
+    # order (the remainder — q_agg_stats .. q_window_first_last, plus
+    # q20/q21 displaced by the late q_bitmap_distinct/q_acf_daily
+    # births — stays r9-green and leads the r14 rotation)
     "q02_filter_project",
     "q03_shipping_priority",
     "q04_order_priority",
@@ -264,8 +267,6 @@ _PRIORITY = [
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q19_disjunctive",
-    "q20_promotable_suppliers",
-    "q21_sole_blame_suppliers",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -5468,3 +5468,79 @@ def q_trend_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
     ).agg(F.count("*").alias("n"))
     return timeseries.kendall_trend(d, "event_type", "day", "n")
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weekly distinct users per event type computed through the
+    BITMAP_UNION materialized-view lifecycle (operators/bitmap.py):
+    daily (event_type, day) bitmap segments -> bit_or merge to weeks
+    -> sum(bit_count).  The oracle is a plain COUNT(DISTINCT) over raw
+    events, so the grade proves the whole shard/merge/count chain is
+    EXACT — the additive-rollup answer equals the raw-scan answer
+    bit-for-bit.  Weeks are epoch-day // 7 (convention-free integer
+    buckets).  Round-13 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import bitmap
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "day", F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    )
+    daily = bitmap.bitmap_build(e, ["event_type", "day"], "user_id")
+    weekly = bitmap.bitmap_merge(
+        daily.withColumn("week", F.floor(F.col("day") / 7).cast("long")),
+        ["event_type", "week"],
+    )
+    return bitmap.bitmap_cardinality(weekly, ["event_type", "week"]).select(
+        "event_type", "week", F.col("distinct_ids").alias("distinct_users")
+    )
+
+
+@query(
+    "q_acf_daily",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), lags AS (SELECT UNNEST(RANGE(1, 8)) AS lag)
+    SELECT a.event_type,
+           CAST(l.lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.n) AS BIGINT) AS sum_x,
+           CAST(SUM(b.n) AS BIGINT) AS sum_y,
+           CAST(SUM(a.n * a.n) AS BIGINT) AS sum_xx,
+           CAST(SUM(b.n * b.n) AS BIGINT) AS sum_yy,
+           CAST(SUM(a.n * b.n) AS BIGINT) AS sum_xy
+    FROM d a CROSS JOIN lags l
+    JOIN d b ON b.event_type = a.event_type AND b.ed = a.ed - l.lag
+    GROUP BY 1, 2
+    """,
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation sufficient statistics of the daily
+    event-count series per event type (timeseries.acf_stats): exact
+    integer pair sums over calendar-aligned (t, t−k) pairs — the
+    weekly-seasonality / burstiness diagnostic behind dow_profile and
+    seasonal_naive.  All-BIGINT output; Pearson r per lag is one
+    division downstream.  The heavy pass is the upstream daily
+    aggregate (map-side combined); the lag join runs on the
+    calendar-sized daily table.  Round-13 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ed"),
+    ).agg(F.count("*").alias("n"))
+    return timeseries.acf_stats(d, "event_type", "ed", "n", max_lag=7)

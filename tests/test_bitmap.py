@@ -1,0 +1,67 @@
+"""Exact distinct-count bitmaps (operators/bitmap.py): the shard/
+merge/count chain must equal a raw COUNT(DISTINCT) bit-for-bit, merge
+must be associative (daily→weekly→total == direct total), and the
+integral/non-negative id contracts must fail loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import bitmap
+
+
+def _counts(df, cols):
+    return {tuple(r[c] for c in cols[:-1]): r[cols[-1]] for r in df.collect()}
+
+
+def test_cardinality_matches_count_distinct(spark):
+    rows = [(g, i) for g in ("a", "b") for i in (0, 1, 63, 64, 65, 127, 128, 4096)]
+    # duplicates must not double-count
+    df = spark.createDataFrame(rows + rows, "g string, id long")
+    segs = bitmap.bitmap_build(df, ["g"], "id")
+    got = _counts(bitmap.bitmap_cardinality(segs, ["g"]), ["g", "distinct_ids"])
+    assert got == {("a",): 8, ("b",): 8}
+
+
+def test_bit63_sets_sign_bit_and_still_counts(spark):
+    # id % 64 == 63 -> mask has bit 63 set -> negative BIGINT; bit_count
+    # must still count it (two's-complement popcount).
+    df = spark.createDataFrame([("g", 63), ("g", 62)], "g string, id long")
+    segs = bitmap.bitmap_build(df, ["g"], "id")
+    (row,) = segs.collect()
+    assert row["word"] == 0 and row["mask"] < 0
+    (c,) = bitmap.bitmap_cardinality(segs, ["g"]).collect()
+    assert c["distinct_ids"] == 2
+
+
+def test_merge_associative_daily_weekly_total(spark):
+    rows = [(d, d * 13 % 200) for d in range(21) for _ in range(3)]
+    df = spark.createDataFrame(rows, "day long, id long")
+    daily = bitmap.bitmap_build(df, ["day"], "id")
+    weekly = bitmap.bitmap_merge(
+        daily.withColumn("week", F.floor(F.col("day") / 7).cast("long")), ["week"]
+    )
+    total_via_weeks = bitmap.bitmap_cardinality(
+        bitmap.bitmap_merge(weekly.withColumn("all", F.lit(1)), ["all"]), ["all"]
+    )
+    direct = df.select("id").distinct().count()
+    (r,) = total_via_weeks.collect()
+    assert r["distinct_ids"] == direct
+
+
+def test_negative_id_raises(spark):
+    df = spark.createDataFrame([("g", -1)], "g string, id long")
+    with pytest.raises(Exception, match="negative id"):
+        bitmap.bitmap_build(df, ["g"], "id").collect()
+
+
+def test_non_integral_id_rejected(spark):
+    df = spark.createDataFrame([("g", 1.5)], "g string, id double")
+    with pytest.raises(TypeError, match="integral"):
+        bitmap.bitmap_build(df, ["g"], "id")
+
+
+def test_null_ids_dropped_not_counted(spark):
+    df = spark.createDataFrame([("g", 1), ("g", None)], "g string, id long")
+    segs = bitmap.bitmap_build(df, ["g"], "id")
+    (c,) = bitmap.bitmap_cardinality(segs, ["g"]).collect()
+    assert c["distinct_ids"] == 1
