@@ -5544,3 +5544,71 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ed"),
     ).agg(F.count("*").alias("n"))
     return timeseries.acf_stats(d, "event_type", "ed", "n", max_lag=7)
+
+
+@query(
+    "q_record_linkage",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey AS cust_id,
+               c_nationkey AS nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_kbkt,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) % 100 AS cents,
+               RIGHT(c_name, 2) AS last2
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey AS supp_id,
+               s_nationkey AS nationkey,
+               CAST(FLOOR(s_acctbal / 1000) AS BIGINT) AS bal_kbkt,
+               CAST(FLOOR(s_acctbal * 100) AS BIGINT) % 100 AS cents,
+               RIGHT(s_name, 2) AS last2
+        FROM supplier
+    ), p AS (
+        SELECT c.cust_id, s.supp_id,
+               CAST((c.cents = s.cents) AS INT) +
+               CAST((c.last2 = s.last2) AS INT) AS n_agree,
+               CAST((c.cents != s.cents) AS INT) +
+               CAST((c.last2 != s.last2) AS INT) AS n_disagree,
+               (CASE WHEN c.cents = s.cents THEN 6644 ELSE -104 END) +
+               (CASE WHEN c.last2 = s.last2 THEN 6644 ELSE -46 END) AS score
+        FROM c JOIN s
+          ON c.nationkey = s.nationkey AND c.bal_kbkt = s.bal_kbkt
+    )
+    SELECT cust_id, supp_id,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(n_disagree AS BIGINT) AS n_disagree,
+           CAST(score AS BIGINT) AS score_milli
+    FROM p WHERE score >= 5000
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage
+    (operators/linkage.py) of customers against suppliers: blocked on
+    (nation, $1000 balance bucket), scored on cents-of-balance and
+    name-suffix agreement with integer milli-ban log-weights
+    (w = 1000·log2(m/u); 6644 ≈ log2(100) bans for a 1-in-100 chance
+    agreement), thresholded at 5 bans.  All-integer scores — the
+    oracle restates the whole decision rule literally.  The synthetic
+    fields stand in for the phone/zip/DOB comparisons of a real MDM
+    deployment; the operator is field-agnostic.  Round-13 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import linkage
+
+    def prep(df, id_in, id_out, nat, bal, name):
+        return df.select(
+            F.col(id_in).alias(id_out),
+            F.col(nat).cast("int").alias("nationkey"),
+            F.floor(F.col(bal) / 1000).cast("long").alias("bal_kbkt"),
+            (F.floor(F.col(bal) * 100).cast("long") % 100).alias("cents"),
+            F.expr(f"right({name}, 2)").alias("last2"),
+        )
+
+    c = prep(t(spark, sf_dir, "customer"), "c_custkey", "cust_id",
+             "c_nationkey", "c_acctbal", "c_name")
+    s = prep(t(spark, sf_dir, "supplier"), "s_suppkey", "supp_id",
+             "s_nationkey", "s_acctbal", "s_name")
+    return linkage.fellegi_sunter_link(
+        c, s, "cust_id", "supp_id",
+        block_cols=["nationkey", "bal_kbkt"],
+        fields=[("cents", 6644, -104), ("last2", 6644, -46)],
+        threshold_milli=5000,
+    )
