@@ -699,12 +699,20 @@ def acf_stats(
     contributes NO pair at the lags it would anchor (gap-fill first —
     ``gap_filled_counts`` — to treat missing buckets as zeros).
 
-    Shape: input is PRE-AGGREGATED per bucket (buckets×groups rows).
-    Each row is duplicated max_lag times (a bounded, calendar-sized
-    explode), then one (group, bucket) hash equi-join aligns the
-    lagged pairs and a map-side-combining aggregate reduces to
-    groups×max_lag rows.  No window, no sort, no skew surface beyond
-    the group key itself.
+    Shape: input is PRE-AGGREGATED per bucket (buckets×groups rows),
+    and the operator keeps a SINGLE lineage over it — a self-JOIN
+    formulation would evaluate ``df``'s plan twice (Spark does not
+    reuse the aggregate subtree across self-join sides — measured:
+    two FileScans, zero ReusedExchange), doubling the upstream raw
+    scan when df is derived from events.  Instead each bucket row
+    broadcasts itself as max_lag+1 MESSAGES: role lag=0 ("I am the x
+    anchor at bucket b") and roles lag=k ("I am the y value for the
+    anchor at bucket b+k").  One (group, anchor) aggregate pivots the
+    roles back into (x, y_1..y_max_lag) per anchor; a pair exists iff
+    both the anchor and its lagged partner exist (NULL otherwise —
+    missing buckets drop out exactly as in the join form).  A bounded
+    ×(max_lag+1) explode and two calendar-sized shuffles; no window,
+    no sort, no self-join.
 
     ``bucket_col`` must be integral (epoch days/hours); ``value_col``
     is cast to BIGINT before multiplying, so products stay exact while
@@ -713,20 +721,58 @@ def acf_stats(
     """
     if max_lag < 1:
         raise ValueError(f"acf_stats: max_lag must be >= 1, got {max_lag}")
-    x = df.select(
+    lags = range(1, int(max_lag) + 1)
+    base = df.select(
         F.col(group_col).alias("_g"),
         F.col(bucket_col).cast("long").alias("_b"),
         F.col(value_col).cast("long").alias("_x"),
-    ).withColumn("_lag", F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))))
-    y = df.select(
-        F.col(group_col).alias("_g"),
-        F.col(bucket_col).cast("long").alias("_by"),
-        F.col(value_col).cast("long").alias("_y"),
     )
-    pairs = x.join(
-        y,
-        (x["_g"] == y["_g"]) & (y["_by"] == x["_b"] - x["_lag"]),
-    ).select(x["_g"], "_lag", "_x", "_y")
+    msgs = base.select(
+        "_g",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("_lag"),
+                    F.col("_b").alias("_anchor"),
+                    F.col("_x").alias("_v"),
+                ),
+                *[
+                    F.struct(
+                        F.lit(k).alias("_lag"),
+                        (F.col("_b") + F.lit(k)).alias("_anchor"),
+                        F.col("_x").alias("_v"),
+                    )
+                    for k in lags
+                ],
+            )
+        ).alias("_m"),
+    ).select("_g", F.col("_m._lag").alias("_lag"), F.col("_m._anchor").alias("_anchor"), F.col("_m._v").alias("_v"))
+    anchored = msgs.groupBy("_g", "_anchor").agg(
+        F.max(F.when(F.col("_lag") == 0, F.col("_v"))).alias("_xv"),
+        *[
+            F.max(F.when(F.col("_lag") == k, F.col("_v"))).alias(f"_y{k}")
+            for k in lags
+        ],
+    )
+    pairs = (
+        anchored.select(
+            "_g",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("_lag"),
+                            F.col("_xv").alias("_x"),
+                            F.col(f"_y{k}").alias("_y"),
+                        )
+                        for k in lags
+                    ]
+                )
+            ).alias("_p"),
+        )
+        .select("_g", F.col("_p._lag").alias("_lag"), F.col("_p._x").alias("_x"), F.col("_p._y").alias("_y"))
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    )
     return (
         pairs.groupBy("_g", "_lag")
         .agg(
