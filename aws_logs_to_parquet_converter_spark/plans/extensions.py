@@ -5472,6 +5472,7 @@ def q_trend_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_bitmap_distinct",
+    headline=True,
     oracle="""
     SELECT event_type,
            CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS week,
