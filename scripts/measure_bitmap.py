@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Bitmap distinct-rollup measurement (operators/bitmap.py): at 20M
+rows with ONE group holding 50% of them —
+
+1. build + count vs Spark's native COUNT(DISTINCT) over the raw rows
+   (the one-shot case: is the bitmap path competitive?);
+2. the MV case the representation exists for: re-aggregating distinct
+   counts for N different rollup groupings from pre-built daily
+   segments vs re-scanning raw data N times.
+
+Results land in SCALE.md.
+
+Usage: python scripts/measure_bitmap.py [--rows 20000000] [--ids 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--ids", type=int, default=1_000_000)
+    ap.add_argument("--days", type=int, default=30)
+    args = ap.parse_args()
+
+    from aws_logs_to_parquet_converter_spark.operators import bitmap
+    from aws_logs_to_parquet_converter_spark.session import get_spark
+
+    spark = get_spark(app_name="bitmap-skew", extra_conf={"spark.ui.enabled": "false"})
+    n, nids, days = args.rows, args.ids, args.days
+
+    # deterministic synthetic: group 'hot' holds 50% of rows; ids
+    # uniform; one day column for segment rollups
+    base = spark.range(n)
+    df = base.select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 40).cast("string")))
+        .alias("g"),
+        ((F.col("id") * 2654435761) % nids).alias("uid"),
+        (F.col("id") % days).alias("day"),
+    )
+
+    def timed(label, fn):
+        t0 = time.time()
+        out = fn()
+        w = time.time() - t0
+        print(f"{label}: {w:.2f}s {out}")
+        return w
+
+    # warm the scan shape
+    df.groupBy("g").count().write.format("noop").mode("overwrite").save()
+
+    timed(
+        "native COUNT(DISTINCT) per group (raw scan)",
+        lambda: df.groupBy("g").agg(F.count_distinct("uid").alias("d"))
+        .write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "bitmap build+count per group (raw scan)",
+        lambda: bitmap.bitmap_cardinality(
+            bitmap.bitmap_build(df, ["g"], "uid"), ["g"]
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
+    # the MV lifecycle: build daily segments ONCE, then answer rollups
+    # from segments
+    segs = bitmap.bitmap_build(df, ["g", "day"], "uid").persist()
+    timed("daily segment build (once, persisted)", lambda: segs.count())
+    timed(
+        "rollup A per (g) from segments",
+        lambda: bitmap.bitmap_cardinality(
+            bitmap.bitmap_merge(segs, ["g"]), ["g"]
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "rollup B per (g, week) from segments",
+        lambda: bitmap.bitmap_cardinality(
+            bitmap.bitmap_merge(
+                segs.withColumn("week", F.floor(F.col("day") / 7).cast("long")),
+                ["g", "week"],
+            ),
+            ["g", "week"],
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "rollup C global from segments",
+        lambda: bitmap.bitmap_cardinality(
+            bitmap.bitmap_merge(segs.withColumn("all", F.lit(1)), ["all"]), ["all"]
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "same three rollups from raw (re-scan x3)",
+        lambda: [
+            df.groupBy("g").agg(F.count_distinct("uid")).write.format("noop").mode("overwrite").save(),
+            df.withColumn("week", F.floor(F.col("day") / 7))
+            .groupBy("g", "week").agg(F.count_distinct("uid"))
+            .write.format("noop").mode("overwrite").save(),
+            df.agg(F.count_distinct("uid")).write.format("noop").mode("overwrite").save(),
+        ]
+        and "",
+    )
+    segs.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
