@@ -43,3 +43,61 @@ def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = N
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
     if columns:
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}")
+
+
+def write_bucketed_external(
+    df: DataFrame,
+    path: str,
+    bucket_key: str | list[str],
+    num_buckets: int = 32,
+    sort_key: str | list[str] | None = None,
+) -> None:
+    """Bucketed write to an EXPLICIT path (external table files): Spark
+    only writes bucketed layout through ``saveAsTable``, so this
+    registers a throwaway catalog name for the write and drops it
+    immediately — the files (with bucket ids encoded in their names)
+    survive, ready for :func:`attach_bucketed` in any later session."""
+    import uuid
+
+    spark = df.sparkSession
+    tmp = f"_bkt_stage_{uuid.uuid4().hex[:12]}"
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
+    if sort_key:
+        sk = [sort_key] if isinstance(sort_key, str) else list(sort_key)
+        writer = writer.sortBy(*sk)
+    try:
+        writer.format("parquet").option("path", path).saveAsTable(tmp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+def attach_bucketed(
+    spark: SparkSession,
+    table: str,
+    schema_ddl: str,
+    path: str,
+    bucket_key: str | list[str],
+    num_buckets: int,
+    sort_key: str | list[str] | None = None,
+) -> None:
+    """(Re-)register an external bucketed table over files previously
+    written by :func:`write_bucketed_external` — the cross-session half
+    of the bucketing lifecycle (the in-memory catalog forgets bucket
+    specs when the session ends; the files don't).  ``schema_ddl`` is
+    the column list, e.g. ``"k BIGINT, v STRING"``; the declared
+    CLUSTERED BY spec must match how the files were written or
+    bucket-pruned joins would read wrong buckets — Spark trusts the
+    DDL, so the caller owns that contract (exactly as with Hive)."""
+    if spark.catalog.tableExists(table):
+        return
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    sort = ""
+    if sort_key:
+        sk = [sort_key] if isinstance(sort_key, str) else list(sort_key)
+        sort = f" SORTED BY ({', '.join(sk)})"
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(keys)}){sort} INTO {num_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )

@@ -1543,3 +1543,70 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "q_bucket_join",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-warehouse lifecycle under the oracle gate
+    (operators/bucketing.py): orders and lineitem are written ONCE as
+    external tables bucketed (and sorted) on the join key — paying the
+    join shuffle at ingest — then re-ATTACHED by DDL (the cross-session
+    path: the in-memory catalog forgets bucket specs, the bucket-id
+    filenames don't) and joined.  The oracle computes the same
+    aggregate from the raw parquet, so a bucket-layout bug (wrong
+    modulus, mis-declared spec reading wrong buckets, dropped rows in
+    the staged write) fails the hash.  tests/test_bucketing.py proves
+    the plan side (SMJ with ZERO Exchange between bucketed scans, incl.
+    the DDL re-attach path); at grading SFs Catalyst rightly broadcasts
+    the small side instead — correctness here, plan economics there.
+    No reference counterpart (the reference has no bucketing; SURVEY
+    §4's declared 100 TB lever).  Round-13 birth."""
+    import hashlib
+    import os
+
+    from aws_logs_to_parquet_converter_spark.operators.bucketing import (
+        attach_bucketed,
+        write_bucketed_external,
+    )
+
+    def build(staging):
+        wh = os.path.join(staging, "wh")
+        o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        write_bucketed_external(
+            o, os.path.join(wh, "orders"), "o_orderkey", 8, "o_orderkey"
+        )
+        write_bucketed_external(
+            li, os.path.join(wh, "lineitem"), "l_orderkey", 8, "l_orderkey"
+        )
+
+    wh = _published_fixture("q_bucket", sf_dir, build)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    attach_bucketed(
+        spark, f"bkt_orders_{h}", "o_orderkey BIGINT, o_orderpriority STRING",
+        os.path.join(wh, "orders"), "o_orderkey", 8, "o_orderkey",
+    )
+    attach_bucketed(
+        spark, f"bkt_lineitem_{h}", "l_orderkey BIGINT, cents BIGINT",
+        os.path.join(wh, "lineitem"), "l_orderkey", 8, "l_orderkey",
+    )
+    o = spark.table(f"bkt_orders_{h}")
+    li = spark.table(f"bkt_lineitem_{h}")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_items"), F.sum("cents").alias("cents"))
+    )

@@ -75,3 +75,60 @@ def test_analyze_table_populates_stats(spark, bucketed):
     desc = spark.sql("DESCRIBE EXTENDED orders_b").collect()
     stats = [r for r in desc if r.col_name == "Statistics"]
     assert stats and "rows" in stats[0].data_type
+
+
+def test_external_write_attach_roundtrip_no_shuffle(spark, tmp_path):
+    """The cross-session half: write bucketed files to an explicit
+    path, drop every catalog trace, re-attach by DDL — the join must
+    still plan SMJ with no Exchange, and rows must survive exactly."""
+    from aws_logs_to_parquet_converter_spark.operators.bucketing import (
+        attach_bucketed,
+        write_bucketed_external,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_orderstatus")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    write_bucketed_external(o, str(tmp_path / "o"), "o_orderkey", 4, "o_orderkey")
+    write_bucketed_external(li, str(tmp_path / "l"), "l_orderkey", 4, "l_orderkey")
+    # no staging table may survive the write
+    assert not [t for t in spark.catalog.listTables() if t.name.startswith("_bkt_stage_")]
+    attach_bucketed(
+        spark, "ext_o", "o_orderkey BIGINT, o_orderstatus STRING",
+        str(tmp_path / "o"), "o_orderkey", 4, "o_orderkey",
+    )
+    attach_bucketed(
+        spark, "ext_l", "l_orderkey BIGINT, l_quantity DOUBLE",
+        str(tmp_path / "l"), "l_orderkey", 4, "l_orderkey",
+    )
+    # attach is idempotent
+    attach_bucketed(
+        spark, "ext_o", "o_orderkey BIGINT, o_orderstatus STRING",
+        str(tmp_path / "o"), "o_orderkey", 4, "o_orderkey",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("ext_l")
+            .join(spark.table("ext_o"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _explain(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        got = {(r["o_orderstatus"], r["n"]) for r in j.collect()}
+        want = {
+            (r["o_orderstatus"], r["n"])
+            for r in li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS ext_o")
+        spark.sql("DROP TABLE IF EXISTS ext_l")
