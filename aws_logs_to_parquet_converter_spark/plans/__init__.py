@@ -222,6 +222,7 @@ _PRIORITY = [
     "q_acf_daily",
     "q_record_linkage",
     "q_bucket_join",
+    "q_stream_bitmap_distinct",
     # (2) code changed this round
     "q_etl_roundtrip",
     "q_interarrival_cv",
@@ -250,8 +251,9 @@ _PRIORITY = [
     "q_window_range_frame",
     # (4) oldest-evidence backfill: the r9 cohort in registry-name
     # order (the remainder — q_agg_stats .. q_window_first_last, plus
-    # q18-q21 displaced by the late q_bitmap_distinct/q_acf_daily/
-    # q_record_linkage/q_bucket_join births — stays r9-green and leads the r14
+    # q17-q21 displaced by the five late births (q_bitmap_distinct,
+    # q_acf_daily, q_record_linkage, q_bucket_join,
+    # q_stream_bitmap_distinct) — stays r9-green and leads the r14
     # rotation)
     "q02_filter_project",
     "q03_shipping_priority",
@@ -267,7 +269,6 @@ _PRIORITY = [
     "q14_promo_effect",
     "q15_top_supplier",
     "q16_supplier_cnt",
-    "q17_small_qty_revenue",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -1610,3 +1610,93 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(F.count("*").alias("n_items"), F.sum("cents").alias("cents"))
     )
+
+
+@query(
+    "q_stream_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-distinct MV maintenance end-to-end under the
+    oracle gate (the NINTH graded streaming row): the events table is
+    split into two change files replayed as ordered micro-batches
+    through ``streaming/bitmap_mv.stream_bitmap_distinct`` — one
+    bitmap-segment bit_or merge + versioned commit per batch — and the
+    LIVE segment state read back via the params pointer and popcounted.
+    The oracle is a raw-scan COUNT(DISTINCT), so the grade proves the
+    batch split, the incremental merges (users overlapping both batches
+    must union, not double-count — bit_or idempotency), the commit
+    protocol, and the batch ordering compose to the exact answer.  The
+    batch sibling q_bitmap_distinct grades the same representation
+    without the streaming machinery.  Fixture dirs stable per sf_dir,
+    wiped per invocation (the q_stream_cdc discipline).  Round-13
+    birth."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from aws_logs_to_parquet_converter_spark.operators.bitmap import (
+        bitmap_cardinality,
+    )
+    from aws_logs_to_parquet_converter_spark.streaming.bitmap_mv import (
+        read_bitmap_mv,
+        stream_bitmap_distinct,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long") / 7
+        ).cast("long").alias("week"),
+        "user_id",
+        "event_id",
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "q_stream_bitmap_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    changes = os.path.join(root, "changes")
+    os.makedirs(changes)
+
+    # one file per batch (split by event id parity so the two batches
+    # OVERLAP in users — the merge must union, never double-count),
+    # mtimes ordered so the file source replays batch 1 then 2
+    for i in (1, 2):
+        batch = e.where(F.col("event_id") % 2 == i - 1).drop("event_id")
+        stage = os.path.join(root, f"stage{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dest = os.path.join(changes, f"b{i}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (1_000_000 * i, 1_000_000 * i))
+
+    src = (
+        spark.readStream.schema("event_type string, week long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes)
+    )
+    q = stream_bitmap_distinct(
+        src,
+        os.path.join(root, "mv"),
+        ["event_type", "week"],
+        "user_id",
+        os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    q.stop()
+    segs = read_bitmap_mv(spark, os.path.join(root, "mv"))
+    return bitmap_cardinality(segs, ["event_type", "week"]).select(
+        "event_type", "week", F.col("distinct_ids").alias("distinct_users")
+    )

@@ -132,12 +132,12 @@ def test_graded_window_covers_priority_surface():
     required = {
         # flagship
         "q_days_apart",
-        # never driver-graded: r13 births (the late four displaced
-        # q18-q21 from the r9 backfill, which stays r9-green)
+        # never driver-graded: r13 births (the late five displaced
+        # q17-q21 from the r9 backfill, which stays r9-green)
         "q_etl_days_apart", "q_partition_backfill",
         "q_schema_evolution", "q_cusum_changepoint", "q_trend_kendall",
         "q_stream_sessionize", "q_bitmap_distinct", "q_acf_daily",
-        "q_record_linkage", "q_bucket_join",
+        "q_record_linkage", "q_bucket_join", "q_stream_bitmap_distinct",
         # code changed this round (shared ETL fixture, the two r12
         # advisory fixes, the sequence-family lossless segment lever)
         "q_etl_roundtrip", "q_interarrival_cv", "q_ewma_daily",
@@ -151,7 +151,7 @@ def test_graded_window_covers_priority_surface():
         "q_window_ntile", "q_window_percent_rank",
         "q_window_range_frame",
         # r9 backfill anchors (first and last in name order)
-        "q02_filter_project", "q17_small_qty_revenue",
+        "q02_filter_project", "q16_supplier_cnt",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
