@@ -93,3 +93,101 @@ def bitmap_cardinality(segments: DataFrame, group_cols: list[str]) -> DataFrame:
         segments.groupBy(*group_cols)
         .agg(F.sum(F.bit_count("mask")).cast("long").alias("distinct_ids"))
     )
+
+
+def bitmap_intersect_cardinality(
+    segments: DataFrame,
+    group_cols: list[str],
+    slice_col: str,
+    slice_a,
+    slice_b,
+) -> DataFrame:
+    """Exact |A ∩ B| per group from segments alone: the set
+    intersection of two slices (weeks, cohorts, variants) is
+    ``bit_and`` of their masks word-by-word — the retention/overlap
+    question (\"users active in BOTH weeks\") answered without touching
+    raw data, the second half of the BITMAP_UNION pattern
+    (BITMAP_AND_COUNT in Doris/StarRocks terms).
+
+    ``segments`` must carry ``slice_col`` as a grouping column of its
+    build (one segment family per slice).  The inner join on
+    (group, word) makes absent words on either side count zero
+    automatically; |A ∪ B| and difference cardinalities follow from
+    the same segments via inclusion–exclusion with
+    :func:`bitmap_merge` + :func:`bitmap_cardinality`.
+
+    Returns (group..., n_both) — segment-sized work throughout.
+    """
+    sc = F.col(slice_col)
+    a = segments.where(sc == slice_a).select(
+        *group_cols, "word", F.col("mask").alias("_ma")
+    )
+    b = segments.where(sc == slice_b).select(
+        *group_cols, "word", F.col("mask").alias("_mb")
+    )
+    joined = a.join(b, [*group_cols, "word"])
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.sum(F.bit_count(F.col("_ma").bitwiseAND(F.col("_mb"))))
+            .cast("long")
+            .alias("n_both")
+        )
+    )
+
+
+def bitmap_retention(
+    segments: DataFrame,
+    group_cols: list[str],
+    slice_col: str,
+) -> DataFrame:
+    """Consecutive-slice retention from segments: for every slice s,
+    the EXACT count of ids present in BOTH s−1 and s per group —
+    week-over-week retained users straight from the bitmap MV.
+
+    Single-lineage on ``segments`` (which is usually derived from a
+    raw-data build): a self-join on (group, word, s−1) would evaluate
+    the upstream build twice (the acf_stats lesson — Spark does not
+    reuse aggregate subtrees across self-join sides), so each segment
+    row instead emits two messages — (anchor=s, current) and
+    (anchor=s+1, previous) — and one (group, anchor, word) aggregate
+    pairs them; ``bit_and`` + popcount does the rest.  ``slice_col``
+    must be integral (epoch weeks/days).
+    """
+    sc = F.col(slice_col).cast("long")
+    msgs = segments.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    sc.alias("_anchor"), F.lit(0).alias("_role"),
+                    F.col("word").alias("_w"), F.col("mask").alias("_m"),
+                ),
+                F.struct(
+                    (sc + 1).alias("_anchor"), F.lit(1).alias("_role"),
+                    F.col("word").alias("_w"), F.col("mask").alias("_m"),
+                ),
+            )
+        ).alias("_msg"),
+    ).select(
+        *group_cols,
+        F.col("_msg._anchor").alias("_anchor"),
+        F.col("_msg._role").alias("_role"),
+        F.col("_msg._w").alias("_w"),
+        F.col("_msg._m").alias("_m"),
+    )
+    paired = msgs.groupBy(*group_cols, "_anchor", "_w").agg(
+        F.max(F.when(F.col("_role") == 0, F.col("_m"))).alias("_cur"),
+        F.max(F.when(F.col("_role") == 1, F.col("_m"))).alias("_prev"),
+    )
+    return (
+        paired.where(F.col("_cur").isNotNull() & F.col("_prev").isNotNull())
+        .groupBy(*group_cols, "_anchor")
+        .agg(
+            F.sum(F.bit_count(F.col("_cur").bitwiseAND(F.col("_prev"))))
+            .cast("long")
+            .alias("n_retained")
+        )
+        .where(F.col("n_retained") > 0)
+        .select(*group_cols, F.col("_anchor").alias(slice_col), "n_retained")
+    )

@@ -26,7 +26,9 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #      verdict's item 2: the verbatim Days-Apart Presto SQL over the
 #      parquet warehouse the ETL fixture itself wrote, both reference
 #      halves under one hash).  Later r13 births displace the lowest
-#      backfill slot as usual.
+#      backfill slot as usual; q_bitmap_retention, born after the
+#      window filled at 50, stays out and leads the r14 rotation (the
+#      q_temperature_mix precedent).
 #   2. code changed this round re-enters (standing policy):
 #      q_etl_roundtrip (fixture shared with q_etl_days_apart — keys
 #      now days-apart-shaped, requester graded via COUNT(DISTINCT

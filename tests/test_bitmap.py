@@ -65,3 +65,39 @@ def test_null_ids_dropped_not_counted(spark):
     segs = bitmap.bitmap_build(df, ["g"], "id")
     (c,) = bitmap.bitmap_cardinality(segs, ["g"]).collect()
     assert c["distinct_ids"] == 1
+
+
+def test_intersect_cardinality_matches_sets(spark):
+    rows = [("g", "w1", i) for i in (0, 1, 63, 64, 200)] + [
+        ("g", "w2", i) for i in (1, 63, 65, 200, 300)
+    ]
+    df = spark.createDataFrame(rows, "g string, w string, id long")
+    segs = bitmap.bitmap_build(df, ["g", "w"], "id")
+    (r,) = bitmap.bitmap_intersect_cardinality(
+        segs, ["g"], "w", "w1", "w2"
+    ).collect()
+    assert r["n_both"] == 3  # {1, 63, 200}
+
+
+def test_retention_matches_bruteforce(spark):
+    # weeks 10,11,12: overlaps 10∩11={5,64}, 11∩12={} (words overlap,
+    # bits don't: 70 vs 69 share word 1) -> week 12 row must NOT appear
+    rows = (
+        [("g", 10, i) for i in (5, 64, 99)]
+        + [("g", 11, i) for i in (5, 64, 70)]
+        + [("g", 12, i) for i in (69,)]
+    )
+    df = spark.createDataFrame(rows, "g string, wk long, id long")
+    segs = bitmap.bitmap_build(df, ["g", "wk"], "id")
+    got = {
+        (r["g"], r["wk"]): r["n_retained"]
+        for r in bitmap.bitmap_retention(segs, ["g"], "wk").collect()
+    }
+    assert got == {("g", 11): 2}
+
+
+def test_retention_groups_do_not_cross(spark):
+    rows = [("a", 1, 7), ("b", 2, 7)]
+    df = spark.createDataFrame(rows, "g string, wk long, id long")
+    segs = bitmap.bitmap_build(df, ["g", "wk"], "id")
+    assert bitmap.bitmap_retention(segs, ["g"], "wk").count() == 0
