@@ -556,10 +556,16 @@ def cosine_neardup_pairs(
         _norm(F.col(vec_col), dim).alias("_nrm"),
     )
     pairs = blocked_all_pairs(base, "_nid", n_blocks, seed)
+    # Per-pair dot uses the HOF fold, NOT the dim-unrolled form: the
+    # r2-era measurement (unroll 16s vs fold 75s) has INVERTED on this
+    # engine (Spark 4.1.2, single hoisted-norm fold per pair) — r13
+    # A/B on 1M joined pairs at dim 64: unroll 5.3-6.0s vs fold
+    # 0.8-1.2s, identical drop sets (both accumulate strictly
+    # left-to-right, so results are bit-identical by construction).
     sim = F.coalesce(  # zero-norm guard (ANSI divide-by-zero): see cosine()
         F.nanvl(
             F.try_divide(
-                _dot(F.col("_v_l"), F.col("_v_r"), dim),
+                _dot(F.col("_v_l"), F.col("_v_r"), None),
                 F.col("_nrm_l") * F.col("_nrm_r"),
             ),
             F.lit(0.0),
@@ -665,10 +671,13 @@ def semantic_dedup(
         # pass False and pay the second pass.
         base = base.persist()
     pairs = blocked_all_pairs(base, "_sid", n_blocks, seed, key_cols=["_cell"])
+    # HOF fold, not the dim unroll — see cosine_neardup_pairs: the old
+    # unroll-wins measurement inverted on this engine (r13 A/B: fold
+    # 5-7x faster on the joined-pair stage, bit-identical results).
     sim = F.coalesce(  # zero-norm guard (ANSI divide-by-zero): see cosine()
         F.nanvl(
             F.try_divide(
-                _dot(F.col("_v_l"), F.col("_v_r"), dim),
+                _dot(F.col("_v_l"), F.col("_v_r"), None),
                 F.col("_nrm_l") * F.col("_nrm_r"),
             ),
             F.lit(0.0),

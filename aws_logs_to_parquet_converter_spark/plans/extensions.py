@@ -1167,10 +1167,12 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition; the sub-quadratic corpus-scale paths are the
     approximate LSH/IVF operators (q_embed_topk_lsh / _ivf).
 
-    Scoring uses the unrolled inline cosine, measured fastest of three
-    formulations at dim=64 (sf0.1, 2M pairs): HOF fold 75s
-    (CodegenFallback), inline unrolled 16s, precomputed-norm 86s — see
-    PERF.md."""
+    Scoring history: the round-2 measurement picked the unrolled
+    inline cosine (HOF fold 75s vs unrolled 16s at dim=64, 2M pairs),
+    but with norms hoisted per-row (ONE fold per pair) the trade
+    INVERTED on this engine — r13 A/B: fold 5-7x faster than the
+    unroll on the joined-pair stage, identical results — so the pair
+    scorers now use the HOF fold; see PERF.md round-13."""
     emb = t(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]
     pairs = similarity.cosine_neardup_pairs(
