@@ -646,8 +646,10 @@ def minhash_near_duplicates(
     # (47-66s vs 36s on 37M candidate pairs, A/B'd round 7 — the
     # expression tree blows past codegen method limits and falls back
     # to interpreted eval of 128 array accesses, worse than one fused
-    # HOF pass).  The PERF.md unroll win applies to the dim<=256 dot
-    # product's flat multiply-add, not to deep boolean chains.
+    # HOF pass).  Round 13 found the same inversion holds for the
+    # dim-64 dot product on joined-pair stages (PERF.md round-13:
+    # fold 5-7x faster) — the similarity pair scorers now use the
+    # fold too; no unrolled per-pair array chain survives anywhere.
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(num_hashes)
