@@ -38,7 +38,12 @@ import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 #      value cast to BIGINT before the weight multiply — r12 advisor
 #      overflow fix); q_session_attribution + q_markov_transitions +
 #      q_top_paths (NTZ-tolerant timestamps; lossless overlap-by-one
-#      segment lever — the r12 verdict's item 3).
+#      segment lever — the r12 verdict's item 3); late r13:
+#      q_semantic_dedup + q_semantic_dedup_cells_md5 + q_embed_neardup
+#      (pair-scoring cosine switched to the HOF fold — bit-identical
+#      by construction and locally re-graded both SFs, but the code
+#      changed, so they re-enter; they displace q14-q16, which stay
+#      r9-green).
 #   3. the 18-entry r8-stale cohort leads the rotation exactly as the
 #      r12 policy queued (r12 verdict item 1 — after this round no
 #      oracle-bearing entry's latest grade is older than r9):
@@ -232,6 +237,9 @@ _PRIORITY = [
     "q_session_attribution",
     "q_markov_transitions",
     "q_top_paths",
+    "q_semantic_dedup",
+    "q_semantic_dedup_cells_md5",
+    "q_embed_neardup",
     # (3) the 18-entry r8-stale cohort (r12 verdict item 1)
     "q_map_funcs",
     "q_mix_sources",
@@ -268,9 +276,6 @@ _PRIORITY = [
     "q11_important_parts",
     "q12_priority_shipping",
     "q13_order_count_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

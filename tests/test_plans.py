@@ -142,6 +142,7 @@ def test_graded_window_covers_priority_surface():
         # advisory fixes, the sequence-family lossless segment lever)
         "q_etl_roundtrip", "q_interarrival_cv", "q_ewma_daily",
         "q_session_attribution", "q_markov_transitions", "q_top_paths",
+        "q_semantic_dedup", "q_semantic_dedup_cells_md5", "q_embed_neardup",
         # the full 18-entry r8-stale cohort (r12 verdict item 1)
         "q_map_funcs", "q_mix_sources", "q_mix_token_budget",
         "q_ngram_jaccard", "q_recursive_cte", "q_regexp_funcs",
@@ -151,7 +152,7 @@ def test_graded_window_covers_priority_surface():
         "q_window_ntile", "q_window_percent_rank",
         "q_window_range_frame",
         # r9 backfill anchors (first and last in name order)
-        "q02_filter_project", "q16_supplier_cnt",
+        "q02_filter_project", "q13_order_count_distribution",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
