@@ -191,3 +191,34 @@ def bitmap_retention(
         .where(F.col("n_retained") > 0)
         .select(*group_cols, F.col("_anchor").alias(slice_col), "n_retained")
     )
+
+
+def bitmap_rollup_cardinality(
+    segments: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Exact distinct counts for EVERY ROLLUP prefix level ((g1..gn),
+    (g1..gn−1), …, ()) from one pass over segments: grouping sets keep
+    ``word`` in every set (a bitmap can only merge word-aligned), one
+    ``bit_or`` aggregate serves all levels, then popcount per level.
+    The hierarchical-dashboard shape — daily/weekly/global uniques —
+    answered from the MV with a single segment-sized shuffle instead
+    of one raw COUNT(DISTINCT) scan per level.
+
+    ``gid`` encodes the level exactly like SQL's GROUPING(g1, …, gn)
+    (leftmost column = most-significant bit; 0 = finest level), so an
+    oracle's ``GROUP BY ROLLUP`` reproduces it literally.
+    """
+    n = len(group_cols)
+    if n == 0:
+        raise ValueError("bitmap_rollup_cardinality: group_cols must be non-empty")
+    sets = [[*group_cols[:i], "word"] for i in range(n, -1, -1)]
+    gid = F.lit(0)
+    for i, c in enumerate(group_cols):
+        gid = gid + F.grouping(c).cast("long") * F.lit(2 ** (n - 1 - i))
+    merged = segments.groupingSets(sets, *group_cols, "word").agg(
+        F.bit_or("mask").alias("_m"), gid.cast("long").alias("gid")
+    )
+    return merged.groupBy(*group_cols, "gid").agg(
+        F.sum(F.bit_count("_m")).cast("long").alias("distinct_ids")
+    )

@@ -5657,3 +5657,42 @@ def q_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = bitmap.bitmap_build(e, ["event_type", "week"], "user_id")
     return bitmap.bitmap_retention(segs, ["event_type"], "week")
+
+
+@query(
+    "q_bitmap_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+                   AS week,
+               user_id
+        FROM events
+    )
+    SELECT event_type, week,
+           CAST(GROUPING(event_type, week) AS BIGINT) AS gid,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM e GROUP BY ROLLUP(event_type, week)
+    """,
+)
+def q_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical exact uniques from ONE bitmap pass
+    (bitmap.bitmap_rollup_cardinality): per-(type, week), per-type,
+    and global distinct users all come off the same word-aligned
+    grouping-sets bit_or — the oracle recomputes every ROLLUP level
+    with raw COUNT(DISTINCT), so the grade proves level tagging (gid
+    == SQL GROUPING semantics, MSB-first) and the shared-merge algebra
+    at once.  Round-13 late birth (leads the r14 rotation).
+    """
+    from aws_logs_to_parquet_converter_spark.operators import bitmap
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "week",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+        ).cast("long"),
+    )
+    segs = bitmap.bitmap_build(e, ["event_type", "week"], "user_id")
+    return bitmap.bitmap_rollup_cardinality(segs, ["event_type", "week"]).select(
+        "event_type", "week", "gid", F.col("distinct_ids").alias("distinct_users")
+    )

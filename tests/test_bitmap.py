@@ -101,3 +101,27 @@ def test_retention_groups_do_not_cross(spark):
     df = spark.createDataFrame(rows, "g string, wk long, id long")
     segs = bitmap.bitmap_build(df, ["g", "wk"], "id")
     assert bitmap.bitmap_retention(segs, ["g"], "wk").count() == 0
+
+
+def test_rollup_levels_match_bruteforce(spark):
+    rows = [("a", 1, 0), ("a", 1, 64), ("a", 2, 64), ("b", 1, 0), ("b", 2, 200)]
+    df = spark.createDataFrame(rows, "t string, w long, id long")
+    segs = bitmap.bitmap_build(df, ["t", "w"], "id")
+    got = {
+        (r["t"], r["w"], r["gid"]): r["distinct_ids"]
+        for r in bitmap.bitmap_rollup_cardinality(segs, ["t", "w"]).collect()
+    }
+    assert got == {
+        ("a", 1, 0): 2, ("a", 2, 0): 1, ("b", 1, 0): 1, ("b", 2, 0): 1,
+        ("a", None, 1): 2,  # {0, 64}
+        ("b", None, 1): 2,  # {0, 200}
+        (None, None, 3): 3,  # {0, 64, 200}
+    }
+
+
+def test_rollup_empty_group_cols_rejected(spark):
+    df = spark.createDataFrame([("a", 1)], "t string, id long")
+    segs = bitmap.bitmap_build(df, ["t"], "id")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        bitmap.bitmap_rollup_cardinality(segs, [])
