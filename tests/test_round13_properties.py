@@ -135,3 +135,38 @@ def test_linkage_matches_bruteforce(spark, lrows, rrows, thr):
             if score >= thr:
                 want[(li, ri)] = (na, nd, score)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# bitmap_rollup_cardinality vs per-level Python sets
+# --------------------------------------------------------------------------
+
+_rollup_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=130),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_rollup_rows)
+@settings(**_SETTINGS)
+def test_bitmap_rollup_matches_sets(spark, rows):
+    df = spark.createDataFrame(rows, "t string, w long, id long")
+    segs = bitmap.bitmap_build(df, ["t", "w"], "id")
+    got = {
+        (r["t"], r["w"], r["gid"]): r["distinct_ids"]
+        for r in bitmap.bitmap_rollup_cardinality(segs, ["t", "w"]).collect()
+    }
+    fine, by_t, total = defaultdict(set), defaultdict(set), set()
+    for t_, w, i in rows:
+        fine[(t_, w)].add(i)
+        by_t[t_].add(i)
+        total.add(i)
+    want = {(t_, w, 0): len(s) for (t_, w), s in fine.items()}
+    want.update({(t_, None, 1): len(s) for t_, s in by_t.items()})
+    want[(None, None, 3)] = len(total)
+    assert got == want

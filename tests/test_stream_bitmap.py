@@ -84,3 +84,25 @@ def test_streamed_equals_batch_distinct(spark, tmp_path):
         .groupBy("g").agg(F.count_distinct("id").alias("n")).collect()
     }
     assert _counts(spark, mv) == want
+
+
+def test_apply_read_failure_aborts_not_resets(spark, tmp_path):
+    # Same contract as the CDC dimension (r11 advisor, high): bootstrap
+    # is fs.exists on the params pointer, so against an EXISTING MV a
+    # broken state read must abort the batch — never rebuild from the
+    # batch alone (which would silently FORGET every earlier batch's
+    # users).
+    import shutil
+
+    import pytest
+
+    mv = tmp_path / "mv"
+    apply_bitmap_batch(_df(spark, [("a", 1)]), str(mv), ["g"], "id")
+    (vdir,) = [p for p in mv.iterdir() if p.name.startswith("v-")]
+    shutil.rmtree(vdir / "data")
+    with pytest.raises(Exception):
+        apply_bitmap_batch(_df(spark, [("a", 2)]), str(mv), ["g"], "id")
+    # nothing committed: pointer still names the same (now broken)
+    # version and no new v-dir appeared
+    vdirs = [p.name for p in mv.iterdir() if p.name.startswith("v-")]
+    assert vdirs == [vdir.name]
