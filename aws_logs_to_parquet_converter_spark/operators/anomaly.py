@@ -344,13 +344,32 @@ def cusum_changepoint(
         F.sum(v).over(wall).alias("_sn"),
         F.count("*").over(wall).alias("_n"),
     )
+    # Out-of-contract guard (r13 advisory): under ANSI the BIGINT
+    # product n*S_k would raise Spark's generic ARITHMETIC_OVERFLOW
+    # while a DuckDB restatement silently promotes to HUGEINT —
+    # crash-vs-answer divergence.  Bounding max(|S_k|,|S_n|) <=
+    # (2^62-1) div n caps each product at ~2^62, so the difference
+    # fits BIGINT; violations fail loudly with THIS operator's message
+    # instead of engine-dependent behavior.  Counts and cents never
+    # trip it (|sum| < 2^62/n needs ~4.6e18/n totals).
+    in_contract = F.greatest(F.abs(F.col("_sk")), F.abs(F.col("_sn"))) <= (
+        F.expr(f"{(1 << 62) - 1} div _n")
+    )
+    guarded_stat = F.when(
+        F.assert_true(
+            in_contract,
+            F.lit(
+                "cusum_changepoint: |prefix/total sum| * n_buckets exceeds "
+                "BIGINT — rescale value_col (the contract is counts/cents)"
+            ),
+        ).isNull(),
+        F.abs(F.col("_n") * F.col("_sk") - F.col("_k") * F.col("_sn")),
+    )
     scored = scanned.select(
         group_col,
         order_col,
         "_n",
-        F.abs(
-            F.col("_n") * F.col("_sk") - F.col("_k") * F.col("_sn")
-        ).alias("_stat"),
+        guarded_stat.alias("_stat"),
     )
     wrank = Window.partitionBy(group_col).orderBy(
         F.desc("_stat"), F.asc(order_col)

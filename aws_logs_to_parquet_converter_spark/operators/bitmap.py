@@ -110,24 +110,33 @@ def bitmap_intersect_cardinality(
     (BITMAP_AND_COUNT in Doris/StarRocks terms).
 
     ``segments`` must carry ``slice_col`` as a grouping column of its
-    build (one segment family per slice).  The inner join on
-    (group, word) makes absent words on either side count zero
-    automatically; |A ∪ B| and difference cardinalities follow from
-    the same segments via inclusion–exclusion with
+    build (one segment family per slice).  Absent words on either side
+    count zero automatically; |A ∪ B| and difference cardinalities
+    follow from the same segments via inclusion–exclusion with
     :func:`bitmap_merge` + :func:`bitmap_cardinality`.
+
+    Single-lineage and duplicate-safe: instead of filtering
+    ``segments`` twice and self-joining (two upstream evaluations —
+    Spark never reuses the subtree — plus a fan-out if (group, slice,
+    word) rows are duplicated, e.g. a unioned un-merged segment
+    table), one conditional ``bit_or`` per (group, word) collapses
+    both slices' masks in a single pass, OR-ing duplicates instead of
+    pairing them.
 
     Returns (group..., n_both) — segment-sized work throughout.
     """
     sc = F.col(slice_col)
-    a = segments.where(sc == slice_a).select(
-        *group_cols, "word", F.col("mask").alias("_ma")
+    paired = (
+        segments.where(sc.isin([slice_a, slice_b]))
+        .groupBy(*group_cols, "word")
+        .agg(
+            F.bit_or(F.when(sc == slice_a, F.col("mask"))).alias("_ma"),
+            F.bit_or(F.when(sc == slice_b, F.col("mask"))).alias("_mb"),
+        )
     )
-    b = segments.where(sc == slice_b).select(
-        *group_cols, "word", F.col("mask").alias("_mb")
-    )
-    joined = a.join(b, [*group_cols, "word"])
     return (
-        joined.groupBy(*group_cols)
+        paired.where(F.col("_ma").isNotNull() & F.col("_mb").isNotNull())
+        .groupBy(*group_cols)
         .agg(
             F.sum(F.bit_count(F.col("_ma").bitwiseAND(F.col("_mb"))))
             .cast("long")
@@ -177,8 +186,11 @@ def bitmap_retention(
         F.col("_msg._m").alias("_m"),
     )
     paired = msgs.groupBy(*group_cols, "_anchor", "_w").agg(
-        F.max(F.when(F.col("_role") == 0, F.col("_m"))).alias("_cur"),
-        F.max(F.when(F.col("_role") == 1, F.col("_m"))).alias("_prev"),
+        # bit_or, not max: if the caller hands a segment table with
+        # duplicate (group, slice, word) rows (a unioned, un-merged
+        # MV), the masks OR together instead of one winning silently.
+        F.bit_or(F.when(F.col("_role") == 0, F.col("_m"))).alias("_cur"),
+        F.bit_or(F.when(F.col("_role") == 1, F.col("_m"))).alias("_prev"),
     )
     return (
         paired.where(F.col("_cur").isNotNull() & F.col("_prev").isNotNull())
@@ -221,4 +233,57 @@ def bitmap_rollup_cardinality(
     )
     return merged.groupBy(*group_cols, "gid").agg(
         F.sum(F.bit_count("_m")).cast("long").alias("distinct_ids")
+    )
+
+
+def bitmap_rolling_active(
+    segments: DataFrame,
+    group_cols: list[str],
+    slice_col: str,
+    window_n: int,
+) -> DataFrame:
+    """Rolling ``window_n``-slice EXACT distinct actives per window-end
+    slice, straight from bitmap segments: for every anchor a, the
+    popcount of ``bit_or`` over the trailing slices (a−window_n+1 .. a]
+    — WAU/MAU from the MV, where sliding-SUM tricks break because
+    distinct does not pre-aggregate across overlapping windows.
+
+    Shape: each segment row emits ``window_n`` messages (anchor =
+    slice .. slice+window_n−1), one (group, anchor, word) ``bit_or``
+    merges the overlapping slices (duplicate-(group, slice, word) rows
+    OR together — same contract as :func:`bitmap_retention`), and
+    ``sum(bit_count)`` finishes.  All work is segment-sized ×
+    ``window_n``: the raw scan happened ONCE at :func:`bitmap_build`,
+    and every re-windowing (7-day, 28-day) reuses the same segments —
+    vs the explode-form ``timeseries.rolling_active_users``, which
+    re-explodes distinct (user, day) PAIRS (data-shaped, and a hot
+    day's users all land on that day's shuffle keys; here a hot day
+    spreads across |ids|/64 word keys).
+
+    Anchors are emitted for every window end a segment serves —
+    including up to ``window_n``−1 slices past the last observed slice
+    (those are real trailing-window counts for ends after the data
+    stops).  Callers wanting only the observed calendar (plus
+    zero-activity slices) bound with a spine join, exactly as the
+    explode form does.  ``slice_col`` must be integral (epoch
+    days/weeks).
+    """
+    if window_n < 1:
+        raise ValueError(
+            f"bitmap_rolling_active: window_n must be >= 1, got {window_n}"
+        )
+    sc = F.col(slice_col).cast("long")
+    msgs = segments.select(
+        *group_cols,
+        F.explode(F.sequence(sc, sc + F.lit(window_n - 1))).alias("_anchor"),
+        F.col("word").alias("_w"),
+        F.col("mask").alias("_m"),
+    )
+    merged = msgs.groupBy(*group_cols, "_anchor", "_w").agg(
+        F.bit_or("_m").alias("_mm")
+    )
+    return (
+        merged.groupBy(*group_cols, "_anchor")
+        .agg(F.sum(F.bit_count("_mm")).cast("long").alias("active_ids"))
+        .select(*group_cols, F.col("_anchor").alias(slice_col), "active_ids")
     )

@@ -88,10 +88,38 @@ def attach_bucketed(
     the column list, e.g. ``"k BIGINT, v STRING"``; the declared
     CLUSTERED BY spec must match how the files were written or
     bucket-pruned joins would read wrong buckets — Spark trusts the
-    DDL, so the caller owns that contract (exactly as with Hive)."""
-    if spark.catalog.tableExists(table):
-        return
+    DDL, so the caller owns that contract (exactly as with Hive).
+
+    Idempotent ONLY against an identical prior attach: if ``table``
+    already exists, its location, bucket columns, and bucket count are
+    compared to the arguments and a mismatch raises (r13 advisory — a
+    stale or colliding catalog entry must not be silently reused; it
+    would read wrong buckets with no error)."""
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    if spark.catalog.tableExists(table):
+        desc = {
+            r["col_name"].strip(): (r["data_type"] or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        }
+        def _norm_path(p: str) -> str:
+            return p.removeprefix("file:").rstrip("/")
+        existing = {
+            "location": _norm_path(desc.get("Location", "")),
+            "num_buckets": desc.get("Num Buckets", ""),
+            "bucket_cols": desc.get("Bucket Columns", ""),
+        }
+        requested = {
+            "location": _norm_path(path),
+            "num_buckets": str(num_buckets),
+            "bucket_cols": "[" + ", ".join(f"`{k}`" for k in keys) + "]",
+        }
+        if existing != requested:
+            raise ValueError(
+                f"attach_bucketed: table {table!r} already exists with a "
+                f"different spec — existing {existing} vs requested "
+                f"{requested}; drop it or use a different name"
+            )
+        return
     sort = ""
     if sort_key:
         sk = [sort_key] if isinstance(sort_key, str) else list(sort_key)

@@ -5,13 +5,17 @@ top-k as the exact baseline, and a random-hyperplane LSH variant as the
 100 TB path (buckets shrink the candidate set; exact re-rank inside
 buckets).
 
-Vector math has three measured tiers (PERF.md):
-  * known dim <= 256: unrolled element_at multiply-adds (wholestage
-    codegen — the default for every oracle-checked query);
-  * ``pandas_cosine``: Arrow/numpy einsum — wins on quadratic pair
-    scoring and high dims (BLAS batch amortizes per-element overhead);
-  * unknown dim fallback: zip_with/aggregate fold (interpreted; avoid
-    in hot paths).
+Vector math has two measured tiers (PERF.md):
+  * ``_dot``/``_norm``: the zip_with/aggregate HOF fold — ONE fused
+    interpreted pass per pair/row.  This is the default everywhere
+    since r14: the round-2 "unroll element_at for known dims" rule
+    INVERTED on Spark 4.1.2 (the 64+-term generated method blows
+    codegen limits and interprets per element) — r13/r14 A/Bs read
+    fold 5–7× faster on joined-pair stages and ~1.6× on per-row norm
+    builds, bit-identical results (both accumulate strictly
+    left-to-right).
+  * ``pandas_cosine``: Arrow/numpy einsum — wins on very high dims
+    where BLAS batch amortizes Arrow transfer.
 """
 
 from __future__ import annotations
@@ -25,21 +29,24 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Sum of elementwise products, accumulated in double.
+    """Sum of elementwise products, accumulated in double — ALWAYS the
+    zip_with/aggregate HOF fold (one fused interpreted pass over the
+    two arrays), accumulating strictly left-to-right, bit-identical to
+    the DuckDB oracle's list fold.
 
-    With a known ``dim`` (<= 256) the dot product unrolls to plain
-    ``element_at`` multiply-adds — wholestage codegen.  The generic
-    higher-order-function fold is CodegenFallback (interpreted) and
-    measured ~10x slower on pairwise workloads; it remains the fallback
-    for unknown/huge dims.  Both accumulate strictly left-to-right, so
-    results are bit-identical to each other and to the DuckDB oracle's
-    list fold.
+    ``dim`` is accepted for API stability but IGNORED since r14: the
+    old "unroll element_at for dim <= 256" fast path measured 5–7×
+    SLOWER on joined-pair stages and ~1.6× slower on per-row norm
+    builds (PERF.md round-13/-14 A/Bs — the 64+-term generated method
+    exceeds codegen limits and evaluates per element, while the fold
+    is one fused pass).  Behavior note from the retirement: under ANSI
+    the unrolled ``element_at(v, i)`` THREW on a shorter-than-``dim``
+    vector, whereas the fold yields NULL for mismatched lengths
+    (``zip_with`` NULL-pads the shorter side and the NULL product
+    propagates through the sum) — :func:`cosine` then pins that to
+    0.0 via its coalesce guard.  Callers wanting strict length
+    enforcement validate upstream.
     """
-    if dim is not None and dim <= 256:
-        acc = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
-        for i in range(2, dim + 1):
-            acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -115,14 +122,11 @@ def cosine_topk(
     ranking is a window over (query, sim).  Ties broken by neighbor
     id — deterministic.  Returns (query_id, neighbor_id, sim, rank).
 
-    Vector math defaults to the compact zip_with/aggregate fold: with
-    |queries| << |corpus| the pair count is small, so the interpreted
-    fold's per-pair cost is negligible while the unrolled form's
-    ~dim*12 expression nodes dominate wall time through analyzer +
-    codegen compile (measured 9.3s cold / 2.5s warm unrolled vs 0.8s
-    warm folded on 5k pairs).  Pass ``unroll_dim`` only for genuinely
-    quadratic workloads where per-pair throughput pays back the
-    compile (PERF.md: 16s vs 75s on 2M pairs).
+    Vector math is the zip_with/aggregate fold (see ``_dot`` — the
+    only tier since r14; ``unroll_dim`` is retained for API stability
+    but ignored, because the unrolled form measured slower at every
+    stake: 9.3s cold / 2.5s warm vs 0.8s warm folded on 5k pairs, and
+    5–7× slower on quadratic pair stages, PERF.md round-13/-14).
     """
     scored = _cosine_scored_pairs(corpus, queries, id_col, vec_col, unroll_dim)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -541,9 +545,8 @@ def cosine_neardup_pairs(
 
     Per-row norms are computed ONCE before the block replication and
     carried through the exchange, so the join stage evaluates a single
-    unrolled dot product per pair (3x smaller generated code — the
-    full inline cosine blew janino's 64 KB method limit inside the
-    joined stage and fell back to interpretation).  Note this is the
+    dot product per pair (the full inline cosine — three folds per
+    pair — measured 3× the work of the hoisted form).  Note this is the
     opposite trade from the old BNLJ formulation, where the broadcast
     side re-evaluated projections per probe and precomputing norms
     measured slower (PERF.md).  Cosine is symmetric (elementwise

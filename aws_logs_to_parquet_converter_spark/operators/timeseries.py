@@ -638,6 +638,14 @@ def kendall_trend(
     scale path.
 
     Returns (group, n_buckets, concordant, discordant, tied, s_stat).
+    ``n_buckets`` is counted DIRECTLY (the self-pairs of the join, one
+    per bucket since the input is unique per (group, bucket)) — not
+    reconstructed through a float sqrt of the pair count — and every
+    input group appears in the output: a single-bucket group has zero
+    pairs and emits (group, 1, 0, 0, 0, 0) rather than vanishing.
+    The join uses ``<=`` so each bucket pairs with itself exactly
+    once; self-pairs feed only the bucket count, never the pair
+    tallies, and no third evaluation of ``df``'s lineage is added.
     """
     left = df.select(
         F.col(group_col).alias("_g"),
@@ -649,29 +657,27 @@ def kendall_trend(
         F.col(order_col).alias("_o2"),
         F.col(value_col).cast("long").alias("_v2"),
     )
-    pairs = left.join(right, "_g").where(F.col("_o1") < F.col("_o2"))
+    pairs = left.join(right, "_g").where(F.col("_o1") <= F.col("_o2"))
     scored = pairs.select(
         "_g",
+        (F.col("_o1") == F.col("_o2")).alias("_self"),
         F.when(
             (F.col("_v2") > F.col("_v1")), F.lit(1)
         ).when(
             (F.col("_v2") < F.col("_v1")), F.lit(-1)
         ).otherwise(F.lit(0)).alias("_sign"),
     )
+    s = F.col("_self")
     counts = scored.groupBy("_g").agg(
-        F.count("*").alias("_pairs"),
-        F.count(F.when(F.col("_sign") == 1, 1)).alias("concordant"),
-        F.count(F.when(F.col("_sign") == -1, 1)).alias("discordant"),
-        F.count(F.when(F.col("_sign") == 0, 1)).alias("tied"),
-        F.sum("_sign").alias("s_stat"),
+        F.count(F.when(s, 1)).alias("_nb"),
+        F.count(F.when(~s & (F.col("_sign") == 1), 1)).alias("concordant"),
+        F.count(F.when(~s & (F.col("_sign") == -1), 1)).alias("discordant"),
+        F.count(F.when(~s & (F.col("_sign") == 0), 1)).alias("tied"),
+        F.sum(F.when(~s, F.col("_sign")).otherwise(F.lit(0))).alias("s_stat"),
     )
-    # n_buckets back from the pair count: p = n(n-1)/2
-    n_from_pairs = (
-        F.lit(1) + F.sqrt(F.lit(1.0) + F.lit(8.0) * F.col("_pairs"))
-    ) / F.lit(2.0)
     return counts.select(
         F.col("_g").alias(group_col),
-        F.round(n_from_pairs).cast("long").alias("n_buckets"),
+        F.col("_nb").cast("long").alias("n_buckets"),
         "concordant",
         "discordant",
         "tied",

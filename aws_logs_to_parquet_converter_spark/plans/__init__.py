@@ -19,7 +19,37 @@ import aws_logs_to_parquet_converter_spark.plans.log_domain  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 
 # The driver's correctness gate grades the FIRST 50 registry entries.
-# Round-13 window policy (grade currency is derivable from the
+# Round-14 window policy (grade currency is derivable from the
+# CORRECTNESS_r*.json artifacts — latest green round per entry):
+#   1. NEVER driver-graded oracle-bearing entries outrank everything
+#      (standing policy): the two late r13 births q_bitmap_retention +
+#      q_bitmap_rollup (judge-swept green in the r13 session; the r13
+#      verdict's item 2 orders them to lead), and the r14 births
+#      (q_bitmap_rolling_active — rolling N-day actives from segments,
+#      verdict item 6 — plus later r14 births as they land).
+#   2. code changed this round re-enters (standing policy):
+#      q_trend_kendall (n_buckets counted directly from the join's
+#      self-pairs; single-bucket groups emitted — r13 advisory),
+#      q_cusum_changepoint (BIGINT overflow guard fails with the
+#      operator's own message — r13 advisory), q_bucket_join
+#      (attach_bucketed raises on spec mismatch instead of silently
+#      reusing a stale catalog entry — r13 advisory),
+#      q_bitmap_retention (duplicate segment rows bit_or, already in
+#      #1), and the similarity trio q_semantic_dedup +
+#      q_semantic_dedup_cells_md5 + q_embed_neardup (the r13 verdict's
+#      item 1: _dot/_norm flipped to the always-HOF-fold form — the
+#      per-ROW norm builds were the last unrolled sites; bit-identical
+#      by construction, locally re-graded at both SFs).
+#   3. the FULL 33-entry r9-stale cohort backfills in registry-name
+#      order (r13 verdict item 3 asked for the oldest half with ~15
+#      slots; holding r14 births to the spare slots frees all 33, so
+#      after this round NO oracle-bearing entry's latest driver grade
+#      is older than r10 — and these 33 leave r9 entirely):
+#      q14_promo_effect .. q_window_first_last.
+# Rotated out (green at their latest r10-r13 grade and UNMODIFIED
+# this round): the r13 window remainder — all inside currency.
+# Round-13 window policy (kept for the audit trail; grade currency is
+# derivable from the
 # CORRECTNESS_r*.json artifacts — latest green round per entry):
 #   1. NEVER driver-graded oracle-bearing entries outrank everything
 #      (standing policy): the r13 births — q_etl_days_apart (the r12
@@ -217,65 +247,63 @@ GRADED_WINDOW = 50
 _PRIORITY = [
     # flagship (reference's days_apart_analysis.sql run verbatim)
     "q_days_apart",
-    # (1) never driver-graded: r13 births (later births displaced the
-    # four lowest r9 backfill slots — q_agg_modern .. q_chunk_docs)
-    "q_etl_days_apart",
-    "q_partition_backfill",
-    "q_schema_evolution",
-    "q_cusum_changepoint",
+    # (1) never driver-graded: late r13 births + r14 births
+    "q_bitmap_retention",
+    "q_bitmap_rollup",
+    "q_bitmap_rolling_active",
+    # (2) code changed this round (r13 advisory fixes + the _dot/_norm
+    # always-HOF-fold flip)
     "q_trend_kendall",
-    "q_stream_sessionize",
-    "q_bitmap_distinct",
-    "q_acf_daily",
-    "q_record_linkage",
+    "q_cusum_changepoint",
     "q_bucket_join",
-    "q_stream_bitmap_distinct",
-    # (2) code changed this round
-    "q_etl_roundtrip",
-    "q_interarrival_cv",
-    "q_ewma_daily",
-    "q_session_attribution",
-    "q_markov_transitions",
-    "q_top_paths",
     "q_semantic_dedup",
     "q_semantic_dedup_cells_md5",
     "q_embed_neardup",
-    # (3) the 18-entry r8-stale cohort (r12 verdict item 1)
-    "q_map_funcs",
-    "q_mix_sources",
-    "q_mix_token_budget",
-    "q_ngram_jaccard",
-    "q_recursive_cte",
-    "q_regexp_funcs",
-    "q_salted_agg",
-    "q_segment_repetition",
-    "q_session_window",
-    "q_sessionize",
-    "q_sliding_window",
-    "q_union_by_name",
-    "q_url_funcs",
-    "q_warc_extract",
-    "q_window_lag",
-    "q_window_ntile",
-    "q_window_percent_rank",
-    "q_window_range_frame",
-    # (4) oldest-evidence backfill: the r9 cohort in registry-name
-    # order (the remainder — q_agg_stats .. q_window_first_last, plus
-    # q17-q21 displaced by the five late births (q_bitmap_distinct,
-    # q_acf_daily, q_record_linkage, q_bucket_join,
-    # q_stream_bitmap_distinct) — stays r9-green and leads the r14
-    # rotation)
-    "q02_filter_project",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_count_distribution",
+    # (3) the FULL 33-entry r9-stale cohort in registry-name order
+    # (r13 verdict item 3 — after this round nothing is older than r10)
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_promotable_suppliers",
+    "q21_sole_blame_suppliers",
+    "q22_idle_balances",
+    "q_agg_modern",
+    "q_agg_stats",
+    "q_bitwise_funcs",
+    "q_chunk_docs",
+    "q_corpus_clean_pipeline",
+    "q_corpus_diff",
+    "q_data_quality",
+    "q_dedup_keep_best",
+    "q_dedup_keep_list",
+    "q_embed_topk_pq_exact",
+    "q_incremental_dedup",
+    "q_incremental_dedup_bloom",
+    "q_pii_scrub",
+    "q_span_dedup",
+    "q_split_assign",
+    "q_stratified_sample",
+    "q_stream_daily_events",
+    "q_stream_dedup",
+    "q_stream_read_after_write",
+    "q_string_agg",
+    "q_text_stats",
+    "q_url_dedup",
+    "q_values_dim",
+    "q_window_first_last",
+    # (4) next-oldest (r10) backfill fills the spare slots in
+    # registry-name order; each later r14 birth displaces the LAST of
+    # these (which stays r10-green and leads the r15 rotation)
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_approx_percentiles",
+    "q_bigram_lm",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -5440,28 +5440,33 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ), p AS (
         SELECT a.event_type AS g,
+               a.day = b.day AS self,
                CASE WHEN b.n > a.n THEN 1
                     WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
         FROM d a JOIN d b
-          ON a.event_type = b.event_type AND a.day < b.day
+          ON a.event_type = b.event_type AND a.day <= b.day
     )
     SELECT g AS event_type,
-           CAST(ROUND((1 + SQRT(1.0 + 8.0 * COUNT(*))) / 2) AS BIGINT)
-               AS n_buckets,
-           CAST(COUNT(*) FILTER (WHERE sgn = 1) AS BIGINT) AS concordant,
-           CAST(COUNT(*) FILTER (WHERE sgn = -1) AS BIGINT) AS discordant,
-           CAST(COUNT(*) FILTER (WHERE sgn = 0) AS BIGINT) AS tied,
-           CAST(SUM(sgn) AS BIGINT) AS s_stat
+           CAST(COUNT(*) FILTER (WHERE self) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) FILTER (WHERE NOT self AND sgn = 1) AS BIGINT)
+               AS concordant,
+           CAST(COUNT(*) FILTER (WHERE NOT self AND sgn = -1) AS BIGINT)
+               AS discordant,
+           CAST(COUNT(*) FILTER (WHERE NOT self AND sgn = 0) AS BIGINT)
+               AS tied,
+           CAST(SUM(CASE WHEN self THEN 0 ELSE sgn END) AS BIGINT) AS s_stat
     FROM p GROUP BY g
     """,
 )
 def q_trend_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotonic-trend screen per event type over daily
     counts (timeseries.kendall_trend): concordant/discordant/tied
-    pair counts and the S statistic, all exact integers (n_buckets
-    rides back through √(1+8p) of a perfect square — exact on both
-    engines).  The O(days²) self-join runs on the pre-aggregated
-    daily table, bounded by calendar size.  Round-13 birth."""
+    pair counts and the S statistic, all exact integers.  n_buckets
+    is counted directly from the join's self-pairs (r13 advisory: the
+    old √(1+8p) reconstruction dropped single-bucket groups), so
+    every group appears even with zero pairs.  The O(days²) self-join
+    runs on the pre-aggregated daily table, bounded by calendar size.
+    Round-13 birth, r14 re-entry (code-changed)."""
     from aws_logs_to_parquet_converter_spark.operators import timeseries
 
     e = t(spark, sf_dir, "events")
@@ -5695,4 +5700,56 @@ def q_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = bitmap.bitmap_build(e, ["event_type", "week"], "user_id")
     return bitmap.bitmap_rollup_cardinality(segs, ["event_type", "week"]).select(
         "event_type", "week", "gid", F.col("distinct_ids").alias("distinct_users")
+    )
+
+
+@query(
+    "q_bitmap_rolling_active",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed,
+               user_id
+        FROM events
+    ), bounds AS (
+        SELECT MIN(ed) AS lo, MAX(ed) AS hi FROM ud
+    ), spine AS (
+        SELECT UNNEST(RANGE(lo, hi + 1)) AS d FROM bounds
+    ), contrib AS (
+        SELECT UNNEST(RANGE(ed, ed + 7)) AS d, user_id FROM ud
+    ), wau AS (
+        SELECT d, COUNT(DISTINCT user_id) AS a FROM contrib GROUP BY d
+    )
+    SELECT CAST(s.d AS BIGINT) AS day,
+           CAST(COALESCE(w.a, 0) AS BIGINT) AS active_7d
+    FROM spine s LEFT JOIN wau w ON w.d = s.d
+    """,
+)
+def q_bitmap_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact active users from bitmap segments
+    (bitmap.bitmap_rolling_active): daily (day) segments each serve
+    the 7 window ends they fall in, one (anchor, word) bit_or merges
+    the trailing slices, popcount finishes — the segment-sized
+    re-windowing of the metric q_rolling_active_users computes by
+    exploding distinct (user, day) PAIRS (r13 verdict item 6: the
+    explode form's shuffle is data-shaped; this one is |ids|/64-words-
+    shaped and reuses the MV already built for distinct counts).  The
+    oracle restates the explode form over raw events, so the grade
+    proves window algebra == set semantics.  Day spine bounds the
+    anchors to the observed calendar and restores zero-activity days.
+    Round-14 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import bitmap
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "day",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long"),
+    )
+    segs = bitmap.bitmap_build(e, ["day"], "user_id")
+    rolled = bitmap.bitmap_rolling_active(segs, [], "day", 7)
+    spine = e.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    ).select(F.explode(F.sequence("_lo", "_hi")).alias("day"))
+    return spine.join(rolled, "day", "left").select(
+        F.col("day").cast("long").alias("day"),
+        F.coalesce("active_ids", F.lit(0)).cast("long").alias("active_7d"),
     )

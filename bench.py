@@ -28,6 +28,13 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Host-state evidence (r13 verdict item 5): this host carries
+    # co-tenant load spikes (loadavg 5-9 with nothing of ours running),
+    # and a guard trip under that load cost a judge bench re-run to
+    # adjudicate.  Recording loadavg before/after lets a trip
+    # self-identify as host noise vs a real regression.
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
+
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
 
     # Warmup: touch the fact table once (JVM, codegen, file-index costs)
@@ -159,6 +166,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(results.values()), 3)
+    load_end = tuple(round(x, 2) for x in os.getloadavg())
     print(
         json.dumps(
             {
@@ -167,6 +175,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "host": {
+                    "loadavg_start": load_start,
+                    "loadavg_end": load_end,
+                    "cpus": os.cpu_count(),
+                },
             }
         )
     )
@@ -198,7 +211,13 @@ def _check_regressions(results: dict[str, float], sf: float) -> None:
         if ref and secs > 1.5 * ref:
             regressions.append(f"{name}: {secs:.2f}s vs baseline {ref:.2f}s ({secs / ref:.1f}x)")
     for line in regressions:
-        print(f"bench-guard REGRESSION {line}", file=sys.stderr)
+        # carry host state on the trip itself: a uniform elevation under
+        # documented co-tenant load is noise, not a regression
+        print(
+            f"bench-guard REGRESSION {line} [loadavg now "
+            f"{tuple(round(x, 2) for x in os.getloadavg())}]",
+            file=sys.stderr,
+        )
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_ENFORCE") == "1":
         sys.exit(3)
 

@@ -6,7 +6,11 @@ rows with ONE group holding 50% of them —
    (the one-shot case: is the bitmap path competitive?);
 2. the MV case the representation exists for: re-aggregating distinct
    counts for N different rollup groupings from pre-built daily
-   segments vs re-scanning raw data N times.
+   segments vs re-scanning raw data N times;
+3. (r14, the r13 verdict's item 7) the rest of the family at the same
+   hot-group shape: bit_and retention and one-pass ROLLUP levels from
+   segments vs their raw COUNT(DISTINCT)/self-join restatements, and
+   rolling 7-day actives from segments vs the explode-pairs form.
 
 Results land in SCALE.md.
 
@@ -108,6 +112,54 @@ def main() -> None:
         ]
         and "",
     )
+    # --- r14: retention / rollup-levels / rolling-window envelope ---
+    timed(
+        "bit_and retention per (g, day->day+1) from segments",
+        lambda: bitmap.bitmap_retention(segs, ["g"], "day")
+        .write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "retention from raw (distinct pairs self-join)",
+        lambda: (lambda ud: ud.alias("a").join(
+            ud.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.uid") == F.col("b.uid"))
+            & (F.col("b.day") == F.col("a.day") - 1),
+        ).groupBy("a.g", "a.day").agg(F.count("*").alias("n")))(
+            df.select("g", "day", "uid").distinct()
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "one-pass ROLLUP levels (g, day) from segments",
+        lambda: bitmap.bitmap_rollup_cardinality(segs, ["g", "day"])
+        .write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "ROLLUP levels from raw (native count_distinct, rollup)",
+        lambda: df.rollup("g", "day").agg(F.count_distinct("uid"))
+        .write.format("noop").mode("overwrite").save(),
+    )
+    day_segs = bitmap.bitmap_build(df, ["day"], "uid").persist()
+    day_segs.count()
+    timed(
+        "rolling 7-day actives from (day) segments",
+        lambda: bitmap.bitmap_rolling_active(day_segs, [], "day", 7)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    timed(
+        "rolling 7-day actives, explode-pairs form (raw scan)",
+        lambda: timeseries.rolling_active_users(
+            df.select(
+                F.timestamp_seconds(F.col("day") * 86400).alias("ts"), "uid"
+            ),
+            "ts",
+            "uid",
+            7,
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    day_segs.unpersist()
     segs.unpersist()
     spark.stop()
 

@@ -125,3 +125,92 @@ def test_rollup_empty_group_cols_rejected(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         bitmap.bitmap_rollup_cardinality(segs, [])
+
+
+def test_retention_duplicate_segment_rows_or_together(spark):
+    """r13 advisory: a unioned, un-merged segment table (duplicate
+    (group, slice, word) rows) must OR masks, not let F.max pick one
+    — otherwise retention silently undercounts."""
+    df1 = spark.createDataFrame(
+        [("g", 10, 5), ("g", 11, 5)], "g string, wk long, id long"
+    )
+    df2 = spark.createDataFrame(
+        [("g", 10, 64), ("g", 11, 64), ("g", 10, 7), ("g", 11, 7)],
+        "g string, wk long, id long",
+    )
+    dup_segs = bitmap.bitmap_build(df1, ["g", "wk"], "id").unionByName(
+        bitmap.bitmap_build(df2, ["g", "wk"], "id")
+    )
+    # word 0 appears twice per (g, wk): {5} from df1, {7} from df2
+    got = {
+        (r["g"], r["wk"]): r["n_retained"]
+        for r in bitmap.bitmap_retention(dup_segs, ["g"], "wk").collect()
+    }
+    assert got == {("g", 11): 3}  # {5, 7, 64} all retained
+
+
+def test_intersect_duplicate_segment_rows_or_together(spark):
+    df1 = spark.createDataFrame(
+        [("g", "w1", 5), ("g", "w2", 5)], "g string, w string, id long"
+    )
+    df2 = spark.createDataFrame(
+        [("g", "w1", 7), ("g", "w2", 7)], "g string, w string, id long"
+    )
+    dup_segs = bitmap.bitmap_build(df1, ["g", "w"], "id").unionByName(
+        bitmap.bitmap_build(df2, ["g", "w"], "id")
+    )
+    (r,) = bitmap.bitmap_intersect_cardinality(
+        dup_segs, ["g"], "w", "w1", "w2"
+    ).collect()
+    assert r["n_both"] == 2  # {5, 7} — a fan-out join would pair wrong
+
+
+def test_rolling_active_matches_bruteforce(spark):
+    rows = [
+        ("g", 0, 1), ("g", 0, 2),
+        ("g", 2, 2), ("g", 2, 64),
+        ("g", 5, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, day long, id long")
+    segs = bitmap.bitmap_build(df, ["g", "day"], "id")
+    got = {
+        (r["g"], r["day"]): r["active_ids"]
+        for r in bitmap.bitmap_rolling_active(segs, ["g"], "day", 3).collect()
+    }
+    # brute force trailing-3 windows (anchors 0..7: day+2 max)
+    by_day = {0: {1, 2}, 2: {2, 64}, 5: {1}}
+    want = {}
+    for a in range(0, 8):
+        s = set()
+        for d in range(a - 2, a + 1):
+            s |= by_day.get(d, set())
+        if s:
+            want[("g", a)] = len(s)
+    assert got == want
+    # window_n=1 degenerates to per-slice cardinality
+    got1 = {
+        (r["g"], r["day"]): r["active_ids"]
+        for r in bitmap.bitmap_rolling_active(segs, ["g"], "day", 1).collect()
+    }
+    assert got1 == {("g", 0): 2, ("g", 2): 2, ("g", 5): 1}
+
+
+def test_rolling_active_duplicate_rows_or_together(spark):
+    df1 = spark.createDataFrame([("g", 0, 5)], "g string, day long, id long")
+    df2 = spark.createDataFrame([("g", 0, 7)], "g string, day long, id long")
+    dup = bitmap.bitmap_build(df1, ["g", "day"], "id").unionByName(
+        bitmap.bitmap_build(df2, ["g", "day"], "id")
+    )
+    got = {
+        r["day"]: r["active_ids"]
+        for r in bitmap.bitmap_rolling_active(dup, ["g"], "day", 2).collect()
+    }
+    assert got == {0: 2, 1: 2}
+
+
+def test_rolling_active_bad_window_raises(spark):
+    df = spark.createDataFrame([("g", 0, 1)], "g string, day long, id long")
+    segs = bitmap.bitmap_build(df, ["g", "day"], "id")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window_n"):
+        bitmap.bitmap_rolling_active(segs, ["g"], "day", 0)

@@ -132,3 +132,41 @@ def test_external_write_attach_roundtrip_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS ext_o")
         spark.sql("DROP TABLE IF EXISTS ext_l")
+
+
+def test_attach_bucketed_mismatch_raises(spark, tmp_path):
+    """r13 advisory: re-attaching over an existing table with a
+    different location/bucket spec must raise, not silently reuse the
+    stale catalog entry (which would read wrong buckets)."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.bucketing import (
+        attach_bucketed,
+        write_bucketed_external,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey").limit(10)
+    write_bucketed_external(o, str(tmp_path / "a"), "o_orderkey", 4)
+    write_bucketed_external(o, str(tmp_path / "b"), "o_orderkey", 4)
+    try:
+        attach_bucketed(
+            spark, "ext_mm", "o_orderkey BIGINT",
+            str(tmp_path / "a"), "o_orderkey", 4,
+        )
+        with pytest.raises(ValueError, match="different spec"):
+            attach_bucketed(  # different path
+                spark, "ext_mm", "o_orderkey BIGINT",
+                str(tmp_path / "b"), "o_orderkey", 4,
+            )
+        with pytest.raises(ValueError, match="different spec"):
+            attach_bucketed(  # different bucket count
+                spark, "ext_mm", "o_orderkey BIGINT",
+                str(tmp_path / "a"), "o_orderkey", 8,
+            )
+        # identical spec stays idempotent
+        attach_bucketed(
+            spark, "ext_mm", "o_orderkey BIGINT",
+            str(tmp_path / "a"), "o_orderkey", 4,
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_mm")

@@ -842,3 +842,36 @@ def test_kendall_trend_python_differential(spark):
         assert (r["n_buckets"], r["concordant"], r["discordant"],
                 r["tied"], r["s_stat"]) == (
             len(vals), conc, disc, tied, conc - disc)
+
+
+def test_kendall_trend_single_bucket_group_emitted(spark):
+    """r13 advisory: a group with one bucket has zero pairs but must
+    still appear — (group, 1, 0, 0, 0, 0) — with n_buckets counted
+    directly rather than reconstructed from the pair count."""
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        kendall_trend,
+    )
+
+    rows = [("solo", "d1", 5), ("duo", "d1", 1), ("duo", "d2", 2)]
+    df = spark.createDataFrame(rows, "g string, day string, n long")
+    got = {r["g"]: tuple(r)[1:] for r in kendall_trend(df, "g", "day", "n").collect()}
+    assert got["solo"] == (1, 0, 0, 0, 0)
+    assert got["duo"] == (2, 1, 0, 0, 1)
+
+
+def test_cusum_out_of_contract_overflow_fails_loudly(spark):
+    """r13 advisory: values large enough that n*S_k overflows BIGINT
+    must raise cusum's own message (not a generic engine overflow on
+    one engine and a silent HUGEINT answer on the other)."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+        cusum_changepoint,
+    )
+
+    # sums still fit BIGINT (S_n = 2^62) but n*S_k would not
+    huge = (1 << 60)
+    rows = [("g", f"d{i}", huge) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, day string, n long")
+    with pytest.raises(Exception, match="cusum_changepoint"):
+        cusum_changepoint(df, "g", "day", "n").collect()

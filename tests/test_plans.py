@@ -119,11 +119,11 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-13
-    window policy (plans/__init__.py): the r13 births lead, then the
-    code-changed re-entries, then the 18-entry r8-stale cohort the
-    r12 verdict ordered in, then the oldest-evidence r9 backfill —
-    every windowed entry hash-gradeable."""
+    """The driver grades the first 50 registry entries.  Round-14
+    window policy (plans/__init__.py): the never-driver-graded bitmap
+    births lead, then this round's code-changed re-entries (advisory
+    fixes + the _dot/_norm always-fold flip), then the FULL 33-entry
+    r9-stale cohort — every windowed entry hash-gradeable."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
     names = list(REGISTRY)
@@ -132,27 +132,18 @@ def test_graded_window_covers_priority_surface():
     required = {
         # flagship
         "q_days_apart",
-        # never driver-graded: r13 births (the late five displaced
-        # q17-q21 from the r9 backfill, which stays r9-green)
-        "q_etl_days_apart", "q_partition_backfill",
-        "q_schema_evolution", "q_cusum_changepoint", "q_trend_kendall",
-        "q_stream_sessionize", "q_bitmap_distinct", "q_acf_daily",
-        "q_record_linkage", "q_bucket_join", "q_stream_bitmap_distinct",
-        # code changed this round (shared ETL fixture, the two r12
-        # advisory fixes, the sequence-family lossless segment lever)
-        "q_etl_roundtrip", "q_interarrival_cv", "q_ewma_daily",
-        "q_session_attribution", "q_markov_transitions", "q_top_paths",
-        "q_semantic_dedup", "q_semantic_dedup_cells_md5", "q_embed_neardup",
-        # the full 18-entry r8-stale cohort (r12 verdict item 1)
-        "q_map_funcs", "q_mix_sources", "q_mix_token_budget",
-        "q_ngram_jaccard", "q_recursive_cte", "q_regexp_funcs",
-        "q_salted_agg", "q_segment_repetition", "q_session_window",
-        "q_sessionize", "q_sliding_window", "q_union_by_name",
-        "q_url_funcs", "q_warc_extract", "q_window_lag",
-        "q_window_ntile", "q_window_percent_rank",
-        "q_window_range_frame",
-        # r9 backfill anchors (first and last in name order)
-        "q02_filter_project", "q13_order_count_distribution",
+        # never driver-graded: late r13 births + the r14 births
+        "q_bitmap_retention", "q_bitmap_rollup",
+        "q_bitmap_rolling_active",
+        # code changed this round (r13 advisories + fold flip)
+        "q_trend_kendall", "q_cusum_changepoint", "q_bucket_join",
+        "q_semantic_dedup", "q_semantic_dedup_cells_md5",
+        "q_embed_neardup",
+        # the full 33-entry r9-stale cohort (r13 verdict item 3) —
+        # anchors: first/last in name order plus the streaming rows
+        "q14_promo_effect", "q22_idle_balances", "q_agg_modern",
+        "q_stream_daily_events", "q_stream_dedup",
+        "q_stream_read_after_write", "q_window_first_last",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
