@@ -1,0 +1,216 @@
+"""Interval analytics: the overlap join and the sweep-line — two
+operators Spark has no native form for, both expressed so the
+quadratic/ordered parts are confined to bounded buckets.
+
+* :func:`interval_join` — pairs of overlapping half-open intervals
+  across two tables.  The naive form is a theta-join (O(n·m),
+  BNLJ/cartesian — plan-sweep-banned here); this one replicates each
+  interval to the fixed-width time buckets it spans and equi-joins on
+  (keys…, bucket), so the plan is a shuffled hash/SMJ join with
+  bounded per-bucket work.  The classic duplicate problem (a pair
+  overlapping in k shared buckets matches k times) is solved WITHOUT a
+  distinct: a pair is emitted only in the bucket holding
+  ``max(l_start, r_start)`` — each overlapping pair has exactly one
+  such bucket, so no dedup shuffle exists at all.
+
+* :func:`peak_concurrency` — max simultaneously-open intervals per
+  group (peak sessions, connection high-water marks).  The textbook
+  sweep line is a running sum over ONE ordered stream per group — a
+  single-task funnel on a hot group.  Here the prefix sum is
+  SEGMENTED (the sequence-family lever): net deltas aggregate per
+  (group, t) first, within-bucket running sums and per-bucket totals
+  run keyed by (group, bucket), and a buckets-sized window stitches
+  cumulative offsets — exact, no per-group total order anywhere.
+
+No reference counterpart (the reference core has no interval
+machinery); extends the warehouse-analytics family beside
+operators/asof.py (reference: s3_logs_to_parquet/compacter.py holds
+no comparable operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _require_integral(df: DataFrame, col: str, op: str) -> None:
+    dt = df.schema[col].dataType
+    if not isinstance(dt, _INTEGRAL):
+        raise TypeError(
+            f"{op}: {col!r} must be integral epoch units "
+            f"(got {dt.simpleString()!r}); cast timestamps with unix_micros "
+            "first — fractional bucket math would mis-bucket boundaries"
+        )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    keys: list[str] | None = None,
+    bucket_width: int = 3_600_000_000,
+    max_span_buckets: int = 4096,
+) -> DataFrame:
+    """All (left, right) pairs whose HALF-OPEN intervals overlap —
+    ``l_start < r_end AND r_start < l_end`` — optionally also matching
+    on equality ``keys``.  Returns left's columns + right's columns
+    (names must be disjoint apart from ``keys``; a collision raises).
+
+    Scale shape: each side replicates to the ``bucket_width``-sized
+    buckets its interval touches (a bounded ``sequence`` explode, NOT
+    a data-sized one — the span guard below fails loudly at
+    ``max_span_buckets``), the join is a plain equi-join on
+    (keys…, bucket), and the one-bucket-owns-the-pair rule
+    (bucket == bucket(max(l_start, r_start))) makes output exactly-once
+    with zero dedup.  Pick ``bucket_width`` near the TYPICAL interval
+    length: too narrow replicates long intervals; too wide piles
+    unrelated intervals into one bucket's verification.
+
+    Empty intervals (end <= start) match nothing under half-open
+    semantics and are dropped up front on both sides.
+    """
+    keys = list(keys or [])
+    if bucket_width < 1:
+        raise ValueError(f"interval_join: bucket_width must be >= 1, got {bucket_width}")
+    for df_, s_, e_ in ((left, l_start, l_end), (right, r_start, r_end)):
+        _require_integral(df_, s_, "interval_join")
+        _require_integral(df_, e_, "interval_join")
+    overlap_names = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap_names:
+        raise ValueError(
+            f"interval_join: column names collide across sides: "
+            f"{sorted(overlap_names)}; alias one side first"
+        )
+
+    def bucketed(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+        s = F.col(start).cast("long")
+        e = F.col(end).cast("long")
+        first_b = F.floor(s / bucket_width)
+        last_b = F.floor((e - 1) / bucket_width)  # e-1: end is exclusive
+        guard = F.assert_true(
+            last_b - first_b < F.lit(max_span_buckets),
+            F.lit(
+                f"interval_join: an interval in ({start!r}, {end!r}) spans "
+                f">= {max_span_buckets} buckets of width {bucket_width}; "
+                "raise bucket_width or max_span_buckets"
+            ),
+        )
+        return (
+            df.where(e > s)
+            .where(guard.isNull())  # NULL == passed; a violation throws
+            .select("*", F.explode(F.sequence(first_b, last_b)).alias("_bkt"))
+        )
+
+    lb = bucketed(left, l_start, l_end, "l")
+    rb = bucketed(right, r_start, r_end, "r")
+    joined = lb.join(rb, [*keys, "_bkt"])
+    ls, le = F.col(l_start).cast("long"), F.col(l_end).cast("long")
+    rs, re_ = F.col(r_start).cast("long"), F.col(r_end).cast("long")
+    return (
+        joined.where((ls < re_) & (rs < le))
+        # exactly-once: only the bucket containing the later start owns
+        # the pair (that bucket is always a shared bucket of an
+        # overlapping pair, and there is exactly one)
+        .where(F.col("_bkt") == F.floor(F.greatest(ls, rs) / bucket_width))
+        .drop("_bkt")
+    )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 86_400,
+) -> DataFrame:
+    """Peak number of simultaneously-open half-open intervals per
+    group, plus the earliest instant the peak is reached.  Returns
+    (group…, peak, peak_at).
+
+    Sweep line, segmented: (1) every interval emits (+1 at start, −1
+    at end); deltas NET per (group, t) — half-open semantics fall out
+    of the netting, since an end and a start at the same t cancel
+    exactly as [s,e) adjacency requires; (2) within each (group,
+    bucket = t div bucket_width) a keyed window computes local running
+    sums and one aggregate the bucket total; (3) a buckets-sized
+    window per group turns bucket totals into exclusive offsets;
+    (4) max(offset + local running) with an (earliest-t) tie-break.
+    No per-group total order is ever materialized — the hot-group
+    single-task funnel the naive sweep line hits cannot occur; the
+    only per-group-ordered window runs over per-BUCKET rows (calendar-
+    bounded at any data size).
+
+    ``start_col``/``end_col`` must be integral epoch units; empty
+    intervals (end <= start) contribute nothing and are dropped.
+    """
+    if bucket_width < 1:
+        raise ValueError(f"peak_concurrency: bucket_width must be >= 1, got {bucket_width}")
+    _require_integral(df, start_col, "peak_concurrency")
+    _require_integral(df, end_col, "peak_concurrency")
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    deltas = (
+        df.where(e > s)
+        .select(
+            *group_cols,
+            F.explode(
+                F.array(
+                    F.struct(s.alias("_t"), F.lit(1).alias("_d")),
+                    F.struct(e.alias("_t"), F.lit(-1).alias("_d")),
+                )
+            ).alias("_ev"),
+        )
+        .select(*group_cols, F.col("_ev._t").alias("_t"), F.col("_ev._d").alias("_d"))
+        .groupBy(*group_cols, "_t")
+        .agg(F.sum("_d").alias("_nd"))
+        .withColumn("_bkt", F.floor(F.col("_t") / bucket_width))
+    )
+    w_local = (
+        Window.partitionBy(*group_cols, "_bkt")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = deltas.select(
+        *group_cols, "_bkt", "_t", F.sum("_nd").over(w_local).alias("_run")
+    )
+    # per-bucket best (max local running, earliest t) and bucket total:
+    # ONE aggregate serves both the stitch and the answer extraction
+    per_bucket = local.groupBy(*group_cols, "_bkt").agg(
+        F.max(F.struct(F.col("_run").alias("c"), (-F.col("_t")).alias("nt"))).alias("_best"),
+        F.max(F.struct(F.col("_t").alias("t"), F.col("_run").alias("r"))).alias("_last"),
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # _last.r (the running value at the bucket's max t) IS the bucket's
+    # net total, so the exclusive prefix over it is each bucket's offset
+    stitched = per_bucket.select(
+        *group_cols,
+        F.coalesce(F.sum(F.col("_last.r")).over(w_off), F.lit(0)).alias("_off"),
+        "_best",
+    )
+    return (
+        stitched.groupBy(*group_cols)
+        .agg(
+            F.max(
+                F.struct(
+                    (F.col("_off") + F.col("_best.c")).alias("c"),
+                    F.col("_best.nt").alias("nt"),
+                )
+            ).alias("_g")
+        )
+        .select(
+            *group_cols,
+            F.col("_g.c").cast("long").alias("peak"),
+            (-F.col("_g.nt")).cast("long").alias("peak_at"),
+        )
+    )

@@ -795,3 +795,84 @@ def acf_stats(
             "n_pairs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
         )
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    id_col: str,
+    slice_col: str,
+    group_cols: "list | None" = None,
+) -> DataFrame:
+    """Growth accounting (the new / returning / resurrected / churned
+    decomposition of every active-user count): per slice, how many ids
+    were active for the first time ever, active in the previous slice
+    too, back after a gap, and — attributed to slice s — active at s−1
+    but absent at s.  The product-analytics identity
+    ``active(s) = new + returning + resurrected`` and
+    ``active(s) − active(s+1) = churned(s+1) − new(s+1) − resurrected(s+1)``
+    both hold exactly.
+
+    Shape: raw (id, slice) rows collapse to distinct pairs (the only
+    data-sized pass), then ONE groupBy(id) collects each id's sorted
+    active-slice array — bounded by the calendar, never by events —
+    and a Catalyst higher-order ``transform`` classifies every slice
+    against its array neighbors (``F.get``: 0-based, NULL out of
+    bounds).  No per-id ordered window (the hot-id skew surface), no
+    self-join (the double-lineage trap): classification is per-row
+    array math after a single exact shuffle on id.
+
+    Churn is emitted at s+1 for every active slice s whose successor
+    is absent — including s = the id's last active slice, so the final
+    observed slice's cohort churns at max(slice)+1 (the not-yet-
+    observable horizon row; callers wanting only the observed calendar
+    filter it).  ``slice_col`` must be integral (epoch days/weeks).
+
+    Returns (group…, slice, n_new, n_returning, n_resurrected,
+    n_churned), all BIGINT.
+    """
+    groups = list(group_cols or [])
+    pairs = df.select(
+        *groups, F.col(id_col).alias("_id"), F.col(slice_col).cast("long").alias("_s")
+    ).distinct()
+    per_id = pairs.groupBy(*groups, "_id").agg(
+        F.sort_array(F.collect_set("_s")).alias("_ss")
+    )
+    ss = F.col("_ss")
+    active = F.transform(
+        ss,
+        lambda x, i: F.struct(
+            x.alias("s"),
+            F.when(F.get(ss, i - 1).isNull(), F.lit("new"))
+            .when(F.get(ss, i - 1) == x - 1, F.lit("returning"))
+            .otherwise(F.lit("resurrected"))
+            .alias("kind"),
+        ),
+    )
+    churn = F.filter(
+        F.transform(
+            ss,
+            lambda x, i: F.when(
+                F.get(ss, i + 1).isNull() | (F.get(ss, i + 1) != x + 1),
+                F.struct((x + 1).alias("s"), F.lit("churned").alias("kind")),
+            ),
+        ),
+        lambda st: st.isNotNull(),
+    )
+    events = per_id.select(
+        *groups, F.explode(F.concat(active, churn)).alias("_ev")
+    ).select(*groups, F.col("_ev.s").alias("_s"), F.col("_ev.kind").alias("_k"))
+    k = F.col("_k")
+    return (
+        events.groupBy(*groups, "_s")
+        .agg(
+            F.count(F.when(k == "new", 1)).alias("n_new"),
+            F.count(F.when(k == "returning", 1)).alias("n_returning"),
+            F.count(F.when(k == "resurrected", 1)).alias("n_resurrected"),
+            F.count(F.when(k == "churned", 1)).alias("n_churned"),
+        )
+        .select(
+            *groups,
+            F.col("_s").alias(slice_col),
+            "n_new", "n_returning", "n_resurrected", "n_churned",
+        )
+    )

@@ -251,6 +251,9 @@ _PRIORITY = [
     "q_bitmap_retention",
     "q_bitmap_rollup",
     "q_bitmap_rolling_active",
+    "q_growth_accounting",
+    "q_peak_concurrency",
+    "q_interval_join",
     # (2) code changed this round (r13 advisory fixes + the _dot/_norm
     # always-HOF-fold flip)
     "q_trend_kendall",
@@ -301,9 +304,6 @@ _PRIORITY = [
     "q06_forecast_revenue",
     "q_agg_cube",
     "q_agg_distinct",
-    "q_agg_rollup",
-    "q_approx_percentiles",
-    "q_bigram_lm",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -5753,3 +5753,166 @@ def q_bitmap_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("long").alias("day"),
         F.coalesce("active_ids", F.lit(0)).cast("long").alias("active_7d"),
     )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed
+        FROM events
+    ), cls AS (
+        SELECT user_id, ed,
+               LAG(ed) OVER (PARTITION BY user_id ORDER BY ed) AS prv,
+               LEAD(ed) OVER (PARTITION BY user_id ORDER BY ed) AS nxt
+        FROM ud
+    ), ev AS (
+        SELECT ed,
+               CASE WHEN prv IS NULL THEN 'new'
+                    WHEN prv = ed - 1 THEN 'returning'
+                    ELSE 'resurrected' END AS kind
+        FROM cls
+        UNION ALL
+        SELECT ed + 1 AS ed, 'churned' AS kind
+        FROM cls WHERE nxt IS NULL OR nxt <> ed + 1
+    )
+    SELECT ed AS day,
+           CAST(COUNT(*) FILTER (WHERE kind = 'new') AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (WHERE kind = 'returning') AS BIGINT)
+               AS n_returning,
+           CAST(COUNT(*) FILTER (WHERE kind = 'resurrected') AS BIGINT)
+               AS n_resurrected,
+           CAST(COUNT(*) FILTER (WHERE kind = 'churned') AS BIGINT)
+               AS n_churned
+    FROM ev GROUP BY ed
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting over daily actives
+    (timeseries.growth_accounting): every day's active count decomposed
+    into new / returning / resurrected, plus churn attributed to the
+    day after each lapsed streak — the product-analytics quad.  The
+    engine classifies each id's sorted active-day ARRAY with Catalyst
+    higher-order functions after ONE exact shuffle on user_id (no
+    per-id ordered window — the hot-id skew surface the oracle's
+    LAG/LEAD form carries).  Round-14 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "day",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long"),
+    )
+    return timeseries.growth_accounting(e, "user_id", "day")
+
+
+@query(
+    "q_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) + 1 AS e
+        FROM events GROUP BY 1, 2
+    ), ev AS (
+        SELECT event_type, s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS d FROM iv
+    ), net AS (
+        SELECT event_type, t, SUM(d) AS nd FROM ev GROUP BY 1, 2
+    ), run AS (
+        SELECT event_type, t,
+               SUM(nd) OVER (PARTITION BY event_type ORDER BY t) AS c
+        FROM net
+    ), sel AS (
+        SELECT event_type, c, t,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, t ASC) AS rn
+        FROM run
+    )
+    SELECT event_type, CAST(c AS BIGINT) AS peak, CAST(t AS BIGINT) AS peak_at
+    FROM sel WHERE rn = 1
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent per-user activity spans per event type
+    (intervals.peak_concurrency): each (user, type) span [first event,
+    last event+1µs) feeds the SEGMENTED sweep line — net deltas per
+    (type, t), day-bucketed local running sums, a buckets-sized offset
+    stitch — so no per-type total order ever materializes (the oracle's
+    single running-sum window is exactly the single-task funnel the
+    segmented form exists to avoid).  peak_at is the earliest µs the
+    peak is reached.  Round-14 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import intervals
+
+    e = t(spark, sf_dir, "events")
+    iv = e.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        (F.max(F.unix_micros("ts")) + 1).alias("e"),
+    )
+    return intervals.peak_concurrency(
+        iv, ["event_type"], "s", "e", bucket_width=86_400_000_000
+    )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) + 1 AS e
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT l.day AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(LEAST(l.e, r.e) - GREATEST(l.s, r.s)) AS BIGINT)
+               AS overlap_us
+    FROM iv l JOIN iv r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND l.s < r.e AND r.s < l.e
+    GROUP BY 1
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping activity spans across event types
+    (intervals.interval_join): per (user, type, day) spans of click vs
+    purchase activity joined on overlap WITHOUT a theta-join — each
+    span replicates to the hour buckets it touches, the join is a
+    plain (user, bucket) equi-join, and the bucket holding the later
+    start owns each pair exactly once (zero dedup in the plan).  The
+    oracle is the naive theta-join, so the grade proves the bucket
+    algebra emits precisely the overlap set.  Output: per click-day
+    pair counts and total overlap microseconds.  Round-14 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import intervals
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "day",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long"),
+    )
+    iv = e.groupBy("user_id", "event_type", "day").agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        (F.max(F.unix_micros("ts")) + 1).alias("e"),
+    )
+    left = iv.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("day").alias("l_day"),
+        F.col("s").alias("l_s"),
+        F.col("e").alias("l_e"),
+    )
+    right = iv.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("day").alias("r_day"),
+        F.col("s").alias("r_s"),
+        F.col("e").alias("r_e"),
+    )
+    pairs = intervals.interval_join(
+        left, right, "l_s", "l_e", "r_s", "r_e",
+        keys=["user_id"], bucket_width=3_600_000_000,
+    )
+    return pairs.groupBy(F.col("l_day").alias("day")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            F.least("l_e", "r_e") - F.greatest("l_s", "r_s")
+        ).cast("long").alias("overlap_us"),
+    )

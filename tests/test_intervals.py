@@ -1,0 +1,177 @@
+"""Interval operators (operators/intervals.py) and growth accounting
+(operators/timeseries.py): bucketed overlap join must equal the naive
+theta-join exactly (with exactly-once pairs — no dedup anywhere in the
+plan), the segmented sweep line must equal a Python sweep, and the
+growth decomposition must satisfy its accounting identities."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import intervals
+
+
+def _mk(spark, rows, prefix):
+    return spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(rows)],
+        f"k string, {prefix}s long, {prefix}e long, {prefix}id long",
+    )
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    rng = random.Random(11)
+    lrows = [("a", s := rng.randrange(0, 500), s + rng.randrange(0, 80)) for _ in range(60)]
+    rrows = [("a", s := rng.randrange(0, 500), s + rng.randrange(0, 80)) for _ in range(60)]
+    # second key to prove key isolation
+    lrows += [("b", 0, 100)]
+    rrows += [("b", 50, 60), ("b", 100, 110)]  # [100,110) does NOT overlap [0,100)
+    left = _mk(spark, lrows, "l")
+    right = _mk(spark, rrows, "r")
+    got = {
+        (r["k"], r["lid"], r["rid"])
+        for r in intervals.interval_join(
+            left, right, "ls", "le", "rs", "re", keys=["k"], bucket_width=64
+        ).collect()
+    }
+    want = set()
+    for i, (lk, ls, le) in enumerate(lrows):
+        for j, (rk, rs, re) in enumerate(rrows):
+            # ls < le / rs < re: empty intervals overlap nothing under
+            # half-open semantics (the raw predicate alone would let an
+            # empty interval strictly inside a real one "match")
+            if lk == rk and ls < le and rs < re and ls < re and rs < le:
+                want.add((lk, i, j))
+    assert got == want
+    assert ("b", 60, 61) not in got  # adjacency is not overlap (half-open)
+
+
+def test_interval_join_exactly_once_across_buckets(spark):
+    # both intervals span many buckets; the pair must appear ONCE
+    left = _mk(spark, [("a", 0, 1000)], "l")
+    right = _mk(spark, [("a", 500, 1500)], "r")
+    out = intervals.interval_join(
+        left, right, "ls", "le", "rs", "re", keys=["k"], bucket_width=10
+    )
+    assert out.count() == 1
+    # and the plan holds no dedup: exactly-once comes from bucket math
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Deduplicate" not in plan and "Distinct" not in plan
+
+
+def test_interval_join_guards(spark):
+    left = _mk(spark, [("a", 0, 10)], "l")
+    right = _mk(spark, [("a", 0, 10)], "r")
+    with pytest.raises(ValueError, match="collide"):
+        intervals.interval_join(
+            left.withColumnRenamed("ls", "x"),
+            right.withColumnRenamed("rs", "x"),
+            "x", "le", "x", "re", keys=["k"],
+        )
+    # span guard fails loudly
+    wide_l = _mk(spark, [("a", 0, 10_000)], "l")
+    with pytest.raises(Exception, match="spans"):
+        intervals.interval_join(
+            wide_l, right, "ls", "le", "rs", "re",
+            keys=["k"], bucket_width=10, max_span_buckets=100,
+        ).collect()
+    # non-integral start raises
+    with pytest.raises(TypeError, match="integral"):
+        intervals.interval_join(
+            left.withColumn("ls", F.col("ls").cast("double")),
+            right, "ls", "le", "rs", "re", keys=["k"],
+        )
+
+
+def test_peak_concurrency_matches_python_sweep(spark):
+    rng = random.Random(23)
+    rows = []
+    for g in ("x", "y"):
+        for _ in range(200):
+            s = rng.randrange(0, 2000)
+            rows.append((g, s, s + rng.randrange(1, 150)))
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = {
+        r["g"]: (r["peak"], r["peak_at"])
+        for r in intervals.peak_concurrency(df, ["g"], "s", "e", bucket_width=100).collect()
+    }
+    for g in ("x", "y"):
+        deltas = {}
+        for gg, s, e in rows:
+            if gg != g:
+                continue
+            deltas[s] = deltas.get(s, 0) + 1
+            deltas[e] = deltas.get(e, 0) - 1
+        run, best, best_at = 0, -1, None
+        for t in sorted(deltas):
+            run += deltas[t]
+            if run > best:
+                best, best_at = run, t
+        assert got[g] == (best, best_at)
+
+
+def test_peak_concurrency_half_open_adjacency(spark):
+    # [0,10) and [10,20) never overlap: peak 1, at t=0
+    df = spark.createDataFrame([("g", 0, 10), ("g", 10, 20)], "g string, s long, e long")
+    (r,) = intervals.peak_concurrency(df, ["g"], "s", "e", bucket_width=7).collect()
+    assert (r["peak"], r["peak_at"]) == (1, 0)
+
+
+def test_peak_concurrency_bucket_width_invariance(spark):
+    rows = [("g", i * 3, i * 3 + 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    outs = {
+        w: tuple(intervals.peak_concurrency(df, ["g"], "s", "e", bucket_width=w).collect()[0])
+        for w in (1, 13, 1000)
+    }
+    assert len(set(outs.values())) == 1
+
+
+def test_growth_accounting_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        growth_accounting,
+    )
+
+    # u1 active d1,d2,d4 ; u2 active d2 only
+    rows = [("u1", 1), ("u1", 2), ("u1", 4), ("u2", 2), ("u1", 1)]  # dup row
+    df = spark.createDataFrame(rows, "uid string, d long")
+    got = {
+        r["d"]: (r["n_new"], r["n_returning"], r["n_resurrected"], r["n_churned"])
+        for r in growth_accounting(df, "uid", "d").collect()
+    }
+    assert got == {
+        1: (1, 0, 0, 0),          # u1 new
+        2: (1, 1, 0, 0),          # u2 new, u1 returning
+        3: (0, 0, 0, 2),          # u1 gap-churn, u2 churn
+        4: (0, 0, 1, 0),          # u1 resurrected
+        5: (0, 0, 0, 1),          # u1 horizon churn
+    }
+
+
+def test_growth_accounting_identity_random(spark):
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        growth_accounting,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (f"u{rng.randrange(40)}", rng.randrange(0, 25)) for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "uid string, d long")
+    ga = {r["d"]: r for r in growth_accounting(df, "uid", "d").collect()}
+    active = {
+        r["d"]: r["a"]
+        for r in df.groupBy("d").agg(F.count_distinct("uid").alias("a")).collect()
+    }
+    for d, a in active.items():
+        r = ga[d]
+        assert r["n_new"] + r["n_returning"] + r["n_resurrected"] == a
+    # flow identity: active(d) - active(d+1) = churned(d+1) - new(d+1) - resurrected(d+1)
+    for d in active:
+        nxt = ga.get(d + 1)
+        a_next = active.get(d + 1, 0)
+        ch = nxt["n_churned"] if nxt else 0
+        nw = (nxt["n_new"] + nxt["n_resurrected"]) if nxt else 0
+        assert active[d] - a_next == ch - nw

@@ -134,7 +134,8 @@ def test_graded_window_covers_priority_surface():
         "q_days_apart",
         # never driver-graded: late r13 births + the r14 births
         "q_bitmap_retention", "q_bitmap_rollup",
-        "q_bitmap_rolling_active",
+        "q_bitmap_rolling_active", "q_growth_accounting",
+        "q_peak_concurrency", "q_interval_join",
         # code changed this round (r13 advisories + fold flip)
         "q_trend_kendall", "q_cusum_changepoint", "q_bucket_join",
         "q_semantic_dedup", "q_semantic_dedup_cells_md5",
