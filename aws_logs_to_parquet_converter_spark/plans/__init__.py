@@ -254,6 +254,7 @@ _PRIORITY = [
     "q_growth_accounting",
     "q_peak_concurrency",
     "q_interval_join",
+    "q_bitmap_overlap",
     # (2) code changed this round (r13 advisory fixes + the _dot/_norm
     # always-HOF-fold flip)
     "q_trend_kendall",
@@ -303,7 +304,6 @@ _PRIORITY = [
     "q01_pricing_summary",
     "q06_forecast_revenue",
     "q_agg_cube",
-    "q_agg_distinct",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

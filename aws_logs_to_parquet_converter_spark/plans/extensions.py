@@ -5890,22 +5890,23 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long"),
     )
-    iv = e.groupBy("user_id", "event_type", "day").agg(
-        F.min(F.unix_micros("ts")).alias("s"),
-        (F.max(F.unix_micros("ts")) + 1).alias("e"),
-    )
-    left = iv.where(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("day").alias("l_day"),
-        F.col("s").alias("l_s"),
-        F.col("e").alias("l_e"),
-    )
-    right = iv.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("day").alias("r_day"),
-        F.col("s").alias("r_s"),
-        F.col("e").alias("r_e"),
-    )
+    # filter BEFORE the aggregate on each side: the two scans (Spark
+    # never reuses the aggregate subtree across join sides anyway) then
+    # each carry a pushed event_type filter and aggregate only their
+    # own type's rows, instead of both sides grouping all five types
+    def _side(ev_type: str, p: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == ev_type)
+            .groupBy("user_id", "day")
+            .agg(
+                F.min(F.unix_micros("ts")).alias(f"{p}_s"),
+                (F.max(F.unix_micros("ts")) + 1).alias(f"{p}_e"),
+            )
+            .withColumnRenamed("day", f"{p}_day")
+        )
+
+    left = _side("click", "l")
+    right = _side("purchase", "r")
     pairs = intervals.interval_join(
         left, right, "l_s", "l_e", "r_s", "r_e",
         keys=["user_id"], bucket_width=3_600_000_000,
@@ -5915,4 +5916,47 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.least("l_e", "r_e") - F.greatest("l_s", "r_s")
         ).cast("long").alias("overlap_us"),
+    )
+
+
+@query(
+    "q_bitmap_overlap",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT event_type,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+                   AS week,
+               user_id
+        FROM events
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM wk a JOIN wk b
+      ON b.event_type = a.event_type AND b.user_id = a.user_id
+     AND a.week = 2818 AND b.week = 2820
+    GROUP BY 1
+    """,
+)
+def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-slice audience overlap per event type
+    (bitmap.bitmap_intersect_cardinality — BITMAP_AND_COUNT): |users
+    active in week 2818 AND week 2820|, answered from the same daily
+    MV segments as every other bitmap entry, via ONE conditional
+    bit_or pass (single-lineage, duplicate-row-safe — this round's
+    rewrite of the filtered self-join form) + word-wise bit_and +
+    popcount.  The oracle is the user-level self-join over raw
+    events.  Weeks are epoch-day // 7 literals (both present at every
+    graded SF: the fixture spans 5 consecutive weeks).  Round-14
+    birth."""
+    from aws_logs_to_parquet_converter_spark.operators import bitmap
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "week",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+        ).cast("long"),
+    )
+    segs = bitmap.bitmap_build(e, ["event_type", "week"], "user_id")
+    return bitmap.bitmap_intersect_cardinality(
+        segs, ["event_type"], "week", 2818, 2820
     )
