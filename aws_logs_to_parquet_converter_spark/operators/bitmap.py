@@ -287,3 +287,51 @@ def bitmap_rolling_active(
         .agg(F.sum(F.bit_count("_mm")).cast("long").alias("active_ids"))
         .select(*group_cols, F.col("_anchor").alias(slice_col), "active_ids")
     )
+
+
+def bitmap_first_seen(
+    segments: DataFrame,
+    group_cols: list[str],
+    slice_col: str,
+) -> DataFrame:
+    """EXACT count of ids seen for the FIRST time in each slice, per
+    group, straight from bitmap segments: the daily/weekly "new users"
+    series — growth accounting's n_new — without a raw re-scan or a
+    per-id min() pass over events.
+
+    Shape: per (group, word) the cumulative ``bit_or`` of all EARLIER
+    slices' masks is one ordered-window aggregate — partitioned by
+    (group, word), so the window keys are |ids|/64-grained (a hot
+    group spreads exactly as in :func:`bitmap_build`; no single-task
+    funnel) and each partition holds at most |slices| rows
+    (calendar-bounded at any data size).  An id is new in slice s iff
+    its bit is set in mask(s) AND clear in the cumulative-before:
+    ``mask & ~cum_prev``; popcount + sum finishes.  Duplicate
+    (group, slice, word) rows are pre-merged (same contract as
+    :func:`bitmap_retention`).
+
+    Returns (group…, slice, n_new).  ``slice_col`` must be integral.
+    """
+    from pyspark.sql import Window
+
+    merged = segments.groupBy(
+        *group_cols, F.col(slice_col).cast("long").alias("_s"), "word"
+    ).agg(F.bit_or("mask").alias("_m"))
+    w = (
+        Window.partitionBy(*group_cols, "word")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_bits = merged.select(
+        *group_cols,
+        "_s",
+        # bitwise_not, not ~ (Column.__invert__ is logical NOT)
+        F.col("_m")
+        .bitwiseAND(F.bitwise_not(F.coalesce(F.bit_or("_m").over(w), F.lit(0).cast("long"))))
+        .alias("_new"),
+    )
+    return (
+        new_bits.groupBy(*group_cols, "_s")
+        .agg(F.sum(F.bit_count("_new")).cast("long").alias("n_new"))
+        .select(*group_cols, F.col("_s").alias(slice_col), "n_new")
+    )

@@ -5960,3 +5960,48 @@ def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap.bitmap_intersect_cardinality(
         segs, ["event_type"], "week", 2818, 2820
     )
+
+
+@query(
+    "q_bitmap_first_seen",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT event_type,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+                   AS week,
+               user_id
+        FROM events
+    ), fw AS (
+        SELECT event_type, user_id, MIN(week) AS week
+        FROM wk GROUP BY 1, 2
+    ), nw AS (
+        SELECT event_type, week, COUNT(*) AS n FROM fw GROUP BY 1, 2
+    ), aw AS (
+        SELECT DISTINCT event_type, week FROM wk
+    )
+    SELECT aw.event_type, aw.week,
+           CAST(COALESCE(nw.n, 0) AS BIGINT) AS n_new
+    FROM aw LEFT JOIN nw
+      ON nw.event_type = aw.event_type AND nw.week = aw.week
+    """,
+)
+def q_bitmap_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weekly NEW users per event type from bitmap segments
+    (bitmap.bitmap_first_seen): an id is new in week w iff its bit is
+    set in mask(w) and clear in the cumulative bit_or of earlier
+    weeks — one ordered window partitioned by (type, word), so the
+    keys are |ids|/64-grained (no hot-group funnel) and each partition
+    is calendar-bounded.  The daily-acquisition series without a raw
+    min()-per-user pass; active weeks with nothing new emit explicit
+    zeros on both engines.  Cross-checked against
+    growth_accounting's n_new in pytest.  Round-14 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import bitmap
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "week",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+        ).cast("long"),
+    )
+    segs = bitmap.bitmap_build(e, ["event_type", "week"], "user_id")
+    return bitmap.bitmap_first_seen(segs, ["event_type"], "week")

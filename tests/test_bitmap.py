@@ -214,3 +214,58 @@ def test_rolling_active_bad_window_raises(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="window_n"):
         bitmap.bitmap_rolling_active(segs, ["g"], "day", 0)
+
+
+def test_first_seen_matches_min_day(spark):
+    rows = [
+        ("g", 0, 1), ("g", 0, 2),
+        ("g", 1, 2), ("g", 1, 64),   # 64: new on day 1 (same word as 1,2)
+        ("g", 3, 1), ("g", 3, 200),  # 200: new on day 3
+        ("h", 2, 1),                 # group isolation: 1 is new in h too
+    ]
+    df = spark.createDataFrame(rows, "g string, day long, id long")
+    segs = bitmap.bitmap_build(df, ["g", "day"], "id")
+    got = {
+        (r["g"], r["day"]): r["n_new"]
+        for r in bitmap.bitmap_first_seen(segs, ["g"], "day").collect()
+    }
+    assert got == {("g", 0): 2, ("g", 1): 1, ("g", 3): 1, ("h", 2): 1}
+
+
+def test_first_seen_agrees_with_growth_accounting(spark):
+    import random
+
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        growth_accounting,
+    )
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(100), rng.randrange(0, 15)) for _ in range(800)]
+    df = spark.createDataFrame(rows, "id long, day long")
+    segs = bitmap.bitmap_build(df, ["day"], "id")
+    # bitmap emits explicit zero rows for active-but-nothing-new slices;
+    # growth_accounting also emits churn-only slices — compare nonzero
+    via_bitmap = {
+        r["day"]: r["n_new"]
+        for r in bitmap.bitmap_first_seen(segs, [], "day").collect()
+        if r["n_new"] > 0
+    }
+    via_ga = {
+        r["day"]: r["n_new"]
+        for r in growth_accounting(df, "id", "day").collect()
+        if r["n_new"] > 0
+    }
+    assert via_bitmap == via_ga
+
+
+def test_first_seen_duplicate_rows_premerged(spark):
+    df1 = spark.createDataFrame([("g", 0, 5), ("g", 1, 5)], "g string, day long, id long")
+    df2 = spark.createDataFrame([("g", 0, 7)], "g string, day long, id long")
+    dup = bitmap.bitmap_build(df1, ["g", "day"], "id").unionByName(
+        bitmap.bitmap_build(df2, ["g", "day"], "id")
+    )
+    got = {
+        r["day"]: r["n_new"]
+        for r in bitmap.bitmap_first_seen(dup, ["g"], "day").collect()
+    }
+    assert got == {0: 2, 1: 0}  # 5 and 7 new on day 0; day 1 nothing new
