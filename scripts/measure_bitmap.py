@@ -159,6 +159,17 @@ def main() -> None:
             7,
         ).write.format("noop").mode("overwrite").save(),
     )
+    timed(
+        "first-seen (new ids per day) from segments",
+        lambda: bitmap.bitmap_first_seen(day_segs, [], "day")
+        .write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "first-seen from raw (min day per id, then count)",
+        lambda: df.groupBy("uid").agg(F.min("day").alias("d"))
+        .groupBy("d").agg(F.count("*").alias("n"))
+        .write.format("noop").mode("overwrite").save(),
+    )
     day_segs.unpersist()
     segs.unpersist()
     spark.stop()
