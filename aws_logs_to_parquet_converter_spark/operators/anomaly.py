@@ -352,9 +352,12 @@ def cusum_changepoint(
     # fits BIGINT; violations fail loudly with THIS operator's message
     # instead of engine-dependent behavior.  Counts and cents never
     # trip it (|sum| < 2^62/n needs ~4.6e18/n totals).
-    in_contract = F.greatest(F.abs(F.col("_sk")), F.abs(F.col("_sn"))) <= (
-        F.expr(f"{(1 << 62) - 1} div _n")
-    )
+    # all-NULL value groups keep their pre-guard behavior (a NULL-stat
+    # row, not a spurious overflow abort): NULL sums pass the guard
+    in_contract = (
+        F.greatest(F.abs(F.col("_sk")), F.abs(F.col("_sn")))
+        <= F.expr(f"{(1 << 62) - 1} div _n")
+    ) | F.col("_sk").isNull() | F.col("_sn").isNull()
     guarded_stat = F.when(
         F.assert_true(
             in_contract,

@@ -47,6 +47,19 @@ def _check_integral(df: DataFrame, id_col: str) -> None:
         )
 
 
+def _check_integral_slice(segments: DataFrame, slice_col: str, op: str) -> None:
+    """Slice columns get cast to long for anchor arithmetic — a
+    fractional slice would silently TRUNCATE (402.857 -> 402) and
+    mis-slice with no error, so reject it loudly (same contract as
+    the id check above)."""
+    dt = segments.schema[slice_col].dataType
+    if not isinstance(dt, _INTEGRAL):
+        raise TypeError(
+            f"{op}: slice_col {slice_col!r} must be integral epoch "
+            f"days/weeks (got {dt.simpleString()!r}); floor/cast upstream"
+        )
+
+
 def bitmap_build(df: DataFrame, group_cols: list[str], id_col: str) -> DataFrame:
     """Build bitmap segments: one row per (group..., word) with the
     64-id membership ``mask``.  This is the write-once MV pass — the
@@ -142,6 +155,11 @@ def bitmap_intersect_cardinality(
             .cast("long")
             .alias("n_both")
         )
+        # omit empty intersections (two slices can share a 64-id WORD
+        # while sharing no id — emitting n_both=0 there would diverge
+        # from a set-semantics restatement; same rule as
+        # bitmap_retention's n_retained > 0)
+        .where(F.col("n_both") > 0)
     )
 
 
@@ -163,6 +181,7 @@ def bitmap_retention(
     pairs them; ``bit_and`` + popcount does the rest.  ``slice_col``
     must be integral (epoch weeks/days).
     """
+    _check_integral_slice(segments, slice_col, "bitmap_retention")
     sc = F.col(slice_col).cast("long")
     msgs = segments.select(
         *group_cols,
@@ -272,6 +291,7 @@ def bitmap_rolling_active(
         raise ValueError(
             f"bitmap_rolling_active: window_n must be >= 1, got {window_n}"
         )
+    _check_integral_slice(segments, slice_col, "bitmap_rolling_active")
     sc = F.col(slice_col).cast("long")
     msgs = segments.select(
         *group_cols,
@@ -314,6 +334,7 @@ def bitmap_first_seen(
     """
     from pyspark.sql import Window
 
+    _check_integral_slice(segments, slice_col, "bitmap_first_seen")
     merged = segments.groupBy(
         *group_cols, F.col(slice_col).cast("long").alias("_s"), "word"
     ).agg(F.bit_or("mask").alias("_m"))

@@ -96,22 +96,46 @@ def attach_bucketed(
     stale or colliding catalog entry must not be silently reused; it
     would read wrong buckets with no error)."""
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    sks = (
+        ([sort_key] if isinstance(sort_key, str) else list(sort_key))
+        if sort_key
+        else []
+    )
     if spark.catalog.tableExists(table):
+        rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
         desc = {
-            r["col_name"].strip(): (r["data_type"] or "").strip()
-            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+            r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows
         }
+        # the leading rows (before the first '# ' section marker) are the
+        # declared columns — a stale entry with the same layout but a
+        # different schema would silently read wrong types
+        declared = []
+        for r in rows:
+            name = (r["col_name"] or "").strip()
+            if name.startswith("#") or not name:
+                break
+            declared.append((name.lower(), (r["data_type"] or "").strip().lower()))
+
         def _norm_path(p: str) -> str:
             return p.removeprefix("file:").rstrip("/")
+
+        requested_schema = [
+            (c.strip().split()[0].lower(), " ".join(c.strip().split()[1:]).lower())
+            for c in schema_ddl.split(",")
+        ]
         existing = {
             "location": _norm_path(desc.get("Location", "")),
             "num_buckets": desc.get("Num Buckets", ""),
             "bucket_cols": desc.get("Bucket Columns", ""),
+            "sort_cols": desc.get("Sort Columns", "[]"),
+            "schema": declared,
         }
         requested = {
             "location": _norm_path(path),
             "num_buckets": str(num_buckets),
             "bucket_cols": "[" + ", ".join(f"`{k}`" for k in keys) + "]",
+            "sort_cols": "[" + ", ".join(f"`{k}`" for k in sks) + "]",
+            "schema": requested_schema,
         }
         if existing != requested:
             raise ValueError(

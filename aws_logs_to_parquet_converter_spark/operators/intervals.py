@@ -47,6 +47,16 @@ def _require_integral(df: DataFrame, col: str, op: str) -> None:
         )
 
 
+def _floordiv(col: Column, w: int) -> Column:
+    """Exact floor division of a LONG column by a positive literal —
+    through decimal(38,0), never double: ``F.floor(c / w)`` routes
+    through float64 and mis-buckets longs past 2^53 (nanosecond epochs
+    qualify), and SQL ``div`` truncates toward zero (wrong for
+    negative pre-1970 epochs)."""
+    c = col.cast("decimal(38,0)")
+    return F.floor(c / F.lit(w).cast("decimal(38,0)")).cast("long")
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -89,11 +99,11 @@ def interval_join(
             f"{sorted(overlap_names)}; alias one side first"
         )
 
-    def bucketed(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
         s = F.col(start).cast("long")
         e = F.col(end).cast("long")
-        first_b = F.floor(s / bucket_width)
-        last_b = F.floor((e - 1) / bucket_width)  # e-1: end is exclusive
+        first_b = _floordiv(s, bucket_width)
+        last_b = _floordiv(e - 1, bucket_width)  # e-1: end is exclusive
         guard = F.assert_true(
             last_b - first_b < F.lit(max_span_buckets),
             F.lit(
@@ -108,8 +118,8 @@ def interval_join(
             .select("*", F.explode(F.sequence(first_b, last_b)).alias("_bkt"))
         )
 
-    lb = bucketed(left, l_start, l_end, "l")
-    rb = bucketed(right, r_start, r_end, "r")
+    lb = bucketed(left, l_start, l_end)
+    rb = bucketed(right, r_start, r_end)
     joined = lb.join(rb, [*keys, "_bkt"])
     ls, le = F.col(l_start).cast("long"), F.col(l_end).cast("long")
     rs, re_ = F.col(r_start).cast("long"), F.col(r_end).cast("long")
@@ -118,7 +128,7 @@ def interval_join(
         # exactly-once: only the bucket containing the later start owns
         # the pair (that bucket is always a shared bucket of an
         # overlapping pair, and there is exactly one)
-        .where(F.col("_bkt") == F.floor(F.greatest(ls, rs) / bucket_width))
+        .where(F.col("_bkt") == _floordiv(F.greatest(ls, rs), bucket_width))
         .drop("_bkt")
     )
 
@@ -170,7 +180,7 @@ def peak_concurrency(
         .select(*group_cols, F.col("_ev._t").alias("_t"), F.col("_ev._d").alias("_d"))
         .groupBy(*group_cols, "_t")
         .agg(F.sum("_d").alias("_nd"))
-        .withColumn("_bkt", F.floor(F.col("_t") / bucket_width))
+        .withColumn("_bkt", _floordiv(F.col("_t"), bucket_width))
     )
     w_local = (
         Window.partitionBy(*group_cols, "_bkt")

@@ -5746,6 +5746,10 @@ def q_bitmap_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = bitmap.bitmap_build(e, ["day"], "user_id")
     rolled = bitmap.bitmap_rolling_active(segs, [], "day", 7)
+    # spine bounds from a ts-only column-pruned raw aggregate, NOT from
+    # `segs`: Spark never reuses a subtree across join/agg sides, so a
+    # segs-derived spine would re-run the whole segment build (shuffle
+    # included), while this is a min/max over one pruned column
     spine = e.agg(
         F.min("day").alias("_lo"), F.max("day").alias("_hi")
     ).select(F.explode(F.sequence("_lo", "_hi")).alias("day"))

@@ -269,3 +269,25 @@ def test_first_seen_duplicate_rows_premerged(spark):
         for r in bitmap.bitmap_first_seen(dup, ["g"], "day").collect()
     }
     assert got == {0: 2, 1: 0}  # 5 and 7 new on day 0; day 1 nothing new
+
+
+def test_intersect_word_overlap_bit_disjoint_group_omitted(spark):
+    """r14 review: ids 5 and 7 share word 0 but no id — the group must
+    be OMITTED (set semantics), not emitted with n_both=0."""
+    rows = [("g", "w1", 5), ("g", "w2", 7)]
+    df = spark.createDataFrame(rows, "g string, w string, id long")
+    segs = bitmap.bitmap_build(df, ["g", "w"], "id")
+    assert bitmap.bitmap_intersect_cardinality(segs, ["g"], "w", "w1", "w2").count() == 0
+
+
+def test_slice_integrality_guards(spark):
+    df = spark.createDataFrame([("g", 1.5, 1)], "g string, sl double, id long")
+    segs_like = bitmap.bitmap_build(df, ["g", "sl"], "id")
+    import pytest as _pytest
+    for fn in (
+        lambda: bitmap.bitmap_retention(segs_like, ["g"], "sl"),
+        lambda: bitmap.bitmap_rolling_active(segs_like, ["g"], "sl", 7),
+        lambda: bitmap.bitmap_first_seen(segs_like, ["g"], "sl"),
+    ):
+        with _pytest.raises(TypeError, match="integral"):
+            fn()

@@ -170,3 +170,39 @@ def test_attach_bucketed_mismatch_raises(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS ext_mm")
+
+
+def test_attach_bucketed_schema_and_sort_mismatch_raise(spark, tmp_path):
+    """r14 review: the guard must also catch schema and SORTED BY
+    drift, not just location/bucket-count."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.bucketing import (
+        attach_bucketed,
+        write_bucketed_external,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    ).limit(10)
+    write_bucketed_external(o, str(tmp_path / "s"), "o_orderkey", 4, "o_orderkey")
+    ddl = "o_orderkey BIGINT, o_orderstatus STRING"
+    try:
+        attach_bucketed(
+            spark, "ext_sm", ddl, str(tmp_path / "s"), "o_orderkey", 4, "o_orderkey"
+        )
+        with pytest.raises(ValueError, match="different spec"):
+            attach_bucketed(  # schema drift: type changed
+                spark, "ext_sm", "o_orderkey BIGINT, o_orderstatus BIGINT",
+                str(tmp_path / "s"), "o_orderkey", 4, "o_orderkey",
+            )
+        with pytest.raises(ValueError, match="different spec"):
+            attach_bucketed(  # sort spec dropped
+                spark, "ext_sm", ddl, str(tmp_path / "s"), "o_orderkey", 4
+            )
+        # identical spec (incl. sort) stays idempotent
+        attach_bucketed(
+            spark, "ext_sm", ddl, str(tmp_path / "s"), "o_orderkey", 4, "o_orderkey"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_sm")

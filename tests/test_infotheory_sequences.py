@@ -875,3 +875,18 @@ def test_cusum_out_of_contract_overflow_fails_loudly(spark):
     df = spark.createDataFrame(rows, "g string, day string, n long")
     with pytest.raises(Exception, match="cusum_changepoint"):
         cusum_changepoint(df, "g", "day", "n").collect()
+
+
+def test_cusum_all_null_group_keeps_null_stat(spark):
+    """r14 review: a group whose values are entirely NULL must keep the
+    pre-guard behavior (a NULL-stat row), not abort with the overflow
+    message."""
+    from aws_logs_to_parquet_converter_spark.operators.anomaly import (
+        cusum_changepoint,
+    )
+
+    rows = [("g", "d1", None), ("g", "d2", None), ("h", "d1", 3), ("h", "d2", 9)]
+    df = spark.createDataFrame(rows, "g string, day string, n long")
+    got = {r["g"]: r for r in cusum_changepoint(df, "g", "day", "n").collect()}
+    assert got["g"]["cusum_stat"] is None
+    assert got["h"]["cusum_stat"] is not None

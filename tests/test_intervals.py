@@ -55,9 +55,9 @@ def test_interval_join_exactly_once_across_buckets(spark):
     )
     assert out.count() == 1
     # and the plan holds no dedup: exactly-once comes from bucket math
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "simple"
-    )
+    # (same explainString idiom as tests/test_bucketing.py::_explain)
+    jmode = out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = out._jdf.queryExecution().explainString(jmode)
     assert "Deduplicate" not in plan and "Distinct" not in plan
 
 
@@ -175,3 +175,27 @@ def test_growth_accounting_identity_random(spark):
         ch = nxt["n_churned"] if nxt else 0
         nw = (nxt["n_new"] + nxt["n_resurrected"]) if nxt else 0
         assert active[d] - a_next == ch - nw
+
+
+def test_interval_join_exact_past_double_precision(spark):
+    """r14 review: bucket math must be exact LONG floor division — a
+    double-routed floor(s/w) mis-buckets epochs past 2^53."""
+    base = (1 << 60) + 1  # not representable as float64
+    left = _mk(spark, [("a", base, base + 10)], "l")
+    right = _mk(spark, [("a", base + 5, base + 20)], "r")
+    out = intervals.interval_join(
+        left, right, "ls", "le", "rs", "re", keys=["k"], bucket_width=7
+    )
+    assert out.count() == 1
+
+
+def test_interval_ops_negative_epochs(spark):
+    """Pre-1970 epochs: floor (not truncate-toward-zero) bucketing."""
+    left = _mk(spark, [("a", -15, -5)], "l")
+    right = _mk(spark, [("a", -8, -1)], "r")
+    assert intervals.interval_join(
+        left, right, "ls", "le", "rs", "re", keys=["k"], bucket_width=10
+    ).count() == 1
+    df = spark.createDataFrame([("g", -15, -5), ("g", -8, -1)], "g string, s long, e long")
+    (r,) = intervals.peak_concurrency(df, ["g"], "s", "e", bucket_width=10).collect()
+    assert (r["peak"], r["peak_at"]) == (2, -8)
