@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Interval/growth-family skew measurement (operators/intervals.py,
+timeseries.growth_accounting) at the 50%-hot-group shape:
+
+1. peak_concurrency: the segmented sweep line (ours) vs the naive
+   one-ordered-window-per-group sweep — the hot group is exactly the
+   single-task funnel the segmented form exists to avoid;
+2. growth_accounting: the per-id array classification (ours) vs the
+   per-id LAG/LEAD window restatement (the oracle's shape) with a BOT
+   id holding 50% of all rows — the hot-id window surface;
+3. interval_join: wall + output pairs at a bounded hot-key shape
+   (pair volume is the declared cost driver, like the LSH families).
+
+Results land in SCALE.md.
+
+Usage: python scripts/measure_intervals.py [--rows 20000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def timed(label, fn):
+    t0 = time.time()
+    out = fn()
+    w = time.time() - t0
+    print(f"{label}: {w:.2f}s {out if out is not None else ''}")
+    return w
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    args = ap.parse_args()
+    n = args.rows
+
+    from aws_logs_to_parquet_converter_spark.operators import intervals
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        growth_accounting,
+    )
+    from aws_logs_to_parquet_converter_spark.session import get_spark
+
+    spark = get_spark(app_name="interval-skew", extra_conf={"spark.ui.enabled": "false"})
+
+    # --- 1. peak_concurrency: 50%-hot group --------------------------
+    # intervals over a 30-day span in MICROSECONDS (near-unique
+    # timestamps — the shape where the hot group's delta stream cannot
+    # be collapsed by (g, t) netting, so the naive per-group window
+    # really does sort ~n rows in ONE task)
+    span_us = 30 * 86_400 * 1_000_000
+    iv = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 40).cast("string")))
+        .alias("g"),
+        ((F.col("id") * 2654435761) % span_us).alias("s"),
+    ).select("g", "s", (F.col("s") + 1 + (F.col("s") % 7_200_000_000)).alias("e"))
+    iv.groupBy("g").count().write.format("noop").mode("overwrite").save()  # warm
+
+    timed(
+        "peak_concurrency SEGMENTED (ours, day buckets)",
+        lambda: intervals.peak_concurrency(
+            iv, ["g"], "s", "e", bucket_width=86_400 * 1_000_000
+        )
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    def naive_sweep():
+        deltas = iv.select(
+            "g",
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                    F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+                )
+            ).alias("ev"),
+        ).select("g", F.col("ev.t").alias("t"), F.col("ev.d").alias("d"))
+        net = deltas.groupBy("g", "t").agg(F.sum("d").alias("nd"))
+        w = Window.partitionBy("g").orderBy("t").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        run = net.select("g", "t", F.sum("nd").over(w).alias("c"))
+        return (
+            run.groupBy("g")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("t")).alias("nt"))).alias("b"))
+            .select("g", F.col("b.c").alias("peak"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed("peak_concurrency NAIVE (one ordered window per group)", naive_sweep)
+
+    # --- 2. growth_accounting: 50%-hot id ------------------------------
+    ev = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise((F.col("id") * 2654435761) % 1_000_000)
+        .alias("uid"),
+        (F.col("id") % 30).alias("day"),
+    )
+    ev.groupBy("day").count().write.format("noop").mode("overwrite").save()  # warm
+
+    timed(
+        "growth_accounting ARRAY form (ours)",
+        lambda: growth_accounting(ev, "uid", "day")
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    def window_form():
+        ud = ev.select("uid", F.col("day").cast("long").alias("d")).distinct()
+        w = Window.partitionBy("uid").orderBy("d")
+        cls = ud.select(
+            "uid", "d",
+            F.lag("d").over(w).alias("prv"),
+            F.lead("d").over(w).alias("nxt"),
+        )
+        act = cls.select(
+            "d",
+            F.when(F.col("prv").isNull(), F.lit("new"))
+            .when(F.col("prv") == F.col("d") - 1, F.lit("returning"))
+            .otherwise(F.lit("resurrected")).alias("k"),
+        )
+        chn = cls.where(
+            F.col("nxt").isNull() | (F.col("nxt") != F.col("d") + 1)
+        ).select((F.col("d") + 1).alias("d"), F.lit("churned").alias("k"))
+        evs = act.unionByName(chn)
+        return (
+            evs.groupBy("d")
+            .agg(
+                F.count(F.when(F.col("k") == "new", 1)).alias("n_new"),
+                F.count(F.when(F.col("k") == "returning", 1)).alias("n_ret"),
+                F.count(F.when(F.col("k") == "resurrected", 1)).alias("n_res"),
+                F.count(F.when(F.col("k") == "churned", 1)).alias("n_chn"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed("growth_accounting LAG/LEAD window form (oracle shape)", window_form)
+
+    # --- 3. interval_join: bounded hot-key shape ----------------------
+    m = max(100_000, n // 20)
+    left = spark.range(m).select(
+        (F.col("id") % 10_000).alias("user_id"),
+        ((F.col("id") * 48271) % (7 * 86400)).alias("l_s"),
+    ).select("user_id", "l_s", (F.col("l_s") + 1 + (F.col("l_s") % 1800)).alias("l_e"))
+    right = spark.range(m).select(
+        (F.col("id") % 10_000).alias("user_id"),
+        ((F.col("id") * 16807) % (7 * 86400)).alias("r_s"),
+    ).select("user_id", "r_s", (F.col("r_s") + 1 + (F.col("r_s") % 1800)).alias("r_e"))
+    joined = intervals.interval_join(
+        left, right, "l_s", "l_e", "r_s", "r_e",
+        keys=["user_id"], bucket_width=3600,
+    )
+    pairs = joined.count()
+    timed(
+        f"interval_join {m}x{m} on 10k keys (hour buckets; {pairs} pairs)",
+        lambda: joined.write.format("noop").mode("overwrite").save(),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
