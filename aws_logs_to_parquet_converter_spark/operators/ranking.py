@@ -259,3 +259,107 @@ def percent_rank_from_rank(value_cols: list[str], rank_col: str = RANK_COL,
     return F.when(n1 <= 0, F.lit(0.0)).otherwise(
         (F.min(rank_col).over(peers) - 1) / n1
     )
+
+
+def exact_quantiles_disc(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    q_milli: list[int],
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """EXACT discrete quantiles per group over an INTEGRAL value —
+    ``rank = ceil(q * n)`` (1-based), the smallest value whose
+    cumulative count reaches the rank — WITHOUT sorting raw rows:
+    percentiles of cents/sizes/latencies where approx sketches
+    (``q_approx_percentiles``) carry an error bar and a raw global
+    sort is the thing to avoid.
+
+    Shape: rows collapse to (group, value) COUNTS first (map-side
+    combinable — the only data-sized pass), then the cumulative count
+    runs SEGMENTED exactly like ``intervals.peak_concurrency``: a
+    keyed window per (group, value-bucket) for local prefix sums plus
+    a buckets-sized offset stitch — no per-group total order over
+    distinct values, so a hot group with many distinct values cannot
+    single-task funnel.  Each requested quantile then selects the one
+    count row whose cumulative range covers its rank (an equi-ish
+    range test on the exploded q list — |groups|×|q| output rows).
+
+    ``q_milli`` are quantiles in thousandths (500 = median, 950 =
+    p95), each in [1, 1000].  Ties/duplicates are exact by
+    construction: duplicate values are ONE count row.  Returns
+    (group…, q_milli, value, n) with ``n`` the group's total count.
+    """
+    if not q_milli:
+        raise ValueError("exact_quantiles_disc: q_milli must be non-empty")
+    bad = [q for q in q_milli if not (1 <= q <= 1000)]
+    if bad:
+        raise ValueError(
+            f"exact_quantiles_disc: q_milli values must be in [1, 1000], got {bad}"
+        )
+    vtype = df.schema[value_col].dataType
+    if not isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"exact_quantiles_disc: {value_col!r} must be integral (got "
+            f"{vtype.simpleString()!r}) — discrete quantiles are exact on "
+            "discrete domains; scale to cents/micros upstream or use the "
+            "approx-percentile entry for continuous data"
+        )
+    v = F.col(value_col).cast("long")
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, v.alias("_v"))
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_bkt",
+            F.floor(
+                F.col("_v").cast("decimal(38,0)")
+                / F.lit(bucket_width).cast("decimal(38,0)")
+            ).cast("long"),
+        )
+    )
+    w_local = (
+        Window.partitionBy(*group_cols, "_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = counts.select(
+        *group_cols, "_bkt", "_v", "_c", F.sum("_c").over(w_local).alias("_lcum")
+    )
+    per_bucket = local.groupBy(*group_cols, "_bkt").agg(F.sum("_c").alias("_btot"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy(*group_cols)
+    offsets = per_bucket.select(
+        *group_cols,
+        "_bkt",
+        F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_btot").over(w_n).alias("_n"),
+    )
+    cum = local.join(offsets, [*group_cols, "_bkt"]).select(
+        *group_cols,
+        "_v",
+        "_c",
+        (F.col("_off") + F.col("_lcum")).alias("_cum"),
+        "_n",
+    )
+    qs = F.explode(F.array(*[F.lit(int(q)) for q in q_milli])).alias("q_milli")
+    # rank = ceil(q * n / 1000) in exact integer arithmetic — the
+    # (a + b - 1) div b form (SQL div truncates toward zero, so the
+    # negate-divide-negate ceil trick is wrong for it)
+    rank = F.expr("(q_milli * _n + 999) div 1000")
+    return (
+        cum.select(*group_cols, "_v", "_c", "_cum", "_n", qs)
+        .where((rank > F.col("_cum") - F.col("_c")) & (rank <= F.col("_cum")))
+        .select(
+            *group_cols,
+            "q_milli",
+            F.col("_v").alias("value"),
+            F.col("_n").cast("long").alias("n"),
+        )
+    )

@@ -256,6 +256,7 @@ _PRIORITY = [
     "q_interval_join",
     "q_bitmap_overlap",
     "q_bitmap_first_seen",
+    "q_exact_quantiles",
     # (2) code changed this round (r13 advisory fixes + the _dot/_norm
     # always-HOF-fold flip)
     "q_trend_kendall",
@@ -303,7 +304,6 @@ _PRIORITY = [
     # registry-name order; each later r14 birth displaces the LAST of
     # these (which stays r10-green and leads the r15 rotation)
     "q01_pricing_summary",
-    "q06_forecast_revenue",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -6009,3 +6009,49 @@ def q_bitmap_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = bitmap.bitmap_build(e, ["event_type", "week"], "user_id")
     return bitmap.bitmap_first_seen(segs, ["event_type"], "week")
+
+
+@query(
+    "q_exact_quantiles",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+               COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), w AS (
+        SELECT g, v, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM c
+    ), q AS (SELECT UNNEST([250, 500, 750, 950]) AS q_milli)
+    SELECT w.g AS l_returnflag,
+           CAST(q.q_milli AS INT) AS q_milli,
+           CAST(w.v AS BIGINT) AS value,
+           CAST(w.n AS BIGINT) AS n
+    FROM w, q
+    WHERE (q.q_milli * w.n + 999) // 1000 > w.cum - w.c
+      AND (q.q_milli * w.n + 999) // 1000 <= w.cum
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete price quantiles (p25/p50/p75/p95 of cents) per
+    return flag (ranking.exact_quantiles_disc): rows collapse to
+    (group, value) counts, the cumulative count runs SEGMENTED
+    (value-bucket local prefix + offset stitch — no per-group total
+    order over distinct values), and each quantile selects the count
+    row covering rank ceil(q·n/1000).  The exact complement of
+    q_approx_percentiles' sketch: same question, zero error bar, no
+    raw sort.  The oracle restates the rank rule literally over a
+    windowed cumulative.  Round-14 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import ranking
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return ranking.exact_quantiles_disc(
+        li, ["l_returnflag"], "cents", [250, 500, 750, 950]
+    ).select(
+        "l_returnflag", "q_milli", "value", "n"
+    )

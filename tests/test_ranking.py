@@ -127,3 +127,88 @@ def test_global_row_number_handles_targeted_unpersist(spark):
     assert handles[0].storageLevel.useMemory
     handles[0].unpersist()
     assert not handles[0].storageLevel.useMemory
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles_disc (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_quantiles_analytic(spark):
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    # g: values 10,20,20,30 (n=4): q500 -> rank ceil(2)=2 -> 20;
+    # q250 -> rank 1 -> 10; q750 -> rank 3 -> 20; q1000 -> rank 4 -> 30
+    rows = [("g", x) for x in (10, 20, 20, 30)] + [("h", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["q_milli"]): (r["value"], r["n"])
+        for r in exact_quantiles_disc(df, ["g"], "v", [250, 500, 750, 1000]).collect()
+    }
+    assert got[("g", 250)] == (10, 4)
+    assert got[("g", 500)] == (20, 4)
+    assert got[("g", 750)] == (20, 4)
+    assert got[("g", 1000)] == (30, 4)
+    assert got[("h", 500)] == (7, 1)
+
+
+def test_exact_quantiles_python_differential(spark):
+    import math
+    import random
+
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    rng = random.Random(17)
+    rows = [(f"g{rng.randrange(3)}", rng.randrange(0, 40)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [1, 100, 333, 500, 900, 999, 1000]
+    got = {
+        (r["g"], r["q_milli"]): r["value"]
+        for r in exact_quantiles_disc(df, ["g"], "v", qs).collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        for q in qs:
+            want = vs[math.ceil(q * len(vs) / 1000) - 1]
+            assert got[(g, q)] == want, (g, q)
+
+
+def test_exact_quantiles_bucket_width_invariance(spark):
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    rows = [("g", x * 37 % 101) for x in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    outs = {
+        w: sorted(
+            tuple(r)
+            for r in exact_quantiles_disc(df, ["g"], "v", [500, 950], bucket_width=w).collect()
+        )
+        for w in (1, 16, 1 << 20)
+    }
+    assert len(set(map(tuple, outs.values()))) == 1
+
+
+def test_exact_quantiles_contracts(spark):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    df = spark.createDataFrame([("g", 1.5)], "g string, v double")
+    with pytest.raises(TypeError, match="integral"):
+        exact_quantiles_disc(df, ["g"], "v", [500])
+    dfl = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="non-empty"):
+        exact_quantiles_disc(dfl, ["g"], "v", [])
+    with pytest.raises(ValueError, match="1, 1000"):
+        exact_quantiles_disc(dfl, ["g"], "v", [0])
