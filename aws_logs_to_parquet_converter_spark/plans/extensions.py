@@ -6018,7 +6018,9 @@ def q_bitmap_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag AS g,
                CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
                COUNT(*) AS c
-        FROM lineitem GROUP BY 1, 2
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1, 2
     ), w AS (
         SELECT g, v, c,
                SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
