@@ -47,7 +47,7 @@ def _require_integral(df: DataFrame, col: str, op: str) -> None:
         )
 
 
-def _floordiv(col: Column, w: int) -> Column:
+def exact_floordiv(col: Column, w: int) -> Column:
     """Exact floor division of a LONG column by a positive literal —
     through decimal(38,0), never double: ``F.floor(c / w)`` routes
     through float64 and mis-buckets longs past 2^53 (nanosecond epochs
@@ -102,8 +102,8 @@ def interval_join(
     def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
         s = F.col(start).cast("long")
         e = F.col(end).cast("long")
-        first_b = _floordiv(s, bucket_width)
-        last_b = _floordiv(e - 1, bucket_width)  # e-1: end is exclusive
+        first_b = exact_floordiv(s, bucket_width)
+        last_b = exact_floordiv(e - 1, bucket_width)  # e-1: end is exclusive
         guard = F.assert_true(
             last_b - first_b < F.lit(max_span_buckets),
             F.lit(
@@ -128,7 +128,7 @@ def interval_join(
         # exactly-once: only the bucket containing the later start owns
         # the pair (that bucket is always a shared bucket of an
         # overlapping pair, and there is exactly one)
-        .where(F.col("_bkt") == _floordiv(F.greatest(ls, rs), bucket_width))
+        .where(F.col("_bkt") == exact_floordiv(F.greatest(ls, rs), bucket_width))
         .drop("_bkt")
     )
 
@@ -180,7 +180,7 @@ def peak_concurrency(
         .select(*group_cols, F.col("_ev._t").alias("_t"), F.col("_ev._d").alias("_d"))
         .groupBy(*group_cols, "_t")
         .agg(F.sum("_d").alias("_nd"))
-        .withColumn("_bkt", _floordiv(F.col("_t"), bucket_width))
+        .withColumn("_bkt", exact_floordiv(F.col("_t"), bucket_width))
     )
     w_local = (
         Window.partitionBy(*group_cols, "_bkt")

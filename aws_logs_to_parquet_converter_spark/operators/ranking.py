@@ -292,10 +292,17 @@ def exact_quantiles_disc(
     """
     if not q_milli:
         raise ValueError("exact_quantiles_disc: q_milli must be non-empty")
-    bad = [q for q in q_milli if not (1 <= q <= 1000)]
+    bad = [
+        q for q in q_milli if not isinstance(q, int) or not (1 <= q <= 1000)
+    ]
     if bad:
         raise ValueError(
-            f"exact_quantiles_disc: q_milli values must be in [1, 1000], got {bad}"
+            "exact_quantiles_disc: q_milli values must be ints in [1, 1000] "
+            f"(thousandths — a float would silently truncate), got {bad}"
+        )
+    if bucket_width < 1:
+        raise ValueError(
+            f"exact_quantiles_disc: bucket_width must be >= 1, got {bucket_width}"
         )
     vtype = df.schema[value_col].dataType
     if not isinstance(
@@ -307,18 +314,17 @@ def exact_quantiles_disc(
             "discrete domains; scale to cents/micros upstream or use the "
             "approx-percentile entry for continuous data"
         )
+    # exact long floor division — the shared helper, never double math
+    from aws_logs_to_parquet_converter_spark.operators.intervals import (
+        exact_floordiv,
+    )
+
     v = F.col(value_col).cast("long")
     counts = (
         df.where(v.isNotNull())
         .groupBy(*group_cols, v.alias("_v"))
         .agg(F.count("*").alias("_c"))
-        .withColumn(
-            "_bkt",
-            F.floor(
-                F.col("_v").cast("decimal(38,0)")
-                / F.lit(bucket_width).cast("decimal(38,0)")
-            ).cast("long"),
-        )
+        .withColumn("_bkt", exact_floordiv(F.col("_v"), bucket_width))
     )
     w_local = (
         Window.partitionBy(*group_cols, "_bkt")
@@ -341,7 +347,19 @@ def exact_quantiles_disc(
         F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_btot").over(w_n).alias("_n"),
     )
-    cum = local.join(offsets, [*group_cols, "_bkt"]).select(
+    # NULL-SAFE stitch join: groupBy treats a NULL group key as a real
+    # group, but a plain equi-join would silently drop its rows here —
+    # eqNullSafe keeps the NULL group's quantiles in the output
+    off = offsets.select(
+        *[F.col(c).alias(f"_o_{c}") for c in group_cols],
+        F.col("_bkt").alias("_o_bkt"),
+        "_off",
+        "_n",
+    )
+    join_cond = F.col("_bkt") == F.col("_o_bkt")
+    for c in group_cols:
+        join_cond = join_cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+    cum = local.join(off, join_cond).select(
         *group_cols,
         "_v",
         "_c",

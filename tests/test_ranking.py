@@ -212,3 +212,33 @@ def test_exact_quantiles_contracts(spark):
         exact_quantiles_disc(dfl, ["g"], "v", [])
     with pytest.raises(ValueError, match="1, 1000"):
         exact_quantiles_disc(dfl, ["g"], "v", [0])
+
+
+def test_exact_quantiles_null_group_key_kept(spark):
+    """r14 review: groupBy treats NULL group keys as a real group; the
+    stitch join must be null-safe or that group silently vanishes."""
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    rows = [(None, 5), (None, 7), ("a", 1)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["q_milli"]): r["value"]
+        for r in exact_quantiles_disc(df, ["g"], "v", [500]).collect()
+    }
+    assert got == {(None, 500): 5, ("a", 500): 1}
+
+
+def test_exact_quantiles_bad_width_and_float_q_raise(spark):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="bucket_width"):
+        exact_quantiles_disc(df, ["g"], "v", [500], bucket_width=0)
+    with pytest.raises(ValueError, match="ints"):
+        exact_quantiles_disc(df, ["g"], "v", [999.5])
