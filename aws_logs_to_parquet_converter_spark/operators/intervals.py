@@ -224,3 +224,67 @@ def peak_concurrency(
             (-F.col("_g.nt")).cast("long").alias("peak_at"),
         )
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str,
+    s_col: str,
+    e_col: str,
+    keys: list[str] | None = None,
+    bucket_width: int = 3_600_000_000,
+    max_span_buckets: int = 4096,
+) -> DataFrame:
+    """Enrich point events with every half-open interval containing
+    them (``s <= t < e``) — events→sessions, requests→deployments,
+    alerts→incident windows.  The containment special case of
+    :func:`interval_join`, exploited: a POINT touches exactly ONE
+    bucket, so the point side never replicates, and exactly-once needs
+    no ownership filter at all (every containing interval is
+    replicated to the point's bucket, and only there can the pair
+    meet).  Returns points' columns + intervals' columns (disjoint
+    apart from ``keys``; a collision raises).
+
+    The interval side replicates exactly as in :func:`interval_join`
+    (same span guard); empty intervals contain nothing and are
+    dropped.
+    """
+    keys = list(keys or [])
+    if bucket_width < 1:
+        raise ValueError(
+            f"point_in_interval_join: bucket_width must be >= 1, got {bucket_width}"
+        )
+    _require_integral(points, t_col, "point_in_interval_join")
+    _require_integral(intervals, s_col, "point_in_interval_join")
+    _require_integral(intervals, e_col, "point_in_interval_join")
+    overlap_names = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap_names:
+        raise ValueError(
+            f"point_in_interval_join: column names collide across sides: "
+            f"{sorted(overlap_names)}; alias one side first"
+        )
+    t = F.col(t_col).cast("long")
+    s = F.col(s_col).cast("long")
+    e = F.col(e_col).cast("long")
+    first_b = exact_floordiv(s, bucket_width)
+    last_b = exact_floordiv(e - 1, bucket_width)
+    guard = F.assert_true(
+        last_b - first_b < F.lit(max_span_buckets),
+        F.lit(
+            f"point_in_interval_join: an interval in ({s_col!r}, {e_col!r}) "
+            f"spans >= {max_span_buckets} buckets of width {bucket_width}; "
+            "raise bucket_width or max_span_buckets"
+        ),
+    )
+    pb = points.select("*", exact_floordiv(t, bucket_width).alias("_bkt"))
+    ib = (
+        intervals.where(e > s)
+        .where(guard.isNull())  # NULL == passed; a violation throws
+        .select("*", F.explode(F.sequence(first_b, last_b)).alias("_bkt"))
+    )
+    return (
+        pb.join(ib, [*keys, "_bkt"])
+        .where((t >= s) & (t < e))
+        .drop("_bkt")
+    )

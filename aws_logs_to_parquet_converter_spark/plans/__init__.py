@@ -257,6 +257,7 @@ _PRIORITY = [
     "q_bitmap_overlap",
     "q_bitmap_first_seen",
     "q_exact_quantiles",
+    "q_point_in_interval",
     # (2) code changed this round (r13 advisory fixes + the _dot/_norm
     # always-HOF-fold flip)
     "q_trend_kendall",
@@ -300,10 +301,9 @@ _PRIORITY = [
     "q_url_dedup",
     "q_values_dim",
     "q_window_first_last",
-    # (4) next-oldest (r10) backfill fills the spare slots in
-    # registry-name order; each later r14 birth displaces the LAST of
-    # these (which stays r10-green and leads the r15 rotation)
-    "q01_pricing_summary",
+    # (the r10 spare-slot backfill was fully displaced by the eight
+    # r14 births; q01/q06/q_agg_cube/q_agg_distinct/etc stay r10-green
+    # and lead the r15 rotation with the rest of the r10 cohort)
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -6057,3 +6057,62 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", "q_milli", "value", "n"
     )
+
+
+@query(
+    "q_point_in_interval",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) + 1 AS e
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT iv.day,
+           CAST(COUNT(*) AS BIGINT) AS n_contained,
+           CAST(COUNT(DISTINCT iv.user_id) AS BIGINT) AS n_users
+    FROM p JOIN iv
+      ON p.user_id = iv.user_id AND p.t >= iv.s AND p.t < iv.e
+    GROUP BY 1
+    """,
+)
+def q_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-event attribution to containing activity spans
+    (intervals.point_in_interval_join): error events enriched with the
+    same user's same-day click span that contains them — the
+    events→sessions / alerts→incident-window join, done WITHOUT a
+    theta-join: points land in exactly ONE hour bucket (no point-side
+    replication, no ownership filter needed), spans replicate to the
+    buckets they touch, and a plain (user, bucket) equi-join + the
+    containment predicate finishes.  The oracle is the naive theta
+    join.  Output: per span-day contained-error counts and distinct
+    affected users.  Round-14 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import intervals
+
+    e = t(spark, sf_dir, "events")
+    ivs = (
+        e.where(F.col("event_type") == "click")
+        .withColumn(
+            "day",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            (F.max(F.unix_micros("ts")) + 1).alias("e"),
+        )
+    )
+    pts = e.where(F.col("event_type") == "error").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    joined = intervals.point_in_interval_join(
+        pts, ivs, "t", "s", "e", keys=["user_id"], bucket_width=3_600_000_000
+    )
+    return joined.groupBy("day").agg(
+        F.count("*").alias("n_contained"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

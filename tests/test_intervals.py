@@ -199,3 +199,40 @@ def test_interval_ops_negative_epochs(spark):
     df = spark.createDataFrame([("g", -15, -5), ("g", -8, -1)], "g string, s long, e long")
     (r,) = intervals.peak_concurrency(df, ["g"], "s", "e", bucket_width=10).collect()
     assert (r["peak"], r["peak_at"]) == (2, -8)
+
+
+def test_point_in_interval_matches_bruteforce(spark):
+    rng = random.Random(31)
+    pts = [("a", rng.randrange(0, 400)) for _ in range(50)] + [("b", 10)]
+    ivs = [("a", s := rng.randrange(0, 400), s + rng.randrange(0, 60)) for _ in range(30)]
+    ivs += [("b", 0, 10), ("b", 10, 20)]  # half-open: t=10 in [10,20) only
+    points = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(pts)], "k string, t long, pid long"
+    )
+    intervals_df = spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(ivs)],
+        "k string, s long, e long, iid long",
+    )
+    got = {
+        (r["k"], r["pid"], r["iid"])
+        for r in intervals.point_in_interval_join(
+            points, intervals_df, "t", "s", "e", keys=["k"], bucket_width=32
+        ).collect()
+    }
+    want = {
+        (pk, i, j)
+        for i, (pk, t) in enumerate(pts)
+        for j, (ik, s, e) in enumerate(ivs)
+        if pk == ik and s <= t < e
+    }
+    assert got == want
+    assert ("b", 50, 31) in got and ("b", 50, 30) not in got
+
+
+def test_point_in_interval_exactly_once_long_interval(spark):
+    points = spark.createDataFrame([("a", 500, 0)], "k string, t long, pid long")
+    ivs = spark.createDataFrame([("a", 0, 1000, 0)], "k string, s long, e long, iid long")
+    out = intervals.point_in_interval_join(
+        points, ivs, "t", "s", "e", keys=["k"], bucket_width=10
+    )
+    assert out.count() == 1

@@ -137,6 +137,7 @@ def test_graded_window_covers_priority_surface():
         "q_bitmap_rolling_active", "q_growth_accounting",
         "q_peak_concurrency", "q_interval_join", "q_bitmap_overlap",
         "q_bitmap_first_seen", "q_exact_quantiles",
+        "q_point_in_interval",
         # code changed this round (r13 advisories + fold flip)
         "q_trend_kendall", "q_cusum_changepoint", "q_bucket_join",
         "q_semantic_dedup", "q_semantic_dedup_cells_md5",
