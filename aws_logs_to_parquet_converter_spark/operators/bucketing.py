@@ -15,6 +15,7 @@ metadata lives in the metastore, not the parquet files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 
 def write_bucketed(
@@ -119,9 +120,14 @@ def attach_bucketed(
         def _norm_path(p: str) -> str:
             return p.removeprefix("file:").rstrip("/")
 
+        # parse the DDL properly rather than splitting on "," — a naive
+        # split mangles parameterized types (decimal(10,2), map<string,int>)
+        # and raised a spurious mismatch on a legitimate identical
+        # re-attach (r15 advisory).  simpleString() matches DESCRIBE's
+        # data_type rendering (bigint, decimal(10,2), map<string,int>).
         requested_schema = [
-            (c.strip().split()[0].lower(), " ".join(c.strip().split()[1:]).lower())
-            for c in schema_ddl.split(",")
+            (f.name.lower(), f.dataType.simpleString().lower())
+            for f in T.StructType.fromDDL(schema_ddl).fields
         ]
         existing = {
             "location": _norm_path(desc.get("Location", "")),

@@ -48,13 +48,25 @@ def _require_integral(df: DataFrame, col: str, op: str) -> None:
 
 
 def exact_floordiv(col: Column, w: int) -> Column:
-    """Exact floor division of a LONG column by a positive literal —
-    through decimal(38,0), never double: ``F.floor(c / w)`` routes
-    through float64 and mis-buckets longs past 2^53 (nanosecond epochs
-    qualify), and SQL ``div`` truncates toward zero (wrong for
-    negative pre-1970 epochs)."""
-    c = col.cast("decimal(38,0)")
-    return F.floor(c / F.lit(w).cast("decimal(38,0)")).cast("long")
+    """Exact floor division of a LONG column by a positive literal, in
+    pure BIGINT arithmetic: ``q = c div w`` (truncate-toward-zero,
+    exact) corrected by 1 when the remainder is negative.  Why not the
+    obvious forms: ``F.floor(c / w)`` routes through float64 and
+    mis-buckets longs past 2^53 (nanosecond epochs qualify); bare SQL
+    ``div`` truncates toward zero (wrong for negative pre-1970
+    epochs); and the previous decimal(38,0)/decimal(38,0) form was NOT
+    exact — that division yields decimal(38,6) and Spark rounds
+    HALF_UP at scale 6 *before* floor, so any value within
+    ``5e-7 * w`` below a bucket boundary floored one too high once
+    ``w > 2_000_000`` (r15 advisory; the shipped hour/day widths sat
+    squarely in the range).  ``c % w``'s sign follows the dividend on
+    both Spark and DuckDB, so the correction term is portable."""
+    if w < 1:
+        raise ValueError(f"exact_floordiv: w must be >= 1, got {w}")
+    c = col.cast("long")
+    wl = F.lit(w).cast("long")
+    q = F.call_function("div", c, wl)
+    return q - F.when((c % wl) < 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
 
 
 def interval_join(

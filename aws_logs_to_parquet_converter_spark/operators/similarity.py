@@ -21,11 +21,29 @@ Vector math has two measured tiers (PERF.md):
 from __future__ import annotations
 
 import random
+import warnings
 
 from pyspark.sql import Column, DataFrame, Window
 
 from aws_logs_to_parquet_converter_spark.operators.partitioning import fan_out
 from pyspark.sql import functions as F
+
+
+def _warn_retired_dim(dim: int | None) -> None:
+    """The unroll tier is retired (r14); a caller still passing
+    ``dim``/``unroll_dim`` must hear that it no longer does anything —
+    and that ANSI length-mismatch errors became silent 0.0 similarity
+    (r15 advisory: no silent parameter black-holes)."""
+    if dim is not None:
+        warnings.warn(
+            "dim/unroll_dim is ignored since r14 (the unrolled element_at "
+            "tier measured 5-7x slower than the HOF fold and was retired); "
+            "note length-mismatched vectors now yield 0.0 similarity instead "
+            "of an ANSI error — validate vector lengths upstream if you "
+            "relied on that. The parameter will be removed.",
+            DeprecationWarning,
+            stacklevel=3,
+        )
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -47,6 +65,7 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     0.0 via its coalesce guard.  Callers wanting strict length
     enforcement validate upstream.
     """
+    _warn_retired_dim(dim)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -645,18 +645,38 @@ def kendall_trend(
     pairs and emits (group, 1, 0, 0, 0, 0) rather than vanishing.
     The join uses ``<=`` so each bucket pairs with itself exactly
     once; self-pairs feed only the bucket count, never the pair
-    tallies, and no third evaluation of ``df``'s lineage is added.
+    tallies.
+
+    The unique-per-(group, bucket) contract is ENFORCED, not assumed
+    (r15 advisory: a duplicate order value would silently count
+    equal-order cross pairs as self-pairs, inflating ``n_buckets`` and
+    dropping genuinely tied pairs): a calendar-bounded pre-aggregate
+    counts rows per (group, bucket) and an in-plan assert fails the
+    job loudly on any duplicate — raw-event inputs are the caller's
+    bug, and now an audible one.
     """
-    left = df.select(
-        F.col(group_col).alias("_g"),
-        F.col(order_col).alias("_o1"),
-        F.col(value_col).cast("long").alias("_v1"),
+    base = (
+        df.groupBy(
+            F.col(group_col).alias("_g"), F.col(order_col).alias("_o")
+        )
+        .agg(
+            F.min(F.col(value_col).cast("long")).alias("_v"),
+            F.count("*").alias("_c"),
+        )
+        .where(
+            F.assert_true(
+                F.col("_c") == 1,
+                F.lit(
+                    "kendall_trend: input must be pre-aggregated to one row "
+                    f"per ({group_col!r}, {order_col!r}); found duplicate "
+                    "order values within a group"
+                ),
+            ).isNull()  # NULL == passed; a violation throws
+        )
+        .drop("_c")
     )
-    right = df.select(
-        F.col(group_col).alias("_g"),
-        F.col(order_col).alias("_o2"),
-        F.col(value_col).cast("long").alias("_v2"),
-    )
+    left = base.select("_g", F.col("_o").alias("_o1"), F.col("_v").alias("_v1"))
+    right = base.select("_g", F.col("_o").alias("_o2"), F.col("_v").alias("_v2"))
     pairs = left.join(right, "_g").where(F.col("_o1") <= F.col("_o2"))
     scored = pairs.select(
         "_g",

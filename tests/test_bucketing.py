@@ -206,3 +206,40 @@ def test_attach_bucketed_schema_and_sort_mismatch_raise(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS ext_sm")
+
+
+def test_attach_bucketed_parameterized_types_idempotent(spark, tmp_path):
+    """r15 advisory: a comma inside a parameterized type
+    (decimal(10,2), map<string,int>) must not break the idempotency
+    check — an identical re-attach of such a table is legitimate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_logs_to_parquet_converter_spark.operators.bucketing import (
+        attach_bucketed,
+        write_bucketed_external,
+    )
+
+    o = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(10,2)").alias("price"),
+            F.create_map(F.lit("s"), F.col("o_custkey").cast("int")).alias("m"),
+        )
+        .limit(10)
+    )
+    write_bucketed_external(o, str(tmp_path / "p"), "o_orderkey", 4)
+    ddl = "o_orderkey BIGINT, price DECIMAL(10,2), m MAP<STRING,INT>"
+    try:
+        attach_bucketed(spark, "ext_pt", ddl, str(tmp_path / "p"), "o_orderkey", 4)
+        # identical re-attach must be a no-op, not a spurious mismatch
+        attach_bucketed(spark, "ext_pt", ddl, str(tmp_path / "p"), "o_orderkey", 4)
+        with pytest.raises(ValueError, match="different spec"):
+            attach_bucketed(  # genuinely different decimal scale
+                spark, "ext_pt",
+                "o_orderkey BIGINT, price DECIMAL(10,3), m MAP<STRING,INT>",
+                str(tmp_path / "p"), "o_orderkey", 4,
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_pt")

@@ -890,3 +890,20 @@ def test_cusum_all_null_group_keeps_null_stat(spark):
     got = {r["g"]: r for r in cusum_changepoint(df, "g", "day", "n").collect()}
     assert got["g"]["cusum_stat"] is None
     assert got["h"]["cusum_stat"] is not None
+
+
+def test_kendall_trend_duplicate_order_raises(spark):
+    """r15 advisory: a duplicate (group, order) row would silently
+    corrupt n_buckets and the tie tallies — the contract is now
+    enforced in-plan with a loud assert."""
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.timeseries import (
+        kendall_trend,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 1, 7), ("a", 2, 6)], "g string, day int, n int"
+    )
+    with pytest.raises(Exception, match="pre-aggregated"):
+        kendall_trend(df, "g", "day", "n").collect()

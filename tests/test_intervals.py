@@ -236,3 +236,33 @@ def test_point_in_interval_exactly_once_long_interval(spark):
         points, ivs, "t", "s", "e", keys=["k"], bucket_width=10
     )
     assert out.count() == 1
+
+
+def test_exact_floordiv_boundary_wide_widths(spark):
+    """r15 advisory: the old decimal(38,0)/decimal(38,0) form rounded
+    HALF_UP at scale 6 before floor, so c = w-1 floored to 1 (true 0)
+    and c = -1 floored to 0 (true -1) once w > 2_000_000.  The pure
+    BIGINT div+pmod-correction form must match Python's // everywhere,
+    including past 2^53 and at Long extremes."""
+    hour_us, day_us = 3_600_000_000, 86_400_000_000
+    cases = []
+    for w in (hour_us, day_us, 7, 1, 2_000_001):
+        for c in (
+            w - 1, -1, 0, w, -w, w + 1, -w - 1, 2 * w - 1, -2 * w,
+            (1 << 60) + 1, -(1 << 60) - 1, (1 << 62), 5 * w + w // 2,
+        ):
+            cases.append((c, w))
+    df = spark.createDataFrame(cases, "c long, w long")
+    for w in sorted({w for _, w in cases}):
+        rows = (
+            df.where(F.col("w") == w)
+            .select("c", intervals.exact_floordiv(F.col("c"), w).alias("q"))
+            .collect()
+        )
+        for r in rows:
+            assert r["q"] == r["c"] // w, (r["c"], w, r["q"])
+
+
+def test_exact_floordiv_rejects_nonpositive_width():
+    with pytest.raises(ValueError):
+        intervals.exact_floordiv(F.col("x"), 0)

@@ -849,3 +849,30 @@ def test_lsh_bucketed_multiprobe_recall_and_plan(spark, sf_dir):
         similarity.cosine_topk_lsh_bucketed(
             emb, queries, dim=dim, n_planes=12, bands=5
         )
+
+
+def test_retired_dim_param_warns(spark):
+    """r15 advisory: dim/unroll_dim is retained-but-ignored since r14;
+    a caller passing it must get a DeprecationWarning (and the values
+    must be identical with and without it)."""
+    import warnings as _w
+
+    from pyspark.sql import functions as F
+
+    from aws_logs_to_parquet_converter_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        expr_with = cosine(F.col("a"), F.col("b"), 3)
+    assert any(issubclass(w.category, DeprecationWarning) for w in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        expr_without = cosine(F.col("a"), F.col("b"))
+    assert not rec
+    got = df.select(
+        expr_with.alias("w"), expr_without.alias("wo")
+    ).collect()[0]
+    assert got["w"] == got["wo"] == 1.0
