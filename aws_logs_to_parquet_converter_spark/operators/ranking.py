@@ -266,7 +266,8 @@ def exact_quantiles_disc(
     group_cols: list[str],
     value_col: str,
     q_milli: list[int],
-    bucket_width: int = 1 << 20,
+    bucket_width: int | None = None,
+    target_buckets: int = 1024,
 ) -> DataFrame:
     """EXACT discrete quantiles per group over an INTEGRAL value —
     ``rank = ceil(q * n)`` (1-based), the smallest value whose
@@ -289,7 +290,29 @@ def exact_quantiles_disc(
     p95), each in [1, 1000].  Ties/duplicates are exact by
     construction: duplicate values are ONE count row.  Returns
     (group…, q_milli, value, n) with ``n`` the group's total count.
+
+    Bucketing is ADAPTIVE by default (``bucket_width=None``, the r15
+    fix for the narrow-domain degeneracy): each group's width is
+    derived in-plan from its observed value range —
+    ``(max − min) div target_buckets + 1`` — so a group whose values
+    span less than an old fixed width (cents of prices under $10k vs
+    the former ``1 << 20`` default) still segments into up to
+    ``target_buckets`` buckets instead of silently collapsing to ONE
+    (group, bucket) window — the per-group single-task sort this
+    operator exists to avoid.  The per-group (min, max, which also
+    serves as the bucket shift) comes from one map-side-combinable
+    aggregate over the counts table joined back on the group keys
+    (AQE's skew-join split applies; a window would re-funnel the hot
+    group).  Passing an explicit ``bucket_width`` keeps the fixed
+    absolute-value bucketing.  The value SPAN of a group must fit in
+    BIGINT (``max − min`` overflow fails loudly under ANSI).
     """
+    if not group_cols:
+        raise ValueError(
+            "exact_quantiles_disc: group_cols must be non-empty — a global "
+            "quantile would need an unpartitioned ordered window (banned "
+            "here); add a constant group column if you really mean global"
+        )
     if not q_milli:
         raise ValueError("exact_quantiles_disc: q_milli must be non-empty")
     bad = [
@@ -300,9 +323,13 @@ def exact_quantiles_disc(
             "exact_quantiles_disc: q_milli values must be ints in [1, 1000] "
             f"(thousandths — a float would silently truncate), got {bad}"
         )
-    if bucket_width < 1:
+    if bucket_width is not None and bucket_width < 1:
         raise ValueError(
             f"exact_quantiles_disc: bucket_width must be >= 1, got {bucket_width}"
+        )
+    if target_buckets < 1:
+        raise ValueError(
+            f"exact_quantiles_disc: target_buckets must be >= 1, got {target_buckets}"
         )
     vtype = df.schema[value_col].dataType
     if not isinstance(
@@ -324,8 +351,39 @@ def exact_quantiles_disc(
         df.where(v.isNotNull())
         .groupBy(*group_cols, v.alias("_v"))
         .agg(F.count("*").alias("_c"))
-        .withColumn("_bkt", exact_floordiv(F.col("_v"), bucket_width))
     )
+    if bucket_width is None:
+        # per-group adaptive width from the observed range: one
+        # map-side-combinable aggregate over the (group, value) table,
+        # joined back NULL-SAFELY (groupBy keeps a NULL group; a plain
+        # equi-join would drop it)
+        stats = counts.groupBy(*group_cols).agg(
+            F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax")
+        )
+        st = stats.select(
+            *[F.col(c).alias(f"_s_{c}") for c in group_cols], "_vmin", "_vmax"
+        )
+        cond = F.lit(True)
+        for c in group_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+        width = (
+            F.call_function(
+                "div", F.col("_vmax") - F.col("_vmin"), F.lit(int(target_buckets))
+            )
+            + F.lit(1)
+        )
+        # _v - _vmin >= 0 and width >= 1, so plain `div` IS floor here
+        counts = (
+            counts.join(st, cond)
+            .withColumn(
+                "_bkt", F.call_function("div", F.col("_v") - F.col("_vmin"), width)
+            )
+            .drop("_vmin", "_vmax", *[f"_s_{c}" for c in group_cols])
+        )
+    else:
+        counts = counts.withColumn(
+            "_bkt", exact_floordiv(F.col("_v"), bucket_width)
+        )
     w_local = (
         Window.partitionBy(*group_cols, "_bkt")
         .orderBy("_v")

@@ -76,6 +76,30 @@ def main() -> None:
         )
 
     timed("naive per-group ordered-window cumulative", naive)
+
+    # --- narrow-domain shape (r15, verdict item 2): the hot group's
+    # values all fit in ONE old fixed-width bucket (cents < $10k ≈
+    # 2^20), so the former bucket_width=1<<20 default collapsed it to
+    # a single (group, bucket) window — the funnel, silently back.
+    # The adaptive default must segment it; the fixed old default is
+    # measured beside it as the regression witness.
+    narrow = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 40).cast("string")))
+        .alias("g"),
+        ((F.col("id") * 2654435761) % 1_000_000).alias("v"),  # < 2^20 span
+    )
+    narrow.groupBy("g").count().write.format("noop").mode("overwrite").save()  # warm
+    timed(
+        "NARROW domain, adaptive width (ours, default)",
+        lambda: exact_quantiles_disc(narrow, ["g"], "v", qs)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "NARROW domain, fixed width 1<<20 (old default: one-bucket funnel)",
+        lambda: exact_quantiles_disc(narrow, ["g"], "v", qs, bucket_width=1 << 20)
+        .write.format("noop").mode("overwrite").save(),
+    )
     spark.stop()
 
 
