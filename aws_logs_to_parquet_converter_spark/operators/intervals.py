@@ -47,6 +47,29 @@ def _require_integral(df: DataFrame, col: str, op: str) -> None:
         )
 
 
+def _payload_is_wide(df: DataFrame, exclude: set[str]) -> bool:
+    """Auto-slim heuristic: payload counts as WIDE when any column
+    beyond the join essentials is variable-width (string/binary/
+    array/map/struct — unbounded, and incompressible payloads measured
+    2–5× slower unslimmed at ~0.5 KB/row) or the fixed-width payload
+    exceeds 32 bytes.  A couple of longs ride the explode cheaper than
+    a distinct + join-back would cost (measured r15, PERF.md)."""
+    sizes = {
+        T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
+        T.FloatType: 4, T.DateType: 4, T.LongType: 8, T.DoubleType: 8,
+        T.TimestampType: 8, T.TimestampNTZType: 8, T.DecimalType: 16,
+    }
+    fixed = 0
+    for f in df.schema.fields:
+        if f.name in exclude:
+            continue
+        width = sizes.get(type(f.dataType))
+        if width is None:  # string/binary/array/map/struct/unknown: unbounded
+            return True
+        fixed += width
+    return fixed > 32
+
+
 def exact_floordiv(col: Column, w: int) -> Column:
     """Exact floor division of a LONG column by a positive literal, in
     pure BIGINT arithmetic: ``q = c div w`` (truncate-toward-zero,
@@ -79,6 +102,7 @@ def interval_join(
     keys: list[str] | None = None,
     bucket_width: int = 3_600_000_000,
     max_span_buckets: int = 4096,
+    slim_payload: bool | None = None,
 ) -> DataFrame:
     """All (left, right) pairs whose HALF-OPEN intervals overlap —
     ``l_start < r_end AND r_start < l_end`` — optionally also matching
@@ -94,6 +118,25 @@ def interval_join(
     with zero dedup.  Pick ``bucket_width`` near the TYPICAL interval
     length: too narrow replicates long intervals; too wide piles
     unrelated intervals into one bucket's verification.
+
+    ``slim_payload`` (r15, verdict item 3): with payload slimming a
+    side contributes only its DISTINCT (keys…, start, end) triples to
+    the explode+join, and payload re-attaches AFTER the ownership
+    filter by a content-key equi-join on exactly those columns — so
+    wide payload never replicates per touched bucket, and duplicate
+    rows re-expand to exactly the multiset the unslimmed form emits
+    (the join-back is the cross product of each side's duplicates,
+    which IS the pair semantics).  No surrogate id exists anywhere:
+    ``monotonically_increasing_id`` is nondeterministic across
+    re-evaluations of post-shuffle lineage, and Spark evaluates a
+    non-persisted subtree once per use (no ReusedExchange, measured
+    r13) — a content key is deterministic by construction.  Default
+    ``None`` slims a side only when its payload is WIDE (any
+    variable-width column, or > 32 fixed bytes beyond keys+bounds):
+    at ~0.5 KB/row incompressible payload slimming measured 2–5×
+    faster, while for a narrow all-numeric payload the distinct +
+    join-back overhead LOSES to just carrying it (PERF.md r15 A/B).
+    ``True``/``False`` force both sides.
 
     Empty intervals (end <= start) match nothing under half-open
     semantics and are dropped up front on both sides.
@@ -111,7 +154,12 @@ def interval_join(
             f"{sorted(overlap_names)}; alias one side first"
         )
 
-    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+    def wants_slim(df: DataFrame, start: str, end: str) -> bool:
+        if slim_payload is not None:
+            return slim_payload
+        return _payload_is_wide(df, {*keys, start, end})
+
+    def bucketed(df: DataFrame, start: str, end: str, slim: bool) -> DataFrame:
         s = F.col(start).cast("long")
         e = F.col(end).cast("long")
         first_b = exact_floordiv(s, bucket_width)
@@ -124,18 +172,21 @@ def interval_join(
                 "raise bucket_width or max_span_buckets"
             ),
         )
+        base = df.select(*keys, start, end).distinct() if slim else df
         return (
-            df.where(e > s)
+            base.where(e > s)
             .where(guard.isNull())  # NULL == passed; a violation throws
             .select("*", F.explode(F.sequence(first_b, last_b)).alias("_bkt"))
         )
 
-    lb = bucketed(left, l_start, l_end)
-    rb = bucketed(right, r_start, r_end)
+    l_slim = wants_slim(left, l_start, l_end)
+    r_slim = wants_slim(right, r_start, r_end)
+    lb = bucketed(left, l_start, l_end, l_slim)
+    rb = bucketed(right, r_start, r_end, r_slim)
     joined = lb.join(rb, [*keys, "_bkt"])
     ls, le = F.col(l_start).cast("long"), F.col(l_end).cast("long")
     rs, re_ = F.col(r_start).cast("long"), F.col(r_end).cast("long")
-    return (
+    out = (
         joined.where((ls < re_) & (rs < le))
         # exactly-once: only the bucket containing the later start owns
         # the pair (that bucket is always a shared bucket of an
@@ -143,6 +194,15 @@ def interval_join(
         .where(F.col("_bkt") == exact_floordiv(F.greatest(ls, rs), bucket_width))
         .drop("_bkt")
     )
+    # re-attach payload by content key: pairs carry non-null bounds and
+    # equi-joined keys, so plain equality is exact here; each side's
+    # duplicate rows multiply back in — the correct pair multiset
+    if l_slim:
+        out = out.join(left.where(le > ls), [*keys, l_start, l_end])
+    if r_slim:
+        out = out.join(right.where(re_ > rs), [*keys, r_start, r_end])
+    # restore the unslimmed column order (left's columns, then right's)
+    return out.select(*left.columns, *[c for c in right.columns if c not in keys])
 
 
 def peak_concurrency(
@@ -247,6 +307,7 @@ def point_in_interval_join(
     keys: list[str] | None = None,
     bucket_width: int = 3_600_000_000,
     max_span_buckets: int = 4096,
+    slim_payload: bool | None = None,
 ) -> DataFrame:
     """Enrich point events with every half-open interval containing
     them (``s <= t < e``) — events→sessions, requests→deployments,
@@ -260,7 +321,15 @@ def point_in_interval_join(
 
     The interval side replicates exactly as in :func:`interval_join`
     (same span guard); empty intervals contain nothing and are
-    dropped.
+    dropped.  ``slim_payload`` (r15): with slimming, only the interval
+    side's DISTINCT (keys…, s, e) triples replicate to buckets, and
+    interval payload re-attaches after the containment filter by a
+    content-key equi-join (duplicate intervals re-expand to the exact
+    unslimmed multiset; see :func:`interval_join` for why a content
+    key, not a surrogate id).  The POINT side never replicates, so it
+    is never slimmed.  Default ``None`` slims when the interval side's
+    payload is WIDE (variable-width column, or > 32 fixed bytes —
+    same measured rule as :func:`interval_join`).
     """
     keys = list(keys or [])
     if bucket_width < 1:
@@ -289,14 +358,26 @@ def point_in_interval_join(
             "raise bucket_width or max_span_buckets"
         ),
     )
+    if slim_payload is None:
+        slim = _payload_is_wide(intervals, {*keys, s_col, e_col})
+    else:
+        slim = slim_payload
     pb = points.select("*", exact_floordiv(t, bucket_width).alias("_bkt"))
+    iv_base = (
+        intervals.select(*keys, s_col, e_col).distinct() if slim else intervals
+    )
     ib = (
-        intervals.where(e > s)
+        iv_base.where(e > s)
         .where(guard.isNull())  # NULL == passed; a violation throws
         .select("*", F.explode(F.sequence(first_b, last_b)).alias("_bkt"))
     )
-    return (
+    out = (
         pb.join(ib, [*keys, "_bkt"])
         .where((t >= s) & (t < e))
         .drop("_bkt")
+    )
+    if slim:
+        out = out.join(intervals.where(e > s), [*keys, s_col, e_col])
+    return out.select(
+        *points.columns, *[c for c in intervals.columns if c not in keys]
     )

@@ -162,6 +162,89 @@ def main() -> None:
         f"interval_join {m}x{m} on 10k keys (hour buckets; {pairs} pairs)",
         lambda: joined.write.format("noop").mode("overwrite").save(),
     )
+
+    # --- 4. interval_join wide-row A/B (r15, verdict item 3) ----------
+    # same join shape, but each span row drags ~0.5 KB of
+    # INCOMPRESSIBLE payload (md5 chain — a constant literal compresses
+    # to nothing in the shuffle and fakes a win for unslimmed); spans
+    # are LONG (~12 hour-buckets each), so unslimmed replication pays
+    # width x span-buckets through the join shuffle
+    def pay(prefix: str) -> F.Column:
+        return F.concat(
+            *[
+                F.md5(F.concat(F.lit(f"{prefix}{i}"), F.col("id").cast("string")))
+                for i in range(16)
+            ]
+        )
+
+    wleft = spark.range(m).select(
+        (F.col("id") % 10_000).alias("user_id"),
+        ((F.col("id") * 48271) % (7 * 86400)).alias("l_s"),
+        pay("L").alias("l_pay"),
+    ).select(
+        "user_id", "l_s",
+        (F.col("l_s") + 1 + (F.col("l_s") % 86400)).alias("l_e"), "l_pay",
+    )
+    wright = spark.range(m).select(
+        (F.col("id") % 10_000).alias("user_id"),
+        ((F.col("id") * 16807) % (7 * 86400)).alias("r_s"),
+        pay("R").alias("r_pay"),
+    ).select(
+        "user_id", "r_s",
+        (F.col("r_s") + 1 + (F.col("r_s") % 86400)).alias("r_e"), "r_pay",
+    )
+    wleft.write.format("noop").mode("overwrite").save()  # warm the md5 build
+    for slim in (True, False):
+        timed(
+            f"interval_join WIDE payload (~0.5KB/row md5, ~12-bucket spans), slim={slim}",
+            lambda slim=slim: intervals.interval_join(
+                wleft, wright, "l_s", "l_e", "r_s", "r_e",
+                keys=["user_id"], bucket_width=3600, slim_payload=slim,
+            ).write.format("noop").mode("overwrite").save(),
+        )
+
+    # --- 5. point_in_interval at the hot-key shape (r15, item 4) ------
+    # the shape where the theta restatement genuinely degrades: the hot
+    # user holds 50% of POINTS *and* many SPANS — theta's work is
+    # points x spans-per-user inside the hot key (AQE skew-split
+    # spreads it across cores but cannot shrink it); the bucketed form
+    # compares each point only against spans touching ITS hour bucket
+    # (~1/168th of the hot user's spans).  Short spans keep the output
+    # bounded so match volume doesn't mask the comparison asymmetry.
+    np_ = max(2_000_000, n // 10)
+    pts = spark.range(np_).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise((F.col("id") * 2654435761) % 10_000)
+        .alias("user_id"),
+        ((F.col("id") * 1103515245) % (7 * 86400)).alias("t"),
+    )
+    spans = spark.range(220_000).select(
+        F.when(F.col("id") < 20_000, F.lit(0))
+        .otherwise((F.col("id") % 9_999) + 1)
+        .alias("user_id"),
+        ((F.col("id") * 48271) % (7 * 86400)).alias("s"),
+    ).select(
+        "user_id", "s",
+        (F.col("s") + 1 + (F.col("s") % 60)).alias("e"),
+        (F.col("s") % 97).alias("span_meta"),
+    )
+    pts.groupBy("user_id").count().write.format("noop").mode("overwrite").save()  # warm
+    got = intervals.point_in_interval_join(
+        pts, spans, "t", "s", "e", keys=["user_id"], bucket_width=3600
+    )
+    matches = got.count()
+    timed(
+        f"point_in_interval {np_} pts (hot user: 50% pts + 20k short spans; "
+        f"{matches} matches)",
+        lambda: got.write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "  vs theta restatement (equi user + range predicate)",
+        lambda: pts.join(
+            spans, on=[pts.user_id == spans.user_id,
+                       pts.t >= spans.s, pts.t < spans.e],
+        ).drop(spans.user_id).write.format("noop").mode("overwrite").save(),
+    )
     spark.stop()
 
 

@@ -266,3 +266,74 @@ def test_exact_floordiv_boundary_wide_widths(spark):
 def test_exact_floordiv_rejects_nonpositive_width():
     with pytest.raises(ValueError):
         intervals.exact_floordiv(F.col("x"), 0)
+
+
+def test_interval_join_slim_matches_unslim_with_duplicates(spark):
+    """r15 (verdict item 3): payload slimming must reproduce the exact
+    pair MULTISET of the unslimmed form — including duplicate interval
+    rows on either side (the content-key join-back re-expands them as
+    the cross product, which is the pair semantics)."""
+    rng = random.Random(47)
+    lrows = [("a", s := rng.randrange(0, 200), s + rng.randrange(0, 50)) for _ in range(40)]
+    lrows += [lrows[0], lrows[0]]  # duplicate left interval, 3 copies total
+    rrows = [("a", s := rng.randrange(0, 200), s + rng.randrange(0, 50)) for _ in range(40)]
+    rrows += [rrows[5]]  # duplicate right interval, 2 copies
+    left = _mk(spark, lrows, "l")   # carries payload col lid
+    right = _mk(spark, rrows, "r")
+    kw = dict(keys=["k"], bucket_width=32)
+    slim = intervals.interval_join(
+        left, right, "ls", "le", "rs", "re", slim_payload=True, **kw
+    )
+    unslim = intervals.interval_join(
+        left, right, "ls", "le", "rs", "re", slim_payload=False, **kw
+    )
+    assert slim.columns == unslim.columns
+    key = lambda r: (r["k"], r["ls"], r["le"], r["lid"], r["rs"], r["re"], r["rid"])
+    got_s = sorted(key(r) for r in slim.collect())
+    got_u = sorted(key(r) for r in unslim.collect())
+    assert got_s == got_u and len(got_s) > 0
+    # duplicates really multiplied: the 3 identical left copies each pair
+    lid0_pairs = [p for p in got_s if p[1:3] == (lrows[0][1], lrows[0][2])]
+    per_copy = {}
+    for p in lid0_pairs:
+        per_copy.setdefault(p[3], []).append(p[4:])
+    copies = {i for i, (k, s, e) in enumerate(lrows) if (k, s, e) == lrows[0]}
+    assert set(per_copy) == copies
+    assert len({tuple(sorted(v)) for v in per_copy.values()}) == 1
+
+
+def test_point_in_interval_slim_matches_unslim_with_duplicates(spark):
+    rng = random.Random(53)
+    pts = [("a", rng.randrange(0, 300)) for _ in range(60)]
+    ivs = [("a", s := rng.randrange(0, 300), s + rng.randrange(0, 40)) for _ in range(25)]
+    ivs += [ivs[3], ivs[3]]  # duplicate interval, 3 copies
+    points = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(pts)], "k string, t long, pid long"
+    )
+    ivdf = spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(ivs)],
+        "k string, s long, e long, iid long",
+    )
+    kw = dict(keys=["k"], bucket_width=16)
+    slim = intervals.point_in_interval_join(
+        points, ivdf, "t", "s", "e", slim_payload=True, **kw
+    )
+    unslim = intervals.point_in_interval_join(
+        points, ivdf, "t", "s", "e", slim_payload=False, **kw
+    )
+    assert slim.columns == unslim.columns
+    key = lambda r: (r["k"], r["pid"], r["t"], r["s"], r["e"], r["iid"])
+    assert sorted(map(key, slim.collect())) == sorted(map(key, unslim.collect()))
+
+
+def test_interval_join_auto_slim_only_with_payload(spark):
+    """Default slim_payload=None: a side with no payload beyond
+    (keys, bounds) must NOT be slimmed — a distinct there would
+    otherwise be pure overhead (and the plan should show no extra
+    aggregate)."""
+    left = spark.createDataFrame([("a", 0, 10)], "k string, ls long, le long")
+    right = spark.createDataFrame([("a", 5, 15)], "k string, rs long, re long")
+    out = intervals.interval_join(left, right, "ls", "le", "rs", "re", keys=["k"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan and "Aggregate" not in plan
+    assert out.count() == 1
