@@ -6116,3 +6116,65 @@ def q_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_contained"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q_bitmap_growth",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT event_type,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+                   AS week,
+               user_id
+        FROM events
+    ), cls AS (
+        SELECT event_type, user_id, week,
+               LAG(week) OVER (PARTITION BY event_type, user_id
+                               ORDER BY week) AS prv,
+               LEAD(week) OVER (PARTITION BY event_type, user_id
+                                ORDER BY week) AS nxt
+        FROM wk
+    ), ev AS (
+        SELECT event_type, week,
+               CASE WHEN prv IS NULL THEN 'new'
+                    WHEN prv = week - 1 THEN 'returning'
+                    ELSE 'resurrected' END AS kind
+        FROM cls
+        UNION ALL
+        SELECT event_type, week + 1 AS week, 'churned' AS kind
+        FROM cls WHERE nxt IS NULL OR nxt <> week + 1
+    )
+    SELECT event_type, week,
+           CAST(COUNT(*) FILTER (WHERE kind = 'new') AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (WHERE kind = 'returning') AS BIGINT)
+               AS n_returning,
+           CAST(COUNT(*) FILTER (WHERE kind = 'resurrected') AS BIGINT)
+               AS n_resurrected,
+           CAST(COUNT(*) FILTER (WHERE kind = 'churned') AS BIGINT)
+               AS n_churned
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def q_bitmap_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL weekly growth accounting per event type straight from
+    bitmap segments (bitmap.bitmap_growth, r15 birth — completes
+    q_bitmap_first_seen, which answers only n_new): new / returning /
+    resurrected / churned by word-wise set algebra — churned(s) is the
+    verdict-item identity bit_and(mask(s-1), ~mask(s)) — with gap and
+    horizon churn rows materialized by unioning each segment with a
+    week+1-shifted copy.  Everything after bitmap_build is
+    segment-sized; the only ordered window is per (type, word), keys
+    |ids|/64-grained and calendar-bounded.  The oracle is the naive
+    LAG/LEAD per-user restatement (q_growth_accounting's shape, by
+    event type and week); pytest cross-checks the operator against
+    timeseries.growth_accounting on shared random inputs."""
+    from aws_logs_to_parquet_converter_spark.operators import bitmap
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "week",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+        ).cast("long"),
+    )
+    segs = bitmap.bitmap_build(e, ["event_type", "week"], "user_id")
+    return bitmap.bitmap_growth(segs, ["event_type"], "week")

@@ -170,6 +170,17 @@ def main() -> None:
         .groupBy("d").agg(F.count("*").alias("n"))
         .write.format("noop").mode("overwrite").save(),
     )
+    # --- r15: FULL growth decomposition from the MV vs raw re-scan ---
+    timed(
+        "growth accounting (new/ret/res/churned) from (day) segments",
+        lambda: bitmap.bitmap_growth(day_segs, [], "day")
+        .write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "growth accounting from raw (array-classification re-scan)",
+        lambda: timeseries.growth_accounting(df, "uid", "day")
+        .write.format("noop").mode("overwrite").save(),
+    )
     day_segs.unpersist()
     segs.unpersist()
     spark.stop()

@@ -1,0 +1,91 @@
+"""Randomized differentials for the round-15 operators: hypothesis
+draws small inputs, a pure-Python reference recomputes the closed form,
+and the Spark result must match EXACTLY (the r11-r14 convention).
+
+max_examples stays small: each example is a Spark job; the properties
+target set/arithmetic logic (word-wise growth algebra incl. word
+boundaries and gap/horizon churn, pure-BIGINT floor division at bucket
+boundaries), not throughput.
+"""
+
+from collections import defaultdict
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_logs_to_parquet_converter_spark.operators import bitmap, intervals
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+
+# --------------------------------------------------------------------------
+# bitmap_growth vs a pure-Python growth-accounting scan
+# --------------------------------------------------------------------------
+
+_activity = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # slice
+        st.one_of(
+            st.integers(min_value=0, max_value=200),
+            st.sampled_from([0, 63, 64, 127, 128, 2**40]),  # word boundaries
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_activity)
+@settings(**_SETTINGS)
+def test_bitmap_growth_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "d long, id long")
+    segs = bitmap.bitmap_build(df, ["d"], "id")
+    got = {
+        r["d"]: (r["n_new"], r["n_returning"], r["n_resurrected"], r["n_churned"])
+        for r in bitmap.bitmap_growth(segs, [], "d").collect()
+    }
+    days = defaultdict(lambda: [0, 0, 0, 0])
+    per_id = defaultdict(set)
+    for d, i in rows:
+        per_id[i].add(d)
+    for ss in per_id.values():
+        seq = sorted(ss)
+        for j, s in enumerate(seq):
+            if j == 0:
+                days[s][0] += 1
+            elif seq[j - 1] == s - 1:
+                days[s][1] += 1
+            else:
+                days[s][2] += 1
+            if j == len(seq) - 1 or seq[j + 1] != s + 1:
+                days[s + 1][3] += 1
+    assert got == {d: tuple(v) for d, v in days.items()}
+
+
+# --------------------------------------------------------------------------
+# exact_floordiv vs Python // (the r15 decimal-rounding fix)
+# --------------------------------------------------------------------------
+
+_vals = st.lists(
+    st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.sampled_from([-1, 0, 1, 2**53, -(2**53), 2**60 + 1]),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(
+    vals=_vals,
+    w=st.sampled_from([1, 2, 7, 2_000_001, 3_600_000_000, 86_400_000_000]),
+)
+@settings(**_SETTINGS)
+def test_exact_floordiv_matches_python(spark, vals, w):
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    got = df.select(
+        "c", intervals.exact_floordiv(F.col("c"), w).alias("q")
+    ).collect()
+    for r in got:
+        assert r["q"] == r["c"] // w, (r["c"], w)
