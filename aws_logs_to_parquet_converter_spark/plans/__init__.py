@@ -19,7 +19,33 @@ import aws_logs_to_parquet_converter_spark.plans.log_domain  # noqa: E402,F401
 import aws_logs_to_parquet_converter_spark.plans.extensions  # noqa: E402,F401
 
 # The driver's correctness gate grades the FIRST 50 registry entries.
-# Round-14 window policy (grade currency is derivable from the
+# Round-15 window policy (grade currency is derivable from the
+# CORRECTNESS_r*.json artifacts — latest green round per entry):
+#   1. NEVER driver-graded oracle-bearing entries outrank everything
+#      (standing policy): q_bitmap_growth (r15 birth — the full
+#      new/returning/resurrected/churned decomposition from bitmap
+#      segments; the r14 verdict's item 5).
+#   2. code changed this round re-enters (standing policy):
+#      q_trend_kendall (unique-per-(group,order) contract enforced
+#      in-plan — r15 advisory), q_exact_quantiles (adaptive per-group
+#      bucket width — the r14 verdict's item 2 narrow-domain fix),
+#      q_interval_join + q_point_in_interval (payload slimming +
+#      exact_floordiv rewrite — verdict item 3 / the r15 medium
+#      advisory), q_peak_concurrency (exact_floordiv rewrite),
+#      q_bucket_join (attach_bucketed schema check via
+#      StructType.fromDDL — r15 advisory).
+#   3. 42 of the 45-entry r10-stale cohort backfill in registry-name
+#      order (the r14 verdict's item 1).  The cohort is 45 but
+#      1 + 1 + 6 leaves only 42 slots: q_conditional,
+#      q_cte_composition, and q_date_funcs — pure SQL-expression
+#      matrices untouched by any operator change since r10 — stay
+#      r10-green and LEAD the r16 rotation (the q_temperature_mix
+#      precedent; the verdict's two-round budget for the r9 cohort is
+#      the same allowance).
+# Rotated out (green at their latest r11-r14 grade and UNMODIFIED
+# this round): the r14 window remainder — all inside currency.
+# Round-14 window policy (kept for the audit trail; grade currency is
+# derivable from the
 # CORRECTNESS_r*.json artifacts — latest green round per entry):
 #   1. NEVER driver-graded oracle-bearing entries outrank everything
 #      (standing policy): the two late r13 births q_bitmap_retention +
@@ -247,63 +273,62 @@ GRADED_WINDOW = 50
 _PRIORITY = [
     # flagship (reference's days_apart_analysis.sql run verbatim)
     "q_days_apart",
-    # (1) never driver-graded: late r13 births + r14 births
-    "q_bitmap_retention",
-    "q_bitmap_rollup",
-    "q_bitmap_rolling_active",
-    "q_growth_accounting",
-    "q_peak_concurrency",
-    "q_interval_join",
-    "q_bitmap_overlap",
-    "q_bitmap_first_seen",
-    "q_exact_quantiles",
-    "q_point_in_interval",
-    # (2) code changed this round (r13 advisory fixes + the _dot/_norm
-    # always-HOF-fold flip)
+    # (1) never driver-graded: the r15 birth
+    "q_bitmap_growth",
+    # (2) code changed this round (r14 verdict items 2-3 + r15
+    # advisories: adaptive quantile width, interval slimming +
+    # exact_floordiv rewrite, kendall contract, attach schema parse)
     "q_trend_kendall",
-    "q_cusum_changepoint",
+    "q_exact_quantiles",
+    "q_interval_join",
+    "q_point_in_interval",
+    "q_peak_concurrency",
     "q_bucket_join",
-    "q_semantic_dedup",
-    "q_semantic_dedup_cells_md5",
-    "q_embed_neardup",
-    # (3) the FULL 33-entry r9-stale cohort in registry-name order
-    # (r13 verdict item 3 — after this round nothing is older than r10)
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_promotable_suppliers",
-    "q21_sole_blame_suppliers",
-    "q22_idle_balances",
-    "q_agg_modern",
-    "q_agg_stats",
-    "q_bitwise_funcs",
-    "q_chunk_docs",
-    "q_corpus_clean_pipeline",
-    "q_corpus_diff",
-    "q_data_quality",
-    "q_dedup_keep_best",
-    "q_dedup_keep_list",
-    "q_embed_topk_pq_exact",
-    "q_incremental_dedup",
-    "q_incremental_dedup_bloom",
-    "q_pii_scrub",
-    "q_span_dedup",
-    "q_split_assign",
-    "q_stratified_sample",
-    "q_stream_daily_events",
-    "q_stream_dedup",
-    "q_stream_read_after_write",
-    "q_string_agg",
-    "q_text_stats",
-    "q_url_dedup",
-    "q_values_dim",
-    "q_window_first_last",
-    # (the r10 spare-slot backfill was fully displaced by the eight
-    # r14 births; q01/q06/q_agg_cube/q_agg_distinct/etc stay r10-green
-    # and lead the r15 rotation with the rest of the r10 cohort)
+    # (3) 42 of the 45-entry r10-stale cohort in registry-name order
+    # (r14 verdict item 1; q_conditional / q_cte_composition /
+    # q_date_funcs stay r10-green and lead the r16 rotation)
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_approx_percentiles",
+    "q_bigram_lm",
+    "q_bm25_topk",
+    "q_boilerplate_lines",
+    "q_bpe_encode",
+    "q_bpe_token_count",
+    "q_c4_rules",
+    "q_chunk_tokens",
+    "q_classifier_train_score",
+    "q_classifier_train_step",
+    "q_cms_vocab_counts",
+    "q_contamination",
+    "q_dedup_fingerprint",
+    "q_embed_topk",
+    "q_embed_topk_ivf_full",
+    "q_embed_topk_ivf_probed",
+    "q_embed_topk_ivfpq_full",
+    "q_embed_topk_lsh",
+    "q_event_funnel",
+    "q_gini_udaf",
+    "q_hard_negatives",
+    "q_html_links",
+    "q_hybrid_retrieval",
+    "q_media_features_hist",
+    "q_media_p3_decode",
+    "q_mix_bpe_budget",
+    "q_pagerank",
+    "q_prototypicality",
+    "q_quality_classifier",
+    "q_retention_cohorts",
+    "q_retrieval_metrics",
+    "q_semantic_contamination",
+    "q_simhash_md5",
+    "q_simhash_neardup_md5",
+    "q_temperature_mix",
+    "q_tokenizer_fertility",
+    "q_weighted_sample",
 ]
 
 # (The r9 window list lives in git history and COVERAGE.md's audit trail.)

@@ -119,11 +119,11 @@ def test_ivf_assignment_is_arrow_not_rowudf(spark):
 
 
 def test_graded_window_covers_priority_surface():
-    """The driver grades the first 50 registry entries.  Round-14
-    window policy (plans/__init__.py): the never-driver-graded bitmap
-    births lead, then this round's code-changed re-entries (advisory
-    fixes + the _dot/_norm always-fold flip), then the FULL 33-entry
-    r9-stale cohort — every windowed entry hash-gradeable."""
+    """The driver grades the first 50 registry entries.  Round-15
+    window policy (plans/__init__.py): the r15 birth leads, then this
+    round's code-changed re-entries (verdict items 2-3 + r15
+    advisories), then 42 of the 45-entry r10-stale cohort — every
+    windowed entry hash-gradeable."""
     from aws_logs_to_parquet_converter_spark.plans import GRADED_WINDOW, _PRIORITY
 
     names = list(REGISTRY)
@@ -132,21 +132,18 @@ def test_graded_window_covers_priority_surface():
     required = {
         # flagship
         "q_days_apart",
-        # never driver-graded: late r13 births + the r14 births
-        "q_bitmap_retention", "q_bitmap_rollup",
-        "q_bitmap_rolling_active", "q_growth_accounting",
-        "q_peak_concurrency", "q_interval_join", "q_bitmap_overlap",
-        "q_bitmap_first_seen", "q_exact_quantiles",
-        "q_point_in_interval",
-        # code changed this round (r13 advisories + fold flip)
-        "q_trend_kendall", "q_cusum_changepoint", "q_bucket_join",
-        "q_semantic_dedup", "q_semantic_dedup_cells_md5",
-        "q_embed_neardup",
-        # the full 33-entry r9-stale cohort (r13 verdict item 3) —
-        # anchors: first/last in name order plus the streaming rows
-        "q14_promo_effect", "q22_idle_balances", "q_agg_modern",
-        "q_stream_daily_events", "q_stream_dedup",
-        "q_stream_read_after_write", "q_window_first_last",
+        # never driver-graded: the r15 birth
+        "q_bitmap_growth",
+        # code changed this round (adaptive quantile width, interval
+        # slimming + exact_floordiv rewrite, kendall contract, attach
+        # schema parse)
+        "q_trend_kendall", "q_exact_quantiles", "q_interval_join",
+        "q_point_in_interval", "q_peak_concurrency", "q_bucket_join",
+        # the 42-entry r10-stale backfill (r14 verdict item 1) —
+        # anchors: first/last in name order plus spread samples
+        "q01_pricing_summary", "q06_forecast_revenue", "q_agg_cube",
+        "q_bm25_topk", "q_embed_topk", "q_pagerank",
+        "q_simhash_neardup_md5", "q_weighted_sample",
     }
     assert required <= set(window), sorted(required - set(window))
     # the window must be 50/50 hash-gradeable (standing policy)
