@@ -381,3 +381,137 @@ def point_in_interval_join(
     return out.select(
         *points.columns, *[c for c in intervals.columns if c not in keys]
     )
+
+
+_LONG_MIN = -(1 << 63)
+
+
+def merge_intervals(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Merge overlapping-or-touching half-open intervals per group into
+    maximal ISLANDS (gaps-and-islands): session stitching, downtime
+    consolidation, covered-time analysis.  Touching intervals
+    (``[a,b)``, ``[b,c)``) merge — their union ``[a,c)`` has no gap —
+    and empty intervals (end <= start) are dropped.  Returns
+    (group…, island_s, island_e, n_merged).
+
+    The textbook form is ONE ordered window per group (island starts
+    where ``s > max(e) over all earlier rows``) — the hot-group
+    single-task funnel.  Here the running max is SEGMENTED exactly
+    like :func:`peak_concurrency`'s prefix sums: each interval keys to
+    the single bucket holding its START (bucket order is start order,
+    so no explode, no span guard — an island may span any number of
+    buckets), a (group, bucket)-keyed window computes the local
+    running max-end and local island-start cumsum, a buckets-sized
+    window per group turns per-bucket aggregates into carry-ins
+    (exclusive ``max(e)`` = the merge carry; exclusive ``sum(starts)``
+    = the island-id offset), and a final (group, island-id) aggregate
+    emits each island.  An interval starts an island iff its start
+    exceeds BOTH the local running max and the carry from all earlier
+    buckets — identical by construction to the global rule, since
+    bucket-major (bucket, s) order IS global s order.
+
+    ``start_col``/``end_col`` must be integral epoch units.
+    """
+    if bucket_width < 1:
+        raise ValueError(
+            f"merge_intervals: bucket_width must be >= 1, got {bucket_width}"
+        )
+    _require_integral(df, start_col, "merge_intervals")
+    _require_integral(df, end_col, "merge_intervals")
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    base = df.where(e > s).select(
+        *group_cols,
+        s.alias("_s"),
+        e.alias("_e"),
+        exact_floordiv(s, bucket_width).alias("_bkt"),
+    )
+    w_prev = (
+        Window.partitionBy(*group_cols, "_bkt")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_bucket = base.groupBy(*group_cols, "_bkt").agg(
+        F.max("_e").alias("_bmax")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_bucket.select(
+        *[F.col(c).alias(f"_o_{c}") for c in group_cols],
+        F.col("_bkt").alias("_o_bkt"),
+        F.coalesce(F.max("_bmax").over(w_off), F.lit(_LONG_MIN)).alias("_carry"),
+    )
+    # NULL-SAFE join back (groupBy keeps a NULL group; plain equality
+    # would drop it — same contract as exact_quantiles_disc's stitch)
+    cond = F.col("_bkt") == F.col("_o_bkt")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+    rows = base.join(offs, cond).select(
+        *group_cols,
+        "_bkt",
+        "_s",
+        "_e",
+        F.greatest(
+            F.coalesce(F.max("_e").over(w_prev), F.lit(_LONG_MIN)),
+            F.col("_carry"),
+        ).alias("_pmax"),
+    )
+    flagged = rows.withColumn(
+        "_st", F.when(F.col("_s") > F.col("_pmax"), F.lit(1)).otherwise(F.lit(0))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols, "_bkt")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_bucket_starts = flagged.groupBy(*group_cols, "_bkt").agg(
+        F.sum("_st").alias("_nst")
+    )
+    start_offs = per_bucket_starts.select(
+        *[F.col(c).alias(f"_o_{c}") for c in group_cols],
+        F.col("_bkt").alias("_o_bkt"),
+        F.coalesce(F.sum("_nst").over(w_off), F.lit(0)).alias("_soff"),
+    )
+    with_ids = flagged.join(start_offs, cond).select(
+        *group_cols,
+        (F.col("_soff") + F.sum("_st").over(w_cum)).alias("_isl"),
+        "_s",
+        "_e",
+    )
+    return (
+        with_ids.groupBy(*group_cols, "_isl")
+        .agg(
+            F.min("_s").alias("island_s"),
+            F.max("_e").alias("island_e"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+        .drop("_isl")
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Total COVERED time per group — the length of the UNION of the
+    group's half-open intervals (utilization, uptime, active-span
+    seconds) — plus the island count.  Double-counted overlap is the
+    whole problem; :func:`merge_intervals` removes it, and one
+    aggregate finishes.  Returns (group…, covered, n_islands)."""
+    islands = merge_intervals(df, group_cols, start_col, end_col, bucket_width)
+    return islands.groupBy(*group_cols).agg(
+        F.sum(F.col("island_e") - F.col("island_s")).cast("long").alias("covered"),
+        F.count("*").cast("long").alias("n_islands"),
+    )

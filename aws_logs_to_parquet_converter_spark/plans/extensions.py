@@ -6178,3 +6178,113 @@ def q_bitmap_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = bitmap.bitmap_build(e, ["event_type", "week"], "user_id")
     return bitmap.bitmap_growth(segs, ["event_type"], "week")
+
+
+@query(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(ts)) AS s,
+               MAX(epoch_us(ts)) + 3600000000 AS e
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax
+        FROM iv
+    ), f AS (
+        SELECT user_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS st
+        FROM m
+    ), g AS (
+        SELECT user_id, s, e,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+        FROM f
+    )
+    SELECT user_id,
+           CAST(MIN(s) AS BIGINT) AS island_s,
+           CAST(MAX(e) AS BIGINT) AS island_e,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM g GROUP BY user_id, isl
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands session stitching (intervals.merge_intervals,
+    r15 birth): each user's per-event-type activity spans (padded one
+    hour past the last event) merged into maximal overlapping-or-
+    touching islands — WITHOUT the textbook one-ordered-window-per-
+    user form: intervals key to the single bucket holding their start,
+    the running max-end and island-start cumsum run per (user,
+    bucket), and a buckets-sized carry window stitches — the same
+    segmented lever as peak_concurrency, so a hot user cannot
+    single-task funnel.  The oracle IS the textbook window form, so
+    the grade proves the segmented island algebra is exact."""
+    from aws_logs_to_parquet_converter_spark.operators import intervals
+
+    iv = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            (F.max(F.unix_micros("ts")) + 3_600_000_000).alias("e"),
+        )
+    )
+    return intervals.merge_intervals(iv, ["user_id"], "s", "e")
+
+
+@query(
+    "q_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(ts)) AS s,
+               MAX(epoch_us(ts)) + 3600000000 AS e
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax
+        FROM iv
+    ), f AS (
+        SELECT user_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS st
+        FROM m
+    ), g AS (
+        SELECT user_id, s, e,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+        FROM f
+    ), isl AS (
+        SELECT user_id, MIN(s) AS island_s, MAX(e) AS island_e
+        FROM g GROUP BY user_id, isl
+    )
+    SELECT user_id,
+           CAST(SUM(island_e - island_s) AS BIGINT) AS covered,
+           CAST(COUNT(*) AS BIGINT) AS n_islands
+    FROM isl GROUP BY user_id
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covered active time per user (intervals.interval_coverage, r15
+    birth): the UNION length of the user's padded activity spans —
+    utilization without double-counting overlap — plus the island
+    count; merge_intervals removes the overlap, one aggregate
+    finishes.  Same segmented shape (and the same textbook-window
+    oracle) as q_interval_merge."""
+    from aws_logs_to_parquet_converter_spark.operators import intervals
+
+    iv = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            (F.max(F.unix_micros("ts")) + 3_600_000_000).alias("e"),
+        )
+    )
+    return intervals.interval_coverage(iv, ["user_id"], "s", "e")

@@ -245,6 +245,48 @@ def main() -> None:
                        pts.t >= spans.s, pts.t < spans.e],
         ).drop(spans.user_id).write.format("noop").mode("overwrite").save(),
     )
+
+    # --- 6. merge_intervals at the 50%-hot-group shape (r15 birth) ----
+    # near-unique micro timestamps so the hot group's islands can't be
+    # collapsed early; the naive form sorts the hot group's n/2 rows in
+    # ONE task
+    mi = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 40).cast("string")))
+        .alias("g"),
+        ((F.col("id") * 2654435761) % span_us).alias("s"),
+    ).select("g", "s", (F.col("s") + 1 + (F.col("s") % 120_000_000)).alias("e"))
+    mi.groupBy("g").count().write.format("noop").mode("overwrite").save()  # warm
+    timed(
+        "merge_intervals SEGMENTED (ours, hour buckets)",
+        lambda: intervals.merge_intervals(
+            mi, ["g"], "s", "e", bucket_width=3_600_000_000
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
+    def naive_merge():
+        w_p = Window.partitionBy("g").orderBy("s", "e").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_c = Window.partitionBy("g").orderBy("s", "e").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        f = mi.select(
+            "g", "s", "e",
+            F.when(
+                F.col("s") > F.coalesce(F.max("e").over(w_p), F.lit(-(1 << 63))),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("st"),
+        )
+        return (
+            f.select("g", "s", "e", F.sum("st").over(w_c).alias("isl"))
+            .groupBy("g", "isl")
+            .agg(F.min("s").alias("island_s"), F.max("e").alias("island_e"),
+                 F.count("*").alias("n_merged"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed("merge_intervals NAIVE (one ordered window per group)", naive_merge)
     spark.stop()
 
 

@@ -337,3 +337,88 @@ def test_interval_join_auto_slim_only_with_payload(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Deduplicate" not in plan and "Aggregate" not in plan
     assert out.count() == 1
+
+
+def _py_merge(ivs):
+    """Reference gaps-and-islands merge (overlap-or-touch) of half-open
+    intervals; returns [(s, e, n)] sorted."""
+    out = []
+    for s, e in sorted(ivs):
+        if e <= s:
+            continue
+        if out and s <= out[-1][1]:
+            ps, pe, n = out[-1]
+            out[-1] = (ps, max(pe, e), n + 1)
+        else:
+            out.append((s, e, 1))
+    return out
+
+
+def test_merge_intervals_matches_python(spark):
+    rng = random.Random(71)
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, s := rng.randrange(0, 500), s + rng.randrange(0, 60)) for _ in range(80)]
+    rows += [("a", 100, 120)]  # duplicate-prone region
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    for w in (1, 32, 1 << 20):
+        got = {}
+        for r in intervals.merge_intervals(df, ["g"], "s", "e", bucket_width=w).collect():
+            got.setdefault(r["g"], []).append((r["island_s"], r["island_e"], r["n_merged"]))
+        for g in ("a", "b"):
+            want = _py_merge([(s, e) for gg, s, e in rows if gg == g])
+            assert sorted(got[g]) == want, (g, w)
+
+
+def test_merge_intervals_touching_merge_and_gap(spark):
+    """Half-open adjacency: [0,10)+[10,20) merge (no gap); [0,10)+[11,20)
+    do not.  Empty intervals are dropped."""
+    df = spark.createDataFrame(
+        [("g", 0, 10), ("g", 10, 20), ("g", 25, 25), ("g", 30, 40)],
+        "g string, s long, e long",
+    )
+    got = sorted(
+        (r["island_s"], r["island_e"], r["n_merged"])
+        for r in intervals.merge_intervals(df, ["g"], "s", "e").collect()
+    )
+    assert got == [(0, 20, 2), (30, 40, 1)]
+
+
+def test_merge_intervals_island_spans_many_buckets(spark):
+    """An island longer than bucket_width must still merge (the carry
+    max-end crosses buckets; membership never explodes)."""
+    # chain of 50 touching intervals of length 7 with bucket_width 10,
+    # plus one contained interval starting in a late bucket
+    rows = [("g", i * 7, (i + 1) * 7) for i in range(50)] + [("g", 300, 301)]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = [
+        (r["island_s"], r["island_e"], r["n_merged"])
+        for r in intervals.merge_intervals(df, ["g"], "s", "e", bucket_width=10).collect()
+    ]
+    assert got == [(0, 350, 51)]
+
+
+def test_interval_coverage_and_negative_epochs(spark):
+    df = spark.createDataFrame(
+        [("g", -15, -5), ("g", -8, 2), ("g", 10, 11), ("h", 0, 1)],
+        "g string, s long, e long",
+    )
+    got = {
+        r["g"]: (r["covered"], r["n_islands"])
+        for r in intervals.interval_coverage(df, ["g"], "s", "e", bucket_width=10).collect()
+    }
+    assert got == {"g": (18, 2), "h": (1, 1)}  # [-15,2) = 17 + [10,11) = 1
+
+
+def test_merge_intervals_null_group_kept_and_guards(spark):
+    df = spark.createDataFrame([(None, 0, 5), (None, 3, 9), ("a", 0, 1)], "g string, s long, e long")
+    got = {
+        r["g"]: (r["island_s"], r["island_e"], r["n_merged"])
+        for r in intervals.merge_intervals(df, ["g"], "s", "e").collect()
+    }
+    assert got == {None: (0, 9, 2), "a": (0, 1, 1)}
+    with pytest.raises(ValueError, match="bucket_width"):
+        intervals.merge_intervals(df, ["g"], "s", "e", bucket_width=0)
+    bad = spark.createDataFrame([("g", 1.5, 2.0)], "g string, s double, e double")
+    with pytest.raises(TypeError, match="integral"):
+        intervals.merge_intervals(bad, ["g"], "s", "e")

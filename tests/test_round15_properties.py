@@ -89,3 +89,40 @@ def test_exact_floordiv_matches_python(spark, vals, w):
     ).collect()
     for r in got:
         assert r["q"] == r["c"] // w, (r["c"], w)
+
+
+# --------------------------------------------------------------------------
+# merge_intervals vs a pure-Python sort-and-sweep merge
+# --------------------------------------------------------------------------
+
+_mivs = st.lists(
+    st.tuples(
+        st.integers(min_value=-40, max_value=120),
+        st.integers(min_value=0, max_value=30),  # span (0 => empty, dropped)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(ivs=_mivs, width=st.sampled_from([1, 7, 64]))
+@settings(**_SETTINGS)
+def test_merge_intervals_matches_python(spark, ivs, width):
+    rows = [("g", s, s + d) for s, d in ivs]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = sorted(
+        (r["island_s"], r["island_e"], r["n_merged"])
+        for r in intervals.merge_intervals(
+            df, ["g"], "s", "e", bucket_width=width
+        ).collect()
+    )
+    want = []
+    for s, e in sorted((s, e) for _, s, e in rows):
+        if e <= s:
+            continue
+        if want and s <= want[-1][1]:
+            ps, pe, n = want[-1]
+            want[-1] = (ps, max(pe, e), n + 1)
+        else:
+            want.append((s, e, 1))
+    assert got == [tuple(w) for w in want]
