@@ -515,3 +515,108 @@ def interval_coverage(
         F.sum(F.col("island_e") - F.col("island_s")).cast("long").alias("covered"),
         F.count("*").cast("long").alias("n_islands"),
     )
+
+
+def interval_gaps(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Idle GAPS per group — the complement of the group's activity
+    islands between the first and last covered instant (downtime
+    windows, dead air, inactivity spells).  Merges the raw intervals
+    first (:func:`merge_intervals`), then pairs each island with the
+    next island's start.  Returns (group…, gap_s, gap_e, gap_len);
+    a group with one island emits no rows.
+
+    The textbook form is ``LEAD(island_s) OVER (PARTITION BY group
+    ORDER BY island_s)`` — one ordered window per group, and a sparse
+    hot group can hold millions of islands.  Here the lead is
+    SEGMENTED like the merge itself: islands key to the bucket holding
+    their start (islands are disjoint, so bucket-major start order is
+    global start order), the lead runs per (group, bucket), and each
+    bucket's LAST island takes the NEXT non-empty bucket's MIN start
+    from a buckets-sized ``lead`` over the per-bucket aggregates.
+    Maximal islands never touch, so every consecutive pair yields a
+    strictly positive gap — no degenerate rows to filter."""
+    islands = merge_intervals(df, group_cols, start_col, end_col, bucket_width)
+    isl = islands.select(
+        *group_cols,
+        F.col("island_s").alias("_s"),
+        F.col("island_e").alias("_e"),
+        exact_floordiv(F.col("island_s"), bucket_width).alias("_bkt"),
+    )
+    per_bucket = isl.groupBy(*group_cols, "_bkt").agg(F.min("_s").alias("_bmin"))
+    w_nextb = Window.partitionBy(*group_cols).orderBy("_bkt")
+    nxt = per_bucket.select(
+        *[F.col(c).alias(f"_o_{c}") for c in group_cols],
+        F.col("_bkt").alias("_o_bkt"),
+        F.lead("_bmin").over(w_nextb).alias("_next_bmin"),
+    )
+    cond = F.col("_bkt") == F.col("_o_bkt")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+    w_lead = Window.partitionBy(*group_cols, "_bkt").orderBy("_s")
+    return (
+        isl.join(nxt, cond)
+        .select(
+            *group_cols,
+            F.col("_e").alias("gap_s"),
+            F.coalesce(F.lead("_s").over(w_lead), F.col("_next_bmin")).alias(
+                "gap_e"
+            ),
+        )
+        .where(F.col("gap_e").isNotNull())
+        .withColumn("gap_len", (F.col("gap_e") - F.col("gap_s")).cast("long"))
+    )
+
+
+def interval_intersect(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 3_600_000_000,
+    max_span_buckets: int = 4096,
+) -> DataFrame:
+    """Per-group INTERSECTION of two interval sets — the time covered
+    by BOTH ``a`` and ``b`` (co-availability, overlap of uptime with
+    business hours, concurrent-incident windows).  Returns disjoint
+    half-open segments (group…, isect_s, isect_e).
+
+    Pure composition of the family's scale-safe parts: each side
+    merges to maximal disjoint islands (:func:`merge_intervals`), the
+    bucketed overlap join (:func:`interval_join`) pairs islands
+    exactly once with zero dedup exchanges, and each pair contributes
+    ``[max(starts), min(ends))``.  Because each side's islands are
+    disjoint, the emitted segments are disjoint by construction — no
+    re-merge pass.  Group keys ride the join as ONE struct column,
+    which Spark compares null-safely — a NULL group intersects like
+    any other, consistent with the rest of the family."""
+    def islands(df: DataFrame, s_out: str, e_out: str) -> DataFrame:
+        m = merge_intervals(df, group_cols, start_col, end_col, bucket_width)
+        return m.select(
+            F.struct(*group_cols).alias("_g"),
+            F.col("island_s").alias(s_out),
+            F.col("island_e").alias(e_out),
+        )
+
+    pairs = interval_join(
+        islands(a, "_as", "_ae"),
+        islands(b, "_bs", "_be"),
+        "_as",
+        "_ae",
+        "_bs",
+        "_be",
+        keys=["_g"],
+        bucket_width=bucket_width,
+        max_span_buckets=max_span_buckets,
+    )
+    return pairs.select(
+        *[F.col(f"_g.{c}").alias(c) for c in group_cols],
+        F.greatest("_as", "_bs").alias("isect_s"),
+        F.least("_ae", "_be").alias("isect_e"),
+    )

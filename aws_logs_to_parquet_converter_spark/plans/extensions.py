@@ -6288,3 +6288,171 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return intervals.interval_coverage(iv, ["user_id"], "s", "e")
+
+
+@query(
+    "q_interval_gaps",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS s,
+               MAX(epoch_us(ts)) + 3600000000 AS e
+        FROM events
+        GROUP BY user_id, event_type, epoch_us(ts) // 604800000000
+    ), m AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax
+        FROM iv
+    ), f AS (
+        SELECT user_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS st
+        FROM m
+    ), g AS (
+        SELECT user_id, s, e,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+        FROM f
+    ), islands AS (
+        SELECT user_id, MIN(s) AS island_s, MAX(e) AS island_e
+        FROM g GROUP BY user_id, isl
+    ), led AS (
+        SELECT user_id, island_e,
+               LEAD(island_s) OVER (PARTITION BY user_id
+                                    ORDER BY island_s) AS nxt
+        FROM islands
+    )
+    SELECT user_id,
+           CAST(island_e AS BIGINT) AS gap_s,
+           CAST(nxt AS BIGINT) AS gap_e,
+           CAST(nxt - island_e AS BIGINT) AS gap_len
+    FROM led WHERE nxt IS NOT NULL
+    """,
+)
+def q_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity gaps per user (intervals.interval_gaps, r15 birth):
+    per-(user, event_type, week) activity spans (padded one hour past
+    the week's last event) merge into islands per user, and each
+    consecutive island pair emits the idle window between them — dead
+    air / downtime analysis.  The lead is SEGMENTED like the merge:
+    per-(user, bucket) lead plus a buckets-sized next-non-empty-bucket
+    stitch, so neither the merge nor the gap pairing ever orders one
+    hot user's rows in a single task.  The oracle is the textbook
+    two-window form (merge windows + LEAD), so the grade proves the
+    segmented lead exact."""
+    from aws_logs_to_parquet_converter_spark.operators import intervals
+
+    us = F.unix_micros("ts")
+    week = 7 * 86_400 * 1_000_000
+    iv = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            "event_type",
+            intervals.exact_floordiv(us, week).alias("_wk"),
+        )
+        .agg(
+            F.min(us).alias("s"),
+            (F.max(us) + 3_600_000_000).alias("e"),
+        )
+    )
+    return intervals.interval_gaps(iv, ["user_id"], "s", "e")
+
+
+@query(
+    "q_interval_intersect",
+    oracle="""
+    WITH ia0 AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS s,
+               MAX(epoch_us(ts)) + 3600000000 AS e
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY user_id, event_type, epoch_us(ts) // 604800000000
+    ), ma AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax
+        FROM ia0
+    ), fa AS (
+        SELECT user_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS st
+        FROM ma
+    ), ga AS (
+        SELECT user_id, s, e,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+        FROM fa
+    ), ia AS (
+        SELECT user_id, MIN(s) AS s, MAX(e) AS e FROM ga GROUP BY user_id, isl
+    ), ib0 AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS s,
+               MAX(epoch_us(ts)) + 3600000000 AS e
+        FROM events WHERE event_type IN ('purchase', 'signup')
+        GROUP BY user_id, event_type, epoch_us(ts) // 604800000000
+    ), mb AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax
+        FROM ib0
+    ), fb AS (
+        SELECT user_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS st
+        FROM mb
+    ), gb AS (
+        SELECT user_id, s, e,
+               SUM(st) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+        FROM fb
+    ), ib AS (
+        SELECT user_id, MIN(s) AS s, MAX(e) AS e FROM gb GROUP BY user_id, isl
+    )
+    SELECT a.user_id,
+           CAST(GREATEST(a.s, b.s) AS BIGINT) AS isect_s,
+           CAST(LEAST(a.e, b.e) AS BIGINT) AS isect_e
+    FROM ia a JOIN ib b
+      ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def q_interval_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-activity windows per user (intervals.interval_intersect, r15
+    birth): the time a user was BOTH browsing (view/click spans) and
+    transacting (purchase/signup spans) — each side's per-(user,
+    event_type, week) padded spans merge to disjoint islands, the
+    bucketed overlap join (day buckets) pairs islands exactly once
+    with zero dedup exchanges, and each pair contributes
+    [max(starts), min(ends)) — disjoint by construction, no re-merge.
+    The oracle merges each side with the textbook windows and theta-
+    joins, so the grade proves the whole composition (segmented merge
+    x2 + bucketed join + segment algebra) exact."""
+    from aws_logs_to_parquet_converter_spark.operators import intervals
+
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    week = 7 * 86_400 * 1_000_000
+
+    def side(types: list[str]) -> DataFrame:
+        return (
+            ev.where(F.col("event_type").isin(types))
+            .groupBy(
+                "user_id",
+                "event_type",
+                intervals.exact_floordiv(us, week).alias("_wk"),
+            )
+            .agg(F.min(us).alias("s"), (F.max(us) + 3_600_000_000).alias("e"))
+        )
+
+    return intervals.interval_intersect(
+        side(["view", "click"]),
+        side(["purchase", "signup"]),
+        ["user_id"],
+        "s",
+        "e",
+        bucket_width=86_400_000_000,
+    )

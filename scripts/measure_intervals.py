@@ -287,6 +287,55 @@ def main() -> None:
         )
 
     timed("merge_intervals NAIVE (one ordered window per group)", naive_merge)
+
+    # --- 7. interval_gaps / interval_intersect (r15 births) -----------
+    # SPARSE hot shape: tiny (~1ms) spans spread over 20 years so the
+    # hot group keeps ~n/2 distinct ISLANDS — the gap pairing is then a
+    # real second pass, and the naive LEAD window orders all of them in
+    # ONE task (the merge underneath is segmented for both forms)
+    span20y = 20 * 365 * 86_400 * 1_000_000
+    sp = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 40).cast("string")))
+        .alias("g"),
+        ((F.col("id") * 2654435761) % span20y).alias("s"),
+    ).select("g", "s", (F.col("s") + 1 + (F.col("s") % 1000)).alias("e"))
+    sp.groupBy("g").count().write.format("noop").mode("overwrite").save()  # warm
+    timed(
+        "interval_gaps SEGMENTED lead (ours, hour buckets)",
+        lambda: intervals.interval_gaps(
+            sp, ["g"], "s", "e", bucket_width=3_600_000_000
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
+    def naive_gaps():
+        isl = intervals.merge_intervals(
+            sp, ["g"], "s", "e", bucket_width=3_600_000_000
+        )
+        w = Window.partitionBy("g").orderBy("island_s")
+        return (
+            isl.select(
+                "g",
+                F.col("island_e").alias("gap_s"),
+                F.lead("island_s").over(w).alias("gap_e"),
+            )
+            .where(F.col("gap_e").isNotNull())
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed("interval_gaps NAIVE (segmented merge + one LEAD window per group)", naive_gaps)
+
+    # intersect: ours end-to-end at the same sparse hot shape (two
+    # offset copies so ~half the islands overlap); the theta-join
+    # restatement is the plan-sweep-banned BNLJ at this cardinality
+    # (10M x 10M islands on one key) and is not runnable
+    sp_b = sp.select("g", (F.col("s") + 500).alias("s"), (F.col("e") + 500).alias("e"))
+    timed(
+        "interval_intersect SEGMENTED merge x2 + bucketed join (ours, day buckets)",
+        lambda: intervals.interval_intersect(
+            sp, sp_b, ["g"], "s", "e", bucket_width=86_400_000_000
+        ).write.format("noop").mode("overwrite").save(),
+    )
     spark.stop()
 
 

@@ -422,3 +422,98 @@ def test_merge_intervals_null_group_kept_and_guards(spark):
     bad = spark.createDataFrame([("g", 1.5, 2.0)], "g string, s double, e double")
     with pytest.raises(TypeError, match="integral"):
         intervals.merge_intervals(bad, ["g"], "s", "e")
+
+
+def _py_gaps(ivs):
+    islands = _py_merge(ivs)
+    return [
+        (islands[i][1], islands[i + 1][0], islands[i + 1][0] - islands[i][1])
+        for i in range(len(islands) - 1)
+    ]
+
+
+def test_interval_gaps_matches_python(spark):
+    rng = random.Random(17)
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, s := rng.randrange(0, 800), s + rng.randrange(0, 40)) for _ in range(60)]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    for w in (1, 9, 1 << 20):
+        got = {}
+        for r in intervals.interval_gaps(df, ["g"], "s", "e", bucket_width=w).collect():
+            got.setdefault(r["g"], []).append((r["gap_s"], r["gap_e"], r["gap_len"]))
+        for g in ("a", "b"):
+            want = _py_gaps([(s, e) for gg, s, e in rows if gg == g])
+            assert sorted(got.get(g, [])) == want, (g, w)
+
+
+def test_interval_gaps_cross_bucket_and_single_island(spark):
+    """The next island's start may sit many buckets later (buckets-sized
+    stitch), and a single-island group emits nothing."""
+    df = spark.createDataFrame(
+        [("g", 0, 5), ("g", 1000, 1001), ("h", 3, 4)],
+        "g string, s long, e long",
+    )
+    got = [
+        (r["g"], r["gap_s"], r["gap_e"], r["gap_len"])
+        for r in intervals.interval_gaps(df, ["g"], "s", "e", bucket_width=10).collect()
+    ]
+    assert got == [("g", 5, 1000, 995)]
+
+
+def test_interval_gaps_null_group(spark):
+    df = spark.createDataFrame(
+        [(None, 0, 2), (None, 5, 7)], "g string, s long, e long"
+    )
+    got = intervals.interval_gaps(df, ["g"], "s", "e").collect()
+    assert [(r["g"], r["gap_s"], r["gap_e"]) for r in got] == [(None, 2, 5)]
+
+
+def _py_intersect(a_ivs, b_ivs):
+    ia, ib = _py_merge(a_ivs), _py_merge(b_ivs)
+    out = []
+    for s1, e1, _ in ia:
+        for s2, e2, _ in ib:
+            s, e = max(s1, s2), min(e1, e2)
+            if s < e:
+                out.append((s, e))
+    return sorted(out)
+
+
+def test_interval_intersect_matches_python(spark):
+    rng = random.Random(43)
+    rows_a, rows_b = [], []
+    for g in ("a", "b"):
+        rows_a += [(g, s := rng.randrange(0, 400), s + rng.randrange(0, 50)) for _ in range(40)]
+        rows_b += [(g, s := rng.randrange(0, 400), s + rng.randrange(0, 50)) for _ in range(40)]
+    da = spark.createDataFrame(rows_a, "g string, s long, e long")
+    db = spark.createDataFrame(rows_b, "g string, s long, e long")
+    for w in (8, 1 << 20):
+        got = {}
+        for r in intervals.interval_intersect(da, db, ["g"], "s", "e", bucket_width=w).collect():
+            got.setdefault(r["g"], []).append((r["isect_s"], r["isect_e"]))
+        for g in ("a", "b"):
+            want = _py_intersect(
+                [(s, e) for gg, s, e in rows_a if gg == g],
+                [(s, e) for gg, s, e in rows_b if gg == g],
+            )
+            assert sorted(got.get(g, [])) == want, (g, w)
+
+
+def test_interval_intersect_segments_disjoint_and_null_group(spark):
+    """Each side merges first, so output segments are disjoint; a NULL
+    group intersects like any other (struct-keyed null-safe join)."""
+    da = spark.createDataFrame(
+        [(None, 0, 10), (None, 5, 20), ("k", 0, 3)], "g string, s long, e long"
+    )
+    db = spark.createDataFrame(
+        [(None, 8, 12), (None, 15, 30), ("z", 0, 3)], "g string, s long, e long"
+    )
+    got = sorted(
+        (r["g"], r["isect_s"], r["isect_e"])
+        for r in intervals.interval_intersect(da, db, ["g"], "s", "e").collect()
+    )
+    assert got == [(None, 8, 12), (None, 15, 20)]
+    # disjointness: the merged sides guarantee non-overlapping output
+    segs = [(s, e) for _, s, e in got]
+    assert all(segs[i][1] <= segs[i + 1][0] for i in range(len(segs) - 1))

@@ -126,3 +126,59 @@ def test_merge_intervals_matches_python(spark, ivs, width):
         else:
             want.append((s, e, 1))
     assert got == [tuple(w) for w in want]
+
+
+# --------------------------------------------------------------------------
+# interval_gaps / interval_intersect vs pure-Python references
+# --------------------------------------------------------------------------
+
+
+def _py_merge_ref(ivs):
+    out = []
+    for s, e in sorted(ivs):
+        if e <= s:
+            continue
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+@given(ivs=_mivs, width=st.sampled_from([1, 7, 64]))
+@settings(**_SETTINGS)
+def test_interval_gaps_matches_python(spark, ivs, width):
+    rows = [("g", s, s + d) for s, d in ivs]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = sorted(
+        (r["gap_s"], r["gap_e"], r["gap_len"])
+        for r in intervals.interval_gaps(
+            df, ["g"], "s", "e", bucket_width=width
+        ).collect()
+    )
+    isl = _py_merge_ref([(s, e) for _, s, e in rows])
+    want = [
+        (isl[i][1], isl[i + 1][0], isl[i + 1][0] - isl[i][1])
+        for i in range(len(isl) - 1)
+    ]
+    assert got == want
+
+
+@given(a=_mivs, b=_mivs, width=st.sampled_from([1, 7, 64]))
+@settings(**_SETTINGS)
+def test_interval_intersect_matches_python(spark, a, b, width):
+    da = spark.createDataFrame([("g", s, s + d) for s, d in a], "g string, s long, e long")
+    db = spark.createDataFrame([("g", s, s + d) for s, d in b], "g string, s long, e long")
+    got = sorted(
+        (r["isect_s"], r["isect_e"])
+        for r in intervals.interval_intersect(
+            da, db, ["g"], "s", "e", bucket_width=width
+        ).collect()
+    )
+    want = sorted(
+        (max(s1, s2), min(e1, e2))
+        for s1, e1 in _py_merge_ref([(s, s + d) for s, d in a])
+        for s2, e2 in _py_merge_ref([(s, s + d) for s, d in b])
+        if max(s1, s2) < min(e1, e2)
+    )
+    assert got == want
