@@ -6456,3 +6456,94 @@ def q_interval_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e",
         bucket_width=86_400_000_000,
     )
+
+
+_HIST_ORACLE_TEMPLATE = """
+    WITH vals AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v
+        FROM events
+    ), segs AS (
+        SELECT event_type, wk,
+               CASE WHEN v < 32 THEN v
+                    ELSE (length(bin(v)) - 5) * 32
+                         + ((v >> (length(bin(v)) - 6)) - 32)
+               END AS bucket,
+               COUNT(*) AS cnt
+        FROM vals GROUP BY 1, 2, 3
+    ), merged AS (
+        SELECT event_type, bucket, SUM(cnt) AS cnt
+        FROM segs {where} GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM merged
+    ), picked AS (
+        SELECT c.event_type, q.q_milli, c.bucket, c.n
+        FROM cum c CROSS JOIN (SELECT UNNEST([500, 950, 990]) AS q_milli) q
+        WHERE (q.q_milli * c.n + 999) // 1000 <= c.cum
+          AND (q.q_milli * c.n + 999) // 1000 > c.cum - c.cnt
+    )
+    SELECT event_type, q_milli,
+           CAST(CASE WHEN bucket < 32 THEN bucket
+                     ELSE (32 + bucket % 32)
+                          << CAST(bucket // 32 - 1 AS INT)
+                END AS BIGINT) AS value_lb,
+           CAST(n AS BIGINT) AS n
+    FROM picked
+"""
+
+
+def _hist_weekly_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_logs_to_parquet_converter_spark.operators import histogram, intervals
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        intervals.exact_floordiv(
+            F.unix_micros("ts"), 7 * 86_400 * 1_000_000
+        ).alias("wk"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    return histogram.hist_build(ev, ["event_type", "wk"], "cents")
+
+
+@query("q_hist_quantiles", oracle=_HIST_ORACLE_TEMPLATE.format(where=""))
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-MV quantiles (operators/histogram.py, r15
+    birth — the quantile sibling of the bitmap family): per-(event_type,
+    week) HDR bucket-count segments over value cents, merged per
+    event_type, p50/p95/p99 by exact rank selection over the bounded
+    cumulative.  The bucketing is PURE INTEGER (bit length + shifts;
+    exact below 32, <= 2^-5 relative width above), so the identical
+    rule runs bit-exact on DuckDB — no float log() boundary
+    divergence.  The only data-sized pass is the map-side-combinable
+    segment build; every window is bounded by the ~1,920-bucket
+    domain, never by data."""
+    from aws_logs_to_parquet_converter_spark.operators import histogram
+
+    segs = _hist_weekly_segments(spark, sf_dir)
+    return histogram.hist_quantiles(segs, ["event_type"], [500, 950, 990])
+
+
+@query(
+    "q_hist_quantiles_range",
+    oracle=_HIST_ORACLE_TEMPLATE.format(where="WHERE wk BETWEEN 2818 AND 2820"),
+)
+def q_hist_quantiles_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-slice-range quantiles from the SAME segments
+    (histogram.hist_quantiles over a week filter, r15 birth) — the MV
+    reuse the family exists for: answering \"p95 spend for weeks
+    2818-2820\" sums a handful of segment rows instead of re-scanning
+    raw events; any calendar range is one bounded aggregate away."""
+    from aws_logs_to_parquet_converter_spark.operators import histogram
+
+    segs = _hist_weekly_segments(spark, sf_dir)
+    return histogram.hist_quantiles(
+        segs.where(F.col("wk").between(2818, 2820)),
+        ["event_type"],
+        [500, 950, 990],
+    )

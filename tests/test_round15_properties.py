@@ -182,3 +182,58 @@ def test_interval_intersect_matches_python(spark, a, b, width):
         if max(s1, s2) < min(e1, e2)
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# histogram MV quantiles vs a pure-Python reference of the same rule
+# --------------------------------------------------------------------------
+
+from aws_logs_to_parquet_converter_spark.operators import histogram  # noqa: E402
+
+
+def _py_hdr(v, m):
+    if v < (1 << m):
+        return v
+    msb = v.bit_length() - 1
+    return (msb - m + 1) * (1 << m) + ((v >> (msb - m)) - (1 << m))
+
+
+def _py_hdr_floor(idx, m):
+    if idx < (1 << m):
+        return idx
+    level, sub = divmod(idx, 1 << m)
+    return ((1 << m) + sub) << (level - 1)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=(1 << 62)), min_size=1, max_size=60
+    ),
+    m=st.sampled_from([1, 5, 11]),
+    qs=st.lists(
+        st.integers(min_value=1, max_value=1000),
+        min_size=1, max_size=4, unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_hist_quantiles_match_python(spark, vals, m, qs):
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    segs = histogram.hist_build(df, ["g"], "v", precision_bits=m)
+    got = {
+        r["q_milli"]: (r["value_lb"], r["n"])
+        for r in histogram.hist_quantiles(
+            segs, ["g"], qs, precision_bits=m
+        ).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(_py_hdr(v, m) for v in vals)
+    n = len(vals)
+    for q in qs:
+        rank = -(-q * n // 1000)
+        cum = 0
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum >= rank:
+                assert got[q] == (_py_hdr_floor(b, m), n), (q, m)
+                break
