@@ -268,6 +268,7 @@ def exact_quantiles_disc(
     q_milli: list[int],
     bucket_width: int | None = None,
     target_buckets: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT discrete quantiles per group over an INTEGRAL value —
     ``rank = ceil(q * n)`` (1-based), the smallest value whose
@@ -306,6 +307,19 @@ def exact_quantiles_disc(
     group).  Passing an explicit ``bucket_width`` keeps the fixed
     absolute-value bucketing.  The value SPAN of a group must fit in
     BIGINT (``max − min`` overflow fails loudly under ANSI).
+
+    WEIGHTED quantiles (``weight_col``): each row contributes its
+    integral weight of mass instead of 1 — rank selection runs over
+    cumulative WEIGHT, ``n`` becomes the group's total weight, and the
+    answer is the smallest value whose cumulative weight reaches
+    ``ceil(q · W / 1000)``.  The training-mix shape: "the document
+    length below which half the TOKENS sit" is the token-weighted
+    median of length, not the row median.  Weights must be POSITIVE
+    integers — NULL or < 1 fails loudly in-plan (``assert_true``
+    before the aggregate) because silently dropping or zeroing a row's
+    mass would skew every quantile downstream with no signal; rows
+    collapse to (group, value) weight SUMS first, so the segmented
+    cumulative and the straggler argument are unchanged.
     """
     if not group_cols:
         raise ValueError(
@@ -341,17 +355,41 @@ def exact_quantiles_disc(
             "discrete domains; scale to cents/micros upstream or use the "
             "approx-percentile entry for continuous data"
         )
+    if weight_col is not None:
+        wtype = df.schema[weight_col].dataType
+        if not isinstance(
+            wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"exact_quantiles_disc: {weight_col!r} must be integral (got "
+                f"{wtype.simpleString()!r}) — fractional mass has no exact "
+                "cumulative; scale weights to integer units upstream"
+            )
     # exact long floor division — the shared helper, never double math
     from aws_logs_to_parquet_converter_spark.operators.intervals import (
         exact_floordiv,
     )
 
     v = F.col(value_col).cast("long")
-    counts = (
-        df.where(v.isNotNull())
-        .groupBy(*group_cols, v.alias("_v"))
-        .agg(F.count("*").alias("_c"))
-    )
+    base = df.where(v.isNotNull())
+    if weight_col is None:
+        mass = F.count("*").alias("_c")
+    else:
+        # positive-integer contract enforced in-plan: a NULL or < 1
+        # weight silently skews every downstream quantile, so it fails
+        # loudly instead (assert_true passes -> NULL -> isNull() true)
+        w = F.col(weight_col).cast("long")
+        base = base.where(
+            F.assert_true(
+                w.isNotNull() & (w >= 1),
+                F.lit(
+                    f"exact_quantiles_disc: {weight_col!r} must be a "
+                    "positive integer on every row with a non-NULL value"
+                ),
+            ).isNull()
+        )
+        mass = F.sum(w).alias("_c")
+    counts = base.groupBy(*group_cols, v.alias("_v")).agg(mass)
     if bucket_width is None:
         # per-group adaptive width from the observed range: one
         # map-side-combinable aggregate over the (group, value) table,

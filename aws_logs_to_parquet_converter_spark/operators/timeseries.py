@@ -896,3 +896,129 @@ def growth_accounting(
             "n_new", "n_returning", "n_resurrected", "n_churned",
         )
     )
+
+
+def xcorr_stats(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation SUFFICIENT STATISTICS between TWO series that
+    share a group and an integer bucket axis: for each lag k in
+    −max_lag..+max_lag, the exact integer sums (n_pairs, sum_x, sum_y,
+    sum_xx, sum_yy, sum_xy) over calendar-ALIGNED pairs
+    (x at bucket t, y at bucket t−k) — the lead/lag diagnostic behind
+    "do volume spikes precede breadth spikes?".  Pearson r per lag is
+    one driver-side division away; negative lags mean y LEADS x,
+    positive lags mean y LAGS x, and lag 0 is the plain correlation.
+
+    Same single-lineage message-passing shape as ``acf_stats`` (a
+    self-join would re-evaluate the upstream aggregate — Spark does
+    not reuse the aggregate subtree across self-join sides): each
+    (group, bucket, x, y) row emits ONE anchor message carrying x at
+    its own bucket plus 2·max_lag+1 partner messages carrying y to the
+    buckets it serves as the lagged value for; one (group, anchor)
+    aggregate pivots the roles back together, and a pair exists iff
+    both sides exist (a missing bucket contributes NO pair at the lags
+    it would anchor — ``gap_filled_counts`` first to treat missing
+    buckets as zeros).  Bounded ×(2·max_lag+2) explode over the
+    PRE-AGGREGATED per-bucket table, two calendar-sized shuffles, no
+    window, no sort, no self-join.
+
+    ``bucket_col`` must be integral; ``x_col``/``y_col`` are cast to
+    BIGINT before multiplying, so products and their calendar-length
+    sums stay exact in BIGINT for |value| < ~3e9.
+    """
+    if max_lag < 1:
+        raise ValueError(f"xcorr_stats: max_lag must be >= 1, got {max_lag}")
+    lags = range(-int(max_lag), int(max_lag) + 1)
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    # role -(max_lag+1) is the anchor ("I am x at bucket b"); role k is
+    # "I am the y value for the anchor at bucket b+k" (y at t-k pairs
+    # with x at t).  Lag ids stay integral; pivot aliases cannot carry
+    # a minus sign, so use m{|k|}/p{k} suffixes.
+    _ANCHOR = -(int(max_lag) + 1)
+    msgs = base.select(
+        "_g",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(_ANCHOR).alias("_lag"),
+                    F.col("_b").alias("_anchor"),
+                    F.col("_x").alias("_v"),
+                ),
+                *[
+                    F.struct(
+                        F.lit(k).alias("_lag"),
+                        (F.col("_b") + F.lit(k)).alias("_anchor"),
+                        F.col("_y").alias("_v"),
+                    )
+                    for k in lags
+                ],
+            )
+        ).alias("_m"),
+    ).select(
+        "_g",
+        F.col("_m._lag").alias("_lag"),
+        F.col("_m._anchor").alias("_anchor"),
+        F.col("_m._v").alias("_v"),
+    )
+
+    def _ycol(k: int) -> str:
+        return f"_y_m{-k}" if k < 0 else f"_y_p{k}"
+
+    anchored = msgs.groupBy("_g", "_anchor").agg(
+        F.max(F.when(F.col("_lag") == _ANCHOR, F.col("_v"))).alias("_xv"),
+        *[
+            F.max(F.when(F.col("_lag") == k, F.col("_v"))).alias(_ycol(k))
+            for k in lags
+        ],
+    )
+    pairs = (
+        anchored.select(
+            "_g",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("_lag"),
+                            F.col("_xv").alias("_x"),
+                            F.col(_ycol(k)).alias("_y"),
+                        )
+                        for k in lags
+                    ]
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "_g",
+            F.col("_p._lag").alias("_lag"),
+            F.col("_p._x").alias("_x"),
+            F.col("_p._y").alias("_y"),
+        )
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    )
+    return (
+        pairs.groupBy("_g", "_lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("_x").alias("sum_x"),
+            F.sum("_y").alias("sum_y"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sum_xx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("sum_yy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sum_xy"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_lag").cast("long").alias("lag"),
+            "n_pairs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
+        )
+    )

@@ -6547,3 +6547,106 @@ def q_hist_quantiles_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [500, 950, 990],
     )
+
+
+@query(
+    "q_xcorr_daily",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), lags AS (SELECT UNNEST(RANGE(-5, 6)) AS lag)
+    SELECT a.event_type,
+           CAST(l.lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.x) AS BIGINT) AS sum_x,
+           CAST(SUM(b.y) AS BIGINT) AS sum_y,
+           CAST(SUM(a.x * a.x) AS BIGINT) AS sum_xx,
+           CAST(SUM(b.y * b.y) AS BIGINT) AS sum_yy,
+           CAST(SUM(a.x * b.y) AS BIGINT) AS sum_xy
+    FROM d a CROSS JOIN lags l
+    JOIN d b ON b.event_type = a.event_type AND b.ed = a.ed - l.lag
+    GROUP BY 1, 2
+    """,
+)
+def q_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag −5..+5 CROSS-correlation sufficient statistics between two
+    daily series per event type (timeseries.xcorr_stats): x = event
+    volume, y = distinct actors — the lead/lag diagnostic ("do volume
+    spikes precede breadth spikes, or trail them?") that acf_stats
+    cannot answer because it correlates a series only with itself.
+    Both series are integral (COUNT / COUNT DISTINCT), so every graded
+    sum is BIGINT-exact; Pearson r per lag is one division downstream.
+    Same single-lineage message-passing shape as q_acf_daily — the
+    pre-aggregated daily table broadcasts each bucket's x once and its
+    y to the 11 anchors it lags for, one (group, anchor) pivot, no
+    self-join re-scan of events, no window.  Round-15 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ed"),
+    ).agg(
+        F.count("*").alias("x"),
+        F.count_distinct("user_id").alias("y"),
+    )
+    return timeseries.xcorr_stats(d, "event_type", "ed", "x", "y", max_lag=5)
+
+
+@query(
+    "q_weighted_quantiles",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+               SUM(CAST(l_quantity AS BIGINT)) AS c
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1, 2
+    ), w AS (
+        SELECT g, v, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM c
+    ), q AS (SELECT UNNEST([250, 500, 750, 950]) AS q_milli)
+    SELECT w.g AS l_returnflag,
+           CAST(q.q_milli AS INT) AS q_milli,
+           CAST(w.v AS BIGINT) AS value,
+           CAST(w.n AS BIGINT) AS n
+    FROM w, q
+    WHERE (q.q_milli * w.n + 999) // 1000 > w.cum - w.c
+      AND (q.q_milli * w.n + 999) // 1000 <= w.cum
+    """,
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED discrete quantiles (ranking.exact_quantiles_disc
+    with ``weight_col``): the price-cents value below which 25/50/75/95
+    percent of the shipped QUANTITY sits, per return flag — mass-based
+    rank selection over cumulative weight, the training-mix shape
+    ("the doc length below which half the TOKENS sit") graded on the
+    integral lineitem pair (cents, quantity).  Rows collapse to
+    (group, value) weight SUMS first, the cumulative runs segmented
+    exactly as the unweighted entry (value-bucket local prefix +
+    offset stitch, no per-group total order), and rank =
+    ceil(q·W/1000) selects against total weight W; the
+    positive-integer weight contract is enforced in-plan
+    (assert_true), never silently dropped.  The oracle restates the
+    weighted rank rule literally over a windowed cumulative.
+    Round-15 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import ranking
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return ranking.exact_quantiles_disc(
+        li, ["l_returnflag"], "cents", [250, 500, 750, 950],
+        weight_col="qty",
+    ).select("l_returnflag", "q_milli", "value", "n")

@@ -3,6 +3,7 @@ statistics for lag-k autocorrelation — hand-computed values, gap
 semantics, and the max_lag contract."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from aws_logs_to_parquet_converter_spark.operators import timeseries
 
@@ -55,3 +56,82 @@ def test_max_lag_contract(spark):
     df = spark.createDataFrame([("g", 0, 1)], "g string, b long, x long")
     with pytest.raises(ValueError, match="max_lag"):
         timeseries.acf_stats(df, "g", "b", "x", max_lag=0)
+
+
+# xcorr_stats (r15)
+
+
+def test_xcorr_hand_computed(spark):
+    # one group, buckets 0..3: x = [1,2,3,4], y = [10,20,30,40]
+    rows = [("g", b, x, y) for b, x, y in
+            [(0, 1, 10), (1, 2, 20), (2, 3, 30), (3, 4, 40)]]
+    df = spark.createDataFrame(rows, "g string, b long, x long, y long")
+    got = {
+        r["lag"]: (r["n_pairs"], r["sum_x"], r["sum_y"], r["sum_xy"])
+        for r in timeseries.xcorr_stats(df, "g", "b", "x", "y", max_lag=2).collect()
+    }
+    # lag 0: pairs (x_t, y_t) for t=0..3
+    assert got[0] == (4, 10, 100, 1*10 + 2*20 + 3*30 + 4*40)
+    # lag +1: (x at t, y at t-1) -> t=1..3
+    assert got[1] == (3, 2 + 3 + 4, 10 + 20 + 30, 2*10 + 3*20 + 4*30)
+    # lag -1: (x at t, y at t+1) -> t=0..2
+    assert got[-1] == (3, 1 + 2 + 3, 20 + 30 + 40, 1*20 + 2*30 + 3*40)
+    # lag +2 / -2
+    assert got[2] == (2, 3 + 4, 10 + 20, 3*10 + 4*20)
+    assert got[-2] == (2, 1 + 2, 30 + 40, 1*30 + 2*40)
+
+
+def test_xcorr_python_differential(spark):
+    import random
+
+    rng = random.Random(31)
+    series = {}
+    for g in ("a", "b"):
+        for b in range(20):
+            if rng.random() < 0.8:  # holes: missing buckets drop pairs
+                series[(g, b)] = (rng.randrange(0, 50), rng.randrange(0, 50))
+    rows = [(g, b, x, y) for (g, b), (x, y) in series.items()]
+    df = spark.createDataFrame(rows, "g string, b long, x long, y long")
+    L = 4
+    got = {
+        (r["g"], r["lag"]): (
+            r["n_pairs"], r["sum_x"], r["sum_y"],
+            r["sum_xx"], r["sum_yy"], r["sum_xy"],
+        )
+        for r in timeseries.xcorr_stats(df, "g", "b", "x", "y", max_lag=L).collect()
+    }
+    want = {}
+    for (g, t), (x, _) in series.items():
+        for k in range(-L, L + 1):
+            if (g, t - k) in series:
+                y = series[(g, t - k)][1]
+                n, sx, sy, sxx, syy, sxy = want.get((g, k), (0,) * 6)
+                want[(g, k)] = (
+                    n + 1, sx + x, sy + y, sxx + x * x, syy + y * y, sxy + x * y
+                )
+    assert got == want
+
+
+def test_xcorr_lag_zero_matches_acf_alignment(spark):
+    # x == y degenerates lag k and lag -k to acf's lag |k| stats
+    rows = [("g", b, v, v) for b, v in [(0, 3), (1, 5), (2, 7), (4, 2)]]
+    df = spark.createDataFrame(rows, "g string, b long, x long, y long")
+    xc = {
+        r["lag"]: (r["n_pairs"], r["sum_xy"])
+        for r in timeseries.xcorr_stats(df, "g", "b", "x", "y", max_lag=2).collect()
+    }
+    ac = {
+        r["lag"]: (r["n_pairs"], r["sum_xy"])
+        for r in timeseries.acf_stats(
+            df.select("g", "b", F.col("x").alias("v")), "g", "b", "v", max_lag=2
+        ).collect()
+    }
+    for k in (1, 2):
+        assert xc[k][0] == ac[k][0]
+        assert xc[k][1] == ac[k][1]
+
+
+def test_xcorr_max_lag_contract(spark):
+    df = spark.createDataFrame([("g", 0, 1, 1)], "g string, b long, x long, y long")
+    with pytest.raises(ValueError, match="max_lag"):
+        timeseries.xcorr_stats(df, "g", "b", "x", "y", max_lag=0)

@@ -321,3 +321,86 @@ def test_exact_quantiles_single_value_group_and_target_contract(spark):
         exact_quantiles_disc(df, ["g"], "v", [500], target_buckets=0)
     with pytest.raises(ValueError, match="group_cols"):
         exact_quantiles_disc(df, [], "v", [500])
+
+
+# weighted quantiles (r15)
+
+
+def test_weighted_quantiles_expansion_differential(spark):
+    """Weighted quantiles == unweighted quantiles over the
+    weight-expanded multiset (each row repeated weight times)."""
+    import math
+    import random
+
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (f"g{rng.randrange(3)}", rng.randrange(0, 30), rng.randrange(1, 6))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    qs = [1, 250, 500, 750, 999, 1000]
+    got = {
+        (r["g"], r["q_milli"]): (r["value"], r["n"])
+        for r in exact_quantiles_disc(
+            df, ["g"], "v", qs, weight_col="w"
+        ).collect()
+    }
+    by_g = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).extend([v] * w)
+    for g, vs in by_g.items():
+        vs.sort()
+        for q in qs:
+            want = vs[math.ceil(q * len(vs) / 1000) - 1]
+            assert got[(g, q)] == (want, len(vs)), (g, q)
+
+
+def test_weighted_quantiles_unit_weight_matches_unweighted(spark):
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    rows = [("g", x * 13 % 47) for x in range(120)]
+    df = spark.createDataFrame(rows, "g string, v long").withColumn(
+        "w", F.lit(1).cast("long")
+    )
+    unw = sorted(
+        tuple(r) for r in exact_quantiles_disc(df, ["g"], "v", [500, 950]).collect()
+    )
+    wgt = sorted(
+        tuple(r)
+        for r in exact_quantiles_disc(
+            df, ["g"], "v", [500, 950], weight_col="w"
+        ).collect()
+    )
+    assert unw == wgt
+
+
+def test_weighted_quantiles_contracts(spark):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    df = spark.createDataFrame([("g", 1, 1.5)], "g string, v long, w double")
+    with pytest.raises(TypeError, match="integral"):
+        exact_quantiles_disc(df, ["g"], "v", [500], weight_col="w")
+
+    bad = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, 0)], "g string, v long, w long"
+    )
+    with pytest.raises(Exception, match="positive integer"):
+        exact_quantiles_disc(bad, ["g"], "v", [500], weight_col="w").collect()
+
+    withnull = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, None)], "g string, v long, w long"
+    )
+    with pytest.raises(Exception, match="positive integer"):
+        exact_quantiles_disc(
+            withnull, ["g"], "v", [500], weight_col="w"
+        ).collect()
