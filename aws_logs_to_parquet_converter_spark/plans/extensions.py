@@ -6650,3 +6650,54 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_returnflag"], "cents", [250, 500, 750, 950],
         weight_col="qty",
     ).select("l_returnflag", "q_milli", "value", "n")
+
+
+@query(
+    "q_setsim_join",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, nt FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS nt
+            FROM documents
+        ) WHERE nt IS NOT NULL AND nt != ''
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(nt) - 4, 1)),
+                   i -> substring(nt, i, 5)))) AS s
+        FROM docs
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+        FROM sh a JOIN sh b ON b.s = a.s AND b.doc_id > a.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           CAST(i AS BIGINT) AS inter,
+           CAST(na.n + nb.n - i AS BIGINT) AS uni
+    FROM inter
+    JOIN sizes na ON na.doc_id = ia
+    JOIN sizes nb ON nb.doc_id = ib
+    WHERE 1000 * i >= 600 * (na.n + nb.n - i)
+    """,
+)
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT character-5-gram Jaccard >= 0.6 self-join via PREFIX
+    FILTERING (operators/setsim.py - the AllPairs/PPJoin family): each
+    doc indexes only its ``n - ceil(tau*n) + 1`` RAREST shingles under
+    the global (df asc, token) order, the candidate equi-join keys on
+    those rare shingles, and exact verification keeps true pairs - the
+    uncapped-but-still-exact complement of q_ngram_jaccard's df-capped
+    inverted index on the SAME tokenization (the prefix
+    theorem guarantees candidate completeness, so there is NO cap for
+    the oracle to mirror, and the brute-force oracle here carries no
+    cap clause).  Output is integer-exact (inter, uni) with the
+    threshold applied as 1000*inter >= 600*uni.  Round-15 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import setsim
+
+    d = t(spark, sf_dir, "documents")
+    return setsim.setsim_join(
+        d, "doc_id", "text", threshold_milli=600, shingle_n=5
+    )
