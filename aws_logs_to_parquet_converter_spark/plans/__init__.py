@@ -273,7 +273,11 @@ GRADED_WINDOW = 50
 _PRIORITY = [
     # flagship (reference's days_apart_analysis.sql run verbatim)
     "q_days_apart",
-    # (1) never driver-graded: the r15 birth
+    # (1) never driver-graded: the r15 birth.  (The LATE r15 births —
+    # q_hist_quantiles[_range], q_interval_merge/coverage/gaps/
+    # intersect, q_xcorr_daily, q_weighted_quantiles, q_setsim_join —
+    # were born after this window filled; they lead the r16 rotation
+    # per the q_approx_top_k precedent, all parity-green locally.)
     "q_bitmap_growth",
     # (2) code changed this round (r14 verdict items 2-3 + r15
     # advisories: adaptive quantile width, interval slimming +
