@@ -237,3 +237,109 @@ def test_hist_quantiles_match_python(spark, vals, m, qs):
             if cum >= rank:
                 assert got[q] == (_py_hdr_floor(b, m), n), (q, m)
                 break
+
+
+# --------------------------------------------------------------------------
+# setsim_join vs brute-force pair scan (prefix-filter completeness +
+# verification exactness under arbitrary token-frequency profiles)
+# --------------------------------------------------------------------------
+
+_corpus = st.lists(
+    st.sets(
+        st.integers(min_value=0, max_value=25), min_size=1, max_size=12
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(sets=_corpus, thr=st.sampled_from([300, 500, 800, 1000]))
+@settings(**_SETTINGS)
+def test_setsim_matches_brute_force(spark, sets, thr):
+    from aws_logs_to_parquet_converter_spark.operators import setsim
+
+    docs = [(i, " ".join(f"t{t}" for t in sorted(s))) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in setsim.setsim_join(df, "doc_id", "text", thr).collect()
+    }
+    want = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            uni = len(sets[i] | sets[j])
+            if 1000 * inter >= thr * uni:
+                want[(i, j)] = (inter, uni)
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# xcorr_stats vs a pure-Python pair scan (holes, negative lags)
+# --------------------------------------------------------------------------
+
+_series = st.dictionaries(
+    st.integers(min_value=0, max_value=12),  # bucket
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(series=_series, lag=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_xcorr_matches_python(spark, series, lag):
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    rows = [("g", b, x, y) for b, (x, y) in series.items()]
+    df = spark.createDataFrame(rows, "g string, b long, x long, y long")
+    got = {
+        r["lag"]: (r["n_pairs"], r["sum_x"], r["sum_y"], r["sum_xx"], r["sum_yy"], r["sum_xy"])
+        for r in timeseries.xcorr_stats(df, "g", "b", "x", "y", max_lag=lag).collect()
+    }
+    want = {}
+    for t, (x, _) in series.items():
+        for k in range(-lag, lag + 1):
+            if (t - k) in series:
+                y = series[t - k][1]
+                n, sx, sy, sxx, syy, sxy = want.get(k, (0,) * 6)
+                want[k] = (n + 1, sx + x, sy + y, sxx + x * x, syy + y * y, sxy + x * y)
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# weighted exact quantiles vs the weight-expanded multiset
+# --------------------------------------------------------------------------
+
+_weighted = st.lists(
+    st.tuples(
+        st.integers(min_value=-100, max_value=100),  # value
+        st.integers(min_value=1, max_value=7),  # weight
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_weighted, q=st.sampled_from([1, 250, 500, 999, 1000]))
+@settings(**_SETTINGS)
+def test_weighted_quantiles_match_expansion(spark, rows, q):
+    import math
+
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in rows], "g string, v long, w long"
+    )
+    got = {
+        r["q_milli"]: (r["value"], r["n"])
+        for r in exact_quantiles_disc(df, ["g"], "v", [q], weight_col="w").collect()
+    }
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    want = expanded[math.ceil(q * len(expanded) / 1000) - 1]
+    assert got[q] == (want, len(expanded))
