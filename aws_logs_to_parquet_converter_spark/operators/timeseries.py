@@ -1022,3 +1022,108 @@ def xcorr_stats(
             "n_pairs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
         )
     )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    slope_scale: int = 1_000_000,
+) -> DataFrame:
+    """Theil–Sen robust trend slope per group over an INTEGER series
+    (Theil 1950 / Sen 1968): the MEDIAN of all pairwise slopes
+    (v_j − v_i)/(o_j − o_i), i < j — the slope estimator with a 29.3%
+    breakdown point, where OLS flips on a single spike and
+    ``kendall_trend`` answers only direction, not magnitude.
+
+    INTEGER-EXACT quantization: each pair slope is scaled to
+    ``slope_scale`` fixed-point units with BIGINT truncate-toward-zero
+    division (``(dv · slope_scale) div do`` — Spark's ``div`` and
+    DuckDB's ``//`` agree on truncation, so an oracle matches
+    bit-for-bit), and the median of the quantized slopes is selected
+    by EXACT rank over (group, slope) counts —
+    ``ranking.exact_quantiles_disc``'s segmented cumulative, no
+    per-group sort of the pair table.  The returned slope is the true
+    Theil–Sen estimate quantized to 1/slope_scale units (ceil-rank
+    median of the discrete multiset, the q_milli=500 convention).
+
+    Shape: input must be PRE-AGGREGATED per bucket (daily counts —
+    buckets×groups rows), so the O(|buckets|²) pair join is bounded by
+    CALENDAR size, never data (kendall_trend's contract, same loud
+    in-plan uniqueness enforcement).  The overflow envelope
+    ``|dv| · slope_scale < 2^63`` is asserted in-plan: a violation
+    fails the job, never wraps.
+
+    Returns (group, median_slope_scaled, n_pairs); groups with a
+    single bucket have no pairs and emit NO row (kendall_trend is the
+    operator that reports bucket counts for them).
+    """
+    if slope_scale < 1:
+        raise ValueError(
+            f"theilsen_trend: slope_scale must be >= 1, got {slope_scale}"
+        )
+    base = (
+        df.groupBy(
+            F.col(group_col).alias("_g"), F.col(order_col).cast("long").alias("_o")
+        )
+        .agg(
+            F.min(F.col(value_col).cast("long")).alias("_v"),
+            F.count("*").alias("_c"),
+        )
+        .where(
+            F.assert_true(
+                F.col("_c") == 1,
+                F.lit(
+                    "theilsen_trend: input must be pre-aggregated to one row "
+                    f"per ({group_col!r}, {order_col!r}); found duplicate "
+                    "order values within a group"
+                ),
+            ).isNull()
+        )
+        .drop("_c")
+    )
+    left = base.select("_g", F.col("_o").alias("_o1"), F.col("_v").alias("_v1"))
+    right = base.select(
+        F.col("_g").alias("_g2"), F.col("_o").alias("_o2"), F.col("_v").alias("_v2")
+    )
+    dv = F.col("_v2") - F.col("_v1")
+    max_dv = (1 << 63) - 1
+    # the i<j restriction lives in the JOIN CONDITION, and the division
+    # carries its own when() guard: projection collapse + predicate
+    # reordering may otherwise evaluate the ANSI div on an _o2 == _o1
+    # pair before the filter that excludes it (observed live: the
+    # downstream quantile's _s IS NOT NULL filter reordered ahead of a
+    # post-join where, DIVIDE_BY_ZERO in codegen)
+    slope = F.when(
+        F.col("_o2") > F.col("_o1"),
+        F.expr(f"((_v2 - _v1) * {int(slope_scale)}L) div (_o2 - _o1)"),
+    )
+    pairs = (
+        left.join(
+            right,
+            F.col("_g").eqNullSafe(F.col("_g2")) & (F.col("_o2") > F.col("_o1")),
+        )
+        .where(
+            F.assert_true(
+                F.abs(dv) <= F.lit(max_dv // int(slope_scale)),
+                F.lit(
+                    "theilsen_trend: |value delta| * slope_scale exceeds "
+                    "BIGINT; lower slope_scale or rescale values upstream"
+                ),
+            ).isNull()
+        )
+        .select("_g", slope.alias("_s"))
+    )
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    med = exact_quantiles_disc(
+        pairs.select("_g", "_s"), ["_g"], "_s", [500]
+    )
+    return med.select(
+        F.col("_g").alias(group_col),
+        F.col("value").alias("median_slope_scaled"),
+        F.col("n").alias("n_pairs"),
+    )

@@ -6701,3 +6701,56 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim.setsim_join(
         d, "doc_id", "text", threshold_milli=600, shingle_n=5
     )
+
+
+@query(
+    "q_theilsen_trend",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), p AS (
+        SELECT a.event_type AS g,
+               ((b.n - a.n) * 1000000) // (b.ed - a.ed) AS s
+        FROM d a JOIN d b ON b.event_type = a.event_type AND b.ed > a.ed
+    ), c AS (
+        SELECT g, s, COUNT(*) AS c FROM p GROUP BY 1, 2
+    ), w AS (
+        SELECT g, s, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY s) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM c
+    )
+    SELECT g AS event_type,
+           CAST(s AS BIGINT) AS median_slope_scaled,
+           CAST(n AS BIGINT) AS n_pairs
+    FROM w
+    WHERE (500 * n + 999) // 1000 > cum - c
+      AND (500 * n + 999) // 1000 <= cum
+    """,
+)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of the daily event-count series per
+    event type (timeseries.theilsen_trend): the MEDIAN of all pairwise
+    slopes, quantized to 1e-6/day fixed-point units with
+    truncate-toward-zero BIGINT division (Spark div == DuckDB //), so
+    the graded value is integer-exact.  The magnitude complement of
+    q_trend_kendall's direction test - one spike cannot flip it, where
+    an OLS fit can.  The pair join is bounded by CALENDAR size (the
+    pre-aggregated daily table, kendall's contract, uniqueness
+    enforced in-plan) and the median runs as exact rank selection over
+    (group, slope) counts - no per-group sort of the pair table.  The
+    oracle restates pairs + the ceil-rank rule over a windowed
+    cumulative.  Round-15 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ed"),
+    ).agg(F.count("*").alias("n"))
+    return timeseries.theilsen_trend(d, "event_type", "ed", "n")

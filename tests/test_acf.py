@@ -135,3 +135,88 @@ def test_xcorr_max_lag_contract(spark):
     df = spark.createDataFrame([("g", 0, 1, 1)], "g string, b long, x long, y long")
     with pytest.raises(ValueError, match="max_lag"):
         timeseries.xcorr_stats(df, "g", "b", "x", "y", max_lag=0)
+
+
+# theilsen_trend (r15)
+
+
+def _ts_python(rows, scale=1_000_000):
+    """Reference: truncate-toward-zero quantized pair slopes, ceil-rank
+    median per group."""
+    import math
+    from collections import defaultdict
+
+    by_g = defaultdict(dict)
+    for g, o, v in rows:
+        by_g[g][o] = v
+    out = {}
+    for g, series in by_g.items():
+        os_ = sorted(series)
+        slopes = []
+        for i, o1 in enumerate(os_):
+            for o2 in os_[i + 1 :]:
+                num = (series[o2] - series[o1]) * scale
+                den = o2 - o1
+                q = abs(num) // den
+                slopes.append(q if num >= 0 else -q)
+        if slopes:
+            slopes.sort()
+            out[g] = (slopes[math.ceil(500 * len(slopes) / 1000) - 1], len(slopes))
+    return out
+
+
+def test_theilsen_hand_computed_and_negative_truncation(spark):
+    # g: (0,1),(1,3),(2,2) -> slopes [2e6, 500000, -1e6]; median 500000
+    # h: single bucket -> no pairs -> absent
+    rows = [("g", 0, 1), ("g", 1, 3), ("g", 2, 2), ("h", 0, 5)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = {
+        r["g"]: (r["median_slope_scaled"], r["n_pairs"])
+        for r in timeseries.theilsen_trend(df, "g", "o", "v").collect()
+    }
+    assert got == {"g": (500000, 3)}
+    # negative non-exact quotient truncates toward zero on BOTH engines:
+    # (-1 * 1e6) div 3 = -333333 (not floor's -333334)
+    rows2 = [("n", 0, 1), ("n", 3, 0)]
+    df2 = spark.createDataFrame(rows2, "g string, o long, v long")
+    got2 = timeseries.theilsen_trend(df2, "g", "o", "v").collect()
+    assert got2[0]["median_slope_scaled"] == -333333
+
+
+def test_theilsen_python_differential(spark):
+    import random
+
+    rng = random.Random(53)
+    rows = []
+    for g in ("a", "b", "c"):
+        for o in rng.sample(range(40), rng.randrange(2, 20)):
+            rows.append((g, o, rng.randrange(-100, 100)))
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = {
+        r["g"]: (r["median_slope_scaled"], r["n_pairs"])
+        for r in timeseries.theilsen_trend(df, "g", "o", "v").collect()
+    }
+    assert got == _ts_python(rows)
+
+
+def test_theilsen_robust_to_one_spike(spark):
+    # perfect slope 2 with one wild outlier: median slope stays 2e6
+    rows = [("g", o, 2 * o) for o in range(10)] + [("g", 10, 10_000)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = timeseries.theilsen_trend(df, "g", "o", "v").collect()
+    assert got[0]["median_slope_scaled"] == 2_000_000
+
+
+def test_theilsen_contracts(spark):
+    df = spark.createDataFrame(
+        [("g", 0, 1), ("g", 0, 2), ("g", 1, 3)], "g string, o long, v long"
+    )
+    with pytest.raises(Exception, match="pre-aggregated"):
+        timeseries.theilsen_trend(df, "g", "o", "v").collect()
+    with pytest.raises(ValueError, match="slope_scale"):
+        timeseries.theilsen_trend(df, "g", "o", "v", slope_scale=0)
+    big = spark.createDataFrame(
+        [("g", 0, 0), ("g", 1, 1 << 45)], "g string, o long, v long"
+    )
+    with pytest.raises(Exception, match="BIGINT"):
+        timeseries.theilsen_trend(big, "g", "o", "v", slope_scale=1 << 20).collect()
