@@ -477,3 +477,164 @@ def exact_quantiles_disc(
             F.col("_n").cast("long").alias("n"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_cols: list[str],
+    side_col: str,
+    value_col: str,
+    bucket_width: int | None = None,
+    target_buckets: int = 1024,
+) -> DataFrame:
+    """Mann–Whitney U SUFFICIENT STATISTICS per group over an INTEGRAL
+    value — the exact nonparametric two-sample "is distribution A
+    shifted right of B" test (Mann & Whitney 1947), computed WITHOUT
+    ranking raw rows: the drift screen for "are en docs longer than
+    non-en in this source", "did latency shift after the rollout",
+    where a t-test's mean is spike-fragile and an approx sketch has an
+    error bar.
+
+    ``side_col`` must be BOOLEAN (TRUE = sample A); rows with NULL side
+    or NULL value are excluded.  Returns per group, all BIGINT:
+
+      * ``n_a``, ``n_b`` — sample sizes;
+      * ``u2_a`` — TWICE the U statistic of sample A
+        (``2·Σ[a>b] + Σ[a=b]`` over all cross pairs — doubled so the
+        half-credit tie term stays integral; U_B follows as
+        ``2·n_a·n_b − u2_a``);
+      * ``tie_cubes`` — ``Σ_v (t_v³ − t_v)`` over combined-value
+        multiplicities, the tie-correction term of the normal
+        approximation's variance.
+
+    z-score / p-value are driver-side arithmetic on these four
+    integers; nothing floats in the graded quantities.
+
+    Shape: rows collapse to (group, value, count_a, count_b) first
+    (map-side combinable — the only data-sized pass), and the
+    strictly-below-v cumulative of B runs SEGMENTED exactly like
+    ``exact_quantiles_disc`` (per-(group, value-bucket) local prefix
+    window + a buckets-sized offset stitch; adaptive bucket width from
+    the observed range by default) — no per-group total order over
+    distinct values, so a hot group cannot single-task funnel.  U then
+    falls out of ONE aggregate: ``Σ_v ca(v)·(2·cumB(<v) + cb(v))``.
+    Pair semantics without pair enumeration — the O(n_a·n_b) pair
+    space is never materialized.
+    """
+    if not group_cols:
+        raise ValueError(
+            "mann_whitney_u: group_cols must be non-empty — add a constant "
+            "group column if you really mean a global test"
+        )
+    stype = df.schema[side_col].dataType
+    if not isinstance(stype, T.BooleanType):
+        raise TypeError(
+            f"mann_whitney_u: {side_col!r} must be BOOLEAN (TRUE = sample "
+            f"A), got {stype.simpleString()!r} — make the split explicit "
+            "upstream rather than guessing a two-value encoding here"
+        )
+    vtype = df.schema[value_col].dataType
+    if not isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"mann_whitney_u: {value_col!r} must be integral (got "
+            f"{vtype.simpleString()!r}) — rank tests are exact on discrete "
+            "domains; scale to cents/micros upstream"
+        )
+    if bucket_width is not None and bucket_width < 1:
+        raise ValueError(
+            f"mann_whitney_u: bucket_width must be >= 1, got {bucket_width}"
+        )
+    from aws_logs_to_parquet_converter_spark.operators.intervals import (
+        exact_floordiv,
+    )
+
+    v = F.col(value_col).cast("long")
+    side = F.col(side_col)
+    counts = (
+        df.where(v.isNotNull() & side.isNotNull())
+        .groupBy(*group_cols, v.alias("_v"))
+        .agg(
+            F.count(F.when(side, 1)).alias("_ca"),
+            F.count(F.when(~side, 1)).alias("_cb"),
+        )
+    )
+    if bucket_width is None:
+        stats = counts.groupBy(*group_cols).agg(
+            F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax")
+        )
+        st = stats.select(
+            *[F.col(c).alias(f"_s_{c}") for c in group_cols], "_vmin", "_vmax"
+        )
+        cond = F.lit(True)
+        for c in group_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+        width = (
+            F.call_function(
+                "div", F.col("_vmax") - F.col("_vmin"), F.lit(int(target_buckets))
+            )
+            + F.lit(1)
+        )
+        counts = (
+            counts.join(st, cond)
+            .withColumn(
+                "_bkt", F.call_function("div", F.col("_v") - F.col("_vmin"), width)
+            )
+            .drop("_vmin", "_vmax", *[f"_s_{c}" for c in group_cols])
+        )
+    else:
+        counts = counts.withColumn(
+            "_bkt", exact_floordiv(F.col("_v"), bucket_width)
+        )
+    # strictly-below-v cumulative of B: local exclusive prefix within
+    # the (group, bucket) window + the offset of all prior buckets
+    w_local = (
+        Window.partitionBy(*group_cols, "_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = counts.select(
+        *group_cols,
+        "_bkt",
+        "_v",
+        "_ca",
+        "_cb",
+        F.coalesce(F.sum("_cb").over(w_local), F.lit(0)).alias("_lcum_b"),
+    )
+    per_bucket = local.groupBy(*group_cols, "_bkt").agg(
+        F.sum("_cb").alias("_btot")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        *group_cols,
+        "_bkt",
+        F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"),
+    )
+    off = offsets.select(
+        *[F.col(c).alias(f"_o_{c}") for c in group_cols],
+        F.col("_bkt").alias("_o_bkt"),
+        "_off",
+    )
+    join_cond = F.col("_bkt") == F.col("_o_bkt")
+    for c in group_cols:
+        join_cond = join_cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+    cum = local.join(off, join_cond).select(
+        *group_cols,
+        "_ca",
+        "_cb",
+        (F.col("_off") + F.col("_lcum_b")).alias("_cumb_lt"),
+    )
+    t_ = F.col("_ca") + F.col("_cb")
+    return cum.groupBy(*group_cols).agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("_ca") * (F.lit(2) * F.col("_cumb_lt") + F.col("_cb"))
+        ).cast("long").alias("u2_a"),
+        F.sum(t_ * t_ * t_ - t_).cast("long").alias("tie_cubes"),
+    )

@@ -6754,3 +6754,55 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ed"),
     ).agg(F.count("*").alias("n"))
     return timeseries.theilsen_trend(d, "event_type", "ed", "n")
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH t AS (
+        SELECT source AS g, (lang = 'en') AS is_a,
+               CAST(n_chars AS BIGINT) AS v
+        FROM documents
+        WHERE n_chars IS NOT NULL AND (lang = 'en') IS NOT NULL
+    ), c AS (
+        SELECT g, v,
+               SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+        FROM t GROUP BY 1, 2
+    ), w AS (
+        SELECT g, v, ca, cb,
+               COALESCE(SUM(cb) OVER (
+                   PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cumb_lt
+        FROM c
+    )
+    SELECT g AS source,
+           CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(cb) AS BIGINT) AS n_b,
+           CAST(SUM(ca * (2 * cumb_lt + cb)) AS BIGINT) AS u2_a,
+           CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie_cubes
+    FROM w GROUP BY 1
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U sufficient statistics per source
+    (ranking.mann_whitney_u): is the en doc-length distribution
+    shifted right of the non-en one, exactly, per corpus source - the
+    nonparametric two-sample drift screen whose pair semantics
+    (2*sum[a>b] + sum[a=b], doubled so tie half-credit stays integral)
+    are computed WITHOUT enumerating the n_a*n_b pair space: (group,
+    value) side counts, a segmented strictly-below cumulative of B
+    (exact_quantiles_disc's value-bucket local prefix + offset stitch
+    - no per-group total order), one closing aggregate.  n_a/n_b and
+    the tie-correction term sum(t^3 - t) ride along; z and p are
+    driver-side divisions on four BIGINTs.  The oracle restates the
+    identity over a windowed cumulative.  Round-15 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import ranking
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("lang") == "en").alias("is_en"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    return ranking.mann_whitney_u(d, ["source"], "is_en", "v")

@@ -13,6 +13,7 @@ from aws_logs_to_parquet_converter_spark.operators.ranking import (
     global_row_number,
     ntile_from_rank,
     percent_rank_from_rank,
+    mann_whitney_u,
 )
 
 
@@ -404,3 +405,85 @@ def test_weighted_quantiles_contracts(spark):
         exact_quantiles_disc(
             withnull, ["g"], "v", [500], weight_col="w"
         ).collect()
+
+
+# mann_whitney_u (r15)
+
+
+def _mw_python(rows):
+    """Reference: brute-force pair scan per group.
+    rows: (g, is_a, v)."""
+    from collections import Counter, defaultdict
+
+    a_vals = defaultdict(list)
+    b_vals = defaultdict(list)
+    for g, is_a, v in rows:
+        if is_a is None or v is None:
+            continue
+        (a_vals if is_a else b_vals)[g].append(v)
+    out = {}
+    for g in set(a_vals) | set(b_vals):
+        avs, bvs = a_vals.get(g, []), b_vals.get(g, [])
+        u2 = sum(
+            2 if a > b else (1 if a == b else 0) for a in avs for b in bvs
+        )
+        ties = Counter(avs + bvs)
+        tc = sum(t**3 - t for t in ties.values())
+        out[g] = (len(avs), len(bvs), u2, tc)
+    return out
+
+
+def test_mann_whitney_hand_computed(spark):
+    # A = [1, 3], B = [2]: pairs (1,2)->0, (3,2)->2; u2_a=2
+    rows = [("g", True, 1), ("g", True, 3), ("g", False, 2)]
+    df = spark.createDataFrame(rows, "g string, s boolean, v long")
+    got = mann_whitney_u(df, ["g"], "s", "v").collect()[0]
+    assert (got["n_a"], got["n_b"], got["u2_a"], got["tie_cubes"]) == (2, 1, 2, 0)
+
+
+def test_mann_whitney_ties_half_credit(spark):
+    # A = [5, 5], B = [5]: each pair ties -> u2_a = 2; tie_cubes = 27-3
+    rows = [("g", True, 5), ("g", True, 5), ("g", False, 5)]
+    df = spark.createDataFrame(rows, "g string, s boolean, v long")
+    got = mann_whitney_u(df, ["g"], "s", "v").collect()[0]
+    assert (got["u2_a"], got["tie_cubes"]) == (2, 24)
+
+
+def test_mann_whitney_python_differential(spark):
+    import random
+
+    rng = random.Random(67)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(rng.randrange(30, 80)):
+            rows.append((g, rng.random() < 0.5, rng.randrange(0, 25)))
+    rows.append(("a", None, 3))  # NULL side excluded
+    df = spark.createDataFrame(rows, "g string, s boolean, v long")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["u2_a"], r["tie_cubes"])
+        for r in mann_whitney_u(df, ["g"], "s", "v").collect()
+    }
+    assert got == _mw_python(rows)
+    # identity: u2_a + u2_b == 2 * n_a * n_b (complement symmetry)
+    flipped = {
+        r["g"]: r["u2_a"]
+        for r in mann_whitney_u(
+            df.select("g", (~F.col("s")).alias("s"), "v"), ["g"], "s", "v"
+        ).collect()
+    }
+    for g, (na, nb, u2a, _) in got.items():
+        assert u2a + flipped[g] == 2 * na * nb
+
+
+def test_mann_whitney_contracts(spark):
+    df = spark.createDataFrame([("g", 1, 1)], "g string, s long, v long")
+    with pytest.raises(TypeError, match="BOOLEAN"):
+        mann_whitney_u(df, ["g"], "s", "v")
+    df2 = spark.createDataFrame([("g", True, 1.5)], "g string, s boolean, v double")
+    with pytest.raises(TypeError, match="integral"):
+        mann_whitney_u(df2, ["g"], "s", "v")
+    with pytest.raises(ValueError, match="group_cols"):
+        mann_whitney_u(
+            spark.createDataFrame([("g", True, 1)], "g string, s boolean, v long"),
+            [], "s", "v",
+        )
