@@ -89,3 +89,61 @@ def count_min_estimate(
         "key", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy("key").agg(F.min("cnt").alias("est_count"))
+
+
+def count_min_build_sliced(
+    df: DataFrame,
+    slice_cols: list[str],
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-slice CMS SEGMENTS: (slice…, d, bucket, cnt) — the
+    frequency member of the repo's mergeable-MV family (bitmap =
+    exact distinct, HDR histogram = quantiles, CMS = frequencies).
+    A segment is a complete sketch of its slice; ANY slice subset
+    (a day range, a source set) merges by summing counters
+    (:func:`count_min_merge`), so steady-state frequency questions
+    cost O(slices × depth × width), never a raw re-scan.  Same
+    build shape as :func:`count_min_build` (one scan, explode to
+    depth rows, ONE map-side-combinable aggregate); the slice columns
+    simply join the grouping key.
+    """
+    if not slice_cols:
+        raise ValueError(
+            "count_min_build_sliced: slice_cols must be non-empty — use "
+            "count_min_build for an unsliced sketch"
+        )
+    rows = df.select(*slice_cols, F.col(key_col).alias("_k"))
+    spark_defpar = rows.sparkSession.sparkContext.defaultParallelism
+    if rows.rdd.getNumPartitions() < spark_defpar:
+        rows = rows.repartition(spark_defpar)
+    pairs = rows.select(
+        *slice_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64("_k", F.lit(seed + d)), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(*slice_cols, "e.d", "e.bucket")
+    return pairs.groupBy(*slice_cols, "d", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def count_min_merge(segments: DataFrame) -> DataFrame:
+    """Merge CMS segments (drop the slice columns first, or filter to
+    the slice range you want) into ONE sketch: (d, bucket, cnt) by
+    summing counters — the additive property that makes the sketch a
+    sketch.  Segments must share depth/width/seed; estimates off the
+    merged sketch obey the summed-N error envelope."""
+    return segments.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))

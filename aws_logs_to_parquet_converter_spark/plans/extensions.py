@@ -6806,3 +6806,44 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("v"),
     )
     return ranking.mann_whitney_u(d, ["source"], "is_en", "v")
+
+
+@query(
+    "q_cms_range",
+    oracle=f"""
+    SELECT tok AS key, COUNT(*) AS est_count FROM (
+        SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+        WHERE source IN ('src1', 'src2', 'src3'))
+    GROUP BY tok
+    """,
+)
+def q_cms_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS SEGMENT lifecycle (sketch.count_min_build_sliced +
+    count_min_merge): per-SOURCE count-min segments over the token
+    stream, three sources' segments merged by summing counters, every
+    token of the merged slice estimated against the merged sketch -
+    the frequency member of the mergeable-MV family (bitmap = exact
+    distinct, HDR histogram = quantiles, CMS = frequencies): any
+    source/day subset is one bounded counter sum away, never a raw
+    re-scan.  At this vocabulary-to-width load (4x4096) the merged
+    sketch is collision-free, so estimates EQUAL the exact counts the
+    oracle computes over the same slice - proving build, slice
+    filter, merge, and probe agree end to end.  The probe set is
+    derived from the SLICED tokens only (a token absent from the
+    slice would still estimate its collision floor, a sketch
+    property, not a defect - excluded here to keep the grade exact).
+    Round-15 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import sketch as sk
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower("text"), r"[ \t\r\n\f\x0b]+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    segs = sk.count_min_build_sliced(
+        toks, ["source"], "tok", depth=4, width=4096
+    )
+    wanted = F.col("source").isin("src1", "src2", "src3")
+    merged = sk.count_min_merge(segs.where(wanted))
+    probes = toks.where(wanted).select("tok")
+    return sk.count_min_estimate(merged, probes, "tok", depth=4, width=4096)
