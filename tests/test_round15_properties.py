@@ -343,3 +343,78 @@ def test_weighted_quantiles_match_expansion(spark, rows, q):
     expanded = sorted(v for v, w in rows for _ in range(w))
     want = expanded[math.ceil(q * len(expanded) / 1000) - 1]
     assert got[q] == (want, len(expanded))
+
+
+# --------------------------------------------------------------------------
+# theilsen_trend vs pure-Python pair-slope median (truncation parity)
+# --------------------------------------------------------------------------
+
+_ts_series = st.dictionaries(
+    st.integers(min_value=-20, max_value=20),  # order
+    st.integers(min_value=-1000, max_value=1000),  # value
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(series=_ts_series, scale=st.sampled_from([1, 1000, 1_000_000]))
+@settings(**_SETTINGS)
+def test_theilsen_matches_python(spark, series, scale):
+    import math
+
+    from aws_logs_to_parquet_converter_spark.operators import timeseries
+
+    rows = [("g", o, v) for o, v in series.items()]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = {
+        r["g"]: (r["median_slope_scaled"], r["n_pairs"])
+        for r in timeseries.theilsen_trend(
+            df, "g", "o", "v", slope_scale=scale
+        ).collect()
+    }
+    os_ = sorted(series)
+    slopes = []
+    for i, o1 in enumerate(os_):
+        for o2 in os_[i + 1 :]:
+            num = (series[o2] - series[o1]) * scale
+            den = o2 - o1
+            q = abs(num) // den
+            slopes.append(q if num >= 0 else -q)
+    slopes.sort()
+    want = (slopes[math.ceil(500 * len(slopes) / 1000) - 1], len(slopes))
+    assert got == {"g": want}
+
+
+# --------------------------------------------------------------------------
+# mann_whitney_u vs brute-force pair scan
+# --------------------------------------------------------------------------
+
+_mw_rows = st.lists(
+    st.tuples(st.booleans(), st.integers(min_value=0, max_value=12)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_mw_rows)
+@settings(**_SETTINGS)
+def test_mann_whitney_matches_python(spark, rows):
+    from collections import Counter
+
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        mann_whitney_u,
+    )
+
+    df = spark.createDataFrame(
+        [("g", s, v) for s, v in rows], "g string, s boolean, v long"
+    )
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["u2_a"], r["tie_cubes"])
+        for r in mann_whitney_u(df, ["g"], "s", "v").collect()
+    }
+    avs = [v for s, v in rows if s]
+    bvs = [v for s, v in rows if not s]
+    u2 = sum(2 if a > b else (1 if a == b else 0) for a in avs for b in bvs)
+    ties = Counter(v for _, v in rows)
+    want = (len(avs), len(bvs), u2, sum(t**3 - t for t in ties.values()))
+    assert got == {"g": want}
