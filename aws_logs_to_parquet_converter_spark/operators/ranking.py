@@ -377,11 +377,16 @@ def exact_quantiles_disc(
     else:
         # positive-integer contract enforced in-plan: a NULL or < 1
         # weight silently skews every downstream quantile, so it fails
-        # loudly instead (assert_true passes -> NULL -> isNull() true)
+        # loudly instead (assert_true passes -> NULL -> isNull() true).
+        # The NULL-value escape lives INSIDE the assert: Catalyst may
+        # merge this filter with the v-IS-NOT-NULL one and reorder the
+        # conjuncts, evaluating the assert on a row the value filter
+        # should have excluded (the theilsen_trend DIVIDE_BY_ZERO
+        # lesson, applied to a throwing predicate)
         w = F.col(weight_col).cast("long")
         base = base.where(
             F.assert_true(
-                w.isNotNull() & (w >= 1),
+                v.isNull() | (w.isNotNull() & (w >= 1)),
                 F.lit(
                     f"exact_quantiles_disc: {weight_col!r} must be a "
                     "positive integer on every row with a non-NULL value"
@@ -505,7 +510,10 @@ def mann_whitney_u(
         ``2·n_a·n_b − u2_a``);
       * ``tie_cubes`` — ``Σ_v (t_v³ − t_v)`` over combined-value
         multiplicities, the tie-correction term of the normal
-        approximation's variance.
+        approximation's variance.  ``t³`` overflows BIGINT past ~2.1M
+        duplicates of ONE value in one group; under ANSI that fails
+        LOUDLY (never wraps) — at that tie mass the test is degenerate
+        anyway, so bucket the value domain upstream if you hit it.
 
     z-score / p-value are driver-side arithmetic on these four
     integers; nothing floats in the graded quantities.

@@ -41,6 +41,7 @@ round-trip, so a DuckDB oracle matches bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,11 +89,21 @@ def setsim_join_tokens(
     threshold_milli: int,
     id_col: str = "_id",
     token_col: str = "_tk",
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Core prefix-filtered join over DISTINCT (id, token) rows: all
     pairs (id_a < id_b) with |A∩B|/|A∪B| ≥ threshold_milli/1000, as
     integer-exact (id_a, id_b, inter, uni).  Input rows MUST be
-    distinct per (id, token) — both tokenizers above guarantee it."""
+    distinct per (id, token) — both tokenizers above guarantee it.
+
+    The per-doc ordered-token index is PERSISTED (MEMORY_AND_DISK):
+    it feeds the prefix explode AND both verification sides, and Spark
+    re-evaluates a non-cached aggregate subtree at every reference —
+    measured 8 corpus FileScans without the persist, one with it.
+    This is the AllPairs index materialization every implementation
+    pays.  UNPERSIST CONTRACT (global_row_number's): pass ``handles``
+    and unpersist each entry once the result is consumed; harnesses
+    that clear between queries use ``spark.catalog.clearCache()``."""
     if not isinstance(threshold_milli, int) or not (0 < threshold_milli <= 1000):
         raise ValueError(
             "setsim_join_tokens: threshold_milli must be an int in "
@@ -114,7 +125,10 @@ def setsim_join_tokens(
             F.count("*").alias("_n"),
         )
         .select("_id", "_n", F.col("_ordered._tk").alias("_toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if handles is not None:
+        handles.append(per_doc)
     # prefix length p = n - ceil(tau*n) + 1, all-integer
     p = (
         F.col("_n")
@@ -174,17 +188,19 @@ def setsim_join(
     text_col: str,
     threshold_milli: int = 800,
     shingle_n: int | None = None,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard self-join over a text column.
     ``shingle_n=None`` tokenizes to distinct word tokens;
     ``shingle_n=k`` to distinct character k-grams (the
-    MinHash-comparable mode).  See :func:`setsim_join_tokens`."""
+    MinHash-comparable mode).  See :func:`setsim_join_tokens` (incl.
+    the persisted-index unpersist contract)."""
     tok = (
         word_token_sets(df, id_col, text_col)
         if shingle_n is None
         else shingle_token_sets(df, id_col, text_col, shingle_n)
     )
-    return setsim_join_tokens(tok, threshold_milli)
+    return setsim_join_tokens(tok, threshold_milli, handles=handles)
 
 
 def setsim_prefix_index_size(

@@ -487,3 +487,22 @@ def test_mann_whitney_contracts(spark):
             spark.createDataFrame([("g", True, 1)], "g string, s boolean, v long"),
             [], "s", "v",
         )
+
+
+def test_weighted_quantiles_null_value_row_never_trips_weight_assert(spark):
+    """A row excluded by its NULL value must not trip the positivity
+    assert even if its weight is bad — Catalyst may reorder the merged
+    filter's conjuncts, so the escape lives inside the assert."""
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        exact_quantiles_disc,
+    )
+
+    rows = [("g", 1, 2), ("g", 5, 1), ("g", None, 0), ("g", None, None)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r["q_milli"]: (r["value"], r["n"])
+        for r in exact_quantiles_disc(
+            df, ["g"], "v", [500, 1000], weight_col="w"
+        ).collect()
+    }
+    assert got == {500: (1, 3), 1000: (5, 3)}
