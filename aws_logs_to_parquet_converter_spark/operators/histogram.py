@@ -184,3 +184,56 @@ def hist_quantiles(
             "n",
         )
     )
+
+
+def hist_rolling_quantiles(
+    segments: DataFrame,
+    group_cols: list[str],
+    slice_col: str,
+    window_slices: int,
+    q_milli: list[int],
+    precision_bits: int = 5,
+) -> DataFrame:
+    """TRAILING-window quantiles from segments: for every slice s
+    PRESENT in the data, the quantiles of the merged window
+    [s − window_slices + 1, s] — "rolling 4-week p95" straight off the
+    MV, no raw re-scan, the rolling sibling of
+    :func:`hist_quantiles` exactly as ``bitmap_rolling_active`` is the
+    rolling sibling of the distinct rollup.
+
+    Shape: each segment row serves the ``window_slices`` anchors it
+    participates in (a BOUNDED ×window explode over the segment table
+    — segment-sized, never data-sized), ghost anchors beyond the
+    observed slices are dropped by a semi-join against the distinct
+    (group, slice) set, and the rank selection runs per (group,
+    anchor) over the ≤ ~1,920-bucket bounded cumulative.
+    ``slice_col`` must be integral (epoch weeks/days)."""
+    _check_precision(precision_bits)
+    if window_slices < 1:
+        raise ValueError(
+            f"hist_rolling_quantiles: window_slices must be >= 1, "
+            f"got {window_slices}"
+        )
+    _require_integral(segments, slice_col, "hist_rolling_quantiles")
+    s = F.col(slice_col).cast("long")
+    serve = segments.select(
+        *group_cols,
+        "bucket",
+        "cnt",
+        F.explode(
+            F.sequence(s, s + F.lit(int(window_slices) - 1))
+        ).alias("_anchor"),
+    )
+    # NULL-SAFE semi join (the quantile stitch convention): groupBy
+    # keeps a NULL group as a real group, and a name-list join would
+    # silently drop its windows here
+    anchors = segments.select(
+        *[F.col(c).alias(f"_a_{c}") for c in group_cols], s.alias("_a_anchor")
+    ).distinct()
+    cond = F.col("_anchor") == F.col("_a_anchor")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_a_{c}"))
+    rolled = serve.join(anchors, cond, "left_semi")
+    return hist_quantiles(
+        rolled, [*group_cols, "_anchor"], q_milli, precision_bits
+    ).withColumnRenamed("_anchor", slice_col)

@@ -6937,3 +6937,69 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sk.count_min_merge(segs.where(wanted))
     probes = toks.where(wanted).select("tok")
     return sk.count_min_estimate(merged, probes, "tok", depth=4, width=4096)
+
+
+_HIST_ROLLING_ORACLE = """
+    WITH vals AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v
+        FROM events
+    ), segs AS (
+        SELECT event_type, wk,
+               CASE WHEN v < 32 THEN v
+                    ELSE (length(bin(v)) - 5) * 32
+                         + ((v >> (length(bin(v)) - 6)) - 32)
+               END AS bucket,
+               COUNT(*) AS cnt
+        FROM vals GROUP BY 1, 2, 3
+    ), anchors AS (
+        SELECT DISTINCT event_type, wk FROM segs
+    ), merged AS (
+        SELECT a.event_type, a.wk, s.bucket, SUM(s.cnt) AS cnt
+        FROM anchors a JOIN segs s
+          ON s.event_type = a.event_type
+         AND s.wk BETWEEN a.wk - 3 AND a.wk
+        GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT event_type, wk, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type, wk ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type, wk) AS n
+        FROM merged
+    ), picked AS (
+        SELECT c.event_type, c.wk, q.q_milli, c.bucket, c.n
+        FROM cum c CROSS JOIN (SELECT UNNEST([500, 950]) AS q_milli) q
+        WHERE (q.q_milli * c.n + 999) // 1000 <= c.cum
+          AND (q.q_milli * c.n + 999) // 1000 > c.cum - c.cnt
+    )
+    SELECT event_type, CAST(wk AS BIGINT) AS wk, q_milli,
+           CAST(CASE WHEN bucket < 32 THEN bucket
+                     ELSE (32 + bucket % 32)
+                          << CAST(bucket // 32 - 1 AS INT)
+                END AS BIGINT) AS value_lb,
+           CAST(n AS BIGINT) AS n
+    FROM picked
+"""
+
+
+@query("q_hist_rolling", oracle=_HIST_ROLLING_ORACLE)
+def q_hist_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 4-week p50/p95 per event type straight from the weekly
+    HDR segments (histogram.hist_rolling_quantiles, r15 birth): each
+    segment row serves the four anchors it participates in (a bounded
+    x4 explode over the SEGMENT table - segment-sized, never data-
+    sized), ghost anchors beyond the observed weeks drop via a
+    null-safe semi-join, and the rank selection runs per (type, week)
+    over the bounded bucket cumulative - the rolling sibling of
+    q_hist_quantiles exactly as q_bitmap_rolling_active is the rolling
+    sibling of the distinct rollup: trailing-window quantiles with NO
+    raw re-scan.  Oracle restates the window merge + rank rule.
+    Round-15 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import histogram
+
+    segs = _hist_weekly_segments(spark, sf_dir)
+    return histogram.hist_rolling_quantiles(
+        segs, ["event_type"], "wk", 4, [500, 950]
+    )

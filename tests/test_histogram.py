@@ -132,3 +132,71 @@ def test_hist_contracts(spark):
             spark.createDataFrame([("a", 1)], "g string, v long"),
             ["g"], "v", precision_bits=0,
         )
+
+
+# hist_rolling_quantiles (r15)
+
+
+def test_rolling_matches_per_anchor_merge(spark):
+    """Rolling window [s-2, s] quantiles == hist_quantiles over the
+    manually filtered window, for every observed anchor."""
+    import random
+
+    from aws_logs_to_parquet_converter_spark.operators import histogram
+
+    rng = random.Random(71)
+    rows = [
+        ("g", wk, rng.randrange(0, 500))
+        for wk in (0, 1, 3, 4)  # week 2 missing: anchor set has a hole
+        for _ in range(rng.randrange(5, 15))
+    ]
+    df = spark.createDataFrame(rows, "g string, wk long, v long")
+    segs = histogram.hist_build(df, ["g", "wk"], "v")
+    got = {
+        (r["g"], r["wk"], r["q_milli"]): (r["value_lb"], r["n"])
+        for r in histogram.hist_rolling_quantiles(
+            segs, ["g"], "wk", 3, [500, 950]
+        ).collect()
+    }
+    anchors = sorted({wk for _, wk, _ in rows})
+    want = {}
+    for a in anchors:
+        window = segs.where(F.col("wk").between(a - 2, a))
+        for r in histogram.hist_quantiles(window, ["g"], [500, 950]).collect():
+            want[(r["g"], a, r["q_milli"])] = (r["value_lb"], r["n"])
+    assert got == want
+    # no ghost anchors: only observed weeks appear
+    assert {k[1] for k in got} == set(anchors)
+
+
+def test_rolling_window_one_equals_plain(spark):
+    from aws_logs_to_parquet_converter_spark.operators import histogram
+
+    rows = [("g", wk, v) for wk in range(3) for v in (1, 10, 100)]
+    df = spark.createDataFrame(rows, "g string, wk long, v long")
+    segs = histogram.hist_build(df, ["g", "wk"], "v")
+    roll = sorted(
+        tuple(r)
+        for r in histogram.hist_rolling_quantiles(
+            segs, ["g"], "wk", 1, [500]
+        ).collect()
+    )
+    plain = sorted(
+        tuple(r)
+        for r in histogram.hist_quantiles(segs, ["g", "wk"], [500])
+        .select("g", "wk", "q_milli", "value_lb", "n")
+        .collect()
+    )
+    # column order: rolling returns (g, wk, q_milli, value_lb, n)
+    assert roll == plain
+
+
+def test_rolling_contracts(spark):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators import histogram
+
+    df = spark.createDataFrame([("g", 0, 1)], "g string, wk long, v long")
+    segs = histogram.hist_build(df, ["g", "wk"], "v")
+    with pytest.raises(ValueError, match="window_slices"):
+        histogram.hist_rolling_quantiles(segs, ["g"], "wk", 0, [500])
