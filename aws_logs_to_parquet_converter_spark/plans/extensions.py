@@ -7003,3 +7003,60 @@ def q_hist_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram.hist_rolling_quantiles(
         segs, ["event_type"], "wk", 4, [500, 950]
     )
+
+
+@query(
+    "q_zorder_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id BETWEEN 40 AND 90
+      AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1
+    """,
+)
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order write layout under the oracle gate (the write-path
+    grade the family lacked - test_zorder measures the per-file span
+    win, this proves CONTENT preservation): events are written along
+    the (user_id, ts) Morton curve (operators/zorder.py - range-
+    partitioned by z-value, sorted within files, so every file covers
+    a tight (user, time) hyper-rectangle and row-group min/max prune
+    BOTH dimensions of the box predicate), read back from disk, box-
+    filtered, and aggregated; the oracle runs the same box over the
+    raw table - layout must never change answers.  Fixture dir stable
+    per sf_dir, wiped per invocation.  Round-15 birth."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from aws_logs_to_parquet_converter_spark.operators.zorder import (
+        write_zordered,
+    )
+
+    e = t(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "q_zorder_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_zordered(e, root, ["user_id", "ts"], num_files=8)
+    r = spark.read.parquet(root)
+    return (
+        r.where(
+            F.col("user_id").between(40, 90)
+            & F.to_date("ts").between(
+                F.lit("2024-01-08").cast("date"), F.lit("2024-01-14").cast("date")
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("users"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
