@@ -7060,3 +7060,55 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
         )
     )
+
+
+@query(
+    "q_shards_roundtrip",
+    oracle="""
+    SELECT LEAST(15, CAST(FLOOR(
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8))::BIGINT
+               / 4294967296.0 * 16) AS INT)) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export under the oracle gate (the write-path
+    grade for sampling.write_training_shards): the documents corpus is
+    written as 16 shards - deterministic md5 pseudo-random global
+    order, shard membership a CLOSED-FORM function of the key (first
+    8 md5 hex chars scaled into n_shards, floor semantics on both
+    engines) - then the WRITTEN tree is read back and aggregated per
+    shard.  The oracle re-derives the membership function over the raw
+    table, so the grade proves the layout write preserves every row
+    exactly once, lands it in the shard the formula says, and the
+    manifest-visible per-shard masses match a raw-scan restatement.
+    Fixture dir stable per sf_dir, wiped per invocation.  Round-15
+    birth."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from aws_logs_to_parquet_converter_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "q_shards_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_training_shards(d, root, n_shards=16, key_col="doc_id", size_col="n_chars")
+    written = spark.read.schema(
+        d.withColumn("shard", F.lit(0)).schema
+    ).parquet(root)
+    return written.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("docs"),
+        F.sum("n_chars").alias("chars"),
+    )
