@@ -554,10 +554,6 @@ def mann_whitney_u(
         raise ValueError(
             f"mann_whitney_u: bucket_width must be >= 1, got {bucket_width}"
         )
-    from aws_logs_to_parquet_converter_spark.operators.intervals import (
-        exact_floordiv,
-    )
-
     v = F.col(value_col).cast("long")
     side = F.col(side_col)
     counts = (
@@ -568,6 +564,40 @@ def mann_whitney_u(
             F.count(F.when(~side, 1)).alias("_cb"),
         )
     )
+    # strictly-below-v cumulative of B through the shared segmented
+    # machinery (value-bucket local exclusive prefix + offset stitch)
+    cum = _segmented_cum_lt(
+        counts, group_cols, bucket_width, target_buckets, "_cb", "_cumb_lt"
+    )
+    t_ = F.col("_ca") + F.col("_cb")
+    return cum.groupBy(*group_cols).agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("_ca") * (F.lit(2) * F.col("_cumb_lt") + F.col("_cb"))
+        ).cast("long").alias("u2_a"),
+        F.sum(t_ * t_ * t_ - t_).cast("long").alias("tie_cubes"),
+    )
+
+
+def _segmented_cum_lt(
+    counts: DataFrame,
+    group_cols: list[str],
+    bucket_width: int | None,
+    target_buckets: int,
+    cnt_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Strictly-below-value cumulative of ``cnt_col`` per group over a
+    (group…, _v, …) counts table — the shared segmented machinery of
+    the rank tests: value-bucket local EXCLUSIVE prefix window + a
+    buckets-sized offset stitch, adaptive bucket width from the
+    observed range by default, every join NULL-SAFE on group keys.
+    Adds ``out_col``; preserves all input columns."""
+    from aws_logs_to_parquet_converter_spark.operators.intervals import (
+        exact_floordiv,
+    )
+
     if bucket_width is None:
         stats = counts.groupBy(*group_cols).agg(
             F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax")
@@ -595,23 +625,16 @@ def mann_whitney_u(
         counts = counts.withColumn(
             "_bkt", exact_floordiv(F.col("_v"), bucket_width)
         )
-    # strictly-below-v cumulative of B: local exclusive prefix within
-    # the (group, bucket) window + the offset of all prior buckets
     w_local = (
         Window.partitionBy(*group_cols, "_bkt")
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = counts.select(
-        *group_cols,
-        "_bkt",
-        "_v",
-        "_ca",
-        "_cb",
-        F.coalesce(F.sum("_cb").over(w_local), F.lit(0)).alias("_lcum_b"),
+    local = counts.withColumn(
+        "_lcum", F.coalesce(F.sum(cnt_col).over(w_local), F.lit(0))
     )
     per_bucket = local.groupBy(*group_cols, "_bkt").agg(
-        F.sum("_cb").alias("_btot")
+        F.sum(cnt_col).alias("_btot")
     )
     w_off = (
         Window.partitionBy(*group_cols)
@@ -619,30 +642,111 @@ def mann_whitney_u(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = per_bucket.select(
-        *group_cols,
-        "_bkt",
-        F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"),
-    )
-    off = offsets.select(
         *[F.col(c).alias(f"_o_{c}") for c in group_cols],
         F.col("_bkt").alias("_o_bkt"),
-        "_off",
+        F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"),
     )
     join_cond = F.col("_bkt") == F.col("_o_bkt")
     for c in group_cols:
         join_cond = join_cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
-    cum = local.join(off, join_cond).select(
-        *group_cols,
-        "_ca",
-        "_cb",
-        (F.col("_off") + F.col("_lcum_b")).alias("_cumb_lt"),
+    return (
+        local.join(offsets, join_cond)
+        .withColumn(out_col, F.col("_off") + F.col("_lcum"))
+        .drop("_bkt", "_lcum", "_off", "_o_bkt", *[f"_o_{c}" for c in group_cols])
     )
-    t_ = F.col("_ca") + F.col("_cb")
-    return cum.groupBy(*group_cols).agg(
-        F.sum("_ca").cast("long").alias("n_a"),
-        F.sum("_cb").cast("long").alias("n_b"),
+
+
+def kruskal_rank_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    sample_col: str,
+    value_col: str,
+    bucket_width: int | None = None,
+    target_buckets: int = 1024,
+) -> DataFrame:
+    """Kruskal–Wallis SUFFICIENT STATISTICS per group over an INTEGRAL
+    value — the k-sample generalization of :func:`mann_whitney_u`
+    (Kruskal & Wallis 1952): exact midrank sums per sample, computed
+    WITHOUT ranking raw rows, for "did ANY of these k cohorts shift"
+    over doc lengths / latencies / spend.
+
+    Returns one row per (group…, sample), all BIGINT:
+
+      * ``n_j`` — the sample's size; ``n_total`` — the group's size;
+      * ``r2_j`` — TWICE the sample's midrank sum
+        (``Σ_v c_j(v)·(2·cum(<v) + t_v + 1)`` — doubled so tie
+        midranks stay integral; identity ``Σ_j r2_j = N·(N+1)`` per
+        group, pinned in tests);
+      * ``tie_cubes`` — ``Σ_v (t_v³ − t_v)``, the tie correction
+        (same envelope note as mann_whitney_u).
+
+    H and its p-value are driver-side arithmetic: ``H = 12/(N(N+1)) ·
+    Σ (r2_j/2)²/n_j − 3(N+1)``, divided by ``1 − tie_cubes/(N³−N)``.
+
+    Shape: rows collapse to (group, sample, value) counts (the only
+    data-sized pass), combined per-value totals are one further
+    bounded aggregate, and the strictly-below cumulative runs through
+    the shared segmented machinery (``_segmented_cum_lt``) — no
+    per-group total order, no pair space, hot groups cannot
+    single-task funnel.  NULL sample or value rows are excluded.
+    """
+    if not group_cols:
+        raise ValueError(
+            "kruskal_rank_sums: group_cols must be non-empty — add a "
+            "constant group column if you really mean a global test"
+        )
+    vtype = df.schema[value_col].dataType
+    if not isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"kruskal_rank_sums: {value_col!r} must be integral (got "
+            f"{vtype.simpleString()!r}) — rank tests are exact on discrete "
+            "domains; scale to cents/micros upstream"
+        )
+    v = F.col(value_col).cast("long")
+    s = F.col(sample_col)
+    per_sample = (
+        df.where(v.isNotNull() & s.isNotNull())
+        .groupBy(*group_cols, s.alias("_smp"), v.alias("_v"))
+        .agg(F.count("*").alias("_c"))
+    )
+    totals = per_sample.groupBy(*group_cols, "_v").agg(F.sum("_c").alias("_t"))
+    cum = _segmented_cum_lt(
+        totals, group_cols, bucket_width, target_buckets, "_t", "_cum_lt"
+    )
+    tkey = cum.select(
+        *[F.col(c).alias(f"_t_{c}") for c in group_cols],
+        F.col("_v").alias("_t_v"),
+        "_t",
+        "_cum_lt",
+    )
+    jc = F.col("_v") == F.col("_t_v")
+    for c in group_cols:
+        jc = jc & F.col(c).eqNullSafe(F.col(f"_t_{c}"))
+    joined = per_sample.join(tkey, jc)
+    t_ = F.col("_t")
+    per = joined.groupBy(*group_cols, "_smp").agg(
+        F.sum("_c").cast("long").alias("n_j"),
         F.sum(
-            F.col("_ca") * (F.lit(2) * F.col("_cumb_lt") + F.col("_cb"))
-        ).cast("long").alias("u2_a"),
+            F.col("_c") * (F.lit(2) * F.col("_cum_lt") + t_ + F.lit(1))
+        ).cast("long").alias("r2_j"),
+    )
+    grp = cum.groupBy(*group_cols).agg(
+        F.sum("_t").cast("long").alias("n_total"),
         F.sum(t_ * t_ * t_ - t_).cast("long").alias("tie_cubes"),
+    )
+    gkey = grp.select(
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols], "n_total", "tie_cubes"
+    )
+    gc = F.lit(True)
+    for c in group_cols:
+        gc = gc & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+    return per.join(gkey, gc).select(
+        *group_cols,
+        F.col("_smp").alias(sample_col),
+        "n_j",
+        "r2_j",
+        "n_total",
+        "tie_cubes",
     )

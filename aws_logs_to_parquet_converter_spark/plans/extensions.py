@@ -7112,3 +7112,55 @@ def q_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH t AS (
+        SELECT source AS g, lang AS smp, CAST(n_chars AS BIGINT) AS v
+        FROM documents
+        WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ), c AS (
+        SELECT g, smp, v, COUNT(*) AS c FROM t GROUP BY 1, 2, 3
+    ), tot AS (
+        SELECT g, v, SUM(c) AS t FROM c GROUP BY 1, 2
+    ), w AS (
+        SELECT g, v, t,
+               COALESCE(SUM(t) OVER (
+                   PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_lt
+        FROM tot
+    ), grp AS (
+        SELECT g, SUM(t) AS n_total, SUM(t*t*t - t) AS tie_cubes
+        FROM tot GROUP BY 1
+    )
+    SELECT c.g AS source, c.smp AS lang,
+           CAST(SUM(c.c) AS BIGINT) AS n_j,
+           CAST(SUM(c.c * (2 * w.cum_lt + w.t + 1)) AS BIGINT) AS r2_j,
+           CAST(ANY_VALUE(grp.n_total) AS BIGINT) AS n_total,
+           CAST(ANY_VALUE(grp.tie_cubes) AS BIGINT) AS tie_cubes
+    FROM c
+    JOIN w ON w.g = c.g AND w.v = c.v
+    JOIN grp ON grp.g = c.g
+    GROUP BY 1, 2
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis sufficient statistics per source across LANG
+    samples (ranking.kruskal_rank_sums): exact doubled MIDRANK sums
+    per (source, lang) - "did ANY language cohort's doc-length
+    distribution shift within this source", the k-sample
+    generalization of q_mann_whitney, computed without ranking raw
+    rows: (group, sample, value) counts, combined per-value totals,
+    the shared segmented strictly-below cumulative
+    (ranking._segmented_cum_lt), one closing aggregate.  The identity
+    sum_j(r2_j) = N*(N+1) per group pins the midrank algebra; H and p
+    are driver-side divisions on the BIGINTs.  Round-15 birth."""
+    from aws_logs_to_parquet_converter_spark.operators import ranking
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    return ranking.kruskal_rank_sums(d, ["source"], "lang", "v")

@@ -14,6 +14,7 @@ from aws_logs_to_parquet_converter_spark.operators.ranking import (
     ntile_from_rank,
     percent_rank_from_rank,
     mann_whitney_u,
+    kruskal_rank_sums,
 )
 
 
@@ -506,3 +507,92 @@ def test_weighted_quantiles_null_value_row_never_trips_weight_assert(spark):
         ).collect()
     }
     assert got == {500: (1, 3), 1000: (5, 3)}
+
+
+# kruskal_rank_sums (r15)
+
+
+def test_kruskal_hand_computed_midranks(spark):
+    # values 1(a), 2(a), 2(b), 3(b), 2(c): midranks 1->1, 2->3, 3->5
+    rows = [("g", "a", 1), ("g", "a", 2), ("g", "b", 2), ("g", "b", 3), ("g", "c", 2)]
+    df = spark.createDataFrame(rows, "g string, s string, v long")
+    got = {
+        r["s"]: (r["n_j"], r["r2_j"], r["n_total"], r["tie_cubes"])
+        for r in kruskal_rank_sums(df, ["g"], "s", "v").collect()
+    }
+    assert got == {"a": (2, 8, 5, 24), "b": (2, 16, 5, 24), "c": (1, 6, 5, 24)}
+
+
+def test_kruskal_python_differential_and_identity(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(79)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(rng.randrange(40, 90)):
+            rows.append((g, f"s{rng.randrange(4)}", rng.randrange(0, 20)))
+    df = spark.createDataFrame(rows, "g string, s string, v long")
+    got = {
+        (r["g"], r["s"]): (r["n_j"], r["r2_j"], r["n_total"], r["tie_cubes"])
+        for r in kruskal_rank_sums(df, ["g"], "s", "v").collect()
+    }
+    # reference: midranks from the combined sorted multiset per group
+    by_g = defaultdict(list)
+    for g, sm, v in rows:
+        by_g[g].append((sm, v))
+    want = {}
+    for g, pairs in by_g.items():
+        vals = sorted(v for _, v in pairs)
+        ties = Counter(vals)
+        # doubled midrank per value: 2*cum_lt + t + 1
+        cum, two_mid = 0, {}
+        for v in sorted(ties):
+            two_mid[v] = 2 * cum + ties[v] + 1
+            cum += ties[v]
+        n_total = len(vals)
+        tc = sum(t**3 - t for t in ties.values())
+        per = defaultdict(lambda: [0, 0])
+        for sm, v in pairs:
+            per[sm][0] += 1
+            per[sm][1] += two_mid[v]
+        for sm, (n, r2) in per.items():
+            want[(g, sm)] = (n, r2, n_total, tc)
+    assert got == want
+    # midrank identity per group: sum_j r2_j == N(N+1)
+    for g, pairs in by_g.items():
+        n = len(pairs)
+        assert sum(v[1] for k, v in got.items() if k[0] == g) == n * (n + 1)
+
+
+def test_kruskal_reduces_to_mann_whitney(spark):
+    """With exactly two samples, u2_a falls out of the rank sums:
+    u2_a = r2_a - n_a*(n_a+1)."""
+    import random
+
+    rng = random.Random(83)
+    rows = [
+        ("g", rng.random() < 0.5, rng.randrange(0, 15)) for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, s boolean, v long")
+    mw = mann_whitney_u(df, ["g"], "s", "v").collect()[0]
+    kw = {
+        r["s"]: r
+        for r in kruskal_rank_sums(
+            df.select("g", F.col("s").cast("string").alias("s"), "v"),
+            ["g"], "s", "v",
+        ).collect()
+    }
+    ra = kw["true"]
+    assert mw["u2_a"] == ra["r2_j"] - ra["n_j"] * (ra["n_j"] + 1)
+
+
+def test_kruskal_contracts(spark):
+    df = spark.createDataFrame([("g", "s", 1.5)], "g string, s string, v double")
+    with pytest.raises(TypeError, match="integral"):
+        kruskal_rank_sums(df, ["g"], "s", "v")
+    with pytest.raises(ValueError, match="group_cols"):
+        kruskal_rank_sums(
+            spark.createDataFrame([("g", "s", 1)], "g string, s string, v long"),
+            [], "s", "v",
+        )
