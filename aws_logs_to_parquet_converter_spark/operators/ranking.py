@@ -750,3 +750,84 @@ def kruskal_rank_sums(
         "n_total",
         "tie_cubes",
     )
+
+
+def brown_forsythe_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    sample_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe SUFFICIENT STATISTICS per group over an INTEGRAL
+    value — the robust VARIANCE-shift screen (Brown & Forsythe 1974:
+    ANOVA on absolute deviations from each sample's MEDIAN, where
+    Levene's mean-deviation form is spike-fragile): "did this cohort's
+    doc-length SPREAD change", the scale complement of the
+    location tests (:func:`mann_whitney_u` / :func:`kruskal_rank_sums`).
+
+    Returns one row per (group…, sample), all BIGINT:
+
+      * ``n_j`` — sample size;
+      * ``sum_absdev`` — ``Σ |x − median_j|`` (median = the exact
+        ceil-rank discrete median of the sample, so deviations are
+        integers and the grade is bit-exact);
+      * ``sum_absdev_sq`` — ``Σ (x − median_j)²`` of the SAME
+        deviations.
+
+    The F statistic is driver-side arithmetic: group means of |d| per
+    sample vs overall, the classic between/within ratio — nothing
+    floats in the graded quantities.
+
+    Shape: the medians come from :func:`exact_quantiles_disc` over
+    (group, sample) — the segmented rank selection, no per-sample
+    sort — joined back NULL-SAFELY (a broadcast-sized table: one row
+    per (group, sample)); the deviation aggregate is the only other
+    data-sized pass, map-side combinable.  NULL sample or value rows
+    are excluded (matching the rank tests).
+    """
+    if not group_cols:
+        raise ValueError(
+            "brown_forsythe_stats: group_cols must be non-empty — add a "
+            "constant group column if you really mean a global test"
+        )
+    vtype = df.schema[value_col].dataType
+    if not isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"brown_forsythe_stats: {value_col!r} must be integral (got "
+            f"{vtype.simpleString()!r}) — exact medians need discrete "
+            "domains; scale to cents/micros upstream"
+        )
+    v = F.col(value_col).cast("long")
+    s = F.col(sample_col)
+    base = df.where(v.isNotNull() & s.isNotNull()).select(
+        *group_cols, s.alias("_smp"), v.alias("_v")
+    )
+    med = exact_quantiles_disc(
+        base, [*group_cols, "_smp"], "_v", [500]
+    ).select(
+        *[F.col(c).alias(f"_m_{c}") for c in group_cols],
+        F.col("_smp").alias("_m_smp"),
+        F.col("value").alias("_med"),
+    )
+    jc = F.col("_smp").eqNullSafe(F.col("_m_smp"))
+    for c in group_cols:
+        jc = jc & F.col(c).eqNullSafe(F.col(f"_m_{c}"))
+    d = F.abs(F.col("_v") - F.col("_med"))
+    return (
+        base.join(F.broadcast(med), jc)
+        .groupBy(*group_cols, "_smp")
+        .agg(
+            F.count("*").cast("long").alias("n_j"),
+            F.sum(d).cast("long").alias("sum_absdev"),
+            F.sum(d * d).cast("long").alias("sum_absdev_sq"),
+        )
+        .select(
+            *group_cols,
+            F.col("_smp").alias(sample_col),
+            "n_j",
+            "sum_absdev",
+            "sum_absdev_sq",
+        )
+    )

@@ -278,7 +278,7 @@ _PRIORITY = [
     # intersect, q_xcorr_daily, q_weighted_quantiles, q_setsim_join,
     # q_theilsen_trend, q_mann_whitney, q_cms_range, q_stream_cms,
     # q_hist_rolling, q_zorder_roundtrip, q_shards_roundtrip,
-    # q_kruskal_wallis —
+    # q_kruskal_wallis, q_brown_forsythe —
     # were born after this window filled; they lead the r16 rotation
     # per the q_approx_top_k precedent, all parity-green locally.)
     "q_bitmap_growth",

@@ -7164,3 +7164,51 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "lang", F.col("n_chars").cast("long").alias("v")
     )
     return ranking.kruskal_rank_sums(d, ["source"], "lang", "v")
+
+
+@query(
+    "q_brown_forsythe",
+    oracle="""
+    WITH t AS (
+        SELECT source AS g, lang AS smp, CAST(n_chars AS BIGINT) AS v
+        FROM documents
+        WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ), c AS (
+        SELECT g, smp, v, COUNT(*) AS c FROM t GROUP BY 1, 2, 3
+    ), w AS (
+        SELECT g, smp, v, c,
+               SUM(c) OVER (PARTITION BY g, smp ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY g, smp) AS n
+        FROM c
+    ), med AS (
+        SELECT g, smp, v AS m
+        FROM w
+        WHERE (500 * n + 999) // 1000 > cum - c
+          AND (500 * n + 999) // 1000 <= cum
+    )
+    SELECT t.g AS source, t.smp AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_j,
+           CAST(SUM(ABS(t.v - med.m)) AS BIGINT) AS sum_absdev,
+           CAST(SUM((t.v - med.m) * (t.v - med.m)) AS BIGINT) AS sum_absdev_sq
+    FROM t JOIN med ON med.g = t.g AND med.smp = t.smp
+    GROUP BY 1, 2
+    """,
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe sufficient statistics per (source, lang)
+    (ranking.brown_forsythe_stats): exact integer absolute deviations
+    from each sample's EXACT discrete median - the robust
+    variance-shift screen completing the distribution-shift triple
+    (location: q_mann_whitney / q_kruskal_wallis; scale: this).  The
+    medians come from exact_quantiles_disc's segmented rank selection
+    (no per-sample sort) broadcast back; deviations and their squares
+    stay BIGINT so the grade is bit-exact; F is driver-side
+    arithmetic.  The oracle re-derives the ceil-rank median over a
+    windowed cumulative and restates the deviation sums.  Round-15
+    birth."""
+    from aws_logs_to_parquet_converter_spark.operators import ranking
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    return ranking.brown_forsythe_stats(d, ["source"], "lang", "v")

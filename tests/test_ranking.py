@@ -15,6 +15,7 @@ from aws_logs_to_parquet_converter_spark.operators.ranking import (
     percent_rank_from_rank,
     mann_whitney_u,
     kruskal_rank_sums,
+    brown_forsythe_stats,
 )
 
 
@@ -593,6 +594,60 @@ def test_kruskal_contracts(spark):
         kruskal_rank_sums(df, ["g"], "s", "v")
     with pytest.raises(ValueError, match="group_cols"):
         kruskal_rank_sums(
+            spark.createDataFrame([("g", "s", 1)], "g string, s string, v long"),
+            [], "s", "v",
+        )
+
+
+# brown_forsythe_stats (r15)
+
+
+def test_brown_forsythe_python_differential(spark):
+    import math
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(89)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(rng.randrange(30, 70)):
+            rows.append((g, f"s{rng.randrange(3)}", rng.randrange(-40, 40)))
+    df = spark.createDataFrame(rows, "g string, s string, v long")
+    got = {
+        (r["g"], r["s"]): (r["n_j"], r["sum_absdev"], r["sum_absdev_sq"])
+        for r in brown_forsythe_stats(df, ["g"], "s", "v").collect()
+    }
+    by = defaultdict(list)
+    for g, sm, v in rows:
+        by[(g, sm)].append(v)
+    want = {}
+    for k, vs in by.items():
+        vs.sort()
+        med = vs[math.ceil(500 * len(vs) / 1000) - 1]
+        devs = [abs(v - med) for v in vs]
+        want[k] = (len(vs), sum(devs), sum(d * d for d in devs))
+    assert got == want
+
+
+def test_brown_forsythe_scale_shift_detected(spark):
+    # same median, double the spread: sum_absdev doubles exactly
+    tight = [("g", "t", v) for v in (-2, -1, 0, 1, 2)]
+    wide = [("g", "w", v) for v in (-4, -2, 0, 2, 4)]
+    df = spark.createDataFrame(tight + wide, "g string, s string, v long")
+    got = {
+        r["s"]: (r["sum_absdev"], r["sum_absdev_sq"])
+        for r in brown_forsythe_stats(df, ["g"], "s", "v").collect()
+    }
+    assert got["t"] == (6, 10)
+    assert got["w"] == (12, 40)
+
+
+def test_brown_forsythe_contracts(spark):
+    df = spark.createDataFrame([("g", "s", 1.5)], "g string, s string, v double")
+    with pytest.raises(TypeError, match="integral"):
+        brown_forsythe_stats(df, ["g"], "s", "v")
+    with pytest.raises(ValueError, match="group_cols"):
+        brown_forsythe_stats(
             spark.createDataFrame([("g", "s", 1)], "g string, s string, v long"),
             [], "s", "v",
         )
