@@ -531,11 +531,13 @@ def bm25_topk(
     document frequency, not the corpus).  df is then a window over
     that already-filtered postings relation keyed by term (filtering
     by term keeps term-partitions complete, so the count is the true
-    corpus df).  Document length needs every token, so dl is its own
-    corpus pass: groupBy(doc) with map-side combine — the shuffle
-    carries one partial row per (doc, map partition), never tokens —
-    and the corpus constants (N, avgdl) re-aggregate that per-doc
-    relation into a broadcast 1-row join (same extra-scalar-scan
+    corpus df).  Document length is a per-row scalar (the doc's own
+    non-empty token count) that rides the explode into the tf
+    aggregation — no per-doc dl relation is ever aggregated, exchanged
+    or joined (r15: the old dl pass was a second full corpus explode +
+    groupBy(doc) whose output then shuffle-joined the postings); the
+    corpus constants (N, avgdl) come from one explode-free projection
+    scan reduced to a broadcast 1-row join (same extra-scalar-scan
     tradeoff as ``tfidf_top_terms``'s n_docs).  The final top-k is a
     window partitioned by query id.  Ties order by doc id.
 
@@ -545,10 +547,29 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(F.lower(text_col), WS_PLUS)).alias("_tok"),
-    ).where(F.col("_tok") != "")
+    # Document length as a PER-ROW scalar (count of non-empty tokens),
+    # not a second explode->groupBy(_id) corpus pass: it rides the
+    # explode into the tf aggregation (constant within a doc, min() is
+    # exact), so the corpus-wide dl relation — previously a full
+    # explode + aggregation AND a postings-side shuffle join by _id —
+    # never exists as an exchanged relation at all (r15 opt, guide
+    # §2.3/§2.4: the dl exchange was one row per DOC at 100 TB).
+    # NULL text: split(lower(NULL)) is NULL, size(NULL) = -1, so the
+    # stats filter _dl > 0 excludes exactly the docs that produced no
+    # token rows before.
+    # Tokenize ONCE into an array, take _dl below the Generate, explode
+    # the pre-filtered array: putting size() in the same projection as
+    # the explode lets CollapseProject hoist it ABOVE the Generate,
+    # where it re-tokenizes the whole document once per TOKEN row
+    # (measured 3x wall on the corpus stage) — the two-step select pins
+    # the per-doc evaluation order.
+    arr_expr = F.filter(F.split(F.lower(text_col), WS_PLUS), lambda x: x != "")
+    toks = (
+        docs.select(F.col(id_col).alias("_id"), arr_expr.alias("_arr"))
+        .select("_id", F.size("_arr").alias("_dl"), "_arr")
+        .select("_id", "_dl", F.explode("_arr").alias("_tok"))
+    )
+    dl_expr = F.size(arr_expr)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -561,14 +582,16 @@ def bm25_topk(
     tf = (
         toks.join(F.broadcast(qtoks), "_tok")
         .groupBy("_id", "_tok")
-        .agg(F.count("*").alias("_tf"))
+        .agg(F.count("*").alias("_tf"), F.min("_dl").alias("_dl"))
     )
     postings = tf.select(
-        "_id", "_tok", "_tf", F.count("*").over(Window.partitionBy("_tok")).alias("_df")
+        "_id", "_tok", "_tf", "_dl",
+        F.count("*").over(Window.partitionBy("_tok")).alias("_df"),
     )
-    dl = toks.groupBy("_id").agg(F.count("*").alias("_dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("_n"), F.avg("_dl").alias("_avgdl")
+    stats = (
+        docs.select(dl_expr.alias("_dl"))
+        .where(F.col("_dl") > 0)
+        .agg(F.count("*").cast("double").alias("_n"), F.avg("_dl").alias("_avgdl"))
     )
     idf = F.log(
         F.lit(1.0)
@@ -583,8 +606,7 @@ def bm25_topk(
         )
     )
     scored = (
-        postings.join(dl, "_id")
-        .join(F.broadcast(stats))
+        postings.join(F.broadcast(stats))
         .join(F.broadcast(qterms), "_tok")
         .select("query_id", "_id", (idf * tf_part).alias("_w"))
         .groupBy("query_id", "_id")
