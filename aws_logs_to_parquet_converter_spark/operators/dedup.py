@@ -614,6 +614,16 @@ def minhash_near_duplicates(
         ]
         sig = sig_fn(df, id_col, text_col, num_hashes, shingle_n, seed)
     sig = sig.persist()
+    # Materialize the cache BEFORE the consumers launch: the plan scans
+    # sig four times (both band-join sides + both signature re-attach
+    # broadcasts), and under AQE all four kick off CONCURRENTLY — 4x32
+    # tasks racing the per-partition cache locks, blocked tasks holding
+    # task slots for the full signature-computation wall (measured r15:
+    # four ~0.9s 32-task stages where one compute + three cached scans
+    # should run).  One eager count pays the compute exactly once in a
+    # clean stage; the count itself reads nothing extra (the cache
+    # materializes all columns regardless).
+    sig.count()
     if handles is not None:
         handles.append(sig)
 

@@ -673,7 +673,11 @@ def semantic_dedup(
             iters=kmeans_iters, seed=seed, hash_fn=hash_fn,
         )
         cell = F.element_at(_cell_udf(cents, 1)(F.col(vec_col)), 1)
-    base = scorable.select(
+    # fan_out before the assignment projection: a one-split parquet
+    # corpus otherwise runs the whole Arrow cell-assignment pass as ONE
+    # task (measured r15: 2.5s single-task stage at sf0.1); no-op at
+    # scale where inputs carry thousands of splits.
+    base = fan_out(scorable, id_col).select(
         F.col(id_col).alias("_sid"),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col), dim).alias("_nrm"),
@@ -692,6 +696,13 @@ def semantic_dedup(
         # caches its own assignment until spark.catalog.clearCache())
         # pass False and pay the second pass.
         base = base.persist()
+        # Eager materialization: the pair self-join scans `base` on
+        # both branches and AQE launches both CONCURRENTLY — two tasks
+        # per cached partition racing the cache lock, the loser holding
+        # a task slot for the full Arrow-assignment wall (the minhash
+        # sig.count() finding, r15).  Pay the one Arrow pass in its own
+        # clean stage; both join branches then read the cache.
+        base.count()
     pairs = blocked_all_pairs(base, "_sid", n_blocks, seed, key_cols=["_cell"])
     # HOF fold, not the dim unroll — see cosine_neardup_pairs: the old
     # unroll-wins measurement inverted on this engine (r13 A/B: fold
