@@ -50,18 +50,38 @@ def mad_outliers(
         if exact
         else (lambda c: F.percentile_approx(c, 0.5, 10000))
     )
-    gb = lambda d: d.groupBy(*by) if by else d.groupBy()  # noqa: E731
-    # grouped joins stay UNHINTED: the aggregate side is |groups| rows —
-    # AQE broadcasts it when it fits and falls back to a key-shuffle
-    # join when a 100 TB run has too many groups for a broadcast (a
-    # forced hint would OOM the driver there).  The global case is a
-    # single-row side: crossJoin(broadcast) is the sanctioned 1-row BNLJ.
-    med = gb(df).agg(pct(value_col).alias("med"))
-    dev = df.join(med, by) if by else df.crossJoin(F.broadcast(med))
-    dev = dev.withColumn("_absdev", F.abs(F.col(value_col) - F.col("med")))
-    mad = gb(dev).agg(pct("_absdev").alias("mad"))
+    if by:
+        # Grouped path: BOTH percentile rounds as window aggregates over
+        # ONE group-key partitioning.  Exact percentile has no partial
+        # (map-side) aggregation, so the old agg+join-back shape moved
+        # every fact row across the network TWICE (med exchange, then
+        # the dev relation's mad exchange) and scanned the input twice;
+        # the stacked windows shuffle and sort the fact ONCE and reuse
+        # the partitioning for the second round (r15 opt, guide §2.4).
+        # Identical values: the window evaluates the same Percentile
+        # expression over the same per-group row multiset.  Skew posture
+        # unchanged — a hot group was already one reducer's collect
+        # under the agg form.  (Unpartitioned windows are banned
+        # registry-wide; the global case keeps the 1-row-broadcast
+        # shape below.)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*by)
+        dev = df.withColumn("med", pct(value_col).over(w)).withColumn(
+            "_absdev", F.abs(F.col(value_col) - F.col("med"))
+        )
+        scored_base = dev.withColumn("mad", pct("_absdev").over(w))
+    else:
+        # global case: single-row aggregate sides; crossJoin(broadcast)
+        # is the sanctioned 1-row BNLJ.
+        med = df.groupBy().agg(pct(value_col).alias("med"))
+        dev = df.crossJoin(F.broadcast(med)).withColumn(
+            "_absdev", F.abs(F.col(value_col) - F.col("med"))
+        )
+        mad = dev.groupBy().agg(pct("_absdev").alias("mad"))
+        scored_base = dev.crossJoin(F.broadcast(mad))
     scored = (
-        (dev.join(mad, by) if by else dev.crossJoin(F.broadcast(mad)))
+        scored_base
         .withColumn(
             "mz",
             F.when(

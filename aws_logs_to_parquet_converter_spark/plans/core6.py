@@ -237,9 +237,10 @@ _MAD_ORACLE = """
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type robust outliers: modified z-score on exact
     median/MAD (``operators/anomaly.mad_outliers``, Iglewicz-Hoaglin) —
-    the log-analytics anomaly flag.  Two percentile aggregations on the
-    same group key (AQE reuses the exchange), no window over the fact
-    table, no UDF."""
+    the log-analytics anomaly flag.  Both percentile rounds run as
+    window aggregates over ONE group-key partitioning (exact percentile
+    has no map-side partial, so the old agg+join-back shape shuffled
+    the fact twice — r15 opt), no UDF."""
     e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     v = e.select(
         "event_id",

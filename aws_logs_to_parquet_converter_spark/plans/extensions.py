@@ -4082,7 +4082,16 @@ def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") % 3 != 0)
     batch = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars", "text")
-    digests = dedup.content_digests(corpus, "doc_id", "text")
+    # The digest relation feeds BOTH the bloom bitmap build and the
+    # exact anti join; un-persisted, the corpus-digest distinct
+    # aggregation runs as two full corpus passes (r15 plan audit: the
+    # LeftAnti's BroadcastExchange rebuilt HashAggregate+Exchange from
+    # the parquet scan beside the cached bitmap).  In production the
+    # digest set is persisted parquet state (the operator contract);
+    # deriving it on the fly here, the persist+count mirrors that —
+    # one digest pass, both consumers read the cache.
+    digests = dedup.content_digests(corpus, "doc_id", "text").persist()
+    digests.count()
     fresh = dedup.dedup_against_corpus(
         batch, digests, "doc_id", "text",
         bloom=dedup.digest_bloom(digests, m_bits=1 << 16),
