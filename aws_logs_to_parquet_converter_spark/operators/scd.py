@@ -147,27 +147,50 @@ def scd2_merge(
     changed = ~F.expr(" AND ".join(f"o.{c} <=> n.{c}" for c in tracked_cols))
 
     null_to = F.lit(None).cast(history.schema[valid_to_col].dataType)
-    new_open = [F.col(f"n.{c}").alias(c) for c in tracked_cols] + [
-        F.col(f"n.{ts_col}").alias(valid_from_col),
-        null_to.alias(valid_to_col),
-    ]
+    hist_t = {c: history.schema[c].dataType for c in tracked_cols}
 
-    # surviving old row: unchanged/update-absent -> still open; changed
-    # -> closed at the update ts.  Emitted only when an old row exists;
-    # only valid_to varies (attrs and valid_from are the old row's own).
-    survivors = j.where(has_old).select(
-        *key_cols,
+    # BOTH merge outputs come from ONE pass over the join: the old
+    # survivors/inserts pair of selects each consumed `j`, and Spark
+    # does not share an uncached subtree across union branches — the
+    # full-outer join (and the shuffle of both its inputs) executed
+    # TWICE (r15 opt; the acf_stats single-lineage rule).  Each joined
+    # row now emits 0-2 typed structs through one explode:
+    #   * surviving old row (when an old row exists): unchanged/
+    #     update-absent -> still open; changed -> closed at the update
+    #     ts.  Only valid_to varies (attrs and valid_from are its own).
+    #   * inserted row: new key, or changed attrs on an existing key.
+    # Insert-side columns cast to the history schema's types — the
+    # same coercion unionByName applied when the branches were
+    # separate relations (a no-op under the operator's same-type
+    # contract).
+    surv_struct = F.struct(
+        *[F.col(c).alias(c) for c in key_cols],
         *[F.col(f"o.{c}").alias(c) for c in tracked_cols],
         F.col(f"o.{valid_from_col}").alias(valid_from_col),
-        F.when(has_new & changed, F.col(f"n.{ts_col}").cast(history.schema[valid_to_col].dataType))
+        F.when(
+            has_new & changed,
+            F.col(f"n.{ts_col}").cast(history.schema[valid_to_col].dataType),
+        )
         .otherwise(null_to)
         .alias(valid_to_col),
     )
-    # inserted row: new key, or changed attrs on an existing key
-    inserts = j.where(has_new & (~has_old | changed)).select(*key_cols, *new_open)
-    out_cols = key_cols + tracked_cols + [valid_from_col, valid_to_col]
-    return (
-        closed_rows.select(*out_cols)
-        .unionByName(survivors.select(*out_cols))
-        .unionByName(inserts.select(*out_cols))
+    ins_struct = F.struct(
+        *[F.col(c).alias(c) for c in key_cols],
+        *[F.col(f"n.{c}").cast(hist_t[c]).alias(c) for c in tracked_cols],
+        F.col(f"n.{ts_col}")
+        .cast(history.schema[valid_from_col].dataType)
+        .alias(valid_from_col),
+        null_to.alias(valid_to_col),
     )
+    merged = j.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(has_old, surv_struct),
+                    F.when(has_new & (~has_old | changed), ins_struct),
+                )
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    out_cols = key_cols + tracked_cols + [valid_from_col, valid_to_col]
+    return closed_rows.select(*out_cols).unionByName(merged.select(*out_cols))
