@@ -1539,10 +1539,14 @@ def source_kl_divergence(
     and the sum is total.  Counts are exact integers; the ln/division
     is engine-side with a final ROUND(3) (q_perplexity convention).
 
-    Shape: one token-key aggregate, the corpus counts RE-AGGREGATED
-    from the group counts (one shuffle feeds both), a vocab-keyed
-    equi-join, then a group rollup with the two scalar totals joined
-    as one-row broadcasts (the q11 single-row class).
+    Shape: ONE tokenization pass into a persisted (group, token,
+    count) relation — vocab-x-groups-bounded, the module's
+    persisted-state trade — from which the corpus counts, the
+    vocab-keyed equi-join, the group rollup and the scalar total all
+    derive (one-row broadcasts, the q11 single-row class).  r15: the
+    un-persisted form re-ran the corpus explode+aggregate three times
+    (its three consumers need different partitionings, so exchange
+    reuse never fired).
 
     Returns ``(group_col, n_tokens, kl_bits)``.
     """
@@ -1550,10 +1554,21 @@ def source_kl_divergence(
         F.col(group_col),
         F.explode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias("_tok"),
     ).where(F.col("_tok") != "")
-    per_group = toks.groupBy(group_col, "_tok").agg(F.count("*").alias("_cg"))
-    # per_group / corpus each feed two consumers with IDENTICAL
-    # subplans — AQE ReusedExchange serves the second read, so no
-    # persist is needed (the PMI-totals convention)
+    # Persist the slim (group, token, count) relation and derive
+    # EVERYTHING from it: the r15 plan audit found the old "AQE
+    # ReusedExchange serves the second read" claim never held — the
+    # three consumers (join left, corpus re-aggregation, total) need
+    # DIFFERENT partitionings, so the full corpus tokenization ran
+    # three times (three Generate-over-scan subtrees in the executed
+    # plan).  One explode+agg pass now feeds a vocab-x-groups-bounded
+    # cache (the persisted-state trade the bloom/minhash operators
+    # already make); released by spark.catalog.clearCache() or session
+    # end.  The eager count keeps concurrent consumers off the cache
+    # lock (the minhash sig.count() finding).
+    per_group = (
+        toks.groupBy(group_col, "_tok").agg(F.count("*").alias("_cg")).persist()
+    )
+    per_group.count()
     corpus = per_group.groupBy("_tok").agg(F.sum("_cg").alias("_cw"))
     joined = per_group.join(corpus, "_tok")
     inner = joined.groupBy(group_col).agg(
