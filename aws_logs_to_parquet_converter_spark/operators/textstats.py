@@ -780,23 +780,32 @@ def perplexity_scores(
     lm, oov_logp = train_unigram_lm(
         lm_corpus if lm_corpus is not None else docs, text_col, max_vocab, alpha
     )
+    # explode_OUTER keeps every document in the one token pass (a NULL
+    # or all-whitespace text still yields one NULL/'' row), so the
+    # zero-token docs need no second corpus scan + sort-merge join-back
+    # — the old shape's docs∖per_doc left join cost two Exchanges and
+    # two Sorts just to re-attach n_tokens=0 rows.  The placeholder
+    # rows are excluded from both aggregates by the `when` guards
+    # (count skips them; avg skips their NULLs), so a tokenless doc
+    # still scores (0, NULL) exactly as the left join produced.
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias("token"),
-    ).where(F.col("token") != "")
-    scored = toks.join(F.broadcast(lm), "token", "left")
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp))).alias("_mlp"),
+        F.explode_outer(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias(
+            "token"
+        ),
     )
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.pow(F.lit(2.0), -F.col("_mlp")).alias("ppl"),
-        )
+    scored = toks.join(F.broadcast(lm), "token", "left")
+    valid = F.col("token").isNotNull() & (F.col("token") != "")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.when(valid, 1)).alias("n_tokens"),
+        F.avg(
+            F.when(valid, F.coalesce(F.col("logp"), F.lit(oov_logp)))
+        ).alias("_mlp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.pow(F.lit(2.0), -F.col("_mlp")).alias("ppl"),
     )
 
 
