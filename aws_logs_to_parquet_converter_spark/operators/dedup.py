@@ -795,11 +795,16 @@ def save_minhash_index(
                 "band", "bucket", F.col("_id").alias("id")
             ).write.mode("overwrite").parquet(f"{vdir}/bands")
             # the COMMIT: params last flips readers onto the new version
-            spark.createDataFrame(
-                [(num_hashes, bands, shingle_n, seed, hash_fn, ver)],
+            from aws_logs_to_parquet_converter_spark.operators.versioned import (
+                write_params,
+            )
+
+            write_params(
+                spark, f"{path}/params",
+                (num_hashes, bands, shingle_n, seed, hash_fn, ver),
                 "num_hashes int, bands int, shingle_n int, seed long, "
                 "hash_fn string, version string",
-            ).write.mode("overwrite").parquet(f"{path}/params")
+            )
             if prune:
                 _prune_stale_versions(spark, path, ver)
     finally:
@@ -1022,11 +1027,16 @@ def rebuild_minhash_index(
         ).select("band", "bucket", F.col("_id").alias("id")).write.mode(
             "overwrite"
         ).parquet(f"{vdir}/bands")
-        spark.createDataFrame(
-            [(p["num_hashes"], p["bands"], p["shingle_n"], p["seed"], p["hash_fn"], ver)],
+        from aws_logs_to_parquet_converter_spark.operators.versioned import (
+            write_params,
+        )
+
+        write_params(
+            spark, f"{dest_path}/params",
+            (p["num_hashes"], p["bands"], p["shingle_n"], p["seed"], p["hash_fn"], ver),
             "num_hashes int, bands int, shingle_n int, seed long, "
             "hash_fn string, version string",
-        ).write.mode("overwrite").parquet(f"{dest_path}/params")
+        )
         # a dest that previously held an index (a re-run rebuild)
         # would otherwise accumulate orphan v-* dirs forever (r10
         # review) — same post-commit prune (and same prune=False

@@ -645,15 +645,29 @@ def token_stream_blocks(
     so the stream layout is computed without ever materializing the
     stream.  Empty documents occupy zero tokens: their first_block ==
     last_block == the block containing their start offset.
+
+    The (id, n_tokens) projection is persisted BEFORE the range
+    exchange: ``repartitionByRange``'s boundary-sampling job executes
+    its full child plan, so without the cache the token count — the
+    expensive part, typically a regex tokenization of the whole corpus
+    — is computed TWICE (once for boundary sampling, once for the real
+    exchange; plan-verified r15).  The cache is ~16 B/row; same
+    ``handles`` unpersist contract as the prefix-sum internals.
     """
     if block_size < 1:
         raise ValueError(f"token_stream_blocks: block_size must be >= 1, got {block_size}")
+    from pyspark.storagelevel import StorageLevel
+
     from aws_logs_to_parquet_converter_spark.operators.ranking import (
         global_running_sum,
     )
 
     tok = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
-    base = df.select("*", tok.cast("long").alias("n_tokens"))
+    base = df.select("*", tok.cast("long").alias("n_tokens")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if handles is not None:
+        handles.append(base)
     summed = global_running_sum(
         base, [F.col(id_col)], "n_tokens", sum_col="_incl", handles=handles
     )

@@ -1228,11 +1228,16 @@ def save_pq_index(
     ).write.mode("overwrite").parquet(f"{vdir}/codebook")
     coded.write.mode("overwrite").parquet(f"{vdir}/codes")
     # the COMMIT: params last flips readers onto the complete version
-    spark.createDataFrame(
-        [(ver, mm, kk, dsub, sample_n, iters, seed, hash_fn)],
+    from aws_logs_to_parquet_converter_spark.operators.versioned import (
+        write_params,
+    )
+
+    write_params(
+        spark, f"{path}/params",
+        (ver, mm, kk, dsub, sample_n, iters, seed, hash_fn),
         "version string, m int, ks int, dsub int, sample_n int, iters int, "
         "seed long, hash_fn string",
-    ).write.mode("overwrite").parquet(f"{path}/params")
+    )
     # prune superseded versions (post-commit, best effort; see
     # operators/versioned.py for the single-writer/reader contract)
     if prune:

@@ -34,6 +34,7 @@ from aws_logs_to_parquet_converter_spark.operators.bitmap import (
     bitmap_merge,
 )
 from aws_logs_to_parquet_converter_spark.operators.versioned import (
+    write_params,
     prune_stale_versions,
 )
 
@@ -80,9 +81,7 @@ def apply_bitmap_batch(
     segs.write.mode("overwrite").parquet(f"{mv_path}/v-{ver}/data")
     # the COMMIT: pointer last (a crash before this line leaves readers
     # on the previous complete version)
-    spark.createDataFrame([(ver,)], "version string").write.mode(
-        "overwrite"
-    ).parquet(f"{mv_path}/params")
+    write_params(spark, f"{mv_path}/params", (ver,), "version string")
     if prune:
         prune_stale_versions(spark, mv_path, ver)
 

@@ -35,6 +35,7 @@ from aws_logs_to_parquet_converter_spark.operators.sketch import (
     count_min_build_sliced,
 )
 from aws_logs_to_parquet_converter_spark.operators.versioned import (
+    write_params,
     prune_stale_versions,
 )
 
@@ -102,9 +103,10 @@ def apply_cms_batch(
     # the COMMIT: pointer + replay watermark last (a crash before this
     # line leaves readers on the previous complete version, and the
     # replayed batch re-applies against that same previous state)
-    spark.createDataFrame(
-        [(ver, int(batch_id))], "version string, last_batch_id long"
-    ).write.mode("overwrite").parquet(f"{mv_path}/params")
+    write_params(
+        spark, f"{mv_path}/params", (ver, int(batch_id)),
+        "version string, last_batch_id long",
+    )
     if prune:
         prune_stale_versions(spark, mv_path, ver)
 

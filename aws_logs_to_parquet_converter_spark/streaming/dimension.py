@@ -44,6 +44,7 @@ from pyspark.sql.streaming import StreamingQuery
 from aws_logs_to_parquet_converter_spark.operators.scd import scd2_merge
 from aws_logs_to_parquet_converter_spark.operators.versioned import (
     prune_stale_versions,
+    write_params,
 )
 
 
@@ -71,10 +72,9 @@ def _commit_dimension(merged: DataFrame, dim_path: str, prune: bool) -> None:
     ver = uuid.uuid4().hex[:12]
     merged.write.mode("overwrite").parquet(f"{dim_path}/v-{ver}/data")
     # the COMMIT: pointer last (crash before this line leaves readers
-    # on the previous complete version)
-    spark.createDataFrame([(ver,)], "version string").write.mode(
-        "overwrite"
-    ).parquet(f"{dim_path}/params")
+    # on the previous complete version); driver-side parquet write —
+    # no Spark job for the one-row pointer (operators/versioned.py)
+    write_params(spark, f"{dim_path}/params", (ver,), "version string")
     if prune:
         prune_stale_versions(spark, dim_path, ver)
 

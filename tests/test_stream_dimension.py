@@ -236,3 +236,56 @@ def test_cdc_apply_prune_false_keeps_prior_version(spark, tmp_path):
     # the live read still resolves through the pointer to the new merge
     out = {(r.k, r.seg) for r in read_dimension(spark, str(dim)).collect()}
     assert out == {(1, "A"), (1, "A2")}
+
+
+def test_write_params_bit_compatible_with_spark_writer(spark, tmp_path):
+    # The driver-side pointer write (operators/versioned.write_params)
+    # must be indistinguishable to every existing reader from the old
+    # createDataFrame(...).write.parquet path: same schema (types AND
+    # names), same row, readable by plain spark.read.parquet.
+    from aws_logs_to_parquet_converter_spark.operators.versioned import (
+        write_params,
+    )
+
+    ddl = (
+        "num_hashes int, bands int, shingle_n int, seed long, "
+        "hash_fn string, version string"
+    )
+    row = (128, 32, 5, 42, "xxhash64", "abcdef012345")
+    old = tmp_path / "old_params"
+    spark.createDataFrame([row], ddl).write.mode("overwrite").parquet(str(old))
+    write_params(spark, str(tmp_path / "new_params"), row, ddl)
+
+    old_df = spark.read.parquet(str(old))
+    new_df = spark.read.parquet(str(tmp_path / "new_params"))
+    assert [(f.name, f.dataType) for f in new_df.schema.fields] == [
+        (f.name, f.dataType) for f in old_df.schema.fields
+    ]
+    assert new_df.collect() == old_df.collect()
+
+
+def test_write_params_overwrites_previous_pointer(spark, tmp_path):
+    from aws_logs_to_parquet_converter_spark.operators.versioned import (
+        write_params,
+    )
+
+    p = str(tmp_path / "params")
+    write_params(spark, p, ("v1",), "version string")
+    write_params(spark, p, ("v2",), "version string")
+    assert spark.read.parquet(p).first()["version"] == "v2"
+    # no tmp dirs left behind
+    leftovers = [d.name for d in tmp_path.iterdir() if ".tmp-" in d.name]
+    assert leftovers == []
+
+
+def test_write_params_rejects_composite_fields(spark, tmp_path):
+    import pytest
+
+    from aws_logs_to_parquet_converter_spark.operators.versioned import (
+        write_params,
+    )
+
+    with pytest.raises(ValueError, match="flat scalars"):
+        write_params(
+            spark, str(tmp_path / "p"), ([1, 2],), "xs array<int>"
+        )
