@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_logs_to_parquet_converter_spark.operators.textstats import WS_PLUS, normalized_text
+from aws_logs_to_parquet_converter_spark.operators.textstats import (
+    NONWS_CLASS,
+    WS_PLUS,
+    normalized_text,
+)
 
 from aws_logs_to_parquet_converter_spark.operators.partitioning import fan_out as _fan_out
 
@@ -390,9 +394,16 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> 
         # and the candidate join degenerates to the O(m^2) blowup the
         # sketch exists to avoid (round-7 review finding).  Contentless
         # docs simply have no signature (unknown content never pairs).
+        # The contentless test runs on the RAW column: `text RLIKE
+        # NONWS_CLASS` holds iff normalized(text) is non-NULL and
+        # non-empty (both mean "has a non-whitespace char"), and keeping
+        # the filter off the projected `_nt` stops Catalyst's predicate
+        # pushdown from substituting the normalization regex into the
+        # filter condition — which made it evaluate 3x per doc (twice in
+        # the Filter, once in the Project; no cross-operator CSE).
         _fan_out(
-            df.select(F.col(id_col).alias("_id"), norm.alias("_nt")).where(
-                F.col("_nt").isNotNull() & (F.col("_nt") != "")
+            df.where(F.col(text_col).rlike(NONWS_CLASS)).select(
+                F.col(id_col).alias("_id"), norm.alias("_nt")
             ),
             "_id",
         )
@@ -1095,10 +1106,15 @@ def minhash_dedup_against_corpus(
     return batch.join(dup_ids, id_col, "left_anti")
 
 
-def simhash(
+def _simhash_agg(
     df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    """64-bit SimHash per document, fully wholestage-codegen.
+    """(_id, simhash) per document that has at least one token —
+    tokenless docs (NULL/empty/whitespace-only text) are ABSENT from
+    the output.  Callers that must keep every input row use the public
+    ``simhash`` wrapper, which joins the zero default back; callers
+    that pre-filter to contentful docs (the banded near-dup join) use
+    this directly and skip that join's second scan of the input.
 
     Same shape as minhash_signatures (the measured-fast pattern):
     explode tokens -> one hash per token -> per-bit SUM aggregates of
@@ -1139,7 +1155,17 @@ def simhash(
             F.lit(0).cast("long")
         )
         packed = packed.bitwiseOR(bit)
-    sigs = agg.select(F.col("_id"), packed.alias("simhash"))
+    return agg.select(F.col("_id"), packed.alias("simhash"))
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """64-bit SimHash per document (every input row kept; tokenless
+    documents get simhash 0 — all-negative votes).  The aggregate
+    itself lives in ``_simhash_agg``; this wrapper adds the
+    keep-every-row join-back."""
+    sigs = _simhash_agg(df, id_col, text_col, hash_fn)
     # keep docs with no tokens (left join back, default 0)
     return (
         df.select(F.col(id_col))
@@ -1414,6 +1440,7 @@ def simhash_near_duplicates(
     bands: int = 4,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    handles: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """All document pairs whose 64-bit SimHashes differ by at most
     ``max_hamming`` bits — EXACT by construction, not probabilistic:
@@ -1442,16 +1469,29 @@ def simhash_near_duplicates(
     # hamming-0 pairs (round-7 review finding).  Unknown content never
     # near-dups: exclude them from the pair space (exact dedup owns
     # genuinely-identical empties).
-    scorable = df.where(
-        _normalized(F.col(text_col)).isNotNull()
-        & (_normalized(F.col(text_col)) != "")
-    )
+    # RAW-column contentless test (same rule as exploded_shingles):
+    # rlike(NONWS_CLASS) ⟺ normalized(text) non-NULL and non-empty,
+    # without evaluating the normalization regex twice in the filter.
+    scorable = df.where(F.col(text_col).rlike(NONWS_CLASS))
     # hash_fn='md5' -> 60-bit oracle-parity signatures (see simhash);
     # banding still splits the full 64-bit layout, so pigeonhole
-    # exactness is untouched (the top band merely has 4 constant bits)
-    sigs = simhash(scorable, id_col, text_col, hash_fn=hash_fn).select(
-        F.col(id_col).alias("_id"), F.col("simhash").alias("_sig")
+    # exactness is untouched (the top band merely has 4 constant bits).
+    # _simhash_agg, not simhash: every scorable doc has >=1 token (the
+    # rlike filter above guarantees a non-whitespace char), so it is
+    # present in the aggregate and the public wrapper's
+    # keep-every-row join-back would only rescan the input to attach
+    # nothing.  Persist + materialize the slim (id, sig) rows (16
+    # B/doc) so the 64-vote token aggregate — the dominant cost — runs
+    # ONCE and both band-join sides read the cache (the dedup_minhash
+    # pattern; before this, the whole aggregate subtree executed twice,
+    # one copy per self-join side).
+    sigs = _simhash_agg(scorable, id_col, text_col, hash_fn=hash_fn).select(
+        "_id", F.col("simhash").alias("_sig")
     )
+    sigs = sigs.persist()
+    sigs.count()
+    if handles is not None:
+        handles.append(sigs)
     band_structs = F.array(
         *[
             F.struct(
