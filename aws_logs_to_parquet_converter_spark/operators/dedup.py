@@ -1306,47 +1306,61 @@ def connected_components(
     round-7 review finding).  Diameter > 20 means a pathological
     chain-shaped cluster; raise ``max_iter`` explicitly for it.
     """
+    # Persist + materialize the (slim, 16 B/row) edge list up front:
+    # every propagation ROUND is its own action (eager localCheckpoint
+    # + convergence count), and each one re-joins against `edges` —
+    # without the cache the caller's whole pair plan (for the jaccard
+    # entries: the full inverted-index self-join) re-executed once per
+    # round plus once for the label init.  Separate actions are
+    # exactly where the materialization rule pays (the
+    # session_attribution lesson in reverse).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("component").alias("_nmin"))
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("component"), F.coalesce("_nmin", F.col("component"))).alias(
-                    "component"
-                ),
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("component").alias("_nmin"))
             )
+            updated = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("component"), F.coalesce("_nmin", F.col("component"))).alias(
+                        "component"
+                    ),
+                )
+            )
+            updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "node")
+                .where(F.col("u.component") != F.col("l.component"))
+                .limit(1)
+                .count()
+            )
+            labels = updated
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds max_iter); the partial labels would be "
+            "silently wrong — raise max_iter"
         )
-        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .where(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations "
-        "(graph diameter exceeds max_iter); the partial labels would be "
-        "silently wrong — raise max_iter"
-    )
+    finally:
+        # the returned labels are localCheckpoint'd, so dropping the
+        # edge cache cannot trigger recomputation downstream
+        edges.unpersist()
 
 
 def dedup_keep_list(
