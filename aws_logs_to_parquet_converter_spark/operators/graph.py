@@ -45,22 +45,31 @@ def pagerank(
     """
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # e and outdeg are re-read by EVERY nested iteration (contrib join
+    # + dangling anti join), and with fewer iterations than
+    # checkpoint_every the whole chain executes as ONE action — the
+    # caller's edge plan (e.g. a link-extraction pass) would otherwise
+    # run ~2x per iteration.  Both relations are slim (ids + a count);
+    # persist them for the loop, drop them once the final ranks are
+    # checkpointed (the connected_components idiom).
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()  # every iteration re-reads the node set
     )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_od")).persist()
     try:
         n = nodes.count()
         if n == 0:
             # (1-d)/n below would raise a bare ZeroDivisionError; match
             # the informative-ValueError convention for degenerate input
             raise ValueError("pagerank: empty edge list (no nodes)")
-        outdeg = e.groupBy("src").agg(F.count("*").alias("_od"))
         ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
         for it in range(n_iters):
             contrib = (
@@ -90,6 +99,11 @@ def pagerank(
                 # a broadcast; unchecked, 50 iterations build a plan
                 # the analyzer chokes on (connected_components idiom)
                 ranks = ranks.localCheckpoint(eager=True)
-        return ranks
+        # Materialize the final ranks before the finally drops the
+        # caches they depend on — the returned frame is then a cheap
+        # checkpointed scan, exactly like connected_components' labels.
+        return ranks.localCheckpoint(eager=True)
     finally:
         nodes.unpersist()
+        e.unpersist()
+        outdeg.unpersist()
