@@ -109,24 +109,61 @@ def setsim_join_tokens(
             "setsim_join_tokens: threshold_milli must be an int in "
             f"(0, 1000], got {threshold_milli!r}"
         )
+    from aws_logs_to_parquet_converter_spark.operators.ranking import (
+        global_row_number,
+    )
+
     t = tok.select(F.col(id_col).alias("_id"), F.col(token_col).alias("_tk"))
-    # global document frequency per token: one map-side-combinable agg
-    dfreq = t.groupBy("_tk").agg(F.count("*").alias("_df"))
-    # per-doc token list sorted by the GLOBAL (df asc, token asc) total
-    # order — an in-row array sort bounded by doc size, plus the plain
-    # token array for hash-set verification
+    # global document frequency per token: one map-side-combinable agg.
+    # Persisted+materialized because TWO consumers follow in separate
+    # passes (the rank's range-boundary sampling job executes its full
+    # child — the token_stream_blocks lesson — and the per-doc join);
+    # without the cache the corpus tokenize+agg would run twice.
+    dfreq = t.groupBy("_tk").agg(F.count("*").alias("_df")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dfreq.count()
+    # Dense integer token ids, ranked by the GLOBAL (df asc, token asc)
+    # total order via the two-pass range-partitioned rank (no
+    # single-task sort; vocab-sized input).  Ranks are injective and
+    # order-preserving, so every downstream step — prefix slicing,
+    # candidate equi-join, hash-set verification — runs on 8-byte
+    # PRIMITIVES instead of shingle strings: measured at sf0.1 the
+    # string form spent ~90% of its 252 s wall hashing ~200-element
+    # string arrays per candidate pair.  Intersection counts are
+    # unchanged (injectivity), so the output stays integer-exact.
+    rk_handles: list[DataFrame] = []
+    vocab = global_row_number(
+        dfreq,
+        [F.col("_df"), F.col("_tk")],
+        rank_col="_rk",
+        count_col="_rkcnt",
+        handles=rk_handles,
+    ).select("_tk", "_rk")
+    # per-doc ascending rank array == the global total order
     per_doc = (
-        t.join(dfreq, "_tk")
+        t.join(vocab, "_tk")
         .groupBy("_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("_tk")))
-            ).alias("_ordered"),
+            F.array_sort(F.collect_list("_rk")).alias("_toks"),
             F.count("*").alias("_n"),
         )
-        .select("_id", "_n", F.col("_ordered._tk").alias("_toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize before the consumers launch: the plan reads per_doc
+    # from THREE subtrees (prefix explode + both verification sides)
+    # and AQE starts them concurrently — uncached-compute races on the
+    # per-partition cache locks hold task slots for the full
+    # index-build wall (the dedup_minhash lesson, measured there
+    # 4.55s -> 3.35s).  One eager count pays the build in a clean
+    # stage; consumers then read the cache.
+    per_doc.count()
+    # per_doc is materialized, so the upstream vocab caches can drop
+    # now; an executor-loss recompute re-derives identical ranks (the
+    # total order makes the two-pass rank draw-independent).
+    dfreq.unpersist()
+    for h in rk_handles:
+        h.unpersist()
     if handles is not None:
         handles.append(per_doc)
     # prefix length p = n - ceil(tau*n) + 1, all-integer
@@ -135,15 +172,44 @@ def setsim_join_tokens(
         - F.expr(f"({threshold_milli} * _n + 999) div 1000")
         + F.lit(1)
     ).cast("int")
+    # 1-based position within the full ordered array rides along: the
+    # PPJoin-style pruning below needs it
     prefix = per_doc.select(
-        "_id", "_n", F.explode(F.slice("_toks", 1, p)).alias("_tk")
+        "_id", "_n", F.posexplode(F.slice("_toks", 1, p))
+    ).select(
+        "_id", "_n", (F.col("pos") + 1).alias("_p"), F.col("col").alias("_tk")
     )
-    a = prefix.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_tk")
-    b = prefix.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_tk")
+    a = prefix.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"),
+        F.col("_p").alias("_pa"), "_tk",
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"),
+        F.col("_p").alias("_pb"), "_tk",
+    )
     # candidate pairs: shared prefix token + size filter
-    # (J >= tau forces tau*|A| <= |B| <= |A|/tau); DISTINCT because two
-    # docs may share several prefix tokens — one bounded exchange over
-    # slim (id, id, n, n) rows
+    # (J >= tau forces tau*|A| <= |B| <= |A|/tau); then ONE per-pair
+    # aggregate (map-side combinable, replacing the old DISTINCT at the
+    # same shuffle cost) that also computes an EXACT overlap upper
+    # bound for positional pruning:
+    #   Let s_max be the LARGEST token shared by both prefixes, at
+    #   positions (pa_max, pb_max) — both arrays sort by the same
+    #   global order, so max token = max position on each side,
+    #   aggregable independently.  Prefixes are downward-closed in
+    #   that order, so every shared token < s_max is itself in both
+    #   prefixes: shared tokens <= s_max number exactly _c (the shared
+    #   prefix-token count), and shared tokens > s_max lie after
+    #   pa_max/pb_max in their arrays.  Hence
+    #     overlap <= _c + min(_na - pa_max, _nb - pb_max).
+    #   J >= tau forces overlap >= ceil(tau*(na+nb)/(1+tau)) =: alpha;
+    #   candidates whose bound falls short can never verify, and skip
+    #   the verification join entirely.  (This bound dominates the
+    #   classic first-match positional filter: it equals it at _c = 1
+    #   and is strictly tighter for _c > 1.)
+    alpha = F.expr(
+        f"({threshold_milli} * (_na + _nb) + {1000 + threshold_milli} - 1) "
+        f"div {1000 + threshold_milli}"
+    )
     cand = (
         a.join(b, "_tk")
         .where(F.col("id_a") < F.col("id_b"))
@@ -151,12 +217,24 @@ def setsim_join_tokens(
             (F.lit(1000) * F.col("_nb") >= F.lit(threshold_milli) * F.col("_na"))
             & (F.lit(1000) * F.col("_na") >= F.lit(threshold_milli) * F.col("_nb"))
         )
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(
+            F.count("*").alias("_c"),
+            F.max("_pa").alias("_pamax"),
+            F.max("_pb").alias("_pbmax"),
+        )
+        .where(
+            F.col("_c")
+            + F.least(
+                F.col("_na") - F.col("_pamax"), F.col("_nb") - F.col("_pbmax")
+            )
+            >= alpha
+        )
         .select("id_a", "id_b", "_na", "_nb")
-        .distinct()
     )
-    # verify: exact intersection via JVM hash-set array_intersect; each
-    # doc's token array moves once per surviving candidate (slim
-    # everything else)
+    # verify: exact intersection via JVM hash-set array_intersect over
+    # the PRIMITIVE rank arrays; each doc's array moves once per
+    # surviving candidate (slim everything else)
     ta = per_doc.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
     tb = per_doc.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
