@@ -926,39 +926,67 @@ def bigram_scores(
     )
     inv = uni_lm.select("token", F.lit(True).alias("_inv"))
 
-    def mapped_tokens(src: DataFrame) -> DataFrame:
-        # bigrams are bounded WITHIN documents, so the LM corpus must
-        # carry the same id column as the scored corpus
-        toks = src.select(
-            F.col(id_col).alias("_mid"),
-            F.posexplode(F.split(F.lower(F.col(text_col)), WS_PLUS)).alias(
-                "_pos", "_rawtok"
-            ),
-        ).where(F.col("_rawtok") != "")
-        return toks.join(
-            F.broadcast(inv.withColumnRenamed("token", "_rawtok")), "_rawtok", "left"
+    def bigram_stream(src: DataFrame) -> DataFrame:
+        """(_mid, _w1, _w2) adjacent-token pairs, built IN-ROW: the
+        token array zips against itself shifted by one (NULL front-pad
+        = "no left context"), so no window — the old per-doc lag()
+        shuffled and sorted the FULL token stream once per consumer
+        (two window Exchange+Sort pairs in the executed plan; adjacency
+        is already explicit in the array, the exchange bought nothing).
+        explode_outer keeps tokenless docs as one (_w1 NULL, _w2 NULL)
+        placeholder row — the q_perplexity pattern — so the final
+        join-back re-scan of ``docs`` disappears too.  Vocab fold-in
+        happens per pair side via the same broadcast; a NULL side stays
+        NULL (first-token/placeholder rows must not fold to <unk>)."""
+        arr = F.filter(
+            F.split(F.lower(F.col(text_col)), WS_PLUS), lambda x: x != ""
+        )
+        src2 = src.select(F.col(id_col).alias("_mid"), arr.alias("_arr")).select(
+            "_mid",
+            "_arr",
+            F.slice(
+                F.concat(F.array(F.lit(None).cast("string")), F.col("_arr")),
+                1,
+                F.size("_arr"),
+            ).alias("_prev"),
+        )
+        ex = src2.select(
+            "_mid", F.explode_outer(F.arrays_zip("_prev", "_arr")).alias("_pr")
         ).select(
             "_mid",
-            "_pos",
-            F.when(F.col("_inv"), F.col("_rawtok")).otherwise(F.lit("<unk>")).alias("_tok"),
+            F.col("_pr._prev").alias("_w1raw"),
+            F.col("_pr._arr").alias("_w2raw"),
         )
-
-    from pyspark.sql import Window
-
-    def bigrams(tok_df: DataFrame, part: "list[str]") -> DataFrame:
-        w = Window.partitionBy(*part).orderBy("_pos")
-        return tok_df.select(
-            *part, "_pos", F.lag("_tok").over(w).alias("_w1"), F.col("_tok").alias("_w2")
+        inv1 = F.broadcast(
+            inv.select(F.col("token").alias("_w1raw"), F.col("_inv").alias("_inv1"))
+        )
+        inv2 = F.broadcast(
+            inv.select(F.col("token").alias("_w2raw"), F.col("_inv").alias("_inv2"))
+        )
+        return (
+            ex.join(inv1, "_w1raw", "left")
+            .join(inv2, "_w2raw", "left")
+            .select(
+                "_mid",
+                F.when(F.col("_w1raw").isNull(), F.lit(None).cast("string"))
+                .when(F.col("_inv1"), F.col("_w1raw"))
+                .otherwise(F.lit("<unk>"))
+                .alias("_w1"),
+                F.when(F.col("_w2raw").isNull(), F.lit(None).cast("string"))
+                .when(F.col("_inv2"), F.col("_w2raw"))
+                .otherwise(F.lit("<unk>"))
+                .alias("_w2"),
+            )
         )
 
     # training side: corpus bigram conditionals c(w1 w2) / c(w1).  The
     # c(w1) marginals came for free from the vocabulary collection
-    # above (local relation, broadcast), so this is one window + one
-    # aggregation over the mapped stream — lazily recomputed rather
-    # than persisted: nothing stays pinned in executor storage after
-    # the result materializes (the earlier persist leaked for the
-    # SparkContext lifetime).
-    tb = bigrams(mapped_tokens(lm_src), ["_mid"]).where(F.col("_w1").isNotNull())
+    # above (local relation, broadcast), so this is one aggregation
+    # over the pair stream — lazily recomputed rather than persisted:
+    # nothing stays pinned in executor storage after the result
+    # materializes (the earlier persist leaked for the SparkContext
+    # lifetime).
+    tb = bigram_stream(lm_src).where(F.col("_w1").isNotNull())
     big_lm = (
         tb.groupBy("_w1", "_w2")
         .agg(F.count("*").alias("_c12"))
@@ -967,13 +995,16 @@ def bigram_scores(
     )
 
     # scoring side
-    doc_toks = mapped_tokens(docs)
-    db = bigrams(doc_toks, ["_mid"])
+    db = bigram_stream(docs)
     uni = uni_lm.select(F.col("token").alias("_w2"), F.col("logp").alias("_ulp"))
     import math
 
     uni_of_w2 = F.coalesce(F.col("_ulp"), F.lit(oov_logp))
     lp = F.when(
+        # placeholder row of a tokenless doc: no score contribution
+        F.col("_w2").isNull(),
+        F.lit(None).cast("double"),
+    ).when(
         # the first token has no left context: unigram logp, no backoff
         F.col("_w1").isNull(),
         uni_of_w2,
@@ -983,19 +1014,18 @@ def bigram_scores(
     scored = (
         db.join(F.broadcast(uni), "_w2", "left")
         .join(big_lm, ["_w1", "_w2"], "left")
-        .select("_mid", lp.alias("_lp"))
+        .select("_mid", F.col("_w2").isNotNull().alias("_tokrow"), lp.alias("_lp"))
     )
-    per_doc = scored.groupBy("_mid").agg(
-        F.count("*").alias("n_tokens"), F.avg("_lp").alias("_mlp")
-    )
-    return (
-        docs.select(F.col(id_col))
-        .join(per_doc.withColumnRenamed("_mid", id_col), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.pow(F.lit(2.0), -F.col("_mlp")).alias("ppl"),
-        )
+    # explode_outer kept every doc in the stream (placeholders counted
+    # out by the guards), so per-doc aggregation IS the final result —
+    # no docs re-scan, no join-back
+    return scored.groupBy("_mid").agg(
+        F.sum(F.when(F.col("_tokrow"), 1).otherwise(0)).cast("long").alias("n_tokens"),
+        F.avg("_lp").alias("_mlp"),
+    ).select(
+        F.col("_mid").alias(id_col),
+        "n_tokens",
+        F.pow(F.lit(2.0), -F.col("_mlp")).alias("ppl"),
     )
 
 
