@@ -1197,14 +1197,18 @@ def ngram_jaccard_pairs(
     stopwords and the score becomes a lower bound — the standard
     df-cap trick for inverted-index similarity joins.  Pass ``None``
     for the uncapped ground truth."""
-    # `sh` feeds three subplans (both join sides + sizes) and is
-    # recomputed per use — persisting it measured 2.2x slower cold
-    # (concurrent independent stages beat serialized materialization on
-    # an unsaturated machine; see the equivalent note in
-    # minhash_near_duplicates for when callers should persist).
     sh = exploded_shingles(df, id_col, text_col, shingle_n).dropDuplicates(["_id", "_sh"])
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
 
+    # `sh` feeds four subplans (sizes, the cold build, both join
+    # sides) and is recomputed per use — DELIBERATELY: persisting it
+    # was re-measured this round (r15, interleaved A/B) at 2-3x slower
+    # warm, confirming the original cold measurement — materializing
+    # the wide shingle stream serializes a pipeline that four
+    # concurrent codegen recomputes otherwise overlap across cores.
+    # A posting-list restatement (collect_list per shingle + in-row
+    # slice/explode pair generation) was also measured: 6x SLOWER — a
+    # df-1000 shingle's pair explode allocates O(df^2) array copies in
+    # ONE task, where the self-join spreads plain hash-join rows.
     idx = sh
     if max_shingle_df is not None:
         cold = (
@@ -1215,6 +1219,7 @@ def ngram_jaccard_pairs(
         )
         idx = sh.join(cold, "_sh")
 
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     a = idx.alias("a")
     b = idx.alias("b")
     common = (
@@ -1321,35 +1326,53 @@ def connected_components(
         .persist()
     )
     try:
+        # Round 1 is computable as ONE aggregate over the cached edge
+        # list: with init labels component=node, the min-label update
+        # new(v) = min(v, min neighbor ids) needs no label relation at
+        # all — this replaces the old init-distinct action PLUS a full
+        # propagation round (edges are symmetric, so groupBy(src)
+        # covers every node).
         labels = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("component", F.col("node"))
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.min("dst").alias("_m"))
+            .select(
+                "node", F.least(F.col("node"), F.col("_m")).alias("component")
+            )
+            .localCheckpoint(eager=True)
         )
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.min("component").alias("_nmin"))
+        # Round 1 converging == empty graph: any edge (a,b) lowers
+        # max(a,b)'s label, so a NONEMPTY graph always changes in
+        # round 1.  The cheap emptiness probe keeps max_iter=1
+        # semantics identical to the old per-round-checked loop.
+        if labels.limit(1).count() == 0:
+            return labels
+        # Each later round is ONE join + ONE aggregate: every node's
+        # own label rides the aggregate as a flagged self-contribution
+        # (one row per node, so min(when(_self)) recovers it exactly),
+        # which replaces the old three joins per round — the
+        # labels-vs-neighbor_min join-back AND the separate
+        # changed-detection join (the flag makes convergence a filter
+        # over the just-checkpointed result, not a second shuffle).
+        for _ in range(max_iter - 1):
+            contrib = edges.join(labels, edges.dst == labels.node).select(
+                "src", "component", F.lit(False).alias("_self")
+            )
+            selfc = labels.select(
+                F.col("node").alias("src"), "component", F.lit(True).alias("_self")
             )
             updated = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(F.col("component"), F.coalesce("_nmin", F.col("component"))).alias(
-                        "component"
-                    ),
+                contrib.unionByName(selfc)
+                .groupBy(F.col("src").alias("node"))
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
                 )
+                .localCheckpoint(eager=True)  # truncate lineage per round
             )
-            updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
             changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "node")
-                .where(F.col("u.component") != F.col("l.component"))
-                .limit(1)
-                .count()
+                updated.where(F.col("component") != F.col("_old")).limit(1).count()
             )
-            labels = updated
+            labels = updated.select("node", "component")
             if changed == 0:
                 return labels
         raise RuntimeError(
