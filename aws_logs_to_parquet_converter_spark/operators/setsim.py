@@ -210,6 +210,16 @@ def setsim_join_tokens(
         f"({threshold_milli} * (_na + _nb) + {1000 + threshold_milli} - 1) "
         f"div {1000 + threshold_milli}"
     )
+    # The join's raw output is the volume driver (measured sf0.1:
+    # 44.9M rows into the pair aggregate for 255k surviving
+    # candidates), so the sizes are PROJECTED OFF before that exchange
+    # — (_na, _nb) are functions of the ids, and carrying them as
+    # extra group-by keys paid 16 B on every joined row (guide §2.3:
+    # project before the exchange).  The size filter still runs INSIDE
+    # the join stage (map side, before any shuffle); sizes re-attach
+    # from the persisted per-doc index AFTER the aggregate, on the
+    # ~100x smaller candidate relation, where the positional prune
+    # needs them.
     cand = (
         a.join(b, "_tk")
         .where(F.col("id_a") < F.col("id_b"))
@@ -217,12 +227,19 @@ def setsim_join_tokens(
             (F.lit(1000) * F.col("_nb") >= F.lit(threshold_milli) * F.col("_na"))
             & (F.lit(1000) * F.col("_na") >= F.lit(threshold_milli) * F.col("_nb"))
         )
-        .groupBy("id_a", "id_b", "_na", "_nb")
+        .select("id_a", "id_b", "_pa", "_pb")
+        .groupBy("id_a", "id_b")
         .agg(
             F.count("*").alias("_c"),
             F.max("_pa").alias("_pamax"),
             F.max("_pb").alias("_pbmax"),
         )
+    )
+    na = per_doc.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = per_doc.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    cand = (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
         .where(
             F.col("_c")
             + F.least(
