@@ -520,6 +520,44 @@ def test_connected_components_raises_on_nonconvergence(spark):
     assert {r.component for r in labels} == {0}
 
 
+def test_connected_components_round_semantics(spark):
+    """Pins the r15 loop restructure's round accounting: round 1 is
+    computed as one aggregate over the edge list (no label relation),
+    later rounds fold the old label into the propagation aggregate as
+    a flagged self-contribution.  max_iter still counts PROPAGATION
+    ROUNDS exactly as before the restructure."""
+    import pytest as _pytest
+
+    # empty pair graph: returns empty without raising, even at the
+    # minimum budget (the old loop converged on its first check; the
+    # new one exits on the post-round-1 emptiness probe)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(empty, max_iter=1).collect() == []
+
+    # a single edge needs round 1 (propagate) + round 2 (confirm):
+    # max_iter=2 must converge, and the labels are the min id
+    one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    labels = {
+        r.node: r.component
+        for r in dedup.connected_components(one, max_iter=2).collect()
+    }
+    assert labels == {3: 3, 7: 3}
+
+    # a path with the min id at one END (1-5-9) needs TWO propagation
+    # rounds to reach the far node plus one confirming round:
+    # max_iter=2 must raise (round 2 still changes node 9's label),
+    # max_iter=3 must converge — the exact budget the pre-restructure
+    # loop required for the same graph
+    path = spark.createDataFrame([(1, 5), (5, 9)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(path, max_iter=2)
+    labels = {
+        r.node: r.component
+        for r in dedup.connected_components(path, max_iter=3).collect()
+    }
+    assert labels == {1: 1, 5: 1, 9: 1}
+
+
 def test_contentless_docs_oracle_parity(spark, tmp_path):
     """ADVICE r7: the DuckDB oracles of the shingle-graded queries
     (q_ngram_jaccard, q_dedup_minhash_md5, q_dedup_keep_list) must
