@@ -418,6 +418,56 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> 
     )
 
 
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(_id, _sh) rows: each DISTINCT character n-gram of the
+    normalized text once per doc — ``exploded_shingles(...)
+    .dropDuplicates(["_id", "_sh"])``'s exact row set, computed IN-ROW
+    (array_distinct over the transform-built shingle array, then
+    explode).  The set-based consumers (jaccard/containment/
+    contamination/setsim) re-derive their shingle relation once per
+    subplan — three to four times per query, deliberately uncached
+    (see ngram_jaccard_pairs) — and the dropDuplicates form built a
+    hash-aggregate over the full shingle-OCCURRENCE stream on every
+    re-derivation (the aggregate itself was already exchange-free:
+    ``_fan_out``'s _id partitioning satisfies the (_id, _sh)
+    clustering — verified in the r15 plan diff, 84 → 70 operators
+    with the Exchange set unchanged).  This form pays one interpreted
+    (CodegenFallback) transform per doc instead of per-occurrence
+    hash-map maintenance, and the generated row stream shrinks to the
+    distinct set before any downstream operator sees it.  Measured
+    (r15 interleaved A/B, stable control): q_ngram_jaccard 5.84 →
+    4.62 s median, keep_list 9.22 → 8.40, keep_best 8.06 → 7.03.
+    The trade is the OPPOSITE of the minhash/winnow one (occurrence
+    consumers, where MIN/window absorbs duplicates for free and
+    codegen explode wins — the module-header measurement): here the
+    dedup aggregate was the only thing the early explode bought.
+    Same contentless-doc contract as exploded_shingles:
+    NULL/whitespace-only text emits no rows, and the filter tests the
+    RAW column so predicate pushdown cannot triplicate the
+    normalization regex."""
+    norm = _normalized(F.col(text_col))
+    return (
+        _fan_out(
+            df.where(F.col(text_col).rlike(NONWS_CLASS)).select(
+                F.col(id_col).alias("_id"), norm.alias("_nt")
+            ),
+            "_id",
+        )
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, greatest(length(_nt) - {n - 1}, 1)), "
+                    f"i -> substring(_nt, i, {n})))"
+                )
+            ).alias("_sh"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -1197,8 +1247,6 @@ def ngram_jaccard_pairs(
     stopwords and the score becomes a lower bound — the standard
     df-cap trick for inverted-index similarity joins.  Pass ``None``
     for the uncapped ground truth."""
-    sh = exploded_shingles(df, id_col, text_col, shingle_n).dropDuplicates(["_id", "_sh"])
-
     # `sh` feeds four subplans (sizes, the cold build, both join
     # sides) and is recomputed per use — DELIBERATELY: persisting it
     # was re-measured this round (r15, interleaved A/B) at 2-3x slower
@@ -1209,6 +1257,11 @@ def ngram_jaccard_pairs(
     # slice/explode pair generation) was also measured: 6x SLOWER — a
     # df-1000 shingle's pair explode allocates O(df^2) array copies in
     # ONE task, where the self-join spreads plain hash-join rows.
+    # The per-doc DISTINCT is in-row (distinct_shingles): the old
+    # explode+dropDuplicates form rebuilt an occurrence-stream dedup
+    # aggregate in every subplan (see the helper's docstring for the
+    # plan diff and measured numbers).
+    sh = distinct_shingles(df, id_col, text_col, shingle_n)
     idx = sh
     if max_shingle_df is not None:
         cold = (
@@ -1265,8 +1318,11 @@ def contamination_check(
     Returns (train_id, n_eval_matches, max_common).  The df cap is
     computed over the UNION of both sides — a shingle ubiquitous in
     either corpus is non-discriminative for matching."""
-    tr = exploded_shingles(train, id_col, text_col, shingle_n).dropDuplicates(["_id", "_sh"])
-    ev = exploded_shingles(eval_set, id_col, text_col, shingle_n).dropDuplicates(["_id", "_sh"])
+    # per-doc distinct is in-row (no per-subplan occurrence-stream
+    # dedup aggregate — the distinct_shingles note): each side feeds
+    # the df-cap build and its join branch
+    tr = distinct_shingles(train, id_col, text_col, shingle_n)
+    ev = distinct_shingles(eval_set, id_col, text_col, shingle_n)
     if max_shingle_df is not None:
         df_all = (
             tr.select("_sh")
@@ -1866,9 +1922,10 @@ def ngram_containment_pairs(
     Returns (id_a, id_b, common, c_ab_ppm, c_ba_ppm): c_ab_ppm is the
     containment of id_a's shingle set in id_b's.
     """
-    sh = exploded_shingles(df, id_col, text_col, shingle_n).dropDuplicates(
-        ["_id", "_sh"]
-    )
+    # per-doc distinct is in-row (no per-subplan occurrence-stream
+    # dedup aggregate — same four-subplan shape and rationale as
+    # ngram_jaccard_pairs)
+    sh = distinct_shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
 
     idx = sh

@@ -74,13 +74,15 @@ def shingle_token_sets(
     (so results line up with the MinHash/ngram_jaccard family),
     deduplicated per doc."""
     from aws_logs_to_parquet_converter_spark.operators.dedup import (
-        exploded_shingles,
+        distinct_shingles,
     )
 
-    return (
-        exploded_shingles(df, id_col, text_col, n=shingle_n)
-        .select("_id", F.col("_sh").alias("_tk"))
-        .distinct()
+    # per-doc distinct is in-row (dedup.distinct_shingles) — the old
+    # explode + DISTINCT rebuilt an occurrence-stream dedup aggregate
+    # on every re-derivation (this relation feeds the dfreq aggregate
+    # and the per-doc rank join as separate subplans)
+    return distinct_shingles(df, id_col, text_col, n=shingle_n).select(
+        "_id", F.col("_sh").alias("_tk")
     )
 
 
