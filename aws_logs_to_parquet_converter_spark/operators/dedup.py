@@ -367,9 +367,13 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     built with sequence/transform (no explode until the caller asks).
 
     NOTE: array higher-order functions evaluate interpreted
-    (CodegenFallback); fine for small/occasional use, but hot paths
-    should prefer ``exploded_shingles`` below, which stays entirely in
-    wholestage codegen."""
+    (CodegenFallback).  OCCURRENCE consumers (minhash, winnow — where
+    MIN/window absorb duplicates for free) should prefer
+    ``exploded_shingles`` below, which stays entirely in wholestage
+    codegen; SET consumers that would otherwise dedup the occurrence
+    stream should prefer ``distinct_shingles``, which trades one
+    interpreted transform per doc for the whole per-subplan dedup
+    aggregate (measured r15 — see that docstring)."""
     norm = _normalized(text)
     return F.array_distinct(
         F.transform(
